@@ -1,0 +1,68 @@
+"""Table loading for the driver testdata star schema.
+
+Tables live as single parquet files per scale factor
+(``/root/testdata/sf*/<name>.parquet``). At 100 TB each table would be
+a partitioned/bucketed parquet (or Delta/Iceberg) root — the loader
+only changes its path argument; every downstream operator stays the
+same because access goes through the DataFrame reader (partition
+discovery, predicate pushdown and column pruning are free).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor —
+# TPC-H fixes nation=25 / region=5 rows independent of SF, so a
+# broadcast hint on these is safe even at 100 TB.
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Tolerate nanosecond parquet timestamps in any session (the driver
+    # builds its own SparkSession, so set this defensively per read).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    return _fixup(spark, name, df)
+
+
+def _fixup(spark: SparkSession, name: str, df: DataFrame) -> DataFrame:
+    """Normalize testdata quirks at the source boundary.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS) which Spark's
+    parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as
+    raw int64 (``spark.sql.legacy.parquet.nanosAsLong``) and convert
+    ns → µs → TIMESTAMP_NTZ right at the scan, so every downstream
+    operator sees a regular timestamp column. The conversion is a
+    codegen'd projection — no extra pass over the data.
+    """
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(CAST(ts / 1000 AS LONG)) AS TIMESTAMP_NTZ)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table as a DataFrame keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

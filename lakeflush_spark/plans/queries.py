@@ -1,0 +1,515 @@
+"""Declared query inventory (SURVEY.md §2.C) — the t2 correctness contract.
+
+Every entry pairs an idiomatic-Spark DataFrame builder with the
+equivalent ANSI SQL that DuckDB runs as the oracle. Conventions that
+make the oracle hash-match deterministic (SURVEY §7.3.5):
+
+- every aggregate / computed column is aliased IDENTICALLY on both
+  sides;
+- every float aggregate is ``round()``-ed on both sides (parallel
+  double summation is order-dependent in the last bits);
+- integer-kind computed columns are cast to BIGINT on both sides
+  (Spark ``row_number`` is int32, DuckDB's is int64);
+- every query ends in an explicit total-order ORDER BY.
+
+Scale notes (the 100 TB stance) are in each builder's docstring: which
+side broadcasts, where the shuffles are, and what AQE is expected to do.
+Reference parity pointers cite ``/root/reference`` file:line.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from lakeflush_spark.io import load_table
+
+
+@dataclass(frozen=True)
+class DeclaredQuery:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only check
+    description: str = ""
+
+
+QUERIES: dict[str, DeclaredQuery] = {}
+
+
+def declare(name: str, oracle: str | None, description: str = ""):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = DeclaredQuery(name, fn, oracle, description)
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q1 — scan + count (reference analog: O1 recursive scan + O4 whole-file read,
+# utils/file/processor.py:9-118)
+# ---------------------------------------------------------------------------
+@declare(
+    "q01_scan_count",
+    "SELECT COUNT(*) AS cnt FROM lineitem",
+    "Full-scan count. Parquet footer row counts let Spark answer this without reading data pages.",
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Q2 — filter + project (reference analog: O3 glob filter,
+# utils/file/processor.py:38-50). Predicate + projection both push into the
+# parquet scan (verified via explain: PushedFilters / ReadSchema).
+# ---------------------------------------------------------------------------
+@declare(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    "Pushed-down filter + pruned projection; scan reads 4 of 11 columns.",
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — hash aggregate, TPC-H Q1 shape. Catalyst plans partial (map-side)
+# + final HashAggregate automatically; only the 6-group final agg shuffles.
+# ---------------------------------------------------------------------------
+@declare(
+    "q03_hash_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(l_quantity), 2)                         AS sum_qty,
+           round(SUM(l_extendedprice), 2)                    AS sum_base_price,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(AVG(l_quantity), 4)                         AS avg_qty,
+           round(AVG(l_discount), 4)                         AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1: map-side partial agg means the shuffle carries 6 rows/partition, not 600k.",
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — equi join with broadcast dim. nation is 25 rows at EVERY scale factor
+# (TPC-H fixes it), so broadcasting is correct at 100 TB too: no shuffle of
+# the fact side at all, just a map-side hash join.
+# ---------------------------------------------------------------------------
+@declare(
+    "q04_broadcast_join",
+    """
+    SELECT n_name, COUNT(*) AS cnt
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    "Broadcast-hash join: the 25-row dim ships to executors; customer never shuffles for the join.",
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — multi-way join + agg + top-k, TPC-H Q3 shape. Filters applied BEFORE
+# the joins (Catalyst pushes them below anyway); customer⋈orders is the
+# selective side, then joined to lineitem on the orderkey. At scale AQE
+# converts the orders-side join to broadcast if the filtered side is small.
+# ---------------------------------------------------------------------------
+@declare(
+    "q05_multiway_join_topk",
+    """
+    SELECT l_orderkey,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3: selective dims first, AQE re-plans the second join to broadcast when the filtered build side shrinks.",
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — semi / anti joins. left_semi never materializes the right side's
+# columns, and Spark de-dups the build side — exactly IN-subquery semantics.
+# ---------------------------------------------------------------------------
+@declare(
+    "q06_semi_join",
+    """
+    SELECT COUNT(*) AS cnt FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "left_semi join; build side deduplicated, no payload columns shuffled.",
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@declare(
+    "q06b_anti_join",
+    """
+    SELECT COUNT(*) AS cnt FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+    "left_anti join (NOT EXISTS semantics on non-null keys).",
+)
+def q06b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey").where(F.col("o_custkey").isNotNull())
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — sort + limit (top-k). Spark plans TakeOrderedAndProject: each
+# partition keeps its local top-100, only k rows per partition reach the
+# driver — no global sort at any scale.
+# ---------------------------------------------------------------------------
+@declare(
+    "q07_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    "TakeOrderedAndProject: per-partition heap of k, no full shuffle sort.",
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — window ranking: per-nation top-3 customers by order revenue. The agg
+# shuffles on (n_name, c_custkey); the window re-shuffles on n_name only —
+# 25 partitions, so the rank step is trivially parallel and skew-free.
+# ---------------------------------------------------------------------------
+@declare(
+    "q08_window_rank",
+    """
+    WITH totals AS (
+        SELECT n_name, c_custkey, round(SUM(o_totalprice), 2) AS total
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        GROUP BY n_name, c_custkey
+    )
+    SELECT n_name, c_custkey, total, rn FROM (
+        SELECT n_name, c_custkey, total,
+               CAST(row_number() OVER (PARTITION BY n_name ORDER BY total DESC, c_custkey) AS BIGINT) AS rn
+        FROM totals
+    ) ranked
+    WHERE rn <= 3
+    ORDER BY n_name, rn
+    """,
+    "Grouped top-k via row_number window over a pre-aggregated frame.",
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    totals = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("total"), F.asc("c_custkey"))
+    return (
+        totals.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 3)
+        .orderBy("n_name", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — analytic window frame: running revenue per customer. Single shuffle
+# on o_custkey; frame is ROWS UNBOUNDED PRECEDING..CURRENT ROW so the
+# running state is O(1) per row.
+# ---------------------------------------------------------------------------
+@declare(
+    "q09_window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    "Running-sum analytic frame; one shuffle, sequential in-partition scan.",
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — exact distinct count (approx_count_distinct exposed separately in
+# functions; not hash-checked per SURVEY §2.C).
+# ---------------------------------------------------------------------------
+@declare(
+    "q10_count_distinct",
+    "SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS distinct_nations FROM customer",
+    "Exact distinct: partial distinct on mappers, tiny final exchange.",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").agg(
+        F.countDistinct("c_nationkey").cast("bigint").alias("distinct_nations")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — rollup. Spark expands grouping sets in a single pass (Expand node),
+# one shuffle for all three grouping levels.
+# ---------------------------------------------------------------------------
+@declare(
+    "q11_rollup",
+    """
+    SELECT n_name, c_mktsegment, COUNT(*) AS cnt
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name, c_mktsegment)
+    ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST, cnt
+    """,
+    "ROLLUP via Expand: 3 grouping levels, one shuffle.",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("n_name").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — set operations (INTERSECT / EXCEPT are DISTINCT-semantics in ANSI;
+# Spark's intersect()/subtract() match exactly).
+# ---------------------------------------------------------------------------
+@declare(
+    "q12_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    "INTERSECT DISTINCT — hash-partition both sides on the key.",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@declare(
+    "q12b_except",
+    """
+    SELECT o_orderkey AS orderkey FROM orders
+    EXCEPT
+    SELECT l_orderkey FROM lineitem
+    ORDER BY orderkey
+    """,
+    "EXCEPT DISTINCT via left-anti on deduplicated input (orders with no lineitems — non-empty).",
+)
+def q12b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("orderkey"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("orderkey"))
+    return o.subtract(li).orderBy("orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Q13 — scalar functions. All JVM-side built-ins: stays inside whole-stage
+# codegen, zero Python in the row path.
+# ---------------------------------------------------------------------------
+@declare(
+    "q13_scalar_string",
+    r"""
+    SELECT p_partkey,
+           substring(p_name, 1, 5)                  AS name5,
+           upper(p_brand)                           AS brand_u,
+           regexp_extract(p_type, '^(\w+)', 1)      AS type_head,
+           round(p_retailprice, 1)                  AS price_r
+    FROM part
+    ORDER BY p_partkey
+    """,
+    "String/regex/math scalar functions, all codegen'd.",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.substring("p_name", 1, 5).alias("name5"),
+            F.upper("p_brand").alias("brand_u"),
+            F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+            F.round("p_retailprice", 1).alias("price_r"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@declare(
+    "q13b_scalar_datetime",
+    """
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate) AS order_month,
+           CAST(year(o_orderdate) AS BIGINT)  AS order_year,
+           round(o_totalprice, 1)           AS price_r
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    "Datetime scalar functions (date_trunc / year).",
+)
+def q13b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.round("o_totalprice", 1).alias("price_r"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — tumbling-window aggregation over events (batch mode; the streaming
+# twin lives in lakeflush_spark.streaming). F.window == DuckDB time_bucket
+# for hour-aligned tumbles.
+# ---------------------------------------------------------------------------
+@declare(
+    "q14_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(*) AS cnt,
+           round(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+    "Tumbling 1-hour window agg; in streaming mode the same expression runs incrementally with a watermark.",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "cnt", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — dedup semantics over events (batch equivalent of dropDuplicates
+# within watermark).
+# ---------------------------------------------------------------------------
+@declare(
+    "q15_event_dedup",
+    "SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS distinct_events FROM events",
+    "dropDuplicates on the event id — batch equivalent of streaming dedup-within-watermark.",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .dropDuplicates(["event_id"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_events"))
+    )

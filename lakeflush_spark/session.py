@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[N]`` in one JVM; the conf below is written
+for a real multi-executor cluster at ~100 TB: AQE on (runtime
+coalescing, skew-join splitting), broadcast threshold sized for
+dimension tables, shuffle partitions sized for the local box but
+overridable via env for cluster deploys.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "lakeflush_spark", extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    Honours ``SPARK_GRAFT_CPUS`` for local parallelism. At cluster
+    scale, ``spark.sql.shuffle.partitions`` is left to AQE coalescing
+    from an intentionally high initial number — the knob that matters
+    at 100 TB is ``advisoryPartitionSizeInBytes``, not a fixed count.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- Adaptive Query Execution: the scale levers -------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        # --- Shuffle / broadcast ------------------------------------
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- Scans --------------------------------------------------
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # --- Python interop: Arrow everywhere -----------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- Determinism for oracle comparison ----------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

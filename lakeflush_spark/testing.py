@@ -1,0 +1,86 @@
+"""DuckDB-oracle comparison harness (mirrors the driver's t2 gate).
+
+Runs a declared Spark query and its oracle SQL side-by-side on the
+same parquet tables and compares row count, column names, and an
+order-insensitive value frame (columns sorted by name, rows sorted by
+all columns) — the same shape the driver hashes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+
+from lakeflush_spark.io import TABLES, table_path
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        p = table_path(sf_dir, name)
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df[sorted(df.columns)].copy()
+    for c in out.columns:
+        col = out[c]
+        if pd.api.types.is_datetime64_any_dtype(col):
+            out[c] = pd.to_datetime(col).astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(col):
+            out[c] = col.astype("int64")
+        elif pd.api.types.is_float_dtype(col):
+            out[c] = col.astype("float64")
+    if len(out):
+        out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match)."""
+    problems: list[str] = []
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(
+            f"column mismatch: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+        )
+        return problems
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+        return problems
+    s, o = _normalize(spark_pdf), _normalize(oracle_pdf)
+    for c in s.columns:
+        sc, oc = s[c], o[c]
+        if pd.api.types.is_float_dtype(sc):
+            import numpy as np
+
+            bad = ~(
+                np.isclose(sc.to_numpy(), oc.to_numpy(), rtol=0, atol=1e-9, equal_nan=True)
+            )
+        else:
+            bad = ~((sc == oc) | (sc.isna() & oc.isna()))
+        if bad.any():
+            i = int(bad[bad].index[0])
+            problems.append(
+                f"value mismatch in column {c!r}: first at sorted-row {i}: "
+                f"spark={sc.iloc[i]!r} oracle={oc.iloc[i]!r} ({int(bad.sum())} rows differ)"
+            )
+    return problems
+
+
+def run_query_vs_oracle(spark, sf_dir: str, name: str) -> list[str]:
+    from lakeflush_spark.plans import QUERIES
+
+    q = QUERIES[name]
+    spark_pdf = q.builder(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        return [] if len(spark_pdf) >= 0 else ["unreachable"]
+    con = duckdb_connection(sf_dir)
+    try:
+        oracle_pdf = con.execute(q.oracle).fetchdf()
+    finally:
+        con.close()
+    return compare_frames(spark_pdf, oracle_pdf)

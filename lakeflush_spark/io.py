@@ -58,7 +58,7 @@ def _fixup(spark: SparkSession, name: str, df: DataFrame) -> DataFrame:
     """
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
-            "ts", F.expr("CAST(timestamp_micros(CAST(ts / 1000 AS LONG)) AS TIMESTAMP_NTZ)")
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
         )
     return df
 

@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries + compaction throughput.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_suite_sec", "value": N, "unit": "sec",
+     "queries": {"q01_scan_count": sec, ...}, "sf": 0.1,
+     "compaction": {"csv_mb_s": ..., "json_files_s": ..., ...}}
+
+The compaction section is the BASELINE.md comparable: the reference
+ingests CSV at 7.4 MB/s and tiny JSON files at ~10.5k files/s on one
+core; this engine should beat both on 32.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q01_scan_count",
+    "q02_filter_project",
+    "q03_hash_agg",
+    "q04_broadcast_join",
+    "q05_multiway_join_topk",
+    "q06_semi_join",
+    "q07_topk",
+    "q08_window_rank",
+    "q09_window_running_sum",
+    "q11_rollup",
+    "q13_scalar_string",
+    "q14_tumbling_window",
+    "q15_event_dedup",
+]
+
+
+def _materialize(df) -> None:
+    # noop sink: full computation, no driver collect bottleneck
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark) -> dict[str, float]:
+    from lakeflush_spark.plans import QUERIES
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(QUERIES[name].builder(spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def _explode_driver_side(rows: list[str], root: str, rows_per_file: int, ext: str,
+                         header: str | None = None) -> tuple[int, int]:
+    """Write many small files with plain Python (bench SETUP, not the
+    measured system — generating the lake through Spark would just time
+    2000 task commits). Returns (n_files, total_bytes)."""
+    os.makedirs(root, exist_ok=True)
+    n_files = 0
+    total = 0
+    for i in range(0, len(rows), rows_per_file):
+        chunk = rows[i : i + rows_per_file]
+        body = ("" if header is None else header + "\n") + "\n".join(chunk) + "\n"
+        p = os.path.join(root, f"f{n_files:06d}.{ext}")
+        with open(p, "w") as f:
+            f.write(body)
+        total += len(body)
+        n_files += 1
+    return n_files, total
+
+
+def bench_compaction(spark) -> dict[str, float]:
+    import pyspark.sql.functions as F
+
+    from lakeflush_spark.io import load_table
+    from lakeflush_spark.operators.compaction import CompactionConfig, compact
+
+    out: dict[str, float] = {}
+    work = tempfile.mkdtemp(prefix="lakeflush_bench_")
+    try:
+        # --- CSV compaction throughput (BASELINE: 7.4 MB/s, 1 core;
+        #     same shape: ~400 files x ~1500 rows) ---
+        li = load_table(spark, SF_DIR, "lineitem")
+        cols = li.columns
+        header = ",".join(cols)
+        csv_rows = (
+            li.select(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("v"))
+            .collect()
+        )
+        csv_lake = os.path.join(work, "csv_lake")
+        n_csv, csv_bytes = _explode_driver_side(
+            [r.v for r in csv_rows], csv_lake, rows_per_file=1500, ext="csv", header=header
+        )
+        dest = os.path.join(work, "csv_out")
+        t0 = time.time()
+        compact(
+            spark,
+            CompactionConfig(
+                source_dir=csv_lake, dest_dir=dest, file_format="csv", max_size_mb=16
+            ),
+        )
+        dt = time.time() - t0
+        out["csv_mb_s"] = round(csv_bytes / dt / 1e6, 2)
+        out["csv_sec"] = round(dt, 3)
+        out["csv_input_mb"] = round(csv_bytes / 1e6, 1)
+        out["csv_n_files"] = n_csv
+
+        # --- gzip variant (BASELINE: 3.9 MB/s) ---
+        dest_gz = os.path.join(work, "csv_gz_out")
+        t0 = time.time()
+        compact(
+            spark,
+            CompactionConfig(
+                source_dir=csv_lake,
+                dest_dir=dest_gz,
+                file_format="csv",
+                max_size_mb=16,
+                compress=True,
+            ),
+        )
+        out["csv_gzip_mb_s"] = round(csv_bytes / (time.time() - t0) / 1e6, 2)
+
+        # --- tiny JSON files (BASELINE: ~10,500 files/s, metadata-bound) ---
+        ev = load_table(spark, SF_DIR, "events")
+        json_rows = ev.toJSON().collect()
+        json_lake = os.path.join(work, "json_lake")
+        n_files, _ = _explode_driver_side(json_rows, json_lake, rows_per_file=5, ext="json")
+        dest_j = os.path.join(work, "json_out")
+        t0 = time.time()
+        compact(
+            spark,
+            CompactionConfig(
+                source_dir=json_lake, dest_dir=dest_j, file_format="json", max_size_mb=16
+            ),
+        )
+        dt = time.time() - t0
+        out["json_files_s"] = round(n_files / dt, 1)
+        out["json_n_files"] = n_files
+        out["json_sec"] = round(dt, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def main() -> int:
+    t_all = time.time()
+    from lakeflush_spark import get_spark
+
+    spark = get_spark("lakeflush-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM / codegen / filesystem paths before any timing
+    # (JVM startup is excluded by design: the baseline's interpreter
+    # startup isn't counted either, and at cluster scale a session is
+    # long-lived).
+    from lakeflush_spark.io import load_table
+
+    load_table(spark, SF_DIR, "lineitem").agg({"l_orderkey": "max"}).collect()
+
+    queries = bench_queries(spark)
+    compaction = bench_compaction(spark)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_suite_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+        "compaction": compaction,
+        "wall_sec": round(time.time() - t_all, 1),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

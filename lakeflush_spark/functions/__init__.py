@@ -1,0 +1,26 @@
+"""Scalar/array function library (text analysis, hashing, vectors).
+
+All builders return JVM-side Column expressions (pyspark.sql.functions
+only — no Python UDFs in any hot path), so every derived column stays
+inside whole-stage codegen and scales linearly with executors.
+"""
+
+from lakeflush_spark.functions.text import (  # noqa: F401
+    avg_token_len,
+    doc_fingerprint,
+    lang_id,
+    punct_count,
+    quality_score,
+    shingles,
+    stopword_ratio,
+    token_count,
+    token_hash,
+    tokens,
+)
+from lakeflush_spark.functions.vectors import (  # noqa: F401
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+    sign_lsh_bucket,
+    to_double_vec,
+)

@@ -1,0 +1,186 @@
+"""Text-analysis functions for the documents table (LLM-data pipeline).
+
+The reference has no text operators at all (SURVEY §2.B) — its records
+are opaque strings (`lakeflush/core/collector.py:97-103`). This module
+adds the text layer a training-data pipeline needs: tokenization,
+quality scoring, language ID, and content fingerprinting.
+
+Design rules:
+
+- Every function is a pure ``pyspark.sql.functions`` Column builder —
+  JVM-side, codegen-friendly, zero Python in the row path. At 100 TB
+  these are embarrassingly parallel map-only projections: no shuffle,
+  no skew sensitivity, throughput scales with executor count.
+- Every function has an exact DuckDB-SQL twin (see
+  ``plans/text_queries.py``) built from the SAME constants below, so
+  the oracle comparison checks real value equality, not just shape.
+- Hashing uses md5 (identical output in Spark and DuckDB) truncated to
+  32 bits and widened to BIGINT, so all modular arithmetic stays far
+  from int64 overflow (DuckDB raises on overflow; Spark wraps —
+  staying < 2**53 keeps both engines exact and identical).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# --------------------------------------------------------------------------
+# Shared constants — single source of truth for BOTH the Spark builders
+# here and the DuckDB oracle SQL generated in plans/text_queries.py.
+# --------------------------------------------------------------------------
+
+TOKEN_SEP = " "
+
+#: polynomial rolling-hash modulus (fits comfortably in int64 math:
+#: acc < P so acc*31 + h < 31e9 + 4.3e9 << 2**63)
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+#: punctuation class counted by punct_count (kept to characters whose
+#: regex meaning is identical in Java regex and RE2/DuckDB)
+PUNCT_CLASS = r"[.,;:!?]"
+
+#: language profiles for the n-gram/function-word language-ID heuristic.
+#: Order matters: deterministic argmax tie-break is first-listed wins.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "es": ("el", "los", "de", "y", "una"),
+    "fr": ("le", "les", "et", "un", "une"),
+    "zh": ("的", "了", "是"),
+}
+
+#: stopwords used by quality scoring (subset of the en profile that
+#: actually occurs in the corpus vocabulary)
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and")
+
+
+# --------------------------------------------------------------------------
+# Tokenization & hashing
+# --------------------------------------------------------------------------
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the corpus is single-space separated)."""
+    return F.split(F.col(text) if isinstance(text, str) else text, TOKEN_SEP)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def token_hash(tok: Column) -> Column:
+    """Deterministic 32-bit token hash widened to BIGINT.
+
+    ``conv(substring(md5(t),1,8),16,10)`` — md5 hex is identical across
+    engines, so DuckDB's ``('0x'||substring(md5(t),1,8))::BIGINT`` is
+    the exact twin. Value range [0, 2**32).
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
+def arr_fingerprint(arr: Column) -> Column:
+    """Order-sensitive rolling polynomial hash over a string array.
+
+    fp = fold(arr, 0, (acc, s) -> (acc*31 + h(s)) % FP_MOD).
+    Map-only: at 100 TB this is a single projection pass, no shuffle.
+    """
+    return F.aggregate(
+        F.transform(arr, token_hash),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * FP_BASE + x) % FP_MOD,
+    )
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Rolling polynomial document fingerprint over token hashes."""
+    return arr_fingerprint(tokens(text))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-grams joined by a single space (for MinHash/Jaccard).
+
+    Empty array for docs shorter than k tokens (guard needed: Spark's
+    ``sequence(1, n)`` with n<1 would count DOWN, not return empty).
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))  # 1-based start positions
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        TOKEN_SEP, *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    return F.when(n >= k, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality metrics
+# --------------------------------------------------------------------------
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(PUNCT_CLASS)).cast("bigint")
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length in characters (DOUBLE, unrounded)."""
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(text)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    0.4 * min(1, n_tokens/100) + 0.3 * (1 - stopword_ratio)
+    + 0.3 * min(1, avg_token_len/8). Pure double arithmetic in a fixed
+    evaluation order — bit-identical to the SQL twin.
+    """
+    n = token_count(text).cast("double")
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - stopword_ratio(text))
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_token_len(text) / F.lit(8.0))
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID
+# --------------------------------------------------------------------------
+
+
+def _profile_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+
+
+def lang_id(text: Column | str) -> Column:
+    """Function-word language-ID heuristic.
+
+    Scores each language profile by function-word hits; returns the
+    argmax (ties broken by LANG_PROFILES order), or 'und' when every
+    profile scores zero. Map-only projection; at scale this runs inside
+    the same codegen stage as the rest of the row pipeline.
+    """
+    toks = tokens(text)
+    scores = {lang: _profile_hits(toks, words) for lang, words in LANG_PROFILES.items()}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build the CASE chain in reverse so first-listed language wins ties
+    for lang in reversed(list(LANG_PROFILES)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr

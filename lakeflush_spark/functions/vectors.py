@@ -1,0 +1,60 @@
+"""Vector functions over embedding columns (``array<float>``).
+
+All JVM-side (``F.zip_with`` / ``F.aggregate`` / ``F.transform``) —
+no Python UDF, no Arrow hop. Elements are widened float→double
+(exact) before arithmetic, and all folds run left-to-right in array
+order, so results are bit-reproducible and match the DuckDB oracle's
+identically-ordered ``list_*`` folds.
+
+At 100 TB / billions of vectors: these are map-only projections.
+The expensive part of similarity work is the *pairing* strategy
+(see operators/similarity.py and operators/dedup.py), not these
+per-row expressions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def to_double_vec(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two double vectors."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sign_lsh_bucket(vec: Column | str, n_bits: int = 8) -> Column:
+    """Axis-aligned random-hyperplane LSH bucket id in [0, 2**n_bits).
+
+    Bit i = sign of coordinate i (an axis-aligned instance of
+    sign-random-projection LSH; deterministic, engine-independent, and
+    exactly expressible in the SQL oracle). Nearby vectors (cosine)
+    agree on most signs, so they collide with high probability.
+
+    Scale path: bucketing turns the O(N·Q) brute-force scan into a
+    bucket-equi-join — a plain shuffle join on the bucket id that AQE
+    load-balances; recall is traded for the 2**n_bits fan-in reduction.
+    """
+    v = F.col(vec) if isinstance(vec, str) else vec
+    bucket = F.lit(0).cast("bigint")
+    for i in range(n_bits):
+        bit = F.when(F.element_at(v, i + 1) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("bigint")
+    return bucket

@@ -1,0 +1,185 @@
+"""Q18–Q21 — text-analysis queries over ``documents`` (LLM-data ops).
+
+Each oracle SQL string is GENERATED from the same constants the Spark
+builders use (``functions/text.py``), so both engines evaluate the
+same arithmetic in the same order — the hash comparison checks real
+values (token hashes, fingerprints, quality scores), not just shapes.
+
+Scale stance: every query here is a map-only projection + (at most) a
+tiny aggregation. No joins, no wide shuffles — at 100 TB these run at
+scan speed and the only exchange is the final few-row group-by.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from lakeflush_spark.functions.text import (
+    FP_BASE,
+    FP_MOD,
+    LANG_PROFILES,
+    PUNCT_CLASS,
+    STOPWORDS,
+    arr_fingerprint,
+    avg_token_len,
+    doc_fingerprint,
+    lang_id,
+    punct_count,
+    quality_score,
+    shingles,
+    stopword_ratio,
+    token_count,
+)
+from lakeflush_spark.io import load_table
+from lakeflush_spark.plans.queries import declare
+
+# ---- SQL fragment twins (DuckDB dialect) ----------------------------------
+
+_TOKS = "string_split(text, ' ')"
+_N = f"len({_TOKS})"
+
+
+def _sql_token_hash(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 8))::BIGINT"
+
+
+def _sql_arr_fingerprint(arr_expr: str) -> str:
+    hashes = f"list_transform({arr_expr}, s -> {_sql_token_hash('s')})"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, {hashes}), "
+        f"(acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD})"
+    )
+
+
+_SQL_AVG_TOK_LEN = (
+    f"list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE / {_N}::DOUBLE"
+)
+
+_SQL_STOP_RATIO = (
+    f"len(list_filter({_TOKS}, t -> t IN {STOPWORDS!r}))::DOUBLE / {_N}::DOUBLE"
+).replace("'", "'")
+
+_SQL_QUALITY = (
+    f"0.4::DOUBLE * least(1.0::DOUBLE, {_N}::DOUBLE / 100.0::DOUBLE)"
+    f" + 0.3::DOUBLE * (1.0::DOUBLE - ({_SQL_STOP_RATIO}))"
+    f" + 0.3::DOUBLE * least(1.0::DOUBLE, ({_SQL_AVG_TOK_LEN}) / 8.0::DOUBLE)"
+)
+
+# 3-gram shingles (1-based positions; empty when fewer than 3 tokens)
+_SQL_SHINGLES = (
+    f"CASE WHEN {_N} >= 3 THEN list_transform(range(1, {_N} - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [] END"
+)
+
+
+def _sql_lang_case() -> str:
+    scores = {
+        lang: f"len(list_filter({_TOKS}, t -> t IN {tuple(words)!r}))"
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN ({scores[lang]}) = ({best}) AND ({best}) > 0 THEN '{lang}'"
+        for lang in LANG_PROFILES
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+# ---- declared queries -----------------------------------------------------
+
+
+@declare(
+    "q18_token_stats",
+    f"""
+    SELECT doc_id,
+           {_N}::BIGINT AS n_tokens,
+           length(text)::BIGINT AS n_chars_m,
+           round({_SQL_AVG_TOK_LEN}, 4) AS avg_tok_len,
+           len(regexp_extract_all(text, '{PUNCT_CLASS}'))::BIGINT AS punct_cnt
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "Token counting + char stats; map-only projection, scan-speed at any scale.",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            F.length("text").cast("bigint").alias("n_chars_m"),
+            F.round(avg_token_len("text"), 4).alias("avg_tok_len"),
+            punct_count("text").alias("punct_cnt"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declare(
+    "q19_quality_score",
+    f"""
+    SELECT doc_id,
+           round({_SQL_STOP_RATIO}, 4) AS stop_ratio,
+           round({_SQL_QUALITY}, 4) AS quality
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "Composite quality heuristic (length/stopword/word-length mix) for corpus filtering.",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.round(stopword_ratio("text"), 4).alias("stop_ratio"),
+            F.round(quality_score("text"), 4).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declare(
+    "q20_lang_id",
+    f"""
+    SELECT lang, {_sql_lang_case()} AS lang_pred, COUNT(*) AS cnt
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "Function-word language ID vs the labeled lang column (agreement matrix).",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@declare(
+    "q21_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           {_sql_arr_fingerprint(_TOKS)} AS doc_fp,
+           {_sql_arr_fingerprint(_SQL_SHINGLES)} AS shingle_fp
+    FROM t
+    ORDER BY doc_id
+    """,
+    "Rolling-hash document fingerprint + 3-gram shingle fingerprint "
+    "(validates the shingle construction used by MinHash dedup).",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            doc_fingerprint("text").alias("doc_fp"),
+            arr_fingerprint(shingles("text", 3)).alias("shingle_fp"),
+        )
+        .orderBy("doc_id")
+    )

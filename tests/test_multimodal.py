@@ -1,0 +1,85 @@
+"""Multimodal binary-column plumbing: schema, values, batch shapes."""
+
+import hashlib
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from lakeflush_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    extract_features,
+    media_metadata,
+    sample_frames,
+)
+
+PNG_MAGIC = bytes.fromhex("89504E47") + b"rest-of-image"
+JPEG_MAGIC = bytes.fromhex("FFD8FFE0") + b"jfif"
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, b"hello world payload"),
+        (2, PNG_MAGIC),
+        (3, JPEG_MAGIC),
+        (4, bytes(range(256)) * 3),
+    ]
+    return spark.createDataFrame(rows, "media_id LONG, payload BINARY").repartition(2)
+
+
+def test_metadata_values(media_df):
+    out = {r["media_id"]: r for r in media_metadata(media_df).collect()}
+    assert out[1]["n_bytes"] == 19
+    assert out[1]["payload_sha256"] == hashlib.sha256(b"hello world payload").hexdigest()
+    assert out[1]["sniffed_type"] == "application/octet-stream"
+    assert out[2]["sniffed_type"] == "image/png"
+    assert out[3]["sniffed_type"] == "image/jpeg"
+
+
+def test_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_media("image/png")
+
+
+def test_features_match_numpy_reference(media_df):
+    out = {r["media_id"]: r for r in extract_features(media_df).collect()}
+    for mid, payload in [(1, b"hello world payload"), (4, bytes(range(256)) * 3)]:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        expected = [float(c.mean()) for c in np.array_split(arr, FEATURE_DIM)]
+        assert out[mid]["features"] == pytest.approx(expected)
+        assert out[mid]["n_bytes"] == len(payload)
+        assert out[mid]["feat_mean"] == pytest.approx(float(np.mean(expected)))
+
+
+def test_frame_sampling_fanout(media_df):
+    frames = sample_frames(media_df, frame_size=100, stride=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # media 4: 768 bytes -> 8 frames of 100 (last=68), stride 2 -> idx 0,2,4,6
+    f4 = sorted(by_id[4], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in f4] == [0, 2, 4, 6]
+    payload = bytes(range(256)) * 3
+    assert f4[0]["frame_sha256"] == hashlib.sha256(payload[:100]).hexdigest()
+    # last sampled frame is idx 6 (bytes 600:700); the 68-byte tail frame
+    # is idx 7, skipped by stride=2
+    assert f4[-1]["frame_bytes"] == 100
+    assert f4[-1]["frame_sha256"] == hashlib.sha256(payload[600:700]).hexdigest()
+    # media 1: 19 bytes -> 1 frame
+    assert [r["frame_idx"] for r in by_id[1]] == [0]
+
+
+def test_feature_schema_stable(media_df):
+    df = extract_features(media_df)
+    assert [f.name for f in df.schema.fields] == ["media_id", "n_bytes", "features", "feat_mean"]
+    assert df.schema["features"].dataType.simpleString() == "array<double>"
+
+
+def test_partitioning_preserved(spark):
+    # mapInPandas must not shuffle: partition count in == out
+    df = spark.createDataFrame(
+        [(i, b"x" * 10) for i in range(20)], "media_id LONG, payload BINARY"
+    ).repartition(4)
+    assert extract_features(df).rdd.getNumPartitions() == 4

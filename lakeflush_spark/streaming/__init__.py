@@ -1,0 +1,21 @@
+"""Structured Streaming surface: continuous compaction + event ops.
+
+Replaces the reference's watchdog/inotify delivery daemon
+(`lakeflush/core/flusher.py:48-67`) with a checkpointed streaming file
+source — a strict upgrade per SURVEY §3.4: pre-existing files ARE
+picked up (the reference never flushes bundles that rotated while the
+flusher was down), listing is exactly-once across restarts, and
+`Trigger.AvailableNow` gives catch-up batch semantics on the same code
+path as continuous `processingTime` operation.
+"""
+
+from lakeflush_spark.streaming.compaction import (  # noqa: F401
+    StreamCompactionConfig,
+    compact_stream,
+)
+from lakeflush_spark.streaming.events import (  # noqa: F401
+    dedup_within_watermark,
+    sessionize,
+    sessionize_stateful,
+    windowed_event_counts,
+)

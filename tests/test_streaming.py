@@ -1,0 +1,164 @@
+"""Streaming surface: checkpointed compaction, batch-equivalence, state.
+
+Port of the reference's flusher tests (tests/core/test_flusher.py,
+tests/flushers/test_local_lake.py): rotation->flush becomes
+micro-batch->bundle-write, call-count assertions become row-multiset
+equality (SURVEY §5), and simulated-time tests become
+Trigger.AvailableNow equivalence runs.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from lakeflush_spark.io import load_table
+from lakeflush_spark.streaming import (
+    StreamCompactionConfig,
+    compact_stream,
+    dedup_within_watermark,
+    sessionize,
+    sessionize_stateful,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def small_lake(spark, sf_dir, tmp_path_factory):
+    """Events exploded into many small NDJSON files (the reference's
+    input shape, tests/lakes/random_datalake.py)."""
+    root = tmp_path_factory.mktemp("stream_lake")
+    lake = os.path.join(str(root), "lake")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("value").cast("string").alias("value")
+    )
+    ev.repartition(40).write.mode("overwrite").json(lake)
+    return lake
+
+
+def _bundles(dest):
+    out = []
+    for dirpath, _dirs, files in os.walk(dest):
+        if "_lakeflush_audit" in dirpath or "/_spark_metadata" in dirpath:
+            continue
+        out.extend(
+            os.path.join(dirpath, f) for f in files if f.startswith("part-")
+        )
+    return out
+
+
+def test_stream_compaction_availablenow_roundtrip(spark, small_lake, tmp_path):
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = StreamCompactionConfig(
+        source_dir=small_lake,
+        dest_dir=dest,
+        checkpoint_dir=ckpt,
+        max_size_mb=1.0,
+        max_files_per_trigger=15,  # force multiple micro-batches
+    )
+    q = compact_stream(spark, cfg, available_now=True)
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    # row-multiset round trip: every source record in exactly one bundle
+    src = spark.read.json(small_lake)
+    out = spark.read.json([p for p in _bundles(dest)])
+    assert out.count() == src.count()
+    assert src.exceptAll(out).count() == 0
+    assert out.exceptAll(src).count() == 0
+    # audit rows: one per non-empty micro-batch, records sum to total
+    audit = spark.read.parquet(f"{dest}/_lakeflush_audit_stream")
+    assert audit.agg(F.sum("records")).collect()[0][0] == src.count()
+
+
+def test_stream_compaction_exactly_once_on_restart(spark, small_lake, tmp_path):
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = StreamCompactionConfig(
+        source_dir=small_lake, dest_dir=dest, checkpoint_dir=ckpt, max_size_mb=1.0
+    )
+    compact_stream(spark, cfg, available_now=True).awaitTermination(180)
+    n_before = len(_bundles(dest))
+    # restart with the same checkpoint: nothing new to process ->
+    # no duplicate bundles (the reference re-ingests everything on
+    # restart — SURVEY §3.4 calls this out as the upgrade)
+    compact_stream(spark, cfg, available_now=True).awaitTermination(180)
+    assert len(_bundles(dest)) == n_before
+
+
+def _stream_events(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from lakeflush_spark.io import table_path
+
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        )
+    return stream
+
+
+def _run_to_memory(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_streaming_window_equals_batch(spark, sf_dir):
+    batch = windowed_event_counts(load_table(spark, sf_dir, "events")).orderBy("window_start")
+    _run_to_memory(windowed_event_counts(_stream_events(spark, sf_dir)), "w_sink", "complete")
+    streamed = spark.table("w_sink").orderBy("window_start")
+    assert streamed.collect() == batch.collect()
+
+
+def test_streaming_dedup_equals_batch(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    expected = ev.select("event_id").distinct().count()
+    _run_to_memory(
+        dedup_within_watermark(_stream_events(spark, sf_dir)).select("event_id"),
+        "d_sink",
+        "append",
+    )
+    assert spark.table("d_sink").count() == expected
+
+
+def test_stateful_sessionize_batch_equals_session_window(spark, sf_dir):
+    """The custom stateful operator must agree with native session_window
+    on session starts/counts (ends differ by the +gap padding)."""
+    ev = load_table(spark, sf_dir, "events")
+    native = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize(ev).collect()
+    }
+    custom = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize_stateful(ev).collect()
+    }
+    assert custom == native
+
+
+def test_stateful_sessionize_streaming_emits_closed_sessions(spark, sf_dir):
+    """Streaming mode: sessions closed by the advancing watermark are
+    emitted exactly once and match the batch sessionization."""
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize_stateful(load_table(spark, sf_dir, "events")).collect()
+    }
+    _run_to_memory(sessionize_stateful(_stream_events(spark, sf_dir)), "s_sink", "append")
+    streamed = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("s_sink").collect()
+    }
+    assert streamed  # the no-data batch flushes watermark-expired state
+    assert streamed.issubset(batch)

@@ -38,6 +38,14 @@ HEADLINE = [
     "q13_scalar_string",
     "q14_tumbling_window",
     "q15_event_dedup",
+    # LLM-data pipeline ops (documents/embeddings tables)
+    "q19_quality_score",
+    "q21_fingerprint",
+    "q24_minhash_lsh_pairs",
+    "q25_simhash",
+    "q29_ann_bruteforce",
+    "q30_ann_lsh",
+    "q34_session_window",
 ]
 
 

@@ -7,12 +7,15 @@ inside whole-stage codegen and scales linearly with executors.
 
 from lakeflush_spark.functions.text import (  # noqa: F401
     avg_token_len,
+    avg_token_len_4dp,
     doc_fingerprint,
     lang_id,
     punct_count,
     quality_score,
+    quality_score_4dp,
     shingles,
     stopword_ratio,
+    stopword_ratio_4dp,
     token_count,
     token_hash,
     tokens,

@@ -143,6 +143,67 @@ def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -
     return hits.cast("double") / F.size(toks).cast("double")
 
 
+def _total_token_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    return F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _stopword_hits(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(text)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("bigint")
+
+
+def _round_half_up_div(num: Column, den: Column) -> Column:
+    """round-half-up(num/den) for positive BIGINTs, exactly.
+
+    floor((2*num + den) / (2*den)). The double division is safe: both
+    operands are < 2**53 so they are exact, and the true quotient is a
+    rational with denominator 2*den — its distance from any integer is
+    either 0 or >= 1/(2*den), far above double rounding error.
+    """
+    return F.floor((F.lit(2) * num + den) / (F.lit(2) * den)).cast("bigint")
+
+
+def avg_token_len_4dp(text: Column | str) -> Column:
+    """avg token length rounded HALF_UP to 4 decimals via exact integer
+    arithmetic — bit-identical in any engine (no double `round` knife-edge:
+    Spark rounds the binary double via BigDecimal while DuckDB multiplies by
+    10^4 first, so `round(x, 4)` can disagree on .xxxx5 boundaries)."""
+    n = token_count(text)
+    total = _total_token_len(text)
+    return _round_half_up_div(F.lit(10000) * total, n).cast("double") / F.lit(10000.0)
+
+
+def stopword_ratio_4dp(text: Column | str) -> Column:
+    """stopword ratio rounded HALF_UP to 4 decimals, exact (see avg_token_len_4dp)."""
+    n = token_count(text)
+    s = _stopword_hits(text)
+    return _round_half_up_div(F.lit(10000) * s, n).cast("double") / F.lit(10000.0)
+
+
+def quality_score_4dp(text: Column | str) -> Column:
+    """quality_score rounded HALF_UP to 4 decimals, exact.
+
+    quality*10000 = (40*min(n,100)*n + 3000*(n-s) + 375*min(8n, L)) / n
+    — a rational with denominator n, rounded with integer arithmetic so
+    Spark and the DuckDB oracle agree bit-for-bit on every row.
+    """
+    n = token_count(text)
+    s = _stopword_hits(text)
+    total = _total_token_len(text)
+    qnum = (
+        F.lit(40) * F.least(n, F.lit(100).cast("bigint")) * n
+        + F.lit(3000) * (n - s)
+        + F.lit(375) * F.least(F.lit(8) * n, total)
+    )
+    return _round_half_up_div(qnum, n).cast("double") / F.lit(10000.0)
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite document-quality heuristic in [0, 1].
 

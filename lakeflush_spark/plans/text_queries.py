@@ -22,13 +22,13 @@ from lakeflush_spark.functions.text import (
     PUNCT_CLASS,
     STOPWORDS,
     arr_fingerprint,
-    avg_token_len,
+    avg_token_len_4dp,
     doc_fingerprint,
     lang_id,
     punct_count,
-    quality_score,
+    quality_score_4dp,
     shingles,
-    stopword_ratio,
+    stopword_ratio_4dp,
     token_count,
 )
 from lakeflush_spark.io import load_table
@@ -52,19 +52,25 @@ def _sql_arr_fingerprint(arr_expr: str) -> str:
     )
 
 
-_SQL_AVG_TOK_LEN = (
-    f"list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE / {_N}::DOUBLE"
-)
+# exact integer twins (see functions/text.py: *_4dp — avoids the
+# round(double, 4) knife-edge where Spark and DuckDB disagree on .xxxx5)
+_SQL_NI = f"{_N}::BIGINT"
+_SQL_SI = f"len(list_filter({_TOKS}, t -> t IN {STOPWORDS!r}))::BIGINT"
+_SQL_LI = f"list_sum(list_transform({_TOKS}, t -> length(t)))::BIGINT"
 
-_SQL_STOP_RATIO = (
-    f"len(list_filter({_TOKS}, t -> t IN {STOPWORDS!r}))::DOUBLE / {_N}::DOUBLE"
-).replace("'", "'")
 
-_SQL_QUALITY = (
-    f"0.4::DOUBLE * least(1.0::DOUBLE, {_N}::DOUBLE / 100.0::DOUBLE)"
-    f" + 0.3::DOUBLE * (1.0::DOUBLE - ({_SQL_STOP_RATIO}))"
-    f" + 0.3::DOUBLE * least(1.0::DOUBLE, ({_SQL_AVG_TOK_LEN}) / 8.0::DOUBLE)"
+def _sql_round_half_up_div(num: str, den: str) -> str:
+    return f"((2 * ({num}) + ({den})) // (2 * ({den})))::DOUBLE / 10000.0"
+
+
+_SQL_AVG_TOK_LEN_4DP = _sql_round_half_up_div(f"10000 * {_SQL_LI}", _SQL_NI)
+_SQL_STOP_RATIO_4DP = _sql_round_half_up_div(f"10000 * {_SQL_SI}", _SQL_NI)
+_SQL_QNUM = (
+    f"(40 * least({_SQL_NI}, 100) * {_SQL_NI}"
+    f" + 3000 * ({_SQL_NI} - {_SQL_SI})"
+    f" + 375 * least(8 * {_SQL_NI}, {_SQL_LI}))"
 )
+_SQL_QUALITY_4DP = _sql_round_half_up_div(_SQL_QNUM, _SQL_NI)
 
 # 3-gram shingles (1-based positions; empty when fewer than 3 tokens)
 _SQL_SHINGLES = (
@@ -96,7 +102,7 @@ def _sql_lang_case() -> str:
     SELECT doc_id,
            {_N}::BIGINT AS n_tokens,
            length(text)::BIGINT AS n_chars_m,
-           round({_SQL_AVG_TOK_LEN}, 4) AS avg_tok_len,
+           {_SQL_AVG_TOK_LEN_4DP} AS avg_tok_len,
            len(regexp_extract_all(text, '{PUNCT_CLASS}'))::BIGINT AS punct_cnt
     FROM documents
     ORDER BY doc_id
@@ -110,7 +116,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             token_count("text").alias("n_tokens"),
             F.length("text").cast("bigint").alias("n_chars_m"),
-            F.round(avg_token_len("text"), 4).alias("avg_tok_len"),
+            avg_token_len_4dp("text").alias("avg_tok_len"),
             punct_count("text").alias("punct_cnt"),
         )
         .orderBy("doc_id")
@@ -121,8 +127,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_quality_score",
     f"""
     SELECT doc_id,
-           round({_SQL_STOP_RATIO}, 4) AS stop_ratio,
-           round({_SQL_QUALITY}, 4) AS quality
+           {_SQL_STOP_RATIO_4DP} AS stop_ratio,
+           {_SQL_QUALITY_4DP} AS quality
     FROM documents
     ORDER BY doc_id
     """,
@@ -133,8 +139,8 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.round(stopword_ratio("text"), 4).alias("stop_ratio"),
-            F.round(quality_score("text"), 4).alias("quality"),
+            stopword_ratio_4dp("text").alias("stop_ratio"),
+            quality_score_4dp("text").alias("quality"),
         )
         .orderBy("doc_id")
     )

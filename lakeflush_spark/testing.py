@@ -63,7 +63,9 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
         else:
             bad = ~((sc == oc) | (sc.isna() & oc.isna()))
         if bad.any():
-            i = int(bad[bad].index[0])
+            import numpy as np
+
+            i = int(np.flatnonzero(np.asarray(bad))[0])
             problems.append(
                 f"value mismatch in column {c!r}: first at sorted-row {i}: "
                 f"spark={sc.iloc[i]!r} oracle={oc.iloc[i]!r} ({int(bad.sum())} rows differ)"

@@ -66,3 +66,21 @@ def _fixup(spark: SparkSession, name: str, df: DataFrame) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every testdata table as a DataFrame keyed by name."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread_for_compute(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Ensure a compute-bound map stage uses the whole cluster.
+
+    Parquet scans parallelize by ROW GROUP: a table written as one file
+    with one row group (the testdata layout) becomes a single task, and
+    an expression-heavy projection (minhash, simhash, fingerprints)
+    then runs on one core no matter how many are available. Repartition
+    ONLY when the scan is under-parallelized — at real scale the scan
+    already has >= defaultParallelism splits and this is the identity,
+    so no 100 TB shuffle is ever introduced; at bench scale the shuffle
+    moves a few MB to unlock an N-core compute stage.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

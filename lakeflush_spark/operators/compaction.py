@@ -195,14 +195,33 @@ def _as_text(df: DataFrame, fmt: str) -> DataFrame:
     return df.select(F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns]).alias("value"))
 
 
-def _source_stats(spark: SparkSession, cfg: CompactionConfig):
+def _first_source_file(spark: SparkSession, cfg: CompactionConfig) -> str | None:
+    """First non-hidden, non-empty file under the source root (lazy
+    listFiles walk — stops at the first hit)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(cfg.source_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return None
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")) and st.getLen() > 0:
+            return st.getPath().toString()
+    return None
+
+
+def _source_stats(spark: SparkSession, cfg: CompactionConfig, need_first: bool = True):
     """(n_files, total_bytes, first_file) for the source lake.
 
     Fast path (no glob patterns): ONE py4j call to Hadoop's
     ``getContentSummary`` — the recursion runs JVM-side, no Spark job
-    and no per-file round trips. With patterns we fall back to the
-    manifest aggregate (a metadata-only Spark job, still never reads
-    file bytes).
+    and no per-file round trips. The first-file walk costs a second
+    listing pass on huge flat dirs, so callers that don't need a head
+    sample (binaryFile mode, uncompressed) pass ``need_first=False``.
+    With patterns we fall back to the manifest aggregate (a
+    metadata-only Spark job, still never reads file bytes).
     """
     patterns = [p for p in cfg.match_patterns if p]
     jvm = spark._jvm
@@ -213,14 +232,11 @@ def _source_stats(spark: SparkSession, cfg: CompactionConfig):
     if not patterns:
         summary = fs.getContentSummary(root)
         n_files, total = int(summary.getFileCount()), int(summary.getLength())
-        first_file = None
-        it = fs.listFiles(root, True)
-        while it.hasNext():
-            st = it.next()
-            name = st.getPath().getName()
-            if not name.startswith(("_", ".")) and st.getLen() > 0:
-                first_file = st.getPath().toString()
-                break
+        if n_files == 0 or total == 0:
+            return 0, 0, None
+        if not need_first:
+            return n_files, total, None
+        first_file = _first_source_file(spark, cfg)
         if first_file is None:
             return 0, 0, None
         return n_files, total, first_file
@@ -282,15 +298,14 @@ def read_source(spark: SparkSession, cfg: CompactionConfig) -> DataFrame:
     return reader.option("wholetext", str(wholetext).lower()).text(cfg.source_dir)
 
 
-def _read_opaque_binary(spark: SparkSession, cfg: CompactionConfig) -> DataFrame:
-    """Tiny-file fast path: whole files via the binaryFile source.
+def _opaque_binary_raw(spark: SparkSession, cfg: CompactionConfig) -> DataFrame:
+    """binaryFile scan of the source lake with glob filtering applied,
+    keeping the metadata columns (path/length/content).
 
-    For lakes of many small files the per-file overhead of the line
-    reader dominates (~5x slower measured at 20k files); binaryFile
-    reads each file as one row. Record = whole file, exactly the
-    reference's JSON read semantics (utils/file/reader/json.py:8-12).
-    The trailing newline is dropped because the text writer adds one
-    per record — concatenation stays byte-identical.
+    The binaryFile source prunes ``content`` when it isn't selected, so
+    metadata-only aggregates over this frame (count/sum(length)) never
+    open a single file — and they REUSE the one driver-side listing the
+    write will use, instead of re-walking the lake.
     """
     spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
     reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
@@ -305,6 +320,17 @@ def _read_opaque_binary(spark: SparkSession, cfg: CompactionConfig) -> DataFrame
             c = F.element_at(F.split(F.col("path"), "/"), -1).like(like)
             cond = c if cond is None else (cond | c)
         df = df.where(cond)
+    return df
+
+
+def _binary_values(df: DataFrame) -> DataFrame:
+    """Whole-file-as-record projection over a binaryFile frame.
+
+    Record = whole file, exactly the reference's JSON read semantics
+    (utils/file/reader/json.py:8-12). The trailing newline is dropped
+    because the text writer adds one per record — concatenation stays
+    byte-identical.
+    """
     return df.select(F.decode("content", "UTF-8").alias("value")).select(
         F.when(
             F.col("value").endswith("\n"), F.expr("left(value, length(value) - 1)")
@@ -312,6 +338,16 @@ def _read_opaque_binary(spark: SparkSession, cfg: CompactionConfig) -> DataFrame
         .otherwise(F.col("value"))
         .alias("value")
     )
+
+
+def _read_opaque_binary(spark: SparkSession, cfg: CompactionConfig) -> DataFrame:
+    """Tiny-file fast path: whole files via the binaryFile source.
+
+    For lakes of many small files the per-file overhead of the line
+    reader dominates (~5x slower measured at 20k files); binaryFile
+    reads each file as one row.
+    """
+    return _binary_values(_opaque_binary_raw(spark, cfg))
 
 
 def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
@@ -325,13 +361,30 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
     way the reference's rotation check does per-record
     (core/file_handler.py:52-57) — just vectorized and parallel.
     """
-    n_files, total_bytes, first_file = _source_stats(spark, cfg)
-
-    if n_files == 0:  # O12: empty input -> nothing written, no audit row
-        return CompactionResult([], 0, 0, 0, f"{cfg.dest_dir.rstrip('/')}/{_AUDIT_DIRNAME}")
-
     target_bytes = int(cfg.max_size_mb * 1024 * 1024)
     opaque = not cfg.parsed
+    empty = CompactionResult([], 0, 0, 0, f"{cfg.dest_dir.rstrip('/')}/{_AUDIT_DIRNAME}")
+
+    raw = None
+    if opaque:
+        # One listing for stats AND read: metadata-only aggregate over
+        # the binaryFile index (content column pruned — no file opens).
+        try:
+            raw = _opaque_binary_raw(spark, cfg)
+            stats = raw.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("length"), F.lit(0)).alias("b"),
+            ).first()
+            n_files, total_bytes = int(stats["n"]), int(stats["b"])
+        except Exception:  # source root missing
+            n_files, total_bytes = 0, 0
+        first_file = None
+    else:
+        n_files, total_bytes, first_file = _source_stats(spark, cfg, need_first=False)
+
+    if n_files == 0 or total_bytes == 0:  # O12: empty input -> no audit row
+        return empty
+
     avg_file = total_bytes / n_files
 
     # Tiny-file fast path: whole-file records via binaryFile (per-file
@@ -339,7 +392,15 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
     # (crossover measured: binaryFile ~5x faster at ~600 B files, line
     # scan ~2x faster at ~100 KB files)
     use_binary = opaque and (cfg.whole_file_records or avg_file <= 16 * 1024)
-    df = _read_opaque_binary(spark, cfg) if use_binary else read_source(spark, cfg)
+
+    # Head sample only where sizing needs real bytes: binaryFile mode
+    # knows avg record = avg file from the stats, so uncompressed
+    # binary skips the extra listing walk entirely.
+    if opaque and (cfg.compress or not use_binary):
+        first_file = _first_source_file(spark, cfg)
+        if first_file is None:
+            return empty
+    df = _binary_values(raw) if use_binary else read_source(spark, cfg)
 
     if use_binary:
         avg_rec = max(1.0, avg_file)  # record = file; exact from stats

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lakeflush_spark.functions.text import FP_BASE, FP_MOD
 from lakeflush_spark.functions.vectors import dot_product, l2_norm, to_double_vec
-from lakeflush_spark.io import load_table
+from lakeflush_spark.io import load_table, spread_for_compute
 from lakeflush_spark.operators.dedup import (
     MINHASH_BANDS,
     MINHASH_P,
@@ -112,7 +112,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hashing, and banding end-to-end (map-only at any scale).",
 )
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     return (
         with_minhash(docs)
         .select("doc_id", *[F.col(f"_band{b}").alias(f"band{b}") for b in range(MINHASH_BANDS)])
@@ -142,7 +142,7 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle is the band-bucket equi-join.",
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     return minhash_near_dups(docs, threshold=0.5).orderBy("id1", "id2")
 
 
@@ -167,7 +167,7 @@ sh AS (SELECT doc_id, source, ({_SIMHASH_SQL_BITS})::BIGINT AS simhash FROM h)
     "32-bit SimHash fingerprint per document (sign-aggregated token hashes).",
 )
 def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     return docs.select("doc_id", simhash("text").alias("simhash")).orderBy("doc_id")
 
 
@@ -186,7 +186,7 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equi-joins on chunk equality (pigeonhole), mirroring the LSH band join.",
 )
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark).select(
         "doc_id", simhash("text").alias("simhash")
     )
     a = docs.alias("a")
@@ -219,7 +219,7 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounds the pair count; the unblocked scale path is MinHash+LSH, q24).",
 )
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark).select(
         "doc_id", "source", shingle_hash_set("text").alias("hs")
     )
     a, b = docs.alias("a"), docs.alias("b")
@@ -253,7 +253,7 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     "product; the unblocked scale path is the sign-LSH bucket join (q30).",
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id",
         "label",
         to_double_vec("embedding").alias("v"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from lakeflush_spark.io import load_table
+from lakeflush_spark.io import load_table, spread_for_compute
 from lakeflush_spark.operators.multimodal import (
     extract_features,
     media_metadata,
@@ -24,7 +24,9 @@ from lakeflush_spark.plans.queries import declare
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").select(
+    # mapInPandas featurizers parallelize by partition — spread the
+    # single-row-group scan so Arrow batches hit every core.
+    return spread_for_compute(load_table(spark, sf_dir, "documents"), spark).select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )

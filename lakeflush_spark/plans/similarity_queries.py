@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lakeflush_spark.io import load_table
+from lakeflush_spark.io import load_table, spread_for_compute
 from lakeflush_spark.operators.similarity import (
     brute_force_topk,
     lsh_topk,
@@ -65,7 +65,7 @@ def _sql_topk(bucket_cond: str) -> str:
     "broadcast the queries, scan the corpus once, window top-k.",
 )
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark)
     corpus = prepare_vectors(emb)
     queries = corpus.where(corpus.vid < N_QUERIES)
     return brute_force_topk(corpus, queries, TOP_K).orderBy("query_id", "rank")
@@ -78,7 +78,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the bucket equi-join cuts candidate pairs ~256x; recall traded for scan cost.",
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark)
     corpus = prepare_vectors(emb, with_bucket=True, n_bits=LSH_BITS)
     queries = corpus.where(corpus.vid < N_QUERIES)
     return lsh_topk(corpus, queries, TOP_K).orderBy("query_id", "rank")

@@ -31,7 +31,7 @@ from lakeflush_spark.functions.text import (
     stopword_ratio_4dp,
     token_count,
 )
-from lakeflush_spark.io import load_table
+from lakeflush_spark.io import load_table, spread_for_compute
 from lakeflush_spark.plans.queries import declare
 
 # ---- SQL fragment twins (DuckDB dialect) ----------------------------------
@@ -111,7 +111,7 @@ def _sql_lang_case() -> str:
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "documents")
+        spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
         .select(
             "doc_id",
             token_count("text").alias("n_tokens"),
@@ -136,7 +136,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "documents")
+        spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
         .select(
             "doc_id",
             stopword_ratio_4dp("text").alias("stop_ratio"),
@@ -158,7 +158,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "documents")
+        spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
         .select("lang", lang_id("text").alias("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -181,7 +181,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "documents")
+        spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
         .select(
             "doc_id",
             doc_fingerprint("text").alias("doc_fp"),

@@ -39,6 +39,25 @@ def get_spark(app_name: str = "lakeflush_spark", extra_conf: dict | None = None)
         .config("spark.sql.parquet.filterPushdown", "true")
         # --- Python interop: Arrow everywhere -----------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- Object-store (s3a://) readiness ------------------------
+        # Consulted only when a path actually uses the s3a scheme, so
+        # harmless on boxes without hadoop-aws on the classpath. Every
+        # engine path resolves its FileSystem per-URI
+        # (Path.getFileSystem), so file:/hdfs:/s3a: all share one code
+        # path. The magic committer gives task-commit atomicity on S3
+        # without a rename (renames are O(data) copies on object
+        # stores); fast.upload streams multipart puts instead of
+        # buffering whole part-files on local disk.
+        .config("spark.hadoop.fs.s3a.committer.name", "magic")
+        .config("spark.hadoop.fs.s3a.committer.magic.enabled", "true")
+        .config(
+            "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a",
+            "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory",
+        )
+        .config("spark.hadoop.fs.s3a.fast.upload", "true")
+        .config("spark.hadoop.fs.s3a.connection.maximum", "128")
+        .config("spark.hadoop.fs.s3a.block.size", "128M")
+        .config("spark.hadoop.fs.s3a.directory.marker.retention", "keep")
         # --- Determinism for oracle comparison ----------------------
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

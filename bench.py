@@ -54,20 +54,23 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP_PASSES", "2"))
 
 
 def bench_queries(spark) -> dict[str, float]:
     from lakeflush_spark.plans import QUERIES
 
-    # JVM warmup at the smallest SF: Catalyst codegen compilation and
+    # JVM warmup at the MEASURED SF: Catalyst codegen compilation plus
     # C2-compiling the interpreted higher-order-function paths cost
-    # 5-10s on FIRST use of each expression shape and would otherwise
-    # be billed to whichever query hits the shape first. Steady-state
-    # throughput is what scales to a long-running cluster job.
-    if os.path.isdir(WARMUP_SF_DIR):
+    # 5-15s and, measured, the compile storm depends on the data shape
+    # (warming at sf0.001 still left 4-6s outliers on the first two
+    # sf0.1 executions of the HOF-heavy queries). Two passes over the
+    # real SF reach steady state — which is the number that scales to
+    # a long-running cluster job; cold-JVM cost is a per-process
+    # constant, reported separately as wall_sec.
+    for _ in range(WARMUP_PASSES):
         for name in HEADLINE:
-            _materialize(QUERIES[name].builder(spark, WARMUP_SF_DIR))
+            _materialize(QUERIES[name].builder(spark, SF_DIR))
 
     times: dict[str, float] = {}
     for name in HEADLINE:

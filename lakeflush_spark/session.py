@@ -23,9 +23,17 @@ def get_spark(app_name: str = "lakeflush_spark", extra_conf: dict | None = None)
     at 100 TB is ``advisoryPartitionSizeInBytes``, not a fixed count.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # local[N] runs driver AND all N executor threads in ONE JVM whose
+    # default heap is 1 GiB — at 32 threads the allocation rate of
+    # expression-heavy stages turns into multi-second full-GC pauses
+    # (measured: same sf0.1 query 1.1s-8.5s run-to-run at 1g, stable
+    # at a real heap). On a cluster this maps to executor memory, set
+    # by the deploy; here it must be set before the JVM launches.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        .config("spark.driver.memory", driver_mem)
         # --- Adaptive Query Execution: the scale levers -------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -41,7 +41,7 @@ from __future__ import annotations
 import gzip as _gzip
 import math
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -65,7 +65,12 @@ class CompactionConfig:
 
     source_dir: str
     dest_dir: str
-    file_format: str = "json"  # json | csv | text
+    file_format: str = "json"  # source format: json | csv | text | parquet | orc
+    #: bundle format; None = same as source. parquet/orc bundles are the
+    #: 100 TB training-data path (columnar, splittable, predicate-
+    #: pushdown-able) — "compact small parquet files" is the canonical
+    #: Spark lakehouse maintenance job.
+    output_format: str | None = None
     match_patterns: list[str] = field(default_factory=list)
     max_size_mb: float = 16.0  # bundle size target (reference: maxBytes cap)
     compress: bool = False  # gzip bundles (reference O9)
@@ -75,6 +80,10 @@ class CompactionConfig:
     csv_header: bool = True  # reference csv_header flag
     ignore_corrupt_files: bool = True  # O19 error-skip semantics
     sample_records: int = 512  # records sampled to estimate bundle sizing
+    #: sampled-text-bytes -> columnar-bytes ratio used to size
+    #: parquet/orc bundles (encoding+compression shrinks rows vs their
+    #: JSON text; 1.0 = strict under-cap, raise for denser packing)
+    columnar_ratio: float = 1.0
     # Opaque mode reads line-records by default: for the reference's own
     # data model (compact one-line JSON docs, CSV/text lines —
     # tests/lakes/random_datalake.py:35-36) concatenating lines produces
@@ -89,6 +98,9 @@ class CompactionConfig:
 class CompactionResult:
     bundles: list[str]
     bundle_bytes: int
+    #: files under the source root per the listing fast path — may
+    #: include zero-byte commit markers (_SUCCESS); they add no bytes,
+    #: so bundle sizing is unaffected
     source_files: int
     source_bytes: int
     audit_path: str
@@ -190,9 +202,11 @@ def _opaque_size_estimates(
 
 def _as_text(df: DataFrame, fmt: str) -> DataFrame:
     """Serialize a parsed DataFrame to one text column for size math."""
-    if fmt == "json":
-        return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
-    return df.select(F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns]).alias("value"))
+    if fmt == "csv":
+        return df.select(
+            F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns]).alias("value")
+        )
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
 
 
 def _first_source_file(spark: SparkSession, cfg: CompactionConfig) -> str | None:
@@ -265,7 +279,7 @@ def read_source(spark: SparkSession, cfg: CompactionConfig) -> DataFrame:
     patterns = [p for p in cfg.match_patterns if p]
     glob = patterns[0] if len(patterns) == 1 else None
 
-    if cfg.parsed:
+    if cfg.parsed or cfg.file_format in ("parquet", "orc"):
         if cfg.file_format == "json":
             reader = spark.read.option("recursiveFileLookup", "true")
             for k, v in JSON_TS_OPTIONS.items():
@@ -285,6 +299,17 @@ def read_source(spark: SparkSession, cfg: CompactionConfig) -> DataFrame:
             if cfg.schema is not None:
                 reader = reader.schema(cfg.schema)
             return reader.csv(cfg.source_dir)
+        if cfg.file_format in ("parquet", "orc"):
+            # Columnar small-file lake (streaming sinks, per-event
+            # writers). Schema comes from the footers; tiny files pack
+            # densely into scan partitions via openCostInBytes.
+            spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
+            reader = spark.read.option("recursiveFileLookup", "true")
+            if glob:
+                reader = reader.option("pathGlobFilter", glob)
+            if cfg.schema is not None:
+                reader = reader.schema(cfg.schema)
+            return getattr(reader, cfg.file_format)(cfg.source_dir)
         raise ValueError(f"parsed mode unsupported for format {cfg.file_format!r}")
 
     # Opaque mode: pack thousands of tiny files densely into scan
@@ -362,7 +387,9 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
     (core/file_handler.py:52-57) — just vectorized and parallel.
     """
     target_bytes = int(cfg.max_size_mb * 1024 * 1024)
-    opaque = not cfg.parsed
+    columnar_source = cfg.file_format in ("parquet", "orc")
+    out_fmt = cfg.output_format or cfg.file_format
+    opaque = not cfg.parsed and not columnar_source and out_fmt == cfg.file_format
     empty = CompactionResult([], 0, 0, 0, f"{cfg.dest_dir.rstrip('/')}/{_AUDIT_DIRNAME}")
 
     raw = None
@@ -400,7 +427,12 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
         first_file = _first_source_file(spark, cfg)
         if first_file is None:
             return empty
-    df = _binary_values(raw) if use_binary else read_source(spark, cfg)
+    read_cfg = cfg
+    if not opaque and not cfg.parsed and not columnar_source:
+        # e.g. json source -> parquet bundles: the source must be parsed
+        # even though the caller left the (text-to-text) default
+        read_cfg = replace(cfg, parsed=True)
+    df = _binary_values(raw) if use_binary else read_source(spark, read_cfg)
 
     if use_binary:
         avg_rec = max(1.0, avg_file)  # record = file; exact from stats
@@ -410,9 +442,16 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
     else:
         text_probe = _as_text(df, cfg.file_format)
         avg_rec = _estimate_record_bytes(text_probe, "value", cfg.sample_records)
-        ratio = (
-            _estimate_gzip_ratio(text_probe, "value", cfg.sample_records) if cfg.compress else 1.0
-        )
+        if out_fmt in ("parquet", "orc"):
+            # Columnar bundles: text bytes upper-bound the encoded size;
+            # columnar_ratio densifies when the caller knows better.
+            ratio = max(0.01, cfg.columnar_ratio)
+        else:
+            ratio = (
+                _estimate_gzip_ratio(text_probe, "value", cfg.sample_records)
+                if cfg.compress
+                else 1.0
+            )
     records_per_bundle = max(1, int(target_bytes * ratio / avg_rec))
     est_total_records = max(1, int(total_bytes / avg_rec))
     n_bundles = max(1, math.ceil(est_total_records / records_per_bundle))
@@ -436,19 +475,24 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
 
     writer = out.write.mode("append").option("maxRecordsPerFile", records_per_bundle)
     if cfg.compress:
+        # text formats: gzip (reference O9); columnar: gzip codec pages
+        # (snappy is the uncompressed=False default already)
         writer = writer.option("compression", "gzip")
     if part_cols:
         writer = writer.partitionBy(*[name for name, _ in part_cols])
 
-    fmt = cfg.file_format
-    if not cfg.parsed:
+    if opaque:
         writer.text(cfg.dest_dir)
-    elif fmt == "json":
+    elif out_fmt == "json":
         for k, v in JSON_TS_OPTIONS.items():
             writer = writer.option(k, v)
         writer.json(cfg.dest_dir)
-    elif fmt == "csv":
+    elif out_fmt == "csv":
         writer.option("header", str(cfg.csv_header).lower()).csv(cfg.dest_dir)
+    elif out_fmt in ("parquet", "orc"):
+        getattr(writer, out_fmt)(cfg.dest_dir)
+    else:
+        raise ValueError(f"unsupported output format {out_fmt!r}")
 
     bundles = _list_bundles(spark, cfg.dest_dir)
     audit_path = _write_audit(spark, cfg, bundles)
@@ -522,4 +566,6 @@ def read_bundles(spark: SparkSession, dest_dir: str, fmt: str = "json", schema=N
         return reader.option("pathGlobFilter", "part-*").json(dest_dir)
     if fmt == "csv":
         return reader.option("header", "true").option("pathGlobFilter", "part-*").csv(dest_dir)
+    if fmt in ("parquet", "orc"):
+        return getattr(reader.option("pathGlobFilter", "part-*"), fmt)(dest_dir)
     return reader.option("pathGlobFilter", "part-*").text(dest_dir)

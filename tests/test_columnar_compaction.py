@@ -1,0 +1,95 @@
+"""Columnar bundle formats — the lakehouse maintenance path.
+
+"Compact many small parquet files into few big ones" is the canonical
+Spark small-file job; the reference can't express it (text-only data
+plane, SURVEY §1.2). Round-trips verified by row-multiset equality.
+"""
+
+import glob
+import os
+
+from lakeflush_spark.io import load_table
+from lakeflush_spark.operators.compaction import (
+    CompactionConfig,
+    compact,
+    read_bundles,
+)
+
+
+def _small_parquet_lake(df, root: str, n: int) -> None:
+    df.repartition(n).write.mode("overwrite").parquet(root)
+
+
+def test_parquet_to_parquet_compaction(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    lake = str(tmp_path / "plake")
+    _small_parquet_lake(orders, lake, 40)
+    dest = str(tmp_path / "pout")
+    res = compact(
+        spark,
+        CompactionConfig(
+            source_dir=lake, dest_dir=dest, file_format="parquet", max_size_mb=16
+        ),
+    )
+    # 40 data files (+ the writer's zero-byte _SUCCESS marker, which the
+    # one-call getContentSummary listing cannot exclude; it contributes
+    # zero bytes so sizing is unaffected)
+    assert res.source_files in (40, 41)
+    bundles = [p for p in glob.glob(os.path.join(dest, "part-*")) if os.path.getsize(p)]
+    assert 1 <= len(bundles) < 40, "small files consolidated"
+    assert all(os.path.getsize(p) <= 16 * 1024 * 1024 for p in bundles)
+    back = read_bundles(spark, dest, "parquet")
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0
+
+
+def test_json_to_parquet_compaction(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    lake = str(tmp_path / "jlake")
+    nation.repartition(10).write.mode("overwrite").json(lake)
+    dest = str(tmp_path / "jout")
+    compact(
+        spark,
+        CompactionConfig(
+            source_dir=lake,
+            dest_dir=dest,
+            file_format="json",
+            output_format="parquet",
+            max_size_mb=8,
+        ),
+    )
+    back = read_bundles(spark, dest, "parquet")
+    assert back.count() == nation.count()
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in nation.collect()
+    )
+
+
+def test_parquet_to_orc_compaction(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer")
+    lake = str(tmp_path / "clake")
+    _small_parquet_lake(cust, lake, 12)
+    dest = str(tmp_path / "oout")
+    compact(
+        spark,
+        CompactionConfig(
+            source_dir=lake,
+            dest_dir=dest,
+            file_format="parquet",
+            output_format="orc",
+            max_size_mb=16,
+        ),
+    )
+    back = read_bundles(spark, dest, "orc")
+    assert back.count() == cust.count()
+    assert back.exceptAll(cust).count() == 0
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    # q51's self-validating contract: HLL++ at rsd=0.02 stays within 5%
+    from lakeflush_spark.plans import QUERIES
+
+    rows = QUERIES["q51_approx_distinct"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_cust - r.exact_cust) <= max(1, 0.05 * r.exact_cust)

@@ -9,5 +9,6 @@ from lakeflush_spark.plans import multimodal_queries as _multimodal_queries  # n
 from lakeflush_spark.plans import streaming_queries as _streaming_queries  # noqa: F401
 from lakeflush_spark.plans import relational_ext_queries as _relational_ext_queries  # noqa: F401
 from lakeflush_spark.plans import relational_ext3_queries as _relational_ext3_queries  # noqa: F401
+from lakeflush_spark.plans import udf_queries as _udf_queries  # noqa: F401
 
 __all__ = ["QUERIES", "DeclaredQuery"]

@@ -101,3 +101,87 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     on the bucket id — either way the pair count shrinks ~2**n_bits×.
     """
     return _topk(_score(corpus, queries, F.col("bucket") == F.col("qbucket")), k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the third strategy: a coarse quantizer
+# partitions the corpus into cells; queries probe only the nprobe
+# nearest cells. Unlike sign-LSH (data-independent planes), IVF cells
+# adapt to the data distribution.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(corpus: DataFrame, n_cells: int = 16) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_cells`` lowest-vid
+    vectors seed the cells (random-sample initialization with a
+    deterministic "random" source — no RNG, so retried tasks and
+    repeated runs build the identical index; a k-means refinement is
+    an optional offline step that only moves the seeds).
+
+    Returns (cell_id, cv, cnrm) — tiny (n_cells rows), always
+    broadcast by callers.
+    """
+    w = Window.orderBy("vid")
+    return (
+        corpus.orderBy("vid")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+
+
+def _nearest_cells(vectors: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+    """Attach the n highest-cosine cell ids to each vector.
+
+    Broadcast nested-loop against the centroid table (n_cells rows);
+    at any corpus size this is a map-side operation — the corpus never
+    shuffles to build the index.
+    """
+    w = Window.partitionBy("vid").orderBy(
+        F.desc(F.round(dot_product(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)),
+        F.asc("cell_id"),
+    )
+    return (
+        vectors.join(F.broadcast(cents))
+        .withColumn("_cr", F.row_number().over(w))
+        .where(F.col("_cr") <= n)
+        .drop("cv", "cnrm", "_cr")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their 1 nearest
+    cell; each query probes its ``nprobe`` nearest cells; scoring is
+    the cell-id equi-join (pair count cut ~n_cells/nprobe×).
+
+    Scale stance: index build is map-only (broadcast centroids), the
+    search join shuffles on cell_id — skew between cells is the known
+    IVF failure mode, mitigated by raising n_cells (finer cells) and
+    AQE skew-join splitting oversized cells at runtime.
+    """
+    cents = ivf_centroids(corpus, n_cells)
+    indexed = _nearest_cells(corpus, cents, 1)
+    probes = _nearest_cells(queries, cents, nprobe).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"), F.col("cell_id").alias("qcell"),
+    )
+    scored = (
+        indexed.join(F.broadcast(probes), (F.col("cell_id") == F.col("qcell")) & (F.col("vid") != F.col("qid")))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            F.round(
+                dot_product(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    return _topk(scored, k)

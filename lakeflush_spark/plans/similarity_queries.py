@@ -82,3 +82,20 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = prepare_vectors(emb, with_bucket=True, n_bits=LSH_BITS)
     queries = corpus.where(corpus.vid < N_QUERIES)
     return lsh_topk(corpus, queries, TOP_K).orderBy("query_id", "rank")
+
+
+@declare(
+    "q55_ann_ivf",
+    None,  # index assignment is engine-internal; driver does rows-only
+    "IVF ANN: deterministic coarse-quantizer cells, nprobe probing; "
+    "recall vs the exact baseline asserted in tests (>=60% @10).",
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeflush_spark.operators.similarity import ivf_topk
+
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark)
+    corpus = prepare_vectors(emb)
+    queries = corpus.where(corpus.vid < N_QUERIES)
+    return ivf_topk(corpus, queries, TOP_K, n_cells=16, nprobe=4).orderBy(
+        "query_id", "rank"
+    )

@@ -93,3 +93,20 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r.approx_cust - r.exact_cust) <= max(1, 0.05 * r.exact_cust)
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    # IVF@nprobe=4/16 cells must recover most of the exact top-10
+    from lakeflush_spark.plans import QUERIES
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q29_ann_bruteforce"].builder(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q55_ann_ivf"].builder(spark, sf_dir).collect()
+    }
+    assert exact, "baseline non-empty"
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.6, f"IVF recall@10 too low: {recall:.2f}"

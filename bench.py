@@ -46,6 +46,12 @@ HEADLINE = [
     "q29_ann_bruteforce",
     "q30_ann_lsh",
     "q34_session_window",
+    # extended relational + escape-hatch surface
+    "q47_full_outer_join",
+    "q50_percentiles",
+    "q52_pandas_udf_zscore",
+    "q53_python_udtf",
+    "q55_ann_ivf",
 ]
 
 

@@ -110,3 +110,28 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert exact, "baseline non-empty"
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.6, f"IVF recall@10 too low: {recall:.2f}"
+
+
+def test_corrupt_file_skip(spark, sf_dir, tmp_path):
+    # O19 parity: per-file read errors skip the file, not the job
+    # (reference collectors/local_lake.py:69-72). A torn parquet file
+    # in the lake must not fail parsed-mode compaction.
+    orders = load_table(spark, sf_dir, "orders")
+    lake = str(tmp_path / "lake")
+    _small_parquet_lake(orders, lake, 8)
+    good = glob.glob(os.path.join(lake, "part-*"))[0]
+    with open(os.path.join(lake, "part-corrupt.parquet"), "wb") as f:
+        f.write(open(good, "rb").read()[:100])  # torn file
+    dest = str(tmp_path / "out")
+    compact(
+        spark,
+        CompactionConfig(
+            source_dir=lake,
+            dest_dir=dest,
+            file_format="parquet",
+            max_size_mb=16,
+            ignore_corrupt_files=True,
+        ),
+    )
+    back = read_bundles(spark, dest, "parquet")
+    assert back.count() == orders.count()

@@ -242,3 +242,16 @@ def test_s3_classes_via_file_uri(spark, sf_dir, tmp_path):
 def test_s3_collector_requires_bucket(tmp_path):
     with pytest.raises(ValueError, match="bucket name is required"):
         S3LakeCollector("", filepath=str(tmp_path), filename="x")
+
+
+def test_reference_import_shim(tmp_path):
+    # Reference users' imports work verbatim (zero-code-change switch).
+    from lakeflush.collectors import LocalLakeCollector as ShimCollector
+    from lakeflush.core import Collector as ShimCore
+    from lakeflush.flushers import LocalLakeFlusher as ShimFlusher
+    from lakeflush.utils.file import FileStatus as ShimStatus
+
+    assert ShimCollector is LocalLakeCollector
+    assert ShimFlusher is LocalLakeFlusher
+    assert ShimCore is Collector
+    assert ShimStatus.COLLECTED == ".collected"

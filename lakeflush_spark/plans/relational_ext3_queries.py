@@ -221,3 +221,35 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(lambda pdf: _zscore_bucket(pdf), schema=_Q52_SCHEMA)
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q56 — SLIDING window aggregation (width 1h, slide 30m): every event
+# belongs to exactly width/slide = 2 overlapping windows. Streaming twin
+# runs the same expression incrementally with a watermark. Oracle
+# expands the assignment explicitly (bucket by slide, shift k slides).
+# Scale: one shuffle on window_start; state size in streaming mode is
+# bounded by (active windows × groups), controlled by the watermark.
+# ---------------------------------------------------------------------------
+@declare(
+    "q56_sliding_window",
+    """
+    SELECT window_start, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - k.k * INTERVAL '30 minutes' AS window_start, value
+      FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+    )
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    "Sliding 1h/30m window aggregation; each event feeds 2 overlapping windows.",
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "cnt", "sum_value")
+        .orderBy("window_start")
+    )

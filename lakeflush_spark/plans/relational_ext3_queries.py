@@ -253,3 +253,43 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "cnt", "sum_value")
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q57 — MAP-typed scalar functions: build a map column, extract by key,
+# cardinality, sorted key list. Map-only projection (no shuffle beyond
+# the final ORDER BY); completes §2.B's scalar-function row (string/
+# date/math/array/json covered by Q13/Q41/Q46).
+# DuckDB map_extract returns a LIST -> [1]; Spark element_at returns
+# the value directly. The key list is serialized to a string because
+# the driver's value-hash comparator requires hashable (scalar) cells.
+# ---------------------------------------------------------------------------
+@declare(
+    "q57_map_functions",
+    """
+    SELECT p_partkey,
+           map_extract(MAP(['brand','type'], [p_brand, p_type]), 'brand')[1]
+             AS brand_val,
+           CAST(cardinality(MAP(['brand','type'], [p_brand, p_type])) AS BIGINT)
+             AS n_keys,
+           array_to_string(list_sort(map_keys(MAP(['brand','type'], [p_brand, p_type]))), ',')
+             AS keys_sorted
+    FROM part
+    ORDER BY p_partkey
+    """,
+    "MAP column build/extract/cardinality/keys over part, value-exact both engines.",
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.element_at(m, "brand").alias("brand_val"),
+            F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+        )
+        .orderBy("p_partkey")
+    )

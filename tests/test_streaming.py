@@ -162,3 +162,64 @@ def test_stateful_sessionize_streaming_emits_closed_sessions(spark, sf_dir):
     }
     assert streamed  # the no-data batch flushes watermark-expired state
     assert streamed.issubset(batch)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    # True multi-batch late-data semantics: batch 1 advances the
+    # watermark past the 10:00 window; batch 2's late 10:05 event must
+    # NOT reopen it (append mode emits each window exactly once, state
+    # for closed windows is evicted).
+    import json as _json
+    import time as _time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for ts, v in rows:
+                f.write(_json.dumps({"ts": ts, "value": v}) + "\n")
+
+    sink = tmp_path / "late_sink"
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "ts timestamp, value double"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(src))
+        out = windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+        q = (
+            out.writeStream.format("json")
+            .option("path", str(sink))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: watermark advances to 11:00 (persisted in the checkpoint)
+    write_batch(
+        "00.json",
+        [("2024-01-01T10:00:00", 1.0), ("2024-01-01T10:30:00", 2.0),
+         ("2024-01-01T12:00:00", 4.0)],
+    )
+    run_once()
+    _time.sleep(0.05)
+    # run 2: one LATE event (behind the restored watermark) + on-time
+    write_batch(
+        "01.json",
+        [("2024-01-01T10:05:00", 100.0),  # LATE: must be dropped
+         ("2024-01-01T14:00:00", 8.0)],
+    )
+    run_once()
+
+    emitted = (
+        spark.read.schema("window_start timestamp_ntz, cnt long, sum_value double")
+        .json(str(sink))
+        .collect()
+    )
+    rows = {str(r.window_start): (r.cnt, r.sum_value) for r in emitted if r.cnt}
+    # the 10:00 window closed with ONLY run-1 rows; late 100.0 excluded
+    assert rows.get("2024-01-01 10:00:00") == (2, 3.0), rows
+    # 12:00 window finalized once the 14:00 event pushed the watermark
+    assert rows.get("2024-01-01 12:00:00") == (1, 4.0), rows

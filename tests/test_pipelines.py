@@ -1,0 +1,54 @@
+"""Curation pipeline: stage monotonicity, filter/dedup guarantees."""
+
+import pyspark.sql.functions as F
+
+from lakeflush_spark.io import load_table
+from lakeflush_spark.operators.dedup import minhash_near_dups
+from lakeflush_spark.pipelines import CurationConfig, CurationStats, curate_documents
+
+
+def _docs_with_known_dirt(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = 10_000_000
+    # inject an exact duplicate and a tiny (filterable) doc
+    dup = docs.limit(1).select(
+        (F.col("doc_id") + base).alias("doc_id"), "text", "lang"
+    )
+    tiny = spark.createDataFrame(
+        [(base + 1_000_000, "too short", "en")], "doc_id long, text string, lang string"
+    )
+    return docs.unionByName(dup).unionByName(tiny)
+
+
+def test_curation_stages_and_guarantees(spark, sf_dir):
+    docs = _docs_with_known_dirt(spark, sf_dir)
+    cfg = CurationConfig(min_tokens=5, near_dup_threshold=0.8)
+    curated, stats = curate_documents(spark, docs, cfg)
+
+    assert isinstance(stats, CurationStats)
+    n_in = docs.count()
+    assert stats.input_docs == n_in
+    # monotone shrink, and each injected dirt row removed by its stage
+    assert stats.after_filters <= n_in - 1  # tiny doc filtered
+    assert stats.after_exact_dedup <= stats.after_filters - 1  # dup removed
+    assert stats.after_near_dedup <= stats.after_exact_dedup
+    assert curated.count() == stats.after_near_dedup
+
+    # guarantee: no exact duplicates survive
+    assert curated.groupBy(F.md5("text")).count().where("count > 1").count() == 0
+    # guarantee: no near-dup pair above threshold survives
+    remaining = minhash_near_dups(
+        curated.select("doc_id", "text"), threshold=cfg.near_dup_threshold
+    )
+    assert remaining.count() == 0
+    # metric columns exposed for downstream packing
+    assert {"n_tokens", "stop_ratio", "lang_pred"} <= set(curated.columns)
+
+
+def test_curation_lang_filter(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    curated, stats = curate_documents(
+        spark, docs, CurationConfig(allowed_langs=("en",), near_dup_threshold=0.99)
+    )
+    assert stats.after_filters < stats.input_docs
+    assert curated.where(F.col("lang_pred") != "en").count() == 0

@@ -189,3 +189,66 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q58 — sequence packing: assign documents to fixed-token-budget bins
+# (the training-data "sample packing" step), fully declaratively. Each
+# doc's bin = floor(start_offset / budget) where start_offset is the
+# running token count before it (per-language, doc_id order). Greedy
+# streaming packing: docs may straddle a boundary — the packer that
+# consumes this table splits at sequence build time. One shuffle
+# (partitionBy lang + window sort), then one aggregation; at 100 TB
+# partition by (lang, shard) to bound the window partition size.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+
+
+@declare(
+    "q58_sequence_packing",
+    f"""
+    WITH offs AS (
+      SELECT lang, doc_id, {_SQL_NI} AS n_tokens,
+             (SUM({_SQL_NI}) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - {_SQL_NI}) AS start_off
+      FROM documents
+    )
+    SELECT lang,
+           CAST(FLOOR(start_off / {_PACK_BUDGET}) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS bin_tokens
+    FROM offs
+    GROUP BY lang, bin
+    ORDER BY lang, bin
+    """,
+    "Token-budget sequence packing: per-language running offsets assign docs to "
+    f"{_PACK_BUDGET}-token bins; aggregate shows docs+tokens per packed bin.",
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = token_count("text")
+    offs = docs.select(
+        "lang",
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.sum(n).over(w) - n).alias("start_off"),
+    )
+    return (
+        offs.groupBy(
+            "lang",
+            F.floor(F.col("start_off") / _PACK_BUDGET).cast("bigint").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )

@@ -252,3 +252,86 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q59 — PII scrubbing: regex redaction of emails / dotted phone
+# numbers / IPv4s (the masking step of corpus prep). Map-only
+# regexp_replace chain (JVM codegen); patterns restricted to syntax
+# with identical semantics in Java regex and DuckDB's RE2. The oracle
+# compares md5 of the scrubbed text, so the check is value-exact even
+# where the corpus contains no PII at all.
+# ---------------------------------------------------------------------------
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{3}[-.]\d{3,4}[-.]\d{4}", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def _scrub_sql(expr: str) -> str:
+    for pat, repl in _PII_PATTERNS:
+        escaped = pat.replace("'", "''").replace("\\", "\\\\")
+        expr = f"regexp_replace({expr}, '{escaped}', '{repl}', 'g')"
+    return expr
+
+
+@declare(
+    "q59_pii_scrub",
+    f"""
+    SELECT doc_id,
+           md5({_scrub_sql('text')}) AS scrubbed_md5,
+           (length(text) - length({_scrub_sql('text')}))::BIGINT AS delta_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "Regex PII redaction (emails/phones/IPv4) with md5-of-scrubbed-text oracle.",
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scrubbed = F.col("text")
+    for pat, repl in _PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.md5(scrubbed).alias("scrubbed_md5"),
+            (F.length("text") - F.length(scrubbed)).cast("bigint").alias("delta_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q60 — deterministic stratified sampling: ~10% per language via a
+# content-hash bucket (md5 -> [0,100)), NOT rand() — the sample is
+# reproducible across runs, engines, task retries, and cluster sizes,
+# which is what a training-data pipeline needs for auditability.
+# Map-only filter; at 100 TB this is a pushed-down scan predicate.
+# ---------------------------------------------------------------------------
+_SAMPLE_PCT = 10
+
+
+@declare(
+    "q60_stratified_sample",
+    f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS sampled_docs
+    FROM documents
+    WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+          < {_SAMPLE_PCT}
+    GROUP BY lang ORDER BY lang
+    """,
+    "Deterministic ~10%-per-language sample via md5 bucket of the doc id "
+    "(reproducible across engines/retries, unlike rand()).",
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(bucket < _SAMPLE_PCT)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sampled_docs"))
+        .orderBy("lang")
+    )

@@ -52,3 +52,18 @@ def test_curation_lang_filter(spark, sf_dir):
     )
     assert stats.after_filters < stats.input_docs
     assert curated.where(F.col("lang_pred") != "en").count() == 0
+
+
+def test_pii_scrub_redacts_injected(spark):
+    from lakeflush_spark.plans.text_queries import _PII_PATTERNS
+    import pyspark.sql.functions as F2
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@example.co.uk or call 555-123-4567 from 10.0.0.1 now")],
+        "doc_id long, text string",
+    )
+    scrubbed = F2.col("text")
+    for pat, repl in _PII_PATTERNS:
+        scrubbed = F2.regexp_replace(scrubbed, pat, repl)
+    out = df.select(scrubbed.alias("t")).first().t
+    assert out == "mail me at <EMAIL> or call <PHONE> from <IP> now"

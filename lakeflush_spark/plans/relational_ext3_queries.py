@@ -79,14 +79,19 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Correlated EXISTS/NOT EXISTS with residual predicate -> semi/anti hash joins.",
 )
 def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fully declarative (no eager driver-side count() actions): both
+    # scalar aggregates stay in ONE deferred plan, cross-joined at the
+    # end (1×1 sides — the nested-loop is two rows of work)
     orders = _t(spark, sf_dir, "orders")
     big_lines = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
     cond = orders.o_orderkey == big_lines.l_orderkey
-    n_big = orders.join(big_lines, cond, "left_semi").count()
-    n_rest = orders.join(big_lines, cond, "left_anti").count()
-    return spark.createDataFrame(
-        [(n_big, n_rest)], "n_big bigint, n_rest bigint"
+    n_big = orders.join(big_lines, cond, "left_semi").agg(
+        F.count(F.lit(1)).alias("n_big")
     )
+    n_rest = orders.join(big_lines, cond, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_rest")
+    )
+    return n_big.crossJoin(n_rest)
 
 
 # ---------------------------------------------------------------------------

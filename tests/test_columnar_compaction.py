@@ -135,3 +135,23 @@ def test_corrupt_file_skip(spark, sf_dir, tmp_path):
     )
     back = read_bundles(spark, dest, "parquet")
     assert back.count() == orders.count()
+
+
+def test_zstd_codec_override(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    lake = str(tmp_path / "zlake")
+    _small_parquet_lake(orders, lake, 8)
+    dest = str(tmp_path / "zout")
+    compact(
+        spark,
+        CompactionConfig(
+            source_dir=lake,
+            dest_dir=dest,
+            file_format="parquet",
+            compression_codec="zstd",
+            max_size_mb=16,
+        ),
+    )
+    files = glob.glob(os.path.join(dest, "part-*"))
+    assert files and all(".zstd." in os.path.basename(p) for p in files)
+    assert read_bundles(spark, dest, "parquet").count() == orders.count()

@@ -133,22 +133,46 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16) -> DataFrame:
     )
 
 
-def _nearest_cells(vectors: DataFrame, cents: DataFrame, n: int) -> DataFrame:
-    """Attach the n highest-cosine cell ids to each vector.
+def _nearest_cells(vectors: DataFrame, cells_1row: DataFrame, n: int) -> DataFrame:
+    """Attach the n highest-cosine cell ids to each vector — as a PURE
+    MAP stage, no shuffle of the vector side.
 
-    Broadcast nested-loop against the centroid table (n_cells rows);
-    at any corpus size this is a map-side operation — the corpus never
-    shuffles to build the index.
+    ``cells_1row`` is a single-row frame holding ALL centroids as one
+    array<struct> column; broadcast-cross-joining it means the array
+    is materialized once per task (build side), not rebuilt per row.
+    Per row: transform → [(−cos, cell_id)], `array_sort`
+    (lexicographic: cos desc, id asc — deterministic ties), slice the
+    top n, explode. The window-over-vid formulation this replaces
+    shuffled the whole corpus by vid just to rank n_cells values per
+    row.
     """
-    w = Window.partitionBy("vid").orderBy(
-        F.desc(F.round(dot_product(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)),
-        F.asc("cell_id"),
+    score = lambda c: F.struct(  # noqa: E731
+        (-F.round(
+            dot_product(F.col("v"), c.getField("cv"))
+            / (F.col("nrm") * c.getField("cnrm")),
+            6,
+        )).alias("neg"),
+        c.getField("cell_id").alias("cell_id"),
     )
+    top = F.slice(F.array_sort(F.transform(F.col("_cells"), score)), 1, n)
     return (
-        vectors.join(F.broadcast(cents))
-        .withColumn("_cr", F.row_number().over(w))
-        .where(F.col("_cr") <= n)
-        .drop("cv", "cnrm", "_cr")
+        vectors.crossJoin(F.broadcast(cells_1row))
+        .withColumn("_cell", F.explode(top))
+        .withColumn("cell_id", F.col("_cell.cell_id"))
+        .drop("_cell", "_cells")
+    )
+
+
+def _cells_as_one_row(spark, cent_rows: list) -> DataFrame:
+    """(cell_id, cv, cnrm)[] packed into a single-row array<struct>
+    frame via a VALUES relation (JVM-only, no Python-worker hop)."""
+    vals = ",".join(
+        f"({int(cid)}, array({','.join(repr(float(x)) + 'D' for x in cv)}), {float(cn)!r}D)"
+        for cid, cv, cn in cent_rows
+    )
+    return spark.sql(
+        f"SELECT array_agg(struct(cell_id, cv, cnrm)) AS _cells "
+        f"FROM (VALUES {vals}) AS t(cell_id, cv, cnrm)"
     )
 
 
@@ -169,8 +193,10 @@ def ivf_topk(
     AQE skew-join splitting oversized cells at runtime.
     """
     cents = ivf_centroids(corpus, n_cells)
-    indexed = _nearest_cells(corpus, cents, 1)
-    probes = _nearest_cells(queries, cents, nprobe).select(
+    cent_rows = [(r.cell_id, r.cv, r.cnrm) for r in cents.collect()]
+    cells_1row = _cells_as_one_row(corpus.sparkSession, cent_rows)
+    indexed = _nearest_cells(corpus, cells_1row, 1)
+    probes = _nearest_cells(queries, cells_1row, nprobe).select(
         F.col("vid").alias("qid"), F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"), F.col("cell_id").alias("qcell"),
     )

@@ -79,6 +79,11 @@ class CompactionConfig:
     #: default. zstd is the modern pick for columnar bundles: ~gzip
     #: ratios at several× the throughput.
     compression_codec: str | None = None
+    #: "append" re-runs add bundles (the reference's no-resume
+    #: behavior, SURVEY §3.4 — restart = duplicate data); "overwrite"
+    #: makes a batch re-run idempotent (replaces dest). The streaming
+    #: path gets exactly-once from its checkpoint instead.
+    write_mode: str = "append"
     date_partition_format: str | None = None  # e.g. "date=%Y-%m-%d/hour=%H"
     parsed: bool = False  # parsed mode: real schema instead of opaque text
     schema: object | None = None  # optional explicit schema for parsed mode
@@ -478,7 +483,9 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
     if small_input and n_bundles < 2048:
         out = out.repartition(n_bundles)
 
-    writer = out.write.mode("append").option("maxRecordsPerFile", records_per_bundle)
+    if cfg.write_mode not in ("append", "overwrite"):
+        raise ValueError(f"write_mode must be append|overwrite, got {cfg.write_mode!r}")
+    writer = out.write.mode(cfg.write_mode).option("maxRecordsPerFile", records_per_bundle)
     if cfg.compression_codec:
         writer = writer.option("compression", cfg.compression_codec)
     elif cfg.compress:

@@ -155,3 +155,23 @@ def test_zstd_codec_override(spark, sf_dir, tmp_path):
     files = glob.glob(os.path.join(dest, "part-*"))
     assert files and all(".zstd." in os.path.basename(p) for p in files)
     assert read_bundles(spark, dest, "parquet").count() == orders.count()
+
+
+def test_overwrite_mode_is_idempotent(spark, sf_dir, tmp_path):
+    # append re-runs duplicate (reference's no-resume parity);
+    # overwrite re-runs replace -> idempotent batch job
+    nation = load_table(spark, sf_dir, "nation")
+    lake = str(tmp_path / "ilake")
+    nation.repartition(5).write.mode("overwrite").json(lake)
+    dest = str(tmp_path / "iout")
+    cfg = CompactionConfig(
+        source_dir=lake,
+        dest_dir=dest,
+        file_format="json",
+        output_format="parquet",
+        write_mode="overwrite",
+        max_size_mb=8,
+    )
+    compact(spark, cfg)
+    compact(spark, cfg)  # re-run must not duplicate
+    assert read_bundles(spark, dest, "parquet").count() == nation.count()

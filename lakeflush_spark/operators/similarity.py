@@ -111,26 +111,18 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ivf_centroids(corpus: DataFrame, n_cells: int = 16) -> DataFrame:
+def ivf_centroids(corpus: DataFrame, n_cells: int = 16) -> list:
     """Deterministic coarse quantizer: the ``n_cells`` lowest-vid
     vectors seed the cells (random-sample initialization with a
     deterministic "random" source — no RNG, so retried tasks and
     repeated runs build the identical index; a k-means refinement is
     an optional offline step that only moves the seeds).
 
-    Returns (cell_id, cv, cnrm) — tiny (n_cells rows), always
-    broadcast by callers.
-    """
-    w = Window.orderBy("vid")
-    return (
-        corpus.orderBy("vid")
-        .limit(n_cells)
-        .select(
-            (F.row_number().over(w) - 1).alias("cell_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
+    Returns [(cell_id, vector, norm)] driver-side — n_cells tiny rows,
+    destined for a broadcast literal anyway. orderBy+limit is a
+    distributed partial top-k (no global sort materializes)."""
+    rows = corpus.orderBy("vid").limit(n_cells).select("v", "nrm").collect()
+    return [(i, r.v, r.nrm) for i, r in enumerate(rows)]
 
 
 def _nearest_cells(vectors: DataFrame, cells_1row: DataFrame, n: int) -> DataFrame:
@@ -192,8 +184,7 @@ def ivf_topk(
     IVF failure mode, mitigated by raising n_cells (finer cells) and
     AQE skew-join splitting oversized cells at runtime.
     """
-    cents = ivf_centroids(corpus, n_cells)
-    cent_rows = [(r.cell_id, r.cv, r.cnrm) for r in cents.collect()]
+    cent_rows = ivf_centroids(corpus, n_cells)
     cells_1row = _cells_as_one_row(corpus.sparkSession, cent_rows)
     indexed = _nearest_cells(corpus, cells_1row, 1)
     probes = _nearest_cells(queries, cells_1row, nprobe).select(

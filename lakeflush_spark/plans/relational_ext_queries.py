@@ -332,9 +332,9 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q45_pivot",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -368,8 +368,8 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q46_json_extract",
     """
     SELECT event_type,
-           SUM(json_extract(props, '$.k')::BIGINT) AS k_sum,
-           MAX(json_extract(props, '$.k')::BIGINT) AS k_max,
+           CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS k_sum,
+           CAST(MAX(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS k_max,
            COUNT(*) AS cnt
     FROM events
     GROUP BY event_type

@@ -217,7 +217,7 @@ _PACK_BUDGET = 2048
     SELECT lang,
            CAST(FLOOR(start_off / {_PACK_BUDGET}) AS BIGINT) AS bin,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS bin_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM offs
     GROUP BY lang, bin
     ORDER BY lang, bin

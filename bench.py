@@ -30,19 +30,19 @@ HEADLINE = [
     "q03_hash_agg",
     "q04_broadcast_join",
     "q05_multiway_join_topk",
-    "q06_semi_join",
+    "q06_semi_anti_join",
     "q07_topk",
     "q08_window_rank",
     "q09_window_running_sum",
     "q11_rollup",
-    "q13_scalar_string",
-    "q14_tumbling_window",
+    "q13_scalar_map_funcs",
+    "q14_time_windows",
     "q15_event_dedup",
     # LLM-data pipeline ops (documents/embeddings tables)
-    "q19_quality_score",
-    "q21_fingerprint",
-    "q24_minhash_lsh_pairs",
-    "q25_simhash",
+    "q18_text_metrics",
+    "q58_sequence_packing",
+    "q23_minhash_simhash_sigs",
+    "q24_neardup_pairs",
     "q29_ann_bruteforce",
     "q30_ann_lsh",
     "q34_session_window",

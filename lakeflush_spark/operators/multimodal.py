@@ -87,6 +87,7 @@ _FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("n_bytes", LongType()),
+        StructField("byte_sum", LongType()),
         StructField("features", ArrayType(DoubleType())),
         StructField("feat_mean", DoubleType()),
     ]
@@ -111,7 +112,9 @@ def extract_features(df: DataFrame, id_col: str = "media_id", payload_col: str =
                 n = len(arr)
                 chunks = np.array_split(arr, FEATURE_DIM)
                 feats = [float(c.mean()) if len(c) else 0.0 for c in chunks]
-                rows.append((int(mid), n, feats, float(np.mean(feats))))
+                # byte_sum is an exact integer: the oracle-checkable
+                # witness that the Arrow plumbing saw every byte
+                rows.append((int(mid), n, int(arr.sum()), feats, float(np.mean(feats))))
             yield pd.DataFrame(rows, columns=[f.name for f in _FEATURE_SCHEMA.fields])
 
     return df.select(id_col, payload_col).mapInPandas(featurize, _FEATURE_SCHEMA)

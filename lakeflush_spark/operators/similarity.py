@@ -111,18 +111,54 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ivf_centroids(corpus: DataFrame, n_cells: int = 16) -> list:
-    """Deterministic coarse quantizer: the ``n_cells`` lowest-vid
-    vectors seed the cells (random-sample initialization with a
-    deterministic "random" source — no RNG, so retried tasks and
-    repeated runs build the identical index; a k-means refinement is
-    an optional offline step that only moves the seeds).
+def ivf_centroids(corpus: DataFrame, n_cells: int = 16, kmeans_iters: int = 0) -> list:
+    """Deterministic coarse quantizer seeds: an **md5-bucket sample**.
+
+    Seeds are the ``n_cells`` vectors with the lexicographically
+    smallest ``md5(vid)`` — a content-independent pseudorandom draw
+    (same trick as q60's stratified sampling), so the seeds track the
+    corpus distribution even when id order correlates with content
+    (crawl order, source grouping). No RNG: retried tasks, repeated
+    runs, and the SQL oracle all pick the identical seed set.
+    ``orderBy+limit`` plans a distributed partial top-k (per-partition
+    heaps; no global sort materializes).
+
+    ``kmeans_iters`` > 0 runs that many Lloyd refinement passes:
+    assign every vector to its nearest cell (broadcast centroids,
+    map-only), average per cell (64 partial aggregates, 16 output
+    rows), re-normalize driver-side. Cells that lose all members keep
+    their previous seed. Refinement adds one scan per iteration and
+    keeps centroids driver-side tiny; note parallel float summation
+    makes refined centroids deterministic only to the last ulp, so the
+    hash-checked contract query runs with ``kmeans_iters=0``.
 
     Returns [(cell_id, vector, norm)] driver-side — n_cells tiny rows,
-    destined for a broadcast literal anyway. orderBy+limit is a
-    distributed partial top-k (no global sort materializes)."""
-    rows = corpus.orderBy("vid").limit(n_cells).select("v", "nrm").collect()
-    return [(i, r.v, r.nrm) for i, r in enumerate(rows)]
+    destined for a broadcast literal anyway."""
+    import math
+
+    rows = (
+        corpus.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+        .limit(n_cells)
+        .select("v", "nrm")
+        .collect()
+    )
+    cents = [(i, list(r.v), float(r.nrm)) for i, r in enumerate(rows)]
+    dims = len(cents[0][1]) if cents else 0
+    for _ in range(kmeans_iters):
+        cells_1row = _cells_as_one_row(corpus.sparkSession, cents)
+        assigned = _nearest_cells(corpus, cells_1row, 1)
+        agg = assigned.groupBy("cell_id").agg(
+            *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dims)]
+        ).collect()
+        new = []
+        for r in agg:
+            vec = [float(r[f"c{i}"]) for i in range(dims)]
+            nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            new.append((int(r.cell_id), vec, nrm))
+        kept = {cid for cid, _, _ in new}
+        new.extend(c for c in cents if c[0] not in kept)
+        cents = sorted(new)
+    return cents
 
 
 def _nearest_cells(vectors: DataFrame, cells_1row: DataFrame, n: int) -> DataFrame:
@@ -174,6 +210,7 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their 1 nearest
     cell; each query probes its ``nprobe`` nearest cells; scoring is
@@ -184,7 +221,7 @@ def ivf_topk(
     IVF failure mode, mitigated by raising n_cells (finer cells) and
     AQE skew-join splitting oversized cells at runtime.
     """
-    cent_rows = ivf_centroids(corpus, n_cells)
+    cent_rows = ivf_centroids(corpus, n_cells, kmeans_iters)
     cells_1row = _cells_as_one_row(corpus.sparkSession, cent_rows)
     indexed = _nearest_cells(corpus, cells_1row, 1)
     probes = _nearest_cells(queries, cells_1row, nprobe).select(

@@ -63,14 +63,63 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_bundles(spark, dest, fmt="json", schema=ev.schema).select(*_EVENT_COLS)
 
 
+# Deterministic fixture lake at a FIXED path so the oracle SQL can list
+# the same directory with DuckDB's read_text (filename/size/
+# last_modified). mtimes are md5-derived pseudo-random whole seconds —
+# mtime order is DECOUPLED from name order, so the hash check actually
+# proves the manifest sorts by (mtime, path), not accidentally by name.
+# The fixture is byte-identical on every run (plain-Python writes,
+# fixed names/content/mtimes): re-runs and stale leftovers converge.
+_Q17_LAKE = "/tmp/lakeflush_q17_lake"
+_Q17_BASE_S = 1_600_000_000
+_Q17_N_FILES = 50
+
+
+def _build_q17_lake() -> None:
+    import hashlib
+
+    os.makedirs(_Q17_LAKE, exist_ok=True)
+    expected = {f"doc_{i:04d}.json" for i in range(_Q17_N_FILES)}
+    for f in os.listdir(_Q17_LAKE):
+        if f not in expected:
+            os.remove(os.path.join(_Q17_LAKE, f))
+    for i in range(_Q17_N_FILES):
+        name = f"doc_{i:04d}.json"
+        p = os.path.join(_Q17_LAKE, name)
+        body = "".join('{"k": %d, "file": %d}\n' % (j, i) for j in range(i + 1))
+        with open(p, "w") as fh:
+            fh.write(body)
+        mt = _Q17_BASE_S + int(hashlib.md5(name.encode()).hexdigest()[:8], 16) % 86400
+        os.utime(p, (mt, mt))
+
+
 @declare(
     "q17_manifest_order",
-    None,  # rows-only: the oracle can't list engine-local temp dirs
-    "Total-order (mtime, path) file manifest over a small-file lake.",
+    f"""
+    SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+           epoch(last_modified)::BIGINT AS mtime_s,
+           size::BIGINT AS size,
+           CAST(row_number() OVER (ORDER BY last_modified, filename) AS BIGINT) AS pos
+    FROM read_text('{_Q17_LAKE}/*.json')
+    ORDER BY pos
+    """,
+    "Total-order (mtime, path) file manifest over a small-file lake, "
+    "value-checked against an independent directory listing — the pos "
+    "column pins the ORDER itself, not just the row set. "
+    "(r2: upgraded from rows-only to full hash check.)",
 )
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    workdir = tempfile.mkdtemp(prefix="lakeflush_q17_")
-    lake = _explode_to_small_files(spark, sf_dir, workdir, n_files=50)
-    return ordered_manifest(spark, lake).select(
-        F.col("file_path"), F.col("mtime"), F.col("size")
+    from pyspark.sql import Window
+
+    _build_q17_lake()
+    w = Window.orderBy("mtime", "file_path")
+    return (
+        ordered_manifest(spark, _Q17_LAKE, ["*.json"])
+        .select(
+            F.element_at(F.split("file_path", "/"), -1).alias("file_name"),
+            F.unix_timestamp("mtime").cast("bigint").alias("mtime_s"),
+            F.col("size").cast("bigint").alias("size"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .orderBy("pos")
     )

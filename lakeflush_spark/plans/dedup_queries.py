@@ -105,23 +105,45 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_bits_sql(hash_arr: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform({hash_arr}, x -> ((x >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN {2**b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+
+
 @declare(
-    "q23_minhash_signatures",
-    _MINHASH_CTES + "SELECT doc_id, band0, band1, band2, band3 FROM b ORDER BY doc_id",
-    "Per-doc MinHash LSH band hashes — validates shingling, permutation "
-    "hashing, and banding end-to-end (map-only at any scale).",
+    "q23_minhash_simhash_sigs",
+    _MINHASH_CTES
+    + f""",
+    th AS (SELECT doc_id, list_transform(toks, s -> {_HASH}) AS ths FROM t),
+    sh AS (SELECT doc_id, ({_simhash_bits_sql('ths')})::BIGINT AS simhash FROM th)
+    SELECT b.doc_id AS doc_id, band0, band1, band2, band3, sh.simhash
+    FROM b JOIN sh ON b.doc_id = sh.doc_id
+    ORDER BY doc_id
+    """,
+    "Per-doc near-dup signatures in one map-only pass: MinHash LSH band "
+    "hashes (validates shingling, permutation hashing, and banding) plus "
+    "the 32-bit SimHash fingerprint (sign-aggregated token hashes). "
+    "(r2: merged q23+q25.)",
 )
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     return (
         with_minhash(docs)
-        .select("doc_id", *[F.col(f"_band{b}").alias(f"band{b}") for b in range(MINHASH_BANDS)])
+        .withColumn("simhash", simhash("text"))
+        .select(
+            "doc_id",
+            *[F.col(f"_band{b}").alias(f"band{b}") for b in range(MINHASH_BANDS)],
+            "simhash",
+        )
         .orderBy("doc_id")
     )
 
 
 @declare(
-    "q24_minhash_lsh_pairs",
+    "q24_neardup_pairs",
     _MINHASH_CTES
     + f""",
     e AS ({_BAND_ROWS}),
@@ -130,20 +152,51 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e a JOIN e b2 ON a.band_idx = b2.band_idx AND a.bh = b2.bh
                           AND a.doc_id < b2.doc_id
     )
-    SELECT c.id1, c.id2, round({_SQL_JACCARD}, 4) AS jaccard
-    FROM cands c
-    JOIN h a  ON a.doc_id  = c.id1
-    JOIN h b2 ON b2.doc_id = c.id2
-    WHERE {_SQL_JACCARD} >= 0.5
-    ORDER BY id1, id2
+    SELECT method, id1, id2, jaccard FROM (
+        SELECT 'lsh' AS method, c.id1, c.id2, round({_SQL_JACCARD}, 4) AS jaccard
+        FROM cands c
+        JOIN h a  ON a.doc_id  = c.id1
+        JOIN h b2 ON b2.doc_id = c.id2
+        WHERE {_SQL_JACCARD} >= 0.5
+        UNION ALL
+        SELECT 'blocked' AS method, id1, id2, jaccard FROM (
+            SELECT a.doc_id AS id1, b2.doc_id AS id2, round({_SQL_JACCARD}, 4) AS jaccard
+            FROM h a JOIN h b2 ON a.source = b2.source AND a.doc_id < b2.doc_id
+            ORDER BY jaccard DESC, id1, id2
+            LIMIT 20
+        )
+    )
+    ORDER BY method, id1, id2
     """,
-    "MinHash+LSH near-dup detection with exact-Jaccard verification of "
-    "candidates (finds the 25 planted near-dup pairs). The only wide "
-    "shuffle is the band-bucket equi-join.",
+    "Near-dup pair detection, two strategies labeled in one frame: "
+    "MinHash+LSH candidates verified by exact Jaccard (finds the 25 "
+    "planted pairs; the only wide shuffle is the band-bucket equi-join — "
+    "the unblocked 100 TB path), and brute-force 3-gram Jaccard within "
+    "source blocks (attribute blocking bounds the pair count). "
+    "(r2: merged q24+q27.)",
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
-    return minhash_near_dups(docs, threshold=0.5).orderBy("id1", "id2")
+    lsh = minhash_near_dups(docs, threshold=0.5).select(
+        F.lit("lsh").alias("method"), "id1", "id2", "jaccard"
+    )
+    blocked_docs = docs.select("doc_id", "source", shingle_hash_set("text").alias("hs"))
+    a, b = blocked_docs.alias("a"), blocked_docs.alias("b")
+    blocked = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.round(jaccard(F.col("a.hs"), F.col("b.hs")), 4).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "id1", "id2")
+        .limit(20)
+        .select(F.lit("blocked").alias("method"), "id1", "id2", "jaccard")
+    )
+    return lsh.unionByName(blocked).orderBy("method", "id1", "id2")
 
 
 _SIMHASH_SQL_BITS = " + ".join(
@@ -159,16 +212,6 @@ h AS (SELECT doc_id, source,
       FROM t),
 sh AS (SELECT doc_id, source, ({_SIMHASH_SQL_BITS})::BIGINT AS simhash FROM h)
 """
-
-
-@declare(
-    "q25_simhash",
-    _SIMHASH_CTES + "SELECT doc_id, simhash FROM sh ORDER BY doc_id",
-    "32-bit SimHash fingerprint per document (sign-aggregated token hashes).",
-)
-def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
-    return docs.select("doc_id", simhash("text").alias("simhash")).orderBy("doc_id")
 
 
 @declare(
@@ -201,36 +244,6 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "id1", "id2")
         .limit(30)
     )
-
-
-@declare(
-    "q27_ngram_jaccard",
-    f"""
-    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
-    h AS (SELECT doc_id, source,
-                 list_transform({_SHINGLE_SET}, s -> {_HASH}) AS hs
-          FROM t)
-    SELECT a.doc_id AS id1, b2.doc_id AS id2, round({_SQL_JACCARD}, 4) AS jaccard
-    FROM h a JOIN h b2 ON a.source = b2.source AND a.doc_id < b2.doc_id
-    ORDER BY jaccard DESC, id1, id2
-    LIMIT 20
-    """,
-    "Brute-force 3-gram Jaccard within source blocks (attribute blocking "
-    "bounds the pair count; the unblocked scale path is MinHash+LSH, q24).",
-)
-def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark).select(
-        "doc_id", "source", shingle_hash_set("text").alias("hs")
-    )
-    a, b = docs.alias("a"), docs.alias("b")
-    pairs = a.join(
-        b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(
-        F.col("a.doc_id").alias("id1"),
-        F.col("b.doc_id").alias("id2"),
-        F.round(jaccard(F.col("a.hs"), F.col("b.hs")), 4).alias("jaccard"),
-    )
-    return pairs.orderBy(F.desc("jaccard"), "id1", "id2").limit(20)
 
 
 @declare(

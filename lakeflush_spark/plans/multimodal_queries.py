@@ -53,26 +53,63 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The corpus is pure ASCII (verified at every SF), so the payload's
+# byte offsets equal the text's char offsets and DuckDB's VARCHAR
+# substring/sha256 reproduce byte-slice hashing exactly. byte_sum is
+# recomputed in SQL by parsing hex(payload) two chars at a time —
+# value-exact integer arithmetic, no float knife-edges anywhere.
+_FRAME_SIZE = 256
+_FRAME_STRIDE = 2
+
+_Q32_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id AS media_id, text,
+           octet_length(encode(text))::BIGINT AS n_bytes
+    FROM documents
+),
+b AS (
+    SELECT media_id,
+           COALESCE(list_sum(list_transform(
+               range(1, n_bytes + 1),
+               i -> ('0x' || substring(hex(encode(text)), 2*i - 1, 2))::BIGINT
+           )), 0)::BIGINT AS byte_sum
+    FROM d
+)
+SELECT d.media_id,
+       u.i AS frame_idx,
+       length(substring(d.text, u.i * {_FRAME_SIZE} + 1, {_FRAME_SIZE}))::BIGINT
+         AS frame_bytes,
+       sha256(substring(d.text, u.i * {_FRAME_SIZE} + 1, {_FRAME_SIZE}))
+         AS frame_sha256,
+       d.n_bytes,
+       b.byte_sum
+FROM d
+JOIN b USING (media_id),
+LATERAL (
+    SELECT UNNEST(range(0,
+        GREATEST(1, CEIL(d.n_bytes / {_FRAME_SIZE}.0))::BIGINT,
+        {_FRAME_STRIDE})) AS i
+) u
+ORDER BY media_id, frame_idx
+"""
+
+
 @declare(
-    "q32_media_features",
-    None,  # mapInPandas featurizer: not SQL-expressible; rows-only check
-    "Arrow-batched feature extraction over binary payloads (mapInPandas); "
-    "deterministic byte-statistics stand-in for decode+embed.",
+    "q32_media_pipeline",
+    _Q32_ORACLE,
+    "The mapInPandas media surface end-to-end: Arrow-batched feature "
+    "extraction (deterministic byte-statistics stand-in for decode+embed) "
+    "joined with 1->N frame sampling (every 2nd 256-byte frame with "
+    "per-frame sha256 — the video->frames batch shape). Value-exact "
+    "oracle: frame hashes + byte sums recomputed in SQL. "
+    "(r2: merged q32+q33, upgraded from rows-only to full hash check.)",
 )
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = extract_features(_payloads(spark, sf_dir))
-    return feats.select(
-        "media_id", "n_bytes", F.round("feat_mean", 4).alias("feat_mean")
-    ).orderBy("media_id")
-
-
-@declare(
-    "q33_frame_sample",
-    None,  # 1->N fan-out inside mapInPandas; rows-only check
-    "Frame sampling: each payload fans out to every 2nd 256-byte frame "
-    "with per-frame hashes (video->frames shape, stubbed on bytes).",
-)
-def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sample_frames(_payloads(spark, sf_dir), frame_size=256, stride=2).orderBy(
-        "media_id", "frame_idx"
+    payloads = _payloads(spark, sf_dir)
+    feats = extract_features(payloads).select("media_id", "n_bytes", "byte_sum")
+    frames = sample_frames(payloads, frame_size=_FRAME_SIZE, stride=_FRAME_STRIDE)
+    return (
+        frames.join(feats, "media_id")
+        .select("media_id", "frame_idx", "frame_bytes", "frame_sha256", "n_bytes", "byte_sum")
+        .orderBy("media_id", "frame_idx")
     )

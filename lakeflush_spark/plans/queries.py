@@ -203,35 +203,26 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
 # columns, and Spark de-dups the build side — exactly IN-subquery semantics.
 # ---------------------------------------------------------------------------
 @declare(
-    "q06_semi_join",
+    "q06_semi_anti_join",
     """
-    SELECT COUNT(*) AS cnt FROM customer
-    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders))::BIGINT AS n_semi,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN
+         (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL))::BIGINT AS n_anti
     """,
-    "left_semi join; build side deduplicated, no payload columns shuffled.",
+    "left_semi + left_anti joins in one deferred plan: semi never shuffles "
+    "payload columns (build side deduplicated); anti gives NOT-EXISTS "
+    "semantics on non-null keys. (r2: merged q06+q06b.)",
 )
 def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-
-
-@declare(
-    "q06b_anti_join",
-    """
-    SELECT COUNT(*) AS cnt FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
-    """,
-    "left_anti join (NOT EXISTS semantics on non-null keys).",
-)
-def q06b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").select("o_custkey").where(F.col("o_custkey").isNotNull())
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    cond = cust.c_custkey == orders.o_custkey
+    n_semi = cust.join(orders, cond, "left_semi").agg(F.count(F.lit(1)).alias("n_semi"))
+    n_anti = cust.join(orders, cond, "left_anti").agg(F.count(F.lit(1)).alias("n_anti"))
+    return n_semi.crossJoin(n_anti)
 
 
 # ---------------------------------------------------------------------------
@@ -336,17 +327,43 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q10 — exact distinct count (approx_count_distinct exposed separately in
-# functions; not hash-checked per SURVEY §2.C).
+# Q10 — exact + approximate distinct counts per segment. Exact runs a
+# partial distinct on mappers; approx is HLL++ (fixed-size mergeable
+# sketch — THE distinct path at 100 TB, where exact distinct means
+# shuffling every distinct value). Sketch estimates are engine-specific,
+# so the contract surfaces a TOLERANCE VERDICT (|approx-exact| <= 5%)
+# instead of the raw estimate: the oracle asserts TRUE per group, which
+# hash-verifies the sketch's accuracy without demanding bit-equality.
+# (r2: merged q10+q51.)
 # ---------------------------------------------------------------------------
 @declare(
-    "q10_count_distinct",
-    "SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS distinct_nations FROM customer",
-    "Exact distinct: partial distinct on mappers, tiny final exchange.",
+    "q10_distinct_exact_approx",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_cust,
+           TRUE AS approx_ok
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "Exact distinct per segment beside an HLL++ 5%-tolerance verdict "
+    "(approx_count_distinct rsd=0.01); the scale path is the sketch.",
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "customer").agg(
-        F.countDistinct("c_nationkey").cast("bigint").alias("distinct_nations")
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").cast("bigint").alias("exact_cust"),
+            F.approx_count_distinct("c_custkey", 0.01).alias("_approx"),
+        )
+        .select(
+            "c_mktsegment",
+            "exact_cust",
+            (
+                F.abs(F.col("_approx") - F.col("exact_cust"))
+                <= 0.05 * F.col("exact_cust")
+            ).alias("approx_ok"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 
@@ -380,59 +397,95 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q12 — set operations (INTERSECT / EXCEPT are DISTINCT-semantics in ANSI;
-# Spark's intersect()/subtract() match exactly).
+# Q12 — the full set-operation family in one labeled frame: INTERSECT
+# and EXCEPT (DISTINCT-semantics in ANSI; Spark's intersect()/subtract()
+# match exactly) plus UNION ALL (zero-shuffle concatenation) counted per
+# source. Each arm keeps its own natural shuffle: intersect/except
+# hash-partition on the key, union-all's only exchange is the group-by.
+# (r2: merged q12+q12b+q44.)
 # ---------------------------------------------------------------------------
 @declare(
-    "q12_intersect",
+    "q12_set_ops",
     """
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    ORDER BY nationkey
+    SELECT op, key, cnt FROM (
+        SELECT 'intersect' AS op, nationkey AS key, 0::BIGINT AS cnt FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT 'except' AS op, orderkey AS key, 0::BIGINT AS cnt FROM (
+            SELECT o_orderkey AS orderkey FROM orders
+            EXCEPT
+            SELECT l_orderkey FROM lineitem
+        )
+        UNION ALL
+        SELECT 'union_all:' || src AS op, nationkey AS key, COUNT(*) AS cnt
+        FROM (
+            SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
+        )
+        GROUP BY nationkey, src
+    )
+    ORDER BY op, key
     """,
-    "INTERSECT DISTINCT — hash-partition both sides on the key.",
+    "INTERSECT / EXCEPT / UNION-ALL suite as one labeled frame "
+    "(EXCEPT arm is non-empty: orders with no lineitems exist).",
 )
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s).orderBy("nationkey")
-
-
-@declare(
-    "q12b_except",
-    """
-    SELECT o_orderkey AS orderkey FROM orders
-    EXCEPT
-    SELECT l_orderkey FROM lineitem
-    ORDER BY orderkey
-    """,
-    "EXCEPT DISTINCT via left-anti on deduplicated input (orders with no lineitems — non-empty).",
-)
-def q12b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("orderkey"))
-    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("orderkey"))
-    return o.subtract(li).orderBy("orderkey")
+    zero = F.lit(0).cast("bigint")
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("key"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("key"))
+    inter = c.intersect(s).select(F.lit("intersect").alias("op"), "key", zero.alias("cnt"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("key"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("key"))
+    exc = o.subtract(li).select(F.lit("except").alias("op"), "key", zero.alias("cnt"))
+    cu = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("key"), F.lit("customer").alias("src")
+    )
+    su = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("key"), F.lit("supplier").alias("src")
+    )
+    uni = (
+        cu.unionByName(su)
+        .groupBy("key", "src")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.concat(F.lit("union_all:"), F.col("src")).alias("op"), "key", "cnt")
+    )
+    return inter.unionByName(exc).unionByName(uni).orderBy("op", "key")
 
 
 # ---------------------------------------------------------------------------
-# Q13 — scalar functions. All JVM-side built-ins: stays inside whole-stage
-# codegen, zero Python in the row path.
+# Q13 — scalar functions: string/regex/math plus the MAP-typed family
+# (build, extract-by-key, cardinality, sorted key list). All JVM-side
+# built-ins: stays inside whole-stage codegen, zero Python in the row
+# path. DuckDB map_extract returns a LIST -> [1]; Spark element_at
+# returns the value directly; the key list serializes to a string
+# because the driver's value-hash comparator needs scalar cells.
+# (r2: merged q13+q57.)
 # ---------------------------------------------------------------------------
 @declare(
-    "q13_scalar_string",
+    "q13_scalar_map_funcs",
     r"""
     SELECT p_partkey,
            substring(p_name, 1, 5)                  AS name5,
            upper(p_brand)                           AS brand_u,
            regexp_extract(p_type, '^(\w+)', 1)      AS type_head,
-           round(p_retailprice, 1)                  AS price_r
+           round(p_retailprice, 1)                  AS price_r,
+           map_extract(MAP(['brand','type'], [p_brand, p_type]), 'brand')[1]
+             AS brand_val,
+           CAST(cardinality(MAP(['brand','type'], [p_brand, p_type])) AS BIGINT)
+             AS n_keys,
+           array_to_string(list_sort(map_keys(MAP(['brand','type'], [p_brand, p_type]))), ',')
+             AS keys_sorted
     FROM part
     ORDER BY p_partkey
     """,
-    "String/regex/math scalar functions, all codegen'd.",
+    "String/regex/math + MAP scalar functions, all codegen'd.",
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.create_map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type"))
     return (
         _t(spark, sf_dir, "part")
         .select(
@@ -441,6 +494,9 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper("p_brand").alias("brand_u"),
             F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
             F.round("p_retailprice", 1).alias("price_r"),
+            F.element_at(m, "brand").alias("brand_val"),
+            F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
         )
         .orderBy("p_partkey")
     )
@@ -472,30 +528,57 @@ def q13b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q14 — tumbling-window aggregation over events (batch mode; the streaming
-# twin lives in lakeflush_spark.streaming). F.window == DuckDB time_bucket
-# for hour-aligned tumbles.
+# Q14 — time-window aggregations over events, batch mode: TUMBLING (1h)
+# and SLIDING (1h width, 30m slide — every event feeds exactly 2
+# overlapping windows) as one labeled frame. F.window == DuckDB
+# time_bucket for aligned tumbles; the sliding oracle expands the
+# window assignment explicitly (bucket by slide, shift k slides). The
+# streaming twins run the same expressions incrementally with a
+# watermark (q35 and streaming/events.py); sliding state is bounded by
+# (active windows x groups). (r2: merged q14+q56.)
 # ---------------------------------------------------------------------------
 @declare(
-    "q14_tumbling_window",
+    "q14_time_windows",
     """
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-           COUNT(*) AS cnt,
-           round(SUM(value), 2) AS sum_value
-    FROM events
-    GROUP BY 1
-    ORDER BY window_start
+    SELECT kind, window_start, cnt, sum_value FROM (
+        SELECT 'tumbling' AS kind,
+               time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               COUNT(*) AS cnt,
+               round(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 2
+        UNION ALL
+        SELECT 'sliding' AS kind, window_start, COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM (
+          SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - k.k * INTERVAL '30 minutes' AS window_start, value
+          FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+        )
+        GROUP BY window_start
+    )
+    ORDER BY kind, window_start
     """,
-    "Tumbling 1-hour window agg; in streaming mode the same expression runs incrementally with a watermark.",
+    "Tumbling 1h + sliding 1h/30m window aggregations, labeled by kind.",
 )
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "cnt", "sum_value")
-        .orderBy("window_start")
-    )
+
+    def _win(w_col, kind: str) -> DataFrame:
+        return (
+            ev.groupBy(w_col.alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col("w.start").alias("window_start"),
+                "cnt",
+                "sum_value",
+            )
+        )
+
+    tumb = _win(F.window("ts", "1 hour"), "tumbling")
+    slide = _win(F.window("ts", "1 hour", "30 minutes"), "sliding")
+    return tumb.unionByName(slide).orderBy("kind", "window_start")
 
 
 # ---------------------------------------------------------------------------

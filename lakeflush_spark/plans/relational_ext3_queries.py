@@ -148,31 +148,6 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q51 — approximate distinct (HLL++). Engine-specific sketches differ
-# across implementations, so there is no value-exact oracle: declared
-# rows-only (weak check), with the exact count carried alongside so the
-# result is self-validating (|approx - exact| / exact <= 5% asserted in
-# tests). At 100 TB approx_count_distinct is THE distinct-count path —
-# fixed-size mergeable sketch vs a full shuffle of distinct values.
-# ---------------------------------------------------------------------------
-@declare(
-    "q51_approx_distinct",
-    None,  # sketches are engine-specific; rows-only driver check
-    "HLL++ approximate distinct customers per segment beside the exact count.",
-)
-def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "customer")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.approx_count_distinct("c_custkey", 0.02).alias("approx_cust"),
-            F.countDistinct("c_custkey").alias("exact_cust"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-# ---------------------------------------------------------------------------
 # Q52 — the Python-UDF surface: grouped-map `applyInPandas` (Arrow
 # batches, one pandas frame per group) computing per-customer z-scores
 # of order prices. The oracle is the exact SQL-window twin, proving the
@@ -183,6 +158,11 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exists to prove the escape hatch works.
 # ---------------------------------------------------------------------------
 _Q52_SCHEMA = "o_custkey bigint, o_orderkey bigint, zscore double"
+
+#: target rows per applyInPandas bucket — each bucket materializes as ONE
+#: pandas frame in a Python worker, so this bounds per-group memory.
+_Q52_ROWS_PER_BUCKET = 250_000
+_Q52_MIN_BUCKETS = 32
 
 
 def _zscore_bucket(pdf):
@@ -216,11 +196,17 @@ def _zscore_bucket(pdf):
 )
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
-    # Bucket customers ~256 ways: every bucket holds ALL rows of each
-    # of its customers (hash partitioning by customer), so per-customer
-    # stats stay exact while Arrow/Python overhead is paid per bucket,
-    # not per customer.
-    bucketed = orders.withColumn("_b", F.pmod(F.hash("o_custkey"), F.lit(256)))
+    # Bucket customers so every bucket holds ALL rows of each of its
+    # customers (hash partitioning by customer): per-customer stats stay
+    # exact while Arrow/Python overhead is paid per bucket, not per
+    # customer (one frame per customer = ~1M tiny Python calls at sf=1;
+    # measured 41 s vs ~1 s bucketed at sf0.1). The bucket COUNT is
+    # derived from input size — a fixed count would make each bucket
+    # ~table_size/N rows, i.e. unbounded per-group memory at 100 TB.
+    # Parquet footer row counts make this a metadata-only estimate.
+    n_rows = _t(spark, sf_dir, "orders").count()  # footer-count only: no data pages read
+    n_buckets = max(_Q52_MIN_BUCKETS, -(-n_rows // _Q52_ROWS_PER_BUCKET))
+    bucketed = orders.withColumn("_b", F.pmod(F.hash("o_custkey"), F.lit(n_buckets)))
     return (
         bucketed.groupBy("_b")
         .applyInPandas(lambda pdf: _zscore_bucket(pdf), schema=_Q52_SCHEMA)
@@ -228,73 +214,7 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Q56 — SLIDING window aggregation (width 1h, slide 30m): every event
-# belongs to exactly width/slide = 2 overlapping windows. Streaming twin
-# runs the same expression incrementally with a watermark. Oracle
-# expands the assignment explicitly (bucket by slide, shift k slides).
-# Scale: one shuffle on window_start; state size in streaming mode is
-# bounded by (active windows × groups), controlled by the watermark.
-# ---------------------------------------------------------------------------
-@declare(
-    "q56_sliding_window",
-    """
-    SELECT window_start, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
-    FROM (
-      SELECT time_bucket(INTERVAL '30 minutes', ts)
-               - k.k * INTERVAL '30 minutes' AS window_start, value
-      FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
-    )
-    GROUP BY window_start
-    ORDER BY window_start
-    """,
-    "Sliding 1h/30m window aggregation; each event feeds 2 overlapping windows.",
-)
-def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "cnt", "sum_value")
-        .orderBy("window_start")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q57 — MAP-typed scalar functions: build a map column, extract by key,
-# cardinality, sorted key list. Map-only projection (no shuffle beyond
-# the final ORDER BY); completes §2.B's scalar-function row (string/
-# date/math/array/json covered by Q13/Q41/Q46).
-# DuckDB map_extract returns a LIST -> [1]; Spark element_at returns
-# the value directly. The key list is serialized to a string because
-# the driver's value-hash comparator requires hashable (scalar) cells.
-# ---------------------------------------------------------------------------
-@declare(
-    "q57_map_functions",
-    """
-    SELECT p_partkey,
-           map_extract(MAP(['brand','type'], [p_brand, p_type]), 'brand')[1]
-             AS brand_val,
-           CAST(cardinality(MAP(['brand','type'], [p_brand, p_type])) AS BIGINT)
-             AS n_keys,
-           array_to_string(list_sort(map_keys(MAP(['brand','type'], [p_brand, p_type]))), ',')
-             AS keys_sorted
-    FROM part
-    ORDER BY p_partkey
-    """,
-    "MAP column build/extract/cardinality/keys over part, value-exact both engines.",
-)
-def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = F.create_map(
-        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
-    )
-    return (
-        _t(spark, sf_dir, "part")
-        .select(
-            "p_partkey",
-            F.element_at(m, "brand").alias("brand_val"),
-            F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
-            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
-        )
-        .orderBy("p_partkey")
-    )
+# (r2 consolidation: q51 merged into q10_distinct_exact_approx, q56 into
+# q14_time_windows, q57 into q13_scalar_map_funcs — the driver verifies
+# at most 50 contract entries, so the inventory packs one capability
+# suite per entry. See SURVEY §2.C.)

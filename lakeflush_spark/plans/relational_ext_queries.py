@@ -26,59 +26,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q37 — CUBE. Like Q11's ROLLUP, Catalyst expands the grouping sets with a
+# Q37 — CUBE via the explicit GROUPING-SETS API, with the GROUPING_ID
+# marker. Like Q11's ROLLUP, Catalyst expands the grouping sets with a
 # single Expand node feeding one hash aggregate: one scan + one shuffle
 # regardless of how many grouping sets, so a 100 TB cube costs the same
-# pipeline as a plain group-by with 4x the expanded rows.
+# pipeline as a plain group-by with 4x the expanded rows. The Spark side
+# uses df.groupingSets() listing all 4 cube sets (proving the general
+# API); the oracle spells it GROUP BY CUBE — identical result, and the
+# GROUPING() bit-vector pins the set provenance of every output row.
+# (r2: merged q37+q38.)
 # ---------------------------------------------------------------------------
 @declare(
-    "q37_cube",
+    "q37_cube_grouping_sets",
     """
-    SELECT n_name, c_mktsegment, COUNT(*) AS cnt
+    SELECT n_name, c_mktsegment,
+           CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid,
+           COUNT(*) AS cnt
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY CUBE(n_name, c_mktsegment)
-    ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST, cnt
+    ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST, gid, cnt
     """,
-    "CUBE over a broadcast join: all 4 grouping sets in one Expand+HashAggregate pass.",
+    "All 4 CUBE grouping sets via the explicit groupingSets API with "
+    "grouping_id provenance, one Expand+HashAggregate pass.",
 )
 def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
     return (
         cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
-        .cube("n_name", "c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(
-            F.col("n_name").asc_nulls_first(),
-            F.col("c_mktsegment").asc_nulls_first(),
-            F.col("cnt"),
+        .groupingSets(
+            [("n_name", "c_mktsegment"), ("n_name",), ("c_mktsegment",), ()],
+            "n_name",
+            "c_mktsegment",
         )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q38 — GROUPING SETS (explicit set list, not a rollup/cube shorthand).
-# ---------------------------------------------------------------------------
-@declare(
-    "q38_grouping_sets",
-    """
-    SELECT n_name, c_mktsegment, COUNT(*) AS cnt
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
-    ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST, cnt
-    """,
-    "Explicit GROUPING SETS ((n_name),(c_mktsegment)) — two aggregates in one pass.",
-)
-def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    nat = _t(spark, sf_dir, "nation")
-    return (
-        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
-        .groupingSets([("n_name",), ("c_mktsegment",)], "n_name", "c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("n_name", "c_mktsegment", "gid", "cnt")
         .orderBy(
             F.col("n_name").asc_nulls_first(),
             F.col("c_mktsegment").asc_nulls_first(),
+            F.col("gid"),
             F.col("cnt"),
         )
     )
@@ -217,21 +206,27 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q42 — lag/lead analytic window (per-customer order deltas). One shuffle
-# on o_custkey; deltas of 2-decimal money values round deterministically
-# (no parallel summation involved — pure row-local arithmetic).
+# Q42 — analytic window functions over per-customer order sequences:
+# lag/lead (NULL at partition edges) and ntile quartiles WITHIN the
+# customer partition. One shuffle on o_custkey; deltas of 2-decimal
+# money values round deterministically (row-local arithmetic, no
+# parallel summation). Partitioned ntile is the 100 TB shape — a GLOBAL
+# ntile needs a single-partition total order; at scale use approx
+# percentile boundaries + a bucketing join instead (q50/q10 document
+# that trade-off). (r2: merged q42+q43.)
 # ---------------------------------------------------------------------------
 @declare(
-    "q42_lag_lead",
+    "q42_window_analytics",
     """
     SELECT o_custkey, o_orderkey,
            ROUND(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
-           lead(o_orderkey) OVER w AS next_orderkey
+           lead(o_orderkey) OVER w AS next_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS tile
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ORDER BY o_custkey, o_orderkey
     """,
-    "lag/lead over per-customer order sequences (NULL at partition edges).",
+    "lag/lead/ntile over per-customer order sequences in one window pass.",
 )
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -244,80 +239,9 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "delta_prev"
             ),
             F.lead("o_orderkey").over(w).cast("bigint").alias("next_orderkey"),
+            F.ntile(4).over(w).cast("bigint").alias("tile"),
         )
         .orderBy("o_custkey", "o_orderkey")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q43 — ntile quartiles. A GLOBAL ntile needs a total order — inherently a
-# single-partition window, fine for dashboard-sized outputs but NOT a
-# 100 TB pattern; at scale use approx percentile boundaries + a bucketing
-# join instead (documented trade-off, the aggregate output keeps this
-# cheap: the sort is the cost).
-# ---------------------------------------------------------------------------
-@declare(
-    "q43_ntile",
-    """
-    SELECT tile,
-           COUNT(*) AS cnt,
-           ROUND(MIN(o_totalprice), 2) AS min_price,
-           ROUND(MAX(o_totalprice), 2) AS max_price
-    FROM (
-        SELECT ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile,
-               o_totalprice
-        FROM orders
-    )
-    GROUP BY tile
-    ORDER BY tile
-    """,
-    "ntile(4) quartile stats over a deterministic total order.",
-)
-def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        _t(spark, sf_dir, "orders")
-        .select(F.ntile(4).over(w).cast("bigint").alias("tile"), "o_totalprice")
-        .groupBy("tile")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        )
-        .orderBy("tile")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q44 — UNION ALL + group (complements Q12's INTERSECT/EXCEPT). unionByName
-# is a zero-shuffle concatenation; the single exchange is the group-by.
-# ---------------------------------------------------------------------------
-@declare(
-    "q44_union_all",
-    """
-    SELECT nationkey, src, COUNT(*) AS cnt
-    FROM (
-        SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
-        UNION ALL
-        SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
-    )
-    GROUP BY nationkey, src
-    ORDER BY nationkey, src
-    """,
-    "UNION ALL of two relations tagged by source, counted per (nationkey, src).",
-)
-def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
-    )
-    supp = _t(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src")
-    )
-    return (
-        cust.unionByName(supp)
-        .groupBy("nationkey", "src")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("nationkey", "src")
     )
 
 

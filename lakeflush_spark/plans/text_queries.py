@@ -97,17 +97,26 @@ def _sql_lang_case() -> str:
 
 
 @declare(
-    "q18_token_stats",
+    "q18_text_metrics",
     f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     SELECT doc_id,
            {_N}::BIGINT AS n_tokens,
            length(text)::BIGINT AS n_chars_m,
            {_SQL_AVG_TOK_LEN_4DP} AS avg_tok_len,
-           len(regexp_extract_all(text, '{PUNCT_CLASS}'))::BIGINT AS punct_cnt
-    FROM documents
+           len(regexp_extract_all(text, '{PUNCT_CLASS}'))::BIGINT AS punct_cnt,
+           {_SQL_STOP_RATIO_4DP} AS stop_ratio,
+           {_SQL_QUALITY_4DP} AS quality,
+           {_sql_arr_fingerprint(_TOKS)} AS doc_fp,
+           {_sql_arr_fingerprint(_SQL_SHINGLES)} AS shingle_fp
+    FROM t
     ORDER BY doc_id
     """,
-    "Token counting + char stats; map-only projection, scan-speed at any scale.",
+    "Per-document text metrics in ONE map-only pass: token/char counts, "
+    "composite quality heuristic (length/stopword/word-length mix), and "
+    "rolling-hash document + 3-gram shingle fingerprints (the shingle "
+    "construction MinHash dedup builds on). Scan-speed at any scale. "
+    "(r2: merged q18+q19+q21.)",
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -118,29 +127,10 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("bigint").alias("n_chars_m"),
             avg_token_len_4dp("text").alias("avg_tok_len"),
             punct_count("text").alias("punct_cnt"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@declare(
-    "q19_quality_score",
-    f"""
-    SELECT doc_id,
-           {_SQL_STOP_RATIO_4DP} AS stop_ratio,
-           {_SQL_QUALITY_4DP} AS quality
-    FROM documents
-    ORDER BY doc_id
-    """,
-    "Composite quality heuristic (length/stopword/word-length mix) for corpus filtering.",
-)
-def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
-        .select(
-            "doc_id",
             stopword_ratio_4dp("text").alias("stop_ratio"),
             quality_score_4dp("text").alias("quality"),
+            doc_fingerprint("text").alias("doc_fp"),
+            arr_fingerprint(shingles("text", 3)).alias("shingle_fp"),
         )
         .orderBy("doc_id")
     )
@@ -163,31 +153,6 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("lang", "lang_pred")
-    )
-
-
-@declare(
-    "q21_fingerprint",
-    f"""
-    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
-    SELECT doc_id,
-           {_sql_arr_fingerprint(_TOKS)} AS doc_fp,
-           {_sql_arr_fingerprint(_SQL_SHINGLES)} AS shingle_fp
-    FROM t
-    ORDER BY doc_id
-    """,
-    "Rolling-hash document fingerprint + 3-gram shingle fingerprint "
-    "(validates the shingle construction used by MinHash dedup).",
-)
-def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
-        .select(
-            "doc_id",
-            doc_fingerprint("text").alias("doc_fp"),
-            arr_fingerprint(shingles("text", 3)).alias("shingle_fp"),
-        )
-        .orderBy("doc_id")
     )
 
 

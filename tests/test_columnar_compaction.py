@@ -86,13 +86,14 @@ def test_parquet_to_orc_compaction(spark, sf_dir, tmp_path):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    # q51's self-validating contract: HLL++ at rsd=0.02 stays within 5%
+    # q10's tolerance contract: HLL++ at rsd=0.01 stays within 5% of
+    # exact, so the approx_ok verdict column is TRUE for every segment
     from lakeflush_spark.plans import QUERIES
 
-    rows = QUERIES["q51_approx_distinct"].builder(spark, sf_dir).collect()
+    rows = QUERIES["q10_distinct_exact_approx"].builder(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert abs(r.approx_cust - r.exact_cust) <= max(1, 0.05 * r.exact_cust)
+        assert r.approx_ok, f"HLL++ out of 5% tolerance for {r.c_mktsegment}"
 
 
 def test_ivf_recall_against_bruteforce(spark, sf_dir):
@@ -110,6 +111,33 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert exact, "baseline non-empty"
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.6, f"IVF recall@10 too low: {recall:.2f}"
+
+
+def test_ivf_kmeans_refinement_recall(spark, sf_medium_dir):
+    # Lloyd-refined quantizer clears the tightened 0.8 recall gate
+    # (md5 seeds alone manage ~0.7 on this near-uniform corpus; the
+    # refinement adapts cells to the actual distribution)
+    from lakeflush_spark.io import load_table
+    from lakeflush_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        prepare_vectors,
+    )
+    from lakeflush_spark.plans.similarity_queries import N_QUERIES, TOP_K
+
+    corpus = prepare_vectors(load_table(spark, sf_medium_dir, "embeddings"))
+    queries = corpus.where(corpus.vid < N_QUERIES)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(corpus, queries, TOP_K).collect()
+    }
+    refined = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(corpus, queries, TOP_K, n_cells=16, nprobe=8,
+                          kmeans_iters=2).collect()
+    }
+    recall = len(refined & exact) / len(exact)
+    assert recall >= 0.8, f"k-means-refined IVF recall@10 too low: {recall:.2f}"
 
 
 def test_corrupt_file_skip(spark, sf_dir, tmp_path):

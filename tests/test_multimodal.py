@@ -50,7 +50,16 @@ def test_features_match_numpy_reference(media_df):
         expected = [float(c.mean()) for c in np.array_split(arr, FEATURE_DIM)]
         assert out[mid]["features"] == pytest.approx(expected)
         assert out[mid]["n_bytes"] == len(payload)
+        assert out[mid]["byte_sum"] == int(arr.sum())
         assert out[mid]["feat_mean"] == pytest.approx(float(np.mean(expected)))
+    # golden values, independent of numpy: byte-bucket means of
+    # b"hello world payload" (19 bytes -> 8 chunks: 3,3,3,2,2,2,2,2)
+    assert out[1]["byte_sum"] == sum(b"hello world payload") == 1894
+    assert out[1]["features"][0] == pytest.approx((104 + 101 + 108) / 3)  # "hel"
+    assert out[1]["feat_mean"] == pytest.approx(
+        float(np.mean([float(c.mean()) for c in
+                       np.array_split(np.frombuffer(b"hello world payload", np.uint8), 8)]))
+    )
 
 
 def test_frame_sampling_fanout(media_df):
@@ -73,7 +82,9 @@ def test_frame_sampling_fanout(media_df):
 
 def test_feature_schema_stable(media_df):
     df = extract_features(media_df)
-    assert [f.name for f in df.schema.fields] == ["media_id", "n_bytes", "features", "feat_mean"]
+    assert [f.name for f in df.schema.fields] == [
+        "media_id", "n_bytes", "byte_sum", "features", "feat_mean",
+    ]
     assert df.schema["features"].dataType.simpleString() == "array<double>"
 
 

@@ -485,6 +485,15 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
 
     if cfg.write_mode not in ("append", "overwrite"):
         raise ValueError(f"write_mode must be append|overwrite, got {cfg.write_mode!r}")
+    # Snapshot the dest BEFORE writing: in append mode a re-run into a
+    # non-empty dest must report (and audit) only the bundles THIS run
+    # produced, not prior runs' output. Spark part-file names carry a
+    # task UUID, so a path diff identifies this run's files exactly.
+    pre_existing: set[str] = (
+        {p for p, _, _ in _list_bundles(spark, cfg.dest_dir)}
+        if cfg.write_mode == "append"
+        else set()
+    )
     writer = out.write.mode(cfg.write_mode).option("maxRecordsPerFile", records_per_bundle)
     if cfg.compression_codec:
         writer = writer.option("compression", cfg.compression_codec)
@@ -508,7 +517,7 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
     else:
         raise ValueError(f"unsupported output format {out_fmt!r}")
 
-    bundles = _list_bundles(spark, cfg.dest_dir)
+    bundles = [b for b in _list_bundles(spark, cfg.dest_dir) if b[0] not in pre_existing]
     audit_path = _write_audit(spark, cfg, bundles)
     return CompactionResult(
         bundles=[b[0] for b in bundles],

@@ -43,6 +43,15 @@ class CurationConfig:
     max_stopword_ratio: float = 0.9
     allowed_langs: tuple[str, ...] | None = None  # None = keep all
     near_dup_threshold: float = 0.85  # Jaccard on 3-shingles
+    #: 0 = single-pass greedy resolution (drop every doc that pairs with
+    #: a lower id). N > 0 = N rounds of iterative independent-set
+    #: resolution over the near-dup pair graph: each round keeps the
+    #: docs with no lower-id active neighbor and drops only their DIRECT
+    #: neighbors, so a chain A~B~C (with A~C not similar) keeps A AND C
+    #: instead of over-deleting C. A chain of length L fully resolves in
+    #: ~L/2 rounds; unresolved edges after the budget keep both ends
+    #: (conservative: never over-delete).
+    cc_iterations: int = 0
     id_col: str = "doc_id"
     text_col: str = "text"
 
@@ -53,6 +62,47 @@ class CurationStats:
     after_filters: int
     after_exact_dedup: int
     after_near_dedup: int
+
+
+def _iterative_near_dup_losers(pairs: DataFrame, iters: int, id_col: str) -> DataFrame:
+    """Deterministic iterative independent-set resolution of the
+    near-dup pair graph (Luby-style, priority = doc id).
+
+    Per round: *winners* are active nodes with no lower-id active
+    neighbor (they keep); their direct neighbors become *losers*
+    (dropped); both leave the graph, and edges between remaining nodes
+    carry to the next round. Unlike the greedy single pass, a doc whose
+    only near-dups were themselves dropped SURVIVES — the A~B~C chain
+    keeps A and C.
+
+    Scale notes: each round is a fixed number of distinct/joins on the
+    pair table (edges only — never the corpus), shrinking monotonically;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not re-derive rounds 1..N-1. Edges still active after the
+    round budget are left alone — both endpoints kept (conservative)."""
+    edges = pairs.select("id1", "id2")
+    dropped: DataFrame | None = None
+    for _ in range(iters):
+        edges = edges.localCheckpoint()
+        if not edges.take(1):
+            break
+        id1s = edges.select(F.col("id1").alias("id")).distinct()
+        id2s = edges.select(F.col("id2").alias("id")).distinct()
+        winners = id1s.join(id2s, "id", "left_anti")
+        new_losers = (
+            edges.join(winners.select(F.col("id").alias("id1")), "id1")
+            .select(F.col("id2").alias("id"))
+            .distinct()
+        )
+        dropped = new_losers if dropped is None else dropped.unionByName(new_losers)
+        gone = winners.unionByName(new_losers)
+        edges = (
+            edges.join(gone.select(F.col("id").alias("id1")), "id1", "left_anti")
+            .join(gone.select(F.col("id").alias("id2")), "id2", "left_anti")
+        )
+    if dropped is None:
+        return pairs.select(F.col("id2").alias(id_col)).where(F.lit(False))
+    return dropped.distinct().select(F.col("id").alias(id_col))
 
 
 def curate_documents(
@@ -90,12 +140,17 @@ def curate_documents(
     )
     exact = filtered.withColumn("_r", w_rank).where(F.col("_r") == 1).drop("_r")
 
-    # Near-dup: LSH candidates above threshold; greedily drop the
-    # higher id of each surviving pair (one anti-join, no iteration).
+    # Near-dup: LSH candidates above threshold. Resolution is either the
+    # single-pass greedy (drop every id2 — cheapest, may over-delete
+    # chain tails) or the iterative independent-set walk (cc_iterations
+    # rounds, keeps chain tails whose surviving neighbors were dropped).
     pairs = minhash_near_dups(
         exact, id_col=cfg.id_col, text_col=tc, threshold=cfg.near_dup_threshold
     )
-    losers = pairs.select(F.col("id2").alias(cfg.id_col)).distinct()
+    if cfg.cc_iterations > 0:
+        losers = _iterative_near_dup_losers(pairs, cfg.cc_iterations, cfg.id_col)
+    else:
+        losers = pairs.select(F.col("id2").alias(cfg.id_col)).distinct()
     curated = exact.join(losers, cfg.id_col, "left_anti").drop("_content_hash")
 
     # Stage counts: input/filter/exact from ONE aggregation pass over

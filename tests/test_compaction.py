@@ -87,6 +87,25 @@ def test_compact_roundtrip_and_size_cap(spark, small_json_lake, tmp_path):
     assert audit.count() == len(res.bundles)
 
 
+def test_compact_append_rerun_reports_only_new_bundles(spark, small_json_lake, tmp_path):
+    # append-mode re-run into a non-empty dest: the result and the audit
+    # must cover ONLY this run's bundles, not prior runs' output
+    lake, ev = small_json_lake
+    dest = str(tmp_path / "out")
+    cfg = CompactionConfig(source_dir=lake, dest_dir=dest, file_format="json", max_size_mb=0.25)
+    first = compact(spark, cfg)
+    second = compact(spark, cfg)
+    assert second.bundles, "re-run produced bundles"
+    assert not set(first.bundles) & set(second.bundles), "re-run re-reported old bundles"
+    # dest now holds both runs' bundles; each audit row belongs to exactly one
+    audit = spark.read.parquet(second.audit_path)
+    assert audit.count() == len(first.bundles) + len(second.bundles)
+    assert audit.select("bundle_path").distinct().count() == audit.count()
+    # round trip doubles the row multiset (append semantics, reference parity)
+    back = read_bundles(spark, dest, "json", schema=ev.schema)
+    assert back.count() == 2 * ev.count()
+
+
 def test_compact_gzip(spark, small_json_lake, tmp_path):
     lake, ev = small_json_lake
     dest = str(tmp_path / "gz")

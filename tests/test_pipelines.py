@@ -67,3 +67,32 @@ def test_pii_scrub_redacts_injected(spark):
         scrubbed = F2.regexp_replace(scrubbed, pat, repl)
     out = df.select(scrubbed.alias("t")).first().t
     assert out == "mail me at <EMAIL> or call <PHONE> from <IP> now"
+
+
+def test_iterative_near_dup_keeps_chain_tail(spark):
+    # A~B and B~C are near-dups but A~C is NOT: the greedy single pass
+    # over-deletes C (it paired with B, even though B itself died);
+    # the iterative independent-set resolution keeps A and C.
+    toks = [f"tok{i:02d}" for i in range(1, 51)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(toks[0:40])),   # t1..t40
+            (2, " ".join(toks[5:45])),   # t6..t45  (J=0.77 with both ends)
+            (3, " ".join(toks[10:50])),  # t11..t50 (J=0.58 with doc 1)
+        ],
+        "doc_id LONG, text STRING",
+    )
+    pairs = minhash_near_dups(docs, threshold=0.6)
+    assert {(r.id1, r.id2) for r in pairs.collect()} == {(1, 2), (2, 3)}
+
+    greedy, _ = curate_documents(
+        spark, docs, CurationConfig(min_tokens=1, near_dup_threshold=0.6)
+    )
+    assert sorted(r.doc_id for r in greedy.collect()) == [1]
+
+    iterative, stats = curate_documents(
+        spark, docs,
+        CurationConfig(min_tokens=1, near_dup_threshold=0.6, cc_iterations=3),
+    )
+    assert sorted(r.doc_id for r in iterative.collect()) == [1, 3]
+    assert stats.after_near_dedup == 2

@@ -99,6 +99,7 @@ class _SparkLakeCollector(Collector):
         into a hidden staging dir under ``filepath``, then rename each
         part-file to the reference's collected-bundle name (a pure
         metadata op — one rename per >=max_size_mb bundle)."""
+        from lakeflush_spark.compat.s3 import download_prefix, is_s3_uri, s3a_available
         from lakeflush_spark.operators.compaction import CompactionConfig, compact
 
         spark = self._get_spark()
@@ -106,14 +107,27 @@ class _SparkLakeCollector(Collector):
         staging = os.path.join(self.path, f".lakeflush-staging-{uuid.uuid4().hex}")
         fmt = _TYPE_TO_FORMAT.get(self.file_type, "json")
 
+        source_uri = self.source_uri
+        object_staging = None
+        if is_s3_uri(source_uri) and not s3a_available(spark):
+            # No hadoop-aws on the JVM classpath: stage the objects with
+            # boto3 (the reference's own S3 client) and compact the local
+            # staging dir. With hadoop-aws present this branch is dead
+            # and the scan stays remote (zero staged bytes).
+            object_staging = os.path.join(
+                self.path, f".lakeflush-s3-staging-{uuid.uuid4().hex}"
+            )
+            download_prefix(source_uri, object_staging)
+            source_uri = object_staging
+
         schema = None
         parsed = False
         if fmt == "csv" and self.csv_header:
-            schema = _string_schema_from_header(spark, self.source_uri, self.match_patterns)
+            schema = _string_schema_from_header(spark, source_uri, self.match_patterns)
             parsed = schema is not None
 
         cfg = CompactionConfig(
-            source_dir=self.source_uri,
+            source_dir=source_uri,
             dest_dir=staging,
             file_format=fmt,
             match_patterns=self.match_patterns,
@@ -146,6 +160,8 @@ class _SparkLakeCollector(Collector):
             for f in os.listdir(audit_src):
                 shutil.move(os.path.join(audit_src, f), os.path.join(audit_dest, f))
         shutil.rmtree(staging, ignore_errors=True)
+        if object_staging:
+            shutil.rmtree(object_staging, ignore_errors=True)
         return collected
 
 

@@ -121,18 +121,26 @@ class S3LakeFlusher(Flusher):
         return jvm, fs, path
 
     def flush(self, src_file: str) -> None:
+        from lakeflush_spark.compat.s3 import is_s3_uri, upload_file
+
         basename = FileStore.basename(src_file)
         object_key = basename.replace(FileStatus.COLLECTED, "")
         flush_prefix = ""
         if self.partition_format:
             flush_prefix = datetime.now().strftime(self.partition_format) + "/"
         dest = f"{self.dest_uri}/{flush_prefix}{object_key}"
-        jvm, fs, dest_path = self._fs_and_path(dest)
-        src_path = jvm.org.apache.hadoop.fs.Path(
-            "file://" + os.path.abspath(src_file)
-        )
-        # delSrc=False (bundle stays local, like the reference upload),
-        # overwrite=True (reference S3Store.upload overwrites).
-        fs.copyFromLocalFile(False, True, src_path, dest_path)
+        if is_s3_uri(dest):
+            # boto3 delivery — the reference's own S3 upload path
+            # (flushers/s3_lake.py:62, overwrite semantics), no JVM or
+            # hadoop-aws needed for a plain-Python flusher daemon.
+            upload_file(os.path.abspath(src_file), dest)
+        else:
+            jvm, fs, dest_path = self._fs_and_path(dest)
+            src_path = jvm.org.apache.hadoop.fs.Path(
+                "file://" + os.path.abspath(src_file)
+            )
+            # delSrc=False (bundle stays local, like the reference
+            # upload), overwrite=True (S3Store.upload overwrites).
+            fs.copyFromLocalFile(False, True, src_path, dest_path)
         metaname = basename.replace(FileStatus.COLLECTED, FileStatus.FLUSHED)
         FileStore.flushmeta(metaname, f"{flush_prefix}{object_key}")

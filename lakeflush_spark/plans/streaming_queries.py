@@ -97,14 +97,25 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     agg = windowed_event_counts(stream)
     name = f"q35_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    # The streaming state-store partition count is fixed by
+    # spark.sql.shuffle.partitions at first checkpoint creation; under
+    # the driver's PLAIN session that is Spark's default 200 — 200
+    # state tasks per microbatch for a 720-group aggregate. Scope a
+    # right-sized value around the run (fresh temp checkpoint every
+    # call, so the override always applies) and restore after.
+    orig = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
     return spark.table(name).orderBy("window_start")
 
 

@@ -240,17 +240,95 @@ class Flusher:
             flushed += 1
         return flushed
 
-    def start(self, poll_interval: float = 1.0) -> None:
-        """Blocking poll loop (reference core/flusher.py:48-67)."""
+    def start(self, poll_interval: float = 1.0, use_events: bool = True) -> None:
+        """Blocking delivery loop (reference core/flusher.py:48-67).
+
+        With ``use_events`` (default) the loop blocks on a Linux
+        inotify watch of the collector dir and reacts to new bundles
+        with sub-second latency — the reference's watchdog/inotify
+        behavior (core/flusher.py:51-57) — while still sweeping every
+        ``poll_interval`` seconds as the retry/catch-up path (events
+        can be dropped under overflow; failed flushes retry on the
+        sweep). Falls back to plain polling where inotify is
+        unavailable (non-Linux)."""
         self._running = True
+        watcher = _INotifyWatcher.create(self.path) if use_events else None
         try:
             while self._running:
                 self.poll_once()
-                time.sleep(poll_interval)
+                if watcher is not None:
+                    watcher.wait(poll_interval)
+                else:
+                    time.sleep(poll_interval)
         except KeyboardInterrupt:
             pass
         finally:
+            if watcher is not None:
+                watcher.close()
             self._running = False
 
     def stop(self) -> None:
         self._running = False
+
+
+class _INotifyWatcher:
+    """Minimal Linux inotify binding (ctypes, zero dependencies).
+
+    Restores the reference's event-driven flush trigger
+    (core/flusher.py:51-57 uses the watchdog package) without adding a
+    package the engine's environment may not carry. Watches for
+    IN_CLOSE_WRITE|IN_MOVED_TO — the two ways a finished bundle
+    appears (written in place, or renamed from a staging name, which
+    is how the compat collector commits bundles)."""
+
+    IN_CLOSE_WRITE = 0x00000008
+    IN_MOVED_TO = 0x00000080
+    IN_NONBLOCK = os.O_NONBLOCK  # same value on Linux
+
+    def __init__(self, fd: int):
+        self.fd = fd
+
+    @classmethod
+    def create(cls, path: str) -> "_INotifyWatcher | None":
+        """Return a watcher on ``path``, or None when inotify is
+        unavailable (non-Linux, or exhausted watch descriptors)."""
+        try:
+            import ctypes
+            import ctypes.util
+
+            libc = ctypes.CDLL(
+                ctypes.util.find_library("c") or "libc.so.6", use_errno=True
+            )
+            fd = libc.inotify_init1(cls.IN_NONBLOCK)
+            if fd < 0:
+                return None
+            wd = libc.inotify_add_watch(
+                fd, os.fsencode(path), cls.IN_CLOSE_WRITE | cls.IN_MOVED_TO
+            )
+            if wd < 0:
+                os.close(fd)
+                return None
+            return cls(fd)
+        except Exception:  # noqa: BLE001 - fall back to polling
+            return None
+
+    def wait(self, timeout: float) -> bool:
+        """Block until a filesystem event or ``timeout``; drains the
+        event queue (the caller rescans the dir, so event payloads are
+        not parsed). Returns True when an event arrived."""
+        import select
+
+        ready, _, _ = select.select([self.fd], [], [], timeout)
+        if not ready:
+            return False
+        try:
+            os.read(self.fd, 65536)
+        except BlockingIOError:
+            pass
+        return True
+
+    def close(self) -> None:
+        try:
+            os.close(self.fd)
+        except OSError:
+            pass

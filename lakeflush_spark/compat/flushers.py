@@ -13,11 +13,13 @@ constructor signatures and delivery contract
 
 Deltas (documented improvements, SURVEY §3.4):
 
-- polling with a startup scan instead of inotify events — bundles that
-  pre-date the flusher ARE delivered (the reference never flushes
-  them, core/flusher.py:48-67);
-- failed flushes are retried on the next poll (the reference logs and
-  strands the bundle, flushers/local_lake.py:68-69).
+- inotify events (ctypes binding, no deps) + a periodic catch-up
+  sweep, instead of events only: sub-second reaction like the
+  reference's watchdog watcher (core/flusher.py:51-57), AND bundles
+  that pre-date the flusher are delivered (the reference never
+  flushes them, core/flusher.py:48-67);
+- failed flushes are retried on the next sweep (the reference logs
+  and strands the bundle, flushers/local_lake.py:68-69).
 
 ``S3LakeFlusher`` uploads through Hadoop's FileSystem API so the same
 code serves ``s3a://`` buckets on a cluster and ``file://`` roots in

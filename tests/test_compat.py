@@ -255,3 +255,40 @@ def test_reference_import_shim(tmp_path):
     assert ShimFlusher is LocalLakeFlusher
     assert ShimCore is Collector
     assert ShimStatus.COLLECTED == ".collected"
+
+
+def test_flusher_event_driven_delivery(tmp_path):
+    # poll_interval=30s: only the inotify event path can explain a
+    # sub-second delivery of a bundle created AFTER the loop starts
+    import threading
+    import time as _time
+
+    from lakeflush_spark.compat.core import _INotifyWatcher
+
+    if _INotifyWatcher.create(str(tmp_path)) is None:
+        import pytest as _pytest
+
+        _pytest.skip("inotify unavailable on this platform")
+
+    stage = tmp_path / "stage"
+    dest = tmp_path / "dest"
+    stage.mkdir()
+    dest.mkdir()
+    flusher = LocalLakeFlusher(str(dest), str(stage), "evt")
+    t = threading.Thread(target=flusher.start, kwargs={"poll_interval": 30.0})
+    t.start()
+    try:
+        _time.sleep(0.3)  # let the loop enter its event wait
+        bundle = stage / "evt.1.aa.lakeflush.collected"
+        bundle.write_text('{"k":1}\n')
+        deadline = _time.time() + 3.0
+        delivered = dest / "evt.1.aa.lakeflush"
+        while _time.time() < deadline and not delivered.exists():
+            _time.sleep(0.05)
+        assert delivered.exists(), "event-driven flush did not fire within 3s"
+    finally:
+        flusher.stop()
+        # wake the event wait so the thread can exit promptly
+        (stage / "wake.lakeflush.collected").write_text("x")
+        t.join(timeout=35)
+        assert not t.is_alive()

@@ -1,0 +1,121 @@
+"""Property-based cross-check of the JVM text expressions.
+
+Every Spark-side text function is re-implemented here as a tiny plain-
+Python model; hypothesis generates adversarial corpora (empty tokens,
+unicode, punctuation-only, stopword-heavy) and the two implementations
+must agree exactly on every row. This is the same model-based strategy
+the oracle SQL uses, but with a THIRD independent implementation and
+generated rather than fixed inputs — knife-edge rounding and empty-
+array guards are exactly the bugs this catches.
+"""
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakeflush_spark.functions.text import (
+    FP_BASE,
+    FP_MOD,
+    PUNCT_CLASS,
+    STOPWORDS,
+    avg_token_len_4dp,
+    doc_fingerprint,
+    punct_count,
+    quality_score_4dp,
+    shingles,
+    arr_fingerprint,
+    stopword_ratio_4dp,
+    token_count,
+)
+from lakeflush_spark.operators.dedup import SIMHASH_BITS, simhash
+
+# ---- plain-Python models --------------------------------------------------
+
+
+def _h(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+
+def _fp(arr: list[str]) -> int:
+    acc = 0
+    for s in arr:
+        acc = (acc * FP_BASE + _h(s)) % FP_MOD
+    return acc
+
+
+def _shingles(toks: list[str], k: int = 3) -> list[str]:
+    if len(toks) < k:
+        return []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _rhu(num: int, den: int) -> int:
+    return (2 * num + den) // (2 * den)
+
+
+def _simhash(toks: list[str]) -> int:
+    hs = [_h(t) for t in toks]
+    out = 0
+    for b in range(SIMHASH_BITS):
+        if sum(1 if (h >> b) & 1 else -1 for h in hs) > 0:
+            out |= 1 << b
+    return out
+
+
+def _model(text: str) -> dict:
+    toks = text.split(" ")
+    n = len(toks)
+    total = sum(len(t) for t in toks)
+    s = sum(1 for t in toks if t in STOPWORDS)
+    qnum = 40 * min(n, 100) * n + 3000 * (n - s) + 375 * min(8 * n, total)
+    return {
+        "n_tokens": n,
+        "punct": len(re.findall(PUNCT_CLASS, text)),
+        "doc_fp": _fp(toks),
+        "shingle_fp": _fp(_shingles(toks)),
+        "avg4": _rhu(10000 * total, n) / 10000.0,
+        "stop4": _rhu(10000 * s, n) / 10000.0,
+        "quality4": _rhu(qnum, n) / 10000.0,
+        "simhash": _simhash(toks),
+    }
+
+
+# ---- generated corpora ----------------------------------------------------
+
+_token = st.text(
+    alphabet=list("abcdef.,;:!?é0 ")[:-1] + ["é"],  # no spaces inside tokens
+    min_size=0,
+    max_size=8,
+).filter(lambda t: " " not in t)
+_doc = st.lists(
+    st.one_of(_token, st.sampled_from(STOPWORDS)), min_size=1, max_size=25
+).map(" ".join)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_doc, min_size=1, max_size=12))
+def test_spark_text_functions_match_python_model(spark, docs):
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i LONG, text STRING")
+    rows = df.select(
+        "i",
+        "text",
+        token_count("text").alias("n_tokens"),
+        punct_count("text").alias("punct"),
+        doc_fingerprint("text").alias("doc_fp"),
+        arr_fingerprint(shingles("text", 3)).alias("shingle_fp"),
+        avg_token_len_4dp("text").alias("avg4"),
+        stopword_ratio_4dp("text").alias("stop4"),
+        quality_score_4dp("text").alias("quality4"),
+        simhash("text").alias("simhash"),
+    ).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        m = _model(r.text)
+        got = {k: r[k] for k in m}
+        assert got == m, f"mismatch for text={r.text!r}: {got} != {m}"

@@ -41,6 +41,15 @@ FP_BASE = 31
 #: regex meaning is identical in Java regex and RE2/DuckDB)
 PUNCT_CLASS = r"[.,;:!?]"
 
+#: BPE-ish pre-tokenizer pattern: letter runs | digit runs | any single
+#: non-alphanumeric non-space mark — the GPT-2 pre-tokenizer's shape
+#: minus its lookaheads/unicode categories, restricted to syntax whose
+#: left-to-right non-overlapping matching is identical in Java regex
+#: and RE2/DuckDB. Approximates subword token counts (punctuation
+#: split from words, digit runs separated) far better than whitespace
+#: counting for budget/packing decisions.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
 #: language profiles for the n-gram/function-word language-ID heuristic.
 #: Order matters: deterministic argmax tie-break is first-listed wins.
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -68,6 +77,13 @@ def tokens(text: Column | str) -> Column:
 
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("bigint")
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (see BPE_TOKEN_PATTERN) — the
+    training-token budget estimate; map-only JVM regexp, scan speed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN)).cast("bigint")
 
 
 def token_hash(tok: Column) -> Column:

@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from lakeflush_spark.functions.text import (
+    BPE_TOKEN_PATTERN,
     FP_BASE,
     FP_MOD,
     LANG_PROFILES,
@@ -23,6 +24,7 @@ from lakeflush_spark.functions.text import (
     STOPWORDS,
     arr_fingerprint,
     avg_token_len_4dp,
+    bpe_token_count,
     doc_fingerprint,
     lang_id,
     punct_count,
@@ -102,6 +104,7 @@ def _sql_lang_case() -> str:
     WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     SELECT doc_id,
            {_N}::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))::BIGINT AS n_bpe_tokens,
            length(text)::BIGINT AS n_chars_m,
            {_SQL_AVG_TOK_LEN_4DP} AS avg_tok_len,
            len(regexp_extract_all(text, '{PUNCT_CLASS}'))::BIGINT AS punct_cnt,
@@ -124,6 +127,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             token_count("text").alias("n_tokens"),
+            bpe_token_count("text").alias("n_bpe_tokens"),
             F.length("text").cast("bigint").alias("n_chars_m"),
             avg_token_len_4dp("text").alias("avg_tok_len"),
             punct_count("text").alias("punct_cnt"),

@@ -16,11 +16,13 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from lakeflush_spark.functions.text import (
+    BPE_TOKEN_PATTERN,
     FP_BASE,
     FP_MOD,
     PUNCT_CLASS,
     STOPWORDS,
     avg_token_len_4dp,
+    bpe_token_count,
     doc_fingerprint,
     punct_count,
     quality_score_4dp,
@@ -72,6 +74,7 @@ def _model(text: str) -> dict:
     qnum = 40 * min(n, 100) * n + 3000 * (n - s) + 375 * min(8 * n, total)
     return {
         "n_tokens": n,
+        "n_bpe": len(re.findall(BPE_TOKEN_PATTERN, text)),
         "punct": len(re.findall(PUNCT_CLASS, text)),
         "doc_fp": _fp(toks),
         "shingle_fp": _fp(_shingles(toks)),
@@ -106,6 +109,7 @@ def test_spark_text_functions_match_python_model(spark, docs):
         "i",
         "text",
         token_count("text").alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe"),
         punct_count("text").alias("punct"),
         doc_fingerprint("text").alias("doc_fp"),
         arr_fingerprint(shingles("text", 3)).alias("shingle_fp"),

@@ -20,7 +20,7 @@ Reference parity pointers cite ``/root/reference`` file:line.
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window

@@ -94,6 +94,12 @@ class CompactionConfig:
     #: parquet/orc bundles (encoding+compression shrinks rows vs their
     #: JSON text; 1.0 = strict under-cap, raise for denser packing)
     columnar_ratio: float = 1.0
+    #: skip the whole job when the source lake is byte-identical to the
+    #: last compacted run into this dest (fingerprint of the listing —
+    #: paths+mtimes+sizes — recorded in the audit table). Makes blind
+    #: re-runs of a scheduled batch job idempotent WITHOUT overwrite
+    #: semantics: unchanged source -> no-op, changed source -> append.
+    skip_unchanged: bool = False
     # Opaque mode reads line-records by default: for the reference's own
     # data model (compact one-line JSON docs, CSV/text lines —
     # tests/lakes/random_datalake.py:35-36) concatenating lines produces
@@ -114,6 +120,9 @@ class CompactionResult:
     source_files: int
     source_bytes: int
     audit_path: str
+    #: True when skip_unchanged detected an identical source listing
+    #: and the job was a no-op
+    skipped: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -422,6 +431,13 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
     if n_files == 0 or total_bytes == 0:  # O12: empty input -> no audit row
         return empty
 
+    source_fp = ""
+    if cfg.skip_unchanged:
+        source_fp = _source_fingerprint(spark, cfg)
+        if source_fp and source_fp == _last_audit_fingerprint(spark, cfg):
+            return replace(empty, source_files=n_files, source_bytes=total_bytes,
+                           skipped=True)
+
     avg_file = total_bytes / n_files
 
     # Tiny-file fast path: whole-file records via binaryFile (per-file
@@ -518,7 +534,7 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
         raise ValueError(f"unsupported output format {out_fmt!r}")
 
     bundles = [b for b in _list_bundles(spark, cfg.dest_dir) if b[0] not in pre_existing]
-    audit_path = _write_audit(spark, cfg, bundles)
+    audit_path = _write_audit(spark, cfg, bundles, source_fp)
     return CompactionResult(
         bundles=[b[0] for b in bundles],
         bundle_bytes=sum(b[1] for b in bundles),
@@ -550,7 +566,64 @@ def _list_bundles(spark: SparkSession, dest: str) -> list[tuple[str, int, int]]:
     return sorted(out)
 
 
-def _write_audit(spark: SparkSession, cfg: CompactionConfig, bundles) -> str:
+def _source_fingerprint(spark: SparkSession, cfg: CompactionConfig) -> str:
+    """Order-independent fingerprint of the source listing
+    (paths+mtimes+sizes): count + sum of per-file 32-bit md5 prefixes.
+    One metadata-only listing pass; 32-bit terms keep the BIGINT sum
+    overflow-free past a billion files (ANSI mode throws on overflow)."""
+    from lakeflush_spark.operators.manifest import scan_manifest
+
+    try:
+        m = scan_manifest(spark, cfg.source_dir, cfg.match_patterns or None)
+        row = m.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    "file_path",
+                                    F.col("mtime").cast("string"),
+                                    F.col("size").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                ),
+                F.lit(0),
+            ).alias("fp"),
+        ).first()
+        return f"{int(row['n'])}:{int(row['fp'])}"
+    except Exception:  # noqa: BLE001 - unreadable source -> no skip
+        return ""
+
+
+def _last_audit_fingerprint(spark: SparkSession, cfg: CompactionConfig) -> str | None:
+    """Latest recorded source fingerprint for this source in the dest's
+    audit table (None when no audit / no fingerprinted runs exist)."""
+    audit_path = f"{cfg.dest_dir.rstrip('/')}/{_AUDIT_DIRNAME}"
+    try:
+        audit = spark.read.option("mergeSchema", "true").parquet(audit_path)
+    except Exception:  # noqa: BLE001 - first run: no audit yet
+        return None
+    if "source_fp" not in audit.columns:
+        return None
+    row = (
+        audit.where((F.col("source") == cfg.source_dir) & (F.col("source_fp") != ""))
+        .orderBy(F.desc("flushed_at"))
+        .select("source_fp")
+        .first()
+    )
+    return row["source_fp"] if row else None
+
+
+def _write_audit(spark: SparkSession, cfg: CompactionConfig, bundles, source_fp: str = "") -> str:
     """O15 upgraded: per-bundle audit rows in a parquet table instead of
     sidecar files in a hidden directory (utils/file/store.py:10-21)."""
     audit_path = f"{cfg.dest_dir.rstrip('/')}/{_AUDIT_DIRNAME}"
@@ -564,13 +637,13 @@ def _write_audit(spark: SparkSession, cfg: CompactionConfig, bundles) -> str:
 
         values = ",".join(
             f"({q(run_id)}, {q(p)}, {int(sz)}L, {q(cfg.source_dir)}, "
-            f"{q(cfg.file_format)}, {str(bool(cfg.compress)).lower()})"
+            f"{q(cfg.file_format)}, {str(bool(cfg.compress)).lower()}, {q(source_fp)})"
             for p, sz, _ in bundles
         )
         (
             spark.sql(
                 f"SELECT *, current_timestamp() AS flushed_at FROM (VALUES {values}) AS "
-                "t(run_id, bundle_path, bytes, source, format, compressed)"
+                "t(run_id, bundle_path, bytes, source, format, compressed, source_fp)"
             )
             .write.mode("append")
             .parquet(audit_path)

@@ -48,11 +48,17 @@ def windowed_event_counts(
     window: str = "1 hour",
     ts_col: str = "ts",
     watermark: str | None = DEFAULT_WATERMARK,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window count+sum (q14's expression; streaming-capable)."""
+    """Time-window count+sum (q14's expression; streaming-capable).
+
+    ``slide=None`` -> tumbling; a slide duration makes it SLIDING
+    (each event lands in window/slide overlapping windows; streaming
+    state is (active windows x groups), bounded by the watermark)."""
+    w = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
         _maybe_watermark(events, ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("w"))
+        .groupBy(w.alias("w"))
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
         # NTZ output regardless of the watermark cast (UTC session)
         .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "cnt", "sum_value")

@@ -106,6 +106,33 @@ def test_compact_append_rerun_reports_only_new_bundles(spark, small_json_lake, t
     assert back.count() == 2 * ev.count()
 
 
+def test_compact_skip_unchanged_is_idempotent(spark, small_json_lake, tmp_path):
+    # blind re-run of a scheduled batch job: unchanged source -> no-op,
+    # changed source -> compacts again (fingerprint in the audit table)
+    import shutil
+
+    shared_lake, ev = small_json_lake
+    lake = str(tmp_path / "lake")  # private copy: this test mutates it
+    shutil.copytree(shared_lake, lake)
+    dest = str(tmp_path / "out")
+    cfg = CompactionConfig(
+        source_dir=lake, dest_dir=dest, file_format="json",
+        max_size_mb=0.25, skip_unchanged=True,
+    )
+    first = compact(spark, cfg)
+    assert first.bundles and not first.skipped
+
+    second = compact(spark, cfg)
+    assert second.skipped and not second.bundles
+    audit = spark.read.parquet(first.audit_path)
+    assert audit.count() == len(first.bundles), "no-op must not add audit rows"
+
+    with open(os.path.join(lake, "extra.json"), "w") as f:
+        f.write('{"event_id": 999999}\n')
+    third = compact(spark, cfg)
+    assert not third.skipped and third.bundles
+
+
 def test_compact_gzip(spark, small_json_lake, tmp_path):
     lake, ev = small_json_lake
     dest = str(tmp_path / "gz")

@@ -122,6 +122,21 @@ def test_streaming_window_equals_batch(spark, sf_dir):
     assert streamed.collect() == batch.collect()
 
 
+def test_streaming_sliding_window_equals_batch(spark, sf_dir):
+    # sliding 1h/30m: every event feeds 2 overlapping windows; the
+    # incremental run must equal the batch plan exactly (q14's sliding arm)
+    batch = windowed_event_counts(
+        load_table(spark, sf_dir, "events"), slide="30 minutes"
+    ).orderBy("window_start")
+    _run_to_memory(
+        windowed_event_counts(_stream_events(spark, sf_dir), slide="30 minutes"),
+        "sw_sink",
+        "complete",
+    )
+    streamed = spark.table("sw_sink").orderBy("window_start")
+    assert streamed.collect() == batch.collect()
+
+
 def test_streaming_dedup_equals_batch(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     expected = ev.select("event_id").distinct().count()

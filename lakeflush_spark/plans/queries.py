@@ -562,23 +562,27 @@ def q13b(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Tumbling 1h + sliding 1h/30m window aggregations, labeled by kind.",
 )
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE scan + ONE shuffle for both kinds: the hour-aligned sliding
+    # windows ARE the tumbling windows (width 1h, slide 30m -> starts at
+    # :00 and :30; a window starting on the hour covers exactly the
+    # tumbling bucket). So aggregate the sliding windows once, then
+    # explode each :00-start result row into both kind labels — the
+    # fan-out runs on the tiny aggregated output, not the event stream.
+    # (A union of two aggs would scan events twice: Catalyst pushes the
+    # minute filter below the aggregate, breaking exchange reuse.)
     ev = _t(spark, sf_dir, "events")
-
-    def _win(w_col, kind: str) -> DataFrame:
-        return (
-            ev.groupBy(w_col.alias("w"))
-            .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
-            .select(
-                F.lit(kind).alias("kind"),
-                F.col("w.start").alias("window_start"),
-                "cnt",
-                "sum_value",
-            )
-        )
-
-    tumb = _win(F.window("ts", "1 hour"), "tumbling")
-    slide = _win(F.window("ts", "1 hour", "30 minutes"), "sliding")
-    return tumb.unionByName(slide).orderBy("kind", "window_start")
+    slide = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "cnt", "sum_value")
+    )
+    kinds = F.when(
+        F.minute("window_start") == 0,
+        F.array(F.lit("sliding"), F.lit("tumbling")),
+    ).otherwise(F.array(F.lit("sliding")))
+    return slide.select(
+        F.explode(kinds).alias("kind"), "window_start", "cnt", "sum_value"
+    ).orderBy("kind", "window_start")
 
 
 # ---------------------------------------------------------------------------

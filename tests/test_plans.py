@@ -111,6 +111,13 @@ def test_partial_aggregation_before_shuffle(plans):
     )
 
 
+def test_q14_single_scan_for_both_window_kinds(plans):
+    # tumbling is derived from the hour-aligned sliding windows by
+    # exploding the aggregated output — one events scan, not two
+    n_scans = _ops(plans["q14_time_windows"], r"Scan parquet")
+    assert n_scans == 1, f"q14 must scan events once, found {n_scans} scans"
+
+
 def test_python_stages_only_in_python_queries(plans):
     py_queries = {"q32_media_pipeline", "q36_stateful_sessions",
                   "q52_pandas_udf_zscore", "q53_python_udtf", "q54_pandas_udaf"}

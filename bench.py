@@ -114,6 +114,27 @@ def bench_compaction(spark) -> dict[str, float]:
     out: dict[str, float] = {}
     work = tempfile.mkdtemp(prefix="lakeflush_bench_")
     try:
+        # JVM warmup for the COMPACTION code paths (text/gzip writers,
+        # binaryFile listing) — measured: the first cold run reports
+        # ~1/3 of steady-state CSV throughput (15 vs 45 MB/s) purely
+        # from C2 compilation. Same policy as the query warmup: the
+        # baseline's interpreter startup isn't counted either, and a
+        # cluster compaction job is long-lived. One pass over a ~10%
+        # warm-up lake per mode.
+        warm_rows = [f"w{i},x{i}" for i in range(60_000)]
+        warm_lake = os.path.join(work, "warm_lake")
+        _explode_driver_side(warm_rows, warm_lake, rows_per_file=1500, ext="csv",
+                             header="a,b")
+        for mode, kw in (("w1", {}), ("w2", {"compress": True})):
+            compact(spark, CompactionConfig(
+                source_dir=warm_lake, dest_dir=os.path.join(work, mode),
+                file_format="csv", max_size_mb=16, **kw))
+        warm_json = os.path.join(work, "warm_json")
+        _explode_driver_side(['{"a":%d}' % i for i in range(10_000)], warm_json,
+                             rows_per_file=5, ext="json")
+        compact(spark, CompactionConfig(
+            source_dir=warm_json, dest_dir=os.path.join(work, "w3"),
+            file_format="json", max_size_mb=16))
         # --- CSV compaction throughput (BASELINE: 7.4 MB/s, 1 core;
         #     same shape: ~400 files x ~1500 rows) ---
         li = load_table(spark, SF_DIR, "lineitem")

@@ -107,62 +107,68 @@ class _SparkLakeCollector(Collector):
         staging = os.path.join(self.path, f".lakeflush-staging-{uuid.uuid4().hex}")
         fmt = _TYPE_TO_FORMAT.get(self.file_type, "json")
 
-        source_uri = self.source_uri
-        object_staging = None
-        if is_s3_uri(source_uri) and not s3a_available(spark):
-            # No hadoop-aws on the JVM classpath: stage the objects with
-            # boto3 (the reference's own S3 client) and compact the local
-            # staging dir. With hadoop-aws present this branch is dead
-            # and the scan stays remote (zero staged bytes).
-            object_staging = os.path.join(
-                self.path, f".lakeflush-s3-staging-{uuid.uuid4().hex}"
-            )
-            download_prefix(source_uri, object_staging)
-            source_uri = object_staging
-
-        schema = None
-        parsed = False
-        if fmt == "csv" and self.csv_header:
-            schema = _string_schema_from_header(spark, source_uri, self.match_patterns)
-            parsed = schema is not None
-
-        cfg = CompactionConfig(
-            source_dir=source_uri,
-            dest_dir=staging,
-            file_format=fmt,
-            match_patterns=self.match_patterns,
-            max_size_mb=self.max_bytes / (1024 * 1024),
-            compress=self.compress,
-            parsed=parsed,
-            schema=schema,
-            csv_header=self.csv_header,
-        )
-        result = compact(spark, cfg)
-
-        collected: list[str] = []
-        for bundle in result.bundles:
-            local = bundle.removeprefix("file:")
-            if not os.path.getsize(local):
-                continue
-            dest = self.lakeflush_namer()
-            os.replace(local, dest)
-            collected.append(dest)
-            self.on_collected()
-        # staging now holds only committer droppings + the audit table;
-        # keep the audit (it is the queryable flush history) by moving
-        # it next to the bundles, then drop staging.
         import shutil
 
-        audit_src = os.path.join(staging, "_lakeflush_audit")
-        if os.path.isdir(audit_src):
-            audit_dest = os.path.join(self.path, "_lakeflush_audit")
-            os.makedirs(audit_dest, exist_ok=True)
-            for f in os.listdir(audit_src):
-                shutil.move(os.path.join(audit_src, f), os.path.join(audit_dest, f))
-        shutil.rmtree(staging, ignore_errors=True)
-        if object_staging:
-            shutil.rmtree(object_staging, ignore_errors=True)
-        return collected
+        source_uri = self.source_uri
+        object_staging = None
+        # Both staging dirs are removed in the finally block: a failed
+        # run (corrupt object, disk-full, schema error) must not leak a
+        # full lake copy per retry under the collector dir.
+        try:
+            if is_s3_uri(source_uri) and not s3a_available(spark):
+                # No hadoop-aws on the JVM classpath: stage the objects
+                # with boto3 (the reference's own S3 client) and compact
+                # the local staging dir. With hadoop-aws present this
+                # branch is dead and the scan stays remote (zero staged
+                # bytes).
+                object_staging = os.path.join(
+                    self.path, f".lakeflush-s3-staging-{uuid.uuid4().hex}"
+                )
+                download_prefix(source_uri, object_staging)
+                source_uri = object_staging
+
+            schema = None
+            parsed = False
+            if fmt == "csv" and self.csv_header:
+                schema = _string_schema_from_header(spark, source_uri, self.match_patterns)
+                parsed = schema is not None
+
+            cfg = CompactionConfig(
+                source_dir=source_uri,
+                dest_dir=staging,
+                file_format=fmt,
+                match_patterns=self.match_patterns,
+                max_size_mb=self.max_bytes / (1024 * 1024),
+                compress=self.compress,
+                parsed=parsed,
+                schema=schema,
+                csv_header=self.csv_header,
+            )
+            result = compact(spark, cfg)
+
+            collected: list[str] = []
+            for bundle in result.bundles:
+                local = bundle.removeprefix("file:")
+                if not os.path.getsize(local):
+                    continue
+                dest = self.lakeflush_namer()
+                os.replace(local, dest)
+                collected.append(dest)
+                self.on_collected()
+            # staging now holds only committer droppings + the audit
+            # table; keep the audit (it is the queryable flush history)
+            # by moving it next to the bundles.
+            audit_src = os.path.join(staging, "_lakeflush_audit")
+            if os.path.isdir(audit_src):
+                audit_dest = os.path.join(self.path, "_lakeflush_audit")
+                os.makedirs(audit_dest, exist_ok=True)
+                for f in os.listdir(audit_src):
+                    shutil.move(os.path.join(audit_src, f), os.path.join(audit_dest, f))
+            return collected
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+            if object_staging:
+                shutil.rmtree(object_staging, ignore_errors=True)
 
 
 class LocalLakeCollector(_SparkLakeCollector):

@@ -111,6 +111,7 @@ class S3LakeFlusher(Flusher):
         self.dest_uri = uri.rstrip("/")
         self.partition_format = date_partition_format
         self._spark = None
+        self._s3a_probe: bool | None = None
 
     def _fs_and_path(self, uri: str):
         if self._spark is None:
@@ -122,6 +123,21 @@ class S3LakeFlusher(Flusher):
         fs = path.getFileSystem(self._spark._jsc.hadoopConfiguration())
         return jvm, fs, path
 
+    def _s3a_usable(self) -> bool:
+        # Cached classpath probe: clusters configure S3 credentials /
+        # endpoints via Hadoop (fs.s3a.*), so when hadoop-aws is present
+        # the JVM path MUST stay the delivery route; boto3 is the
+        # jar-less fallback only.
+        if self._s3a_probe is None:
+            from lakeflush_spark.compat.s3 import s3a_available
+
+            if self._spark is None:
+                from lakeflush_spark.session import get_spark
+
+                self._spark = get_spark(app_name="lakeflush-compat-flusher")
+            self._s3a_probe = s3a_available(self._spark)
+        return self._s3a_probe
+
     def flush(self, src_file: str) -> None:
         from lakeflush_spark.compat.s3 import is_s3_uri, upload_file
 
@@ -131,10 +147,10 @@ class S3LakeFlusher(Flusher):
         if self.partition_format:
             flush_prefix = datetime.now().strftime(self.partition_format) + "/"
         dest = f"{self.dest_uri}/{flush_prefix}{object_key}"
-        if is_s3_uri(dest):
+        if is_s3_uri(dest) and not self._s3a_usable():
             # boto3 delivery — the reference's own S3 upload path
-            # (flushers/s3_lake.py:62, overwrite semantics), no JVM or
-            # hadoop-aws needed for a plain-Python flusher daemon.
+            # (flushers/s3_lake.py:62, overwrite semantics) — used when
+            # the JVM cannot mount s3a:// (no hadoop-aws on classpath).
             upload_file(os.path.abspath(src_file), dest)
         else:
             jvm, fs, dest_path = self._fs_and_path(dest)

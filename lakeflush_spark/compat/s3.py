@@ -60,21 +60,28 @@ def s3a_available(spark) -> bool:
 
 
 def download_prefix(uri: str, dest_dir: str) -> int:
-    """Stage every object under ``uri`` into ``dest_dir`` (flattened to
-    basenames, like the reference's per-object GET loop —
-    utils/s3/processor.py pages with list_objects_v2). Returns the
-    object count."""
+    """Stage every object under ``uri`` into ``dest_dir``, preserving
+    the key structure below the prefix (same tree the s3a directory
+    listing would expose — basename flattening would silently collide
+    same-named objects from different sub-prefixes). Paged GET loop
+    like the reference (utils/s3/processor.py lists with
+    list_objects_v2). Returns the object count."""
     bucket, prefix = parse_s3_uri(uri)
     client = _boto3().client("s3")
     os.makedirs(dest_dir, exist_ok=True)
+    # "lake" must list the lake/ DIRECTORY, not every key string-
+    # prefixed by "lake" (which would also match lake2/...)
+    list_prefix = f"{prefix}/" if prefix else ""
     n = 0
     paginator = client.get_paginator("list_objects_v2")
-    for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
+    for page in paginator.paginate(Bucket=bucket, Prefix=list_prefix):
         for obj in page.get("Contents", []):
             key = obj["Key"]
             if key.endswith("/"):  # folder marker
                 continue
-            local = os.path.join(dest_dir, key.rsplit("/", 1)[-1])
+            rel = key[len(list_prefix):]
+            local = os.path.join(dest_dir, *rel.split("/"))
+            os.makedirs(os.path.dirname(local), exist_ok=True)
             client.download_file(bucket, key, local)
             n += 1
     return n

@@ -412,16 +412,24 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
     empty = CompactionResult([], 0, 0, 0, f"{cfg.dest_dir.rstrip('/')}/{_AUDIT_DIRNAME}")
 
     raw = None
+    fp_sum = None
     if opaque:
         # One listing for stats AND read: metadata-only aggregate over
         # the binaryFile index (content column pruned — no file opens).
+        # The skip_unchanged fingerprint rides the SAME aggregate, so a
+        # no-op re-run pays exactly one listing pass.
         try:
             raw = _opaque_binary_raw(spark, cfg)
-            stats = raw.agg(
+            aggs = [
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(F.sum("length"), F.lit(0)).alias("b"),
-            ).first()
+            ]
+            if cfg.skip_unchanged:
+                aggs.append(_fp_sum_col("path", "modificationTime", "length").alias("fp"))
+            stats = raw.agg(*aggs).first()
             n_files, total_bytes = int(stats["n"]), int(stats["b"])
+            if cfg.skip_unchanged:
+                fp_sum = int(stats["fp"])
         except Exception:  # source root missing
             n_files, total_bytes = 0, 0
         first_file = None
@@ -433,7 +441,11 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
 
     source_fp = ""
     if cfg.skip_unchanged:
-        source_fp = _source_fingerprint(spark, cfg)
+        source_fp = (
+            f"{n_files}:{fp_sum}:{_cfg_digest(cfg)}"
+            if fp_sum is not None
+            else _source_fingerprint(spark, cfg)
+        )
         if source_fp and source_fp == _last_audit_fingerprint(spark, cfg):
             return replace(empty, source_files=n_files, source_bytes=total_bytes,
                            skipped=True)
@@ -566,40 +578,65 @@ def _list_bundles(spark: SparkSession, dest: str) -> list[tuple[str, int, int]]:
     return sorted(out)
 
 
+def _fp_sum_col(path_col: str, mtime_col: str, size_col: str):
+    """Order-independent listing fingerprint term: sum of per-file
+    32-bit md5 prefixes over path|mtime|size. 32-bit terms keep the
+    BIGINT sum overflow-free past a billion files (ANSI mode throws on
+    overflow)."""
+    return F.coalesce(
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            path_col,
+                            F.col(mtime_col).cast("string"),
+                            F.col(size_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ),
+        F.lit(0),
+    )
+
+
+def _cfg_digest(cfg: CompactionConfig) -> str:
+    """Digest of every output-shaping config field: a re-run that asks
+    for different bundles (codec, format, sizing, partitioning) must
+    NOT be skipped just because the source is unchanged."""
+    import hashlib
+
+    key = "|".join(
+        str(x)
+        for x in (
+            cfg.file_format, cfg.output_format, cfg.match_patterns,
+            cfg.max_size_mb, cfg.compress, cfg.compression_codec,
+            cfg.date_partition_format, cfg.parsed, cfg.csv_header,
+            cfg.columnar_ratio, cfg.whole_file_records,
+        )
+    )
+    return hashlib.md5(key.encode()).hexdigest()[:8]
+
+
 def _source_fingerprint(spark: SparkSession, cfg: CompactionConfig) -> str:
-    """Order-independent fingerprint of the source listing
-    (paths+mtimes+sizes): count + sum of per-file 32-bit md5 prefixes.
-    One metadata-only listing pass; 32-bit terms keep the BIGINT sum
-    overflow-free past a billion files (ANSI mode throws on overflow)."""
+    """Listing fingerprint + config digest via a dedicated manifest
+    scan (the non-opaque path; the opaque path folds the same terms
+    into its existing stats aggregate)."""
     from lakeflush_spark.operators.manifest import scan_manifest
 
     try:
         m = scan_manifest(spark, cfg.source_dir, cfg.match_patterns or None)
         row = m.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat_ws(
-                                    "|",
-                                    "file_path",
-                                    F.col("mtime").cast("string"),
-                                    F.col("size").cast("string"),
-                                )
-                            ),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("bigint")
-                ),
-                F.lit(0),
-            ).alias("fp"),
+            _fp_sum_col("file_path", "mtime", "size").alias("fp"),
         ).first()
-        return f"{int(row['n'])}:{int(row['fp'])}"
+        return f"{int(row['n'])}:{int(row['fp'])}:{_cfg_digest(cfg)}"
     except Exception:  # noqa: BLE001 - unreadable source -> no skip
         return ""
 

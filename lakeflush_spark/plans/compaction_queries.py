@@ -77,12 +77,15 @@ _Q17_N_FILES = 50
 
 def _build_q17_lake() -> None:
     import hashlib
+    import shutil
 
     os.makedirs(_Q17_LAKE, exist_ok=True)
     expected = {f"doc_{i:04d}.json" for i in range(_Q17_N_FILES)}
     for f in os.listdir(_Q17_LAKE):
         if f not in expected:
-            os.remove(os.path.join(_Q17_LAKE, f))
+            p = os.path.join(_Q17_LAKE, f)
+            # stray dirs (e.g. /tmp squatting) must not wedge the build
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
     for i in range(_Q17_N_FILES):
         name = f"doc_{i:04d}.json"
         p = os.path.join(_Q17_LAKE, name)

@@ -199,18 +199,14 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionByName(blocked).orderBy("method", "id1", "id2")
 
 
-_SIMHASH_SQL_BITS = " + ".join(
-    f"(CASE WHEN list_sum(list_transform(hs, x -> ((x >> {b}) & 1) * 2 - 1)) > 0 "
-    f"THEN {2**b} ELSE 0 END)"
-    for b in range(SIMHASH_BITS)
-)
-
+# single source for the simhash bit-extraction SQL: _simhash_bits_sql
+# (used by q23 over `ths` and here over `hs`)
 _SIMHASH_CTES = f"""
 WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
 h AS (SELECT doc_id, source,
              list_transform(toks, s -> {_HASH}) AS hs
       FROM t),
-sh AS (SELECT doc_id, source, ({_SIMHASH_SQL_BITS})::BIGINT AS simhash FROM h)
+sh AS (SELECT doc_id, source, ({_simhash_bits_sql('hs')})::BIGINT AS simhash FROM h)
 """
 
 

@@ -149,9 +149,10 @@ ORDER BY query_id, rank
     _IVF_SQL,
     "IVF ANN: md5-bucket-sampled coarse-quantizer cells (deterministic, "
     "content-independent draw), broadcast map-only cell assignment, "
-    "nprobe=4 probing. Fully hash-checked: DuckDB rebuilds the identical "
-    "index and search. Recall vs the exact baseline asserted in tests. "
-    "(r2: upgraded from rows-only to full hash check.)",
+    f"nprobe={_IVF_NPROBE}/{_IVF_CELLS} probing (this corpus is near-"
+    "uniform — IVF's hardest case). Fully hash-checked: DuckDB rebuilds "
+    "the identical index and search. Recall vs the exact baseline "
+    "asserted in tests. (r2: upgraded from rows-only to full hash check.)",
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.similarity import ivf_topk

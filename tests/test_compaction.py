@@ -132,6 +132,12 @@ def test_compact_skip_unchanged_is_idempotent(spark, small_json_lake, tmp_path):
     third = compact(spark, cfg)
     assert not third.skipped and third.bundles
 
+    # same source but DIFFERENT output request -> must not be skipped
+    from dataclasses import replace as _replace
+
+    gz = compact(spark, _replace(cfg, compress=True))
+    assert not gz.skipped and gz.bundles and all(b.endswith(".gz") for b in gz.bundles)
+
 
 def test_compact_gzip(spark, small_json_lake, tmp_path):
     lake, ev = small_json_lake

@@ -51,9 +51,21 @@ def test_download_prefix_stages_objects(s3_mock, tmp_path):
     for i in range(5):
         s3_mock.put_object(Bucket=BUCKET, Key=f"lake/f{i}.json", Body=b'{"k":%d}' % i)
     s3_mock.put_object(Bucket=BUCKET, Key="other/skip.json", Body=b"{}")
+    # string-prefix sibling: "lake" must NOT collect "lake2/"
+    s3_mock.put_object(Bucket=BUCKET, Key="lake2/evil.json", Body=b"{}")
     dest = str(tmp_path / "staged")
     assert download_prefix(f"s3a://{BUCKET}/lake", dest) == 5
     assert sorted(os.listdir(dest)) == [f"f{i}.json" for i in range(5)]
+
+
+def test_download_prefix_preserves_subtree(s3_mock, tmp_path):
+    # same basename under different sub-prefixes must NOT collide
+    s3_mock.put_object(Bucket=BUCKET, Key="lake/2024-01/part-0000.json", Body=b'{"m":1}')
+    s3_mock.put_object(Bucket=BUCKET, Key="lake/2024-02/part-0000.json", Body=b'{"m":2}')
+    dest = str(tmp_path / "staged")
+    assert download_prefix(f"s3a://{BUCKET}/lake", dest) == 2
+    assert open(os.path.join(dest, "2024-01", "part-0000.json")).read() == '{"m":1}'
+    assert open(os.path.join(dest, "2024-02", "part-0000.json")).read() == '{"m":2}'
 
 
 def test_s3_collector_end_to_end(spark, s3_mock, tmp_path):

@@ -3,9 +3,10 @@
 The reference has no notion of corpus hygiene (its records are opaque
 strings — SURVEY §2.B); this module adds the standard LLM-training
 decontamination pass: drop (or flag) every training document that
-shares a word n-gram with a held-out evaluation set, the published
+shares word n-grams with a held-out evaluation set, the published
 procedure from the GPT-3 / PaLM training-data reports (13-gram overlap
-on a lowercased whitespace tokenization).
+on a lowercased whitespace tokenization — ``F.lower`` is applied
+before shingling here, and the DuckDB oracle twin mirrors it).
 
 Scale design — the corpus NEVER shuffles:
 
@@ -19,12 +20,20 @@ Scale design — the corpus NEVER shuffles:
 - The final removal is a broadcast left-anti join on the contaminated
   id set (bounded by the number of contaminated docs, not corpus
   size).
+- ``decontaminate`` materializes the (small) hit set ONCE by default
+  (``materialize=True`` → ``persist()``): the three returned frames
+  share the probe-join lineage, so without it consuming all three
+  would re-run the full corpus probe up to three times. Call
+  ``DecontamResult.unpersist()`` when done.
 
 N-grams are hashed with the engine-wide md5→32-bit scheme
 (``functions.text.token_hash``), so the broadcast carries 8-byte
-hashes, not gram strings, and the DuckDB oracle can recompute
-identical values (hash collisions are deterministic and identical in
-both engines).
+hashes, not gram strings, and the DuckDB oracle recomputes identical
+values (``plans/decontam_queries.py``; hash collisions are
+deterministic and identical in both engines). The hash array is
+re-``array_distinct``-ed AFTER hashing: within-doc 32-bit collisions
+(possible for very long docs) would otherwise leave duplicate hashes
+in the "set" and overcount ``n_common``.
 """
 
 from __future__ import annotations
@@ -37,14 +46,21 @@ from pyspark.sql import Column, DataFrame
 from lakeflush_spark.operators.dedup import shingle_hash_set
 
 #: production default — the published 13-gram decontamination window.
-#: Tests and the contract query use smaller n because the synthetic
-#: docs are only 10–99 tokens long.
+#: Tests (`tests/test_decontaminate.py`) and the contract query
+#: (`plans/decontam_queries.py`, q61) use n=5 because the synthetic
+#: docs are only 10–99 tokens long with a tiny vocabulary.
 DECONTAM_N = 13
 
 
 def ngram_hash_set(text: Column | str, n: int = DECONTAM_N) -> Column:
-    """Distinct hashed word n-grams of a document (map-only)."""
-    return shingle_hash_set(text, k=n)
+    """Distinct hashed lowercased word n-grams of a document (map-only).
+
+    Lowercases first (the published decontamination procedure is
+    case-insensitive), and distincts AGAIN after hashing so 32-bit
+    collisions cannot introduce duplicate elements into the set.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(shingle_hash_set(F.lower(c), k=n))
 
 
 @dataclass
@@ -52,21 +68,27 @@ class DecontamResult:
     clean: DataFrame          # corpus rows with no eval overlap
     contaminated: DataFrame   # (id_col, n_common_grams) per flagged doc
     pairs: DataFrame          # (eval_id, corpus_id, n_common, jaccard) audit trail
+    _hits: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        """Release the materialized hit set (see module docstring)."""
+        if self._hits is not None:
+            self._hits.unpersist()
 
 
-def contamination_pairs(
+def _gram_hits(
     corpus: DataFrame,
     eval_docs: DataFrame,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = DECONTAM_N,
+    id_col: str,
+    text_col: str,
+    n: int,
 ) -> DataFrame:
-    """(eval_id, corpus_id, n_common, jaccard) for every overlapping pair.
+    """Exploded (corpus_id, _csz, eval_id, _esz, _g) contamination hits.
 
-    jaccard is the exact Jaccard of the two hashed n-gram sets —
-    planted near-dups score high, incidental single-gram collisions
-    score near zero, so callers can threshold on either column.
+    The single expensive pass: corpus-side map-only explode feeding a
+    BroadcastHashJoin against the (small, distinct-ed) eval gram table.
+    Output size is bounded by the contamination volume, not corpus size.
     """
     ev = eval_docs.select(
         F.col(id_col).alias("eval_id"),
@@ -82,8 +104,11 @@ def contamination_pairs(
     co_grams = co.select("corpus_id", F.size("_cg").alias("_csz"),
                          F.explode("_cg").alias("_g"))
     # Broadcast the (small) eval gram table: the exploded corpus feeds
-    # the join with no exchange; only hits reach the aggregation.
-    hits = co_grams.join(F.broadcast(ev_grams), "_g")
+    # the join with no exchange; only hits reach downstream aggregations.
+    return co_grams.join(F.broadcast(ev_grams), "_g")
+
+
+def _pairs_from_hits(hits: DataFrame) -> DataFrame:
     return (
         hits.groupBy("eval_id", "corpus_id", "_esz", "_csz")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -99,6 +124,27 @@ def contamination_pairs(
     )
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DECONTAM_N,
+) -> DataFrame:
+    """(eval_id, corpus_id, n_common, jaccard) for every overlapping pair.
+
+    ``n_common`` counts distinct shared gram hashes of the PAIR (both
+    sides are true sets, so no double counting); ``jaccard`` is the
+    exact Jaccard of the two hashed n-gram sets — planted near-dups
+    score high, incidental single-gram collisions score near zero, so
+    callers can threshold on either column.
+    """
+    return _pairs_from_hits(
+        _gram_hits(corpus, eval_docs, id_col=id_col, text_col=text_col, n=n)
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_docs: DataFrame,
@@ -107,24 +153,37 @@ def decontaminate(
     text_col: str = "text",
     n: int = DECONTAM_N,
     min_common: int = 1,
+    materialize: bool = True,
 ) -> DecontamResult:
     """Remove corpus docs sharing ≥ ``min_common`` word n-grams with eval.
 
-    Returns the clean corpus, the flagged doc ids with their hit
-    counts, and the pair-level audit frame. The corpus is scanned
-    once for the probe and once for the anti-join; neither pass
-    shuffles corpus rows (both joins broadcast the small side).
+    ``min_common`` thresholds the number of DISTINCT contaminated
+    grams per corpus doc across the WHOLE eval set (a gram shared with
+    K eval documents counts once, not K times). Returns the clean
+    corpus, the flagged doc ids with their distinct-gram counts, and
+    the pair-level audit frame.
+
+    With ``materialize=True`` (default) the hit set is persisted so
+    consuming all three outputs runs the corpus probe exactly once;
+    neither pass shuffles corpus rows (both joins broadcast the small
+    side). Call ``result.unpersist()`` when done.
     """
-    pairs = contamination_pairs(
-        corpus, eval_docs, id_col=id_col, text_col=text_col, n=n
-    )
+    hits = _gram_hits(corpus, eval_docs, id_col=id_col, text_col=text_col, n=n)
+    if materialize:
+        hits = hits.persist()
+    pairs = _pairs_from_hits(hits)
     contaminated = (
-        pairs.groupBy("corpus_id")
-        .agg(F.sum("n_common").alias("n_common_grams"))
+        hits.groupBy("corpus_id")
+        .agg(F.countDistinct("_g").alias("n_common_grams"))
         .where(F.col("n_common_grams") >= min_common)
         .select(F.col("corpus_id").alias(id_col), "n_common_grams")
     )
     clean = corpus.join(
         F.broadcast(contaminated.select(id_col)), id_col, "left_anti"
     )
-    return DecontamResult(clean=clean, contaminated=contaminated, pairs=pairs)
+    return DecontamResult(
+        clean=clean,
+        contaminated=contaminated,
+        pairs=pairs,
+        _hits=hits if materialize else None,
+    )

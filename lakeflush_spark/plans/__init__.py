@@ -4,6 +4,7 @@ from lakeflush_spark.plans.queries import QUERIES, DeclaredQuery
 from lakeflush_spark.plans import compaction_queries as _compaction_queries  # noqa: F401
 from lakeflush_spark.plans import text_queries as _text_queries  # noqa: F401
 from lakeflush_spark.plans import dedup_queries as _dedup_queries  # noqa: F401
+from lakeflush_spark.plans import decontam_queries as _decontam_queries  # noqa: F401
 from lakeflush_spark.plans import similarity_queries as _similarity_queries  # noqa: F401
 from lakeflush_spark.plans import multimodal_queries as _multimodal_queries  # noqa: F401
 from lakeflush_spark.plans import streaming_queries as _streaming_queries  # noqa: F401

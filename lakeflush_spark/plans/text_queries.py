@@ -101,7 +101,7 @@ def _sql_lang_case() -> str:
 @declare(
     "q18_text_metrics",
     f"""
-    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    WITH t AS (SELECT doc_id, text, lang, {_TOKS} AS toks FROM documents)
     SELECT doc_id,
            {_N}::BIGINT AS n_tokens,
            len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))::BIGINT AS n_bpe_tokens,
@@ -111,15 +111,19 @@ def _sql_lang_case() -> str:
            {_SQL_STOP_RATIO_4DP} AS stop_ratio,
            {_SQL_QUALITY_4DP} AS quality,
            {_sql_arr_fingerprint(_TOKS)} AS doc_fp,
-           {_sql_arr_fingerprint(_SQL_SHINGLES)} AS shingle_fp
+           {_sql_arr_fingerprint(_SQL_SHINGLES)} AS shingle_fp,
+           lang,
+           {_sql_lang_case()} AS lang_pred
     FROM t
     ORDER BY doc_id
     """,
     "Per-document text metrics in ONE map-only pass: token/char counts, "
-    "composite quality heuristic (length/stopword/word-length mix), and "
+    "composite quality heuristic (length/stopword/word-length mix), "
     "rolling-hash document + 3-gram shingle fingerprints (the shingle "
-    "construction MinHash dedup builds on). Scan-speed at any scale. "
-    "(r2: merged q18+q19+q21.)",
+    "construction MinHash dedup builds on), and function-word language ID "
+    "beside the labeled lang column. Scan-speed at any scale. "
+    "(r2: merged q18+q19+q21; r3: merged q20 — per-doc lang ID is a "
+    "stronger check than the old agreement matrix.)",
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -135,28 +139,10 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             quality_score_4dp("text").alias("quality"),
             doc_fingerprint("text").alias("doc_fp"),
             arr_fingerprint(shingles("text", 3)).alias("shingle_fp"),
+            "lang",
+            lang_id("text").alias("lang_pred"),
         )
         .orderBy("doc_id")
-    )
-
-
-@declare(
-    "q20_lang_id",
-    f"""
-    SELECT lang, {_sql_lang_case()} AS lang_pred, COUNT(*) AS cnt
-    FROM documents
-    GROUP BY 1, 2
-    ORDER BY 1, 2
-    """,
-    "Function-word language ID vs the labeled lang column (agreement matrix).",
-)
-def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
-        .select("lang", lang_id("text").alias("lang_pred"))
-        .groupBy("lang", "lang_pred")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("lang", "lang_pred")
     )
 
 

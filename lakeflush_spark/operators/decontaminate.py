@@ -90,19 +90,25 @@ def _gram_hits(
     BroadcastHashJoin against the (small, distinct-ed) eval gram table.
     Output size is bounded by the contamination volume, not corpus size.
     """
-    ev = eval_docs.select(
-        F.col(id_col).alias("eval_id"),
-        ngram_hash_set(text_col, n).alias("_eg"),
-    ).where(F.size("_eg") > 0)
-    co = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        ngram_hash_set(text_col, n).alias("_cg"),
-    ).where(F.size("_cg") > 0)
+    from lakeflush_spark.functions.text import bind
 
-    ev_grams = ev.select("eval_id", F.size("_eg").alias("_esz"),
-                         F.explode("_eg").alias("_g"))
-    co_grams = co.select("corpus_id", F.size("_cg").alias("_csz"),
-                         F.explode("_cg").alias("_g"))
+    def gram_side(df: DataFrame, out_id: str, sz_name: str) -> DataFrame:
+        # bind() evaluates the (expensive) n-gram hash set ONCE per
+        # row; size and the exploded elements both read the bound
+        # struct, so the shingle pipeline never re-runs. Docs with no
+        # grams explode to zero rows (the old size>0 filter, for free).
+        packed = bind(
+            ngram_hash_set(text_col, n),
+            lambda h: F.struct(F.size(h).alias("sz"), h.alias("g")),
+        )
+        return df.select(F.col(id_col).alias(out_id), packed.alias("_s")).select(
+            out_id,
+            F.col("_s.sz").alias(sz_name),
+            F.explode("_s.g").alias("_g"),
+        )
+
+    ev_grams = gram_side(eval_docs, "eval_id", "_esz")
+    co_grams = gram_side(corpus, "corpus_id", "_csz")
     # Broadcast the (small) eval gram table: the exploded corpus feeds
     # the join with no exchange; only hits reach downstream aggregations.
     return co_grams.join(F.broadcast(ev_grams), "_g")

@@ -43,6 +43,7 @@ HEADLINE = [
     "q58_sequence_packing",
     "q23_minhash_simhash_sigs",
     "q24_neardup_pairs",
+    "q61_decontaminate",
     "q29_ann_bruteforce",
     "q30_ann_lsh",
     "q34_session_window",

@@ -239,6 +239,42 @@ def quality_score_4dp(text: Column | str) -> Column:
     return _round_half_up_div(qnum, n).cast("double") / F.lit(10000.0)
 
 
+def distinct_token_ratio_4dp(text: Column | str) -> Column:
+    """Type/token ratio (distinct tokens / tokens), 4-dp HALF_UP exact.
+
+    The Gopher-style repetition signal: low values flag repetitious or
+    machine-looped text. Map-only; the token array is bound once.
+    """
+
+    def build(tk: Column) -> Column:
+        n = F.size(tk).cast("bigint")
+        d = F.size(F.array_distinct(tk)).cast("bigint")
+        return _round_half_up_div(F.lit(10000) * d, n).cast("double") / F.lit(10000.0)
+
+    return bind(tokens(text), build)
+
+
+def dup_3gram_ratio_4dp(text: Column | str) -> Column:
+    """Fraction of 3-gram occurrences repeating an earlier gram, 4-dp
+    HALF_UP exact; 0.0 for docs under 3 tokens.
+
+    The Gopher "duplicate n-gram fraction" filter: boilerplate and
+    looping generations repeat whole phrases, which survives the
+    distinct-token check. Map-only over the bound shingle array.
+    """
+
+    def build(g: Column) -> Column:
+        tot = F.size(g).cast("bigint")
+        dup = tot - F.size(F.array_distinct(g)).cast("bigint")
+        return F.when(
+            tot > 0,
+            _round_half_up_div(F.lit(10000) * dup, tot).cast("double")
+            / F.lit(10000.0),
+        ).otherwise(F.lit(0.0))
+
+    return bind(shingles(text, 3), build)
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite document-quality heuristic in [0, 1].
 

@@ -8,6 +8,7 @@ standard LLM-corpus preparation flow:
       -> filter (length / language / quality gates)
       -> exact dedup (content hash)
       -> near-dup removal (MinHash+LSH candidate pairs, greedy keep)
+      -> optional eval-set decontamination (broadcast n-gram probe)
       -> curated corpus + per-stage stats
 
 Scale design:
@@ -33,6 +34,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from lakeflush_spark.functions.text import lang_id, stopword_ratio, token_count
+from lakeflush_spark.operators.decontaminate import decontaminate
 from lakeflush_spark.operators.dedup import minhash_near_dups
 
 
@@ -52,6 +54,12 @@ class CurationConfig:
     #: ~L/2 rounds; unresolved edges after the budget keep both ends
     #: (conservative: never over-delete).
     cc_iterations: int = 0
+    #: word-n-gram width for the optional eval-set decontamination
+    #: stage (only used when ``curate_documents`` receives eval_docs)
+    decontam_n: int = 13
+    #: min DISTINCT contaminated grams to drop a doc (see
+    #: operators/decontaminate.decontaminate)
+    decontam_min_common: int = 1
     id_col: str = "doc_id"
     text_col: str = "text"
 
@@ -62,6 +70,8 @@ class CurationStats:
     after_filters: int
     after_exact_dedup: int
     after_near_dedup: int
+    #: equals after_near_dedup when no eval set was supplied
+    after_decontam: int | None = None
 
 
 def _iterative_near_dup_losers(pairs: DataFrame, iters: int, id_col: str) -> DataFrame:
@@ -106,13 +116,20 @@ def _iterative_near_dup_losers(pairs: DataFrame, iters: int, id_col: str) -> Dat
 
 
 def curate_documents(
-    spark, docs: DataFrame, cfg: CurationConfig = CurationConfig()
+    spark,
+    docs: DataFrame,
+    cfg: CurationConfig = CurationConfig(),
+    eval_docs: DataFrame | None = None,
 ) -> tuple[DataFrame, CurationStats]:
     """Run the full curation flow; returns (curated_df, stats).
 
     The returned frame keeps the input columns plus the computed
     metric columns (n_tokens, stop_ratio, lang_pred) for downstream
-    sampling/packing decisions.
+    sampling/packing decisions. When ``eval_docs`` is given (same
+    id/text columns), a final decontamination stage drops every doc
+    sharing >= cfg.decontam_min_common distinct lowercased
+    cfg.decontam_n-grams with the eval set (broadcast probe — the
+    corpus never shuffles; see operators/decontaminate.py).
     """
     tc = cfg.text_col
     annotated = docs.select(
@@ -160,6 +177,19 @@ def curate_documents(
         F.sum(keep.cast("long")).alias("n_filt"),
     ).first()
     n_exact = exact.count()
+    n_near = curated.count()
+
+    if eval_docs is not None:
+        res = decontaminate(
+            curated,
+            eval_docs,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+            n=cfg.decontam_n,
+            min_common=cfg.decontam_min_common,
+            materialize=False,  # consumed once (the anti-join below)
+        )
+        curated = res.clean
     n_final = curated.count()
-    stats = CurationStats(int(agg.n_in), int(agg.n_filt), n_exact, n_final)
+    stats = CurationStats(int(agg.n_in), int(agg.n_filt), n_exact, n_near, n_final)
     return curated, stats

@@ -25,7 +25,9 @@ from lakeflush_spark.functions.text import (
     arr_fingerprint,
     avg_token_len_4dp,
     bpe_token_count,
+    distinct_token_ratio_4dp,
     doc_fingerprint,
+    dup_3gram_ratio_4dp,
     lang_id,
     punct_count,
     quality_score_4dp,
@@ -67,6 +69,9 @@ def _sql_round_half_up_div(num: str, den: str) -> str:
 
 _SQL_AVG_TOK_LEN_4DP = _sql_round_half_up_div(f"10000 * {_SQL_LI}", _SQL_NI)
 _SQL_STOP_RATIO_4DP = _sql_round_half_up_div(f"10000 * {_SQL_SI}", _SQL_NI)
+_SQL_DISTINCT_RATIO_4DP = _sql_round_half_up_div(
+    f"10000 * len(list_distinct({_TOKS}))::BIGINT", _SQL_NI
+)
 _SQL_QNUM = (
     f"(40 * least({_SQL_NI}, 100) * {_SQL_NI}"
     f" + 3000 * ({_SQL_NI} - {_SQL_SI})"
@@ -79,6 +84,16 @@ _SQL_SHINGLES = (
     f"CASE WHEN {_N} >= 3 THEN list_transform(range(1, {_N} - 1), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
     "ELSE [] END"
+)
+
+# duplicate-3-gram fraction (Gopher repetition filter); 0.0 under 3 tokens
+_SQL_DUP3_4DP = (
+    f"CASE WHEN len({_SQL_SHINGLES}) > 0 THEN "
+    + _sql_round_half_up_div(
+        f"10000 * (len({_SQL_SHINGLES}) - len(list_distinct({_SQL_SHINGLES})))::BIGINT",
+        f"len({_SQL_SHINGLES})::BIGINT",
+    )
+    + " ELSE 0.0 END"
 )
 
 
@@ -110,6 +125,8 @@ def _sql_lang_case() -> str:
            len(regexp_extract_all(text, '{PUNCT_CLASS}'))::BIGINT AS punct_cnt,
            {_SQL_STOP_RATIO_4DP} AS stop_ratio,
            {_SQL_QUALITY_4DP} AS quality,
+           {_SQL_DISTINCT_RATIO_4DP} AS distinct_ratio,
+           {_SQL_DUP3_4DP} AS dup3_ratio,
            {_sql_arr_fingerprint(_TOKS)} AS doc_fp,
            {_sql_arr_fingerprint(_SQL_SHINGLES)} AS shingle_fp,
            lang,
@@ -119,6 +136,8 @@ def _sql_lang_case() -> str:
     """,
     "Per-document text metrics in ONE map-only pass: token/char counts, "
     "composite quality heuristic (length/stopword/word-length mix), "
+    "Gopher-style repetition signals (type/token ratio + duplicate-3-gram "
+    "fraction), "
     "rolling-hash document + 3-gram shingle fingerprints (the shingle "
     "construction MinHash dedup builds on), and function-word language ID "
     "beside the labeled lang column. Scan-speed at any scale. "
@@ -137,6 +156,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             punct_count("text").alias("punct_cnt"),
             stopword_ratio_4dp("text").alias("stop_ratio"),
             quality_score_4dp("text").alias("quality"),
+            distinct_token_ratio_4dp("text").alias("distinct_ratio"),
+            dup_3gram_ratio_4dp("text").alias("dup3_ratio"),
             doc_fingerprint("text").alias("doc_fp"),
             arr_fingerprint(shingles("text", 3)).alias("shingle_fp"),
             "lang",

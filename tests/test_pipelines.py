@@ -54,6 +54,23 @@ def test_curation_lang_filter(spark, sf_dir):
     assert curated.where(F.col("lang_pred") != "en").count() == 0
 
 
+def test_curation_decontam_stage(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # eval set = verbatim copies of two corpus docs (worst-case leak)
+    eval_docs = docs.orderBy("doc_id").limit(2).select(
+        F.col("doc_id").alias("doc_id"), "text"
+    )
+    cfg = CurationConfig(min_tokens=1, near_dup_threshold=0.99, decontam_n=5)
+    curated, stats = curate_documents(spark, docs, cfg, eval_docs=eval_docs)
+    leaked_ids = [r.doc_id for r in eval_docs.collect()]
+    assert stats.after_decontam is not None
+    assert stats.after_decontam <= stats.after_near_dedup - len(leaked_ids)
+    assert curated.where(F.col("doc_id").isin(leaked_ids)).count() == 0
+    # without an eval set the stage is a no-op and the count carries over
+    _, stats2 = curate_documents(spark, docs, cfg)
+    assert stats2.after_decontam == stats2.after_near_dedup
+
+
 def test_pii_scrub_redacts_injected(spark):
     from lakeflush_spark.plans.text_queries import _PII_PATTERNS
     import pyspark.sql.functions as F2

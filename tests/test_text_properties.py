@@ -23,7 +23,9 @@ from lakeflush_spark.functions.text import (
     STOPWORDS,
     avg_token_len_4dp,
     bpe_token_count,
+    distinct_token_ratio_4dp,
     doc_fingerprint,
+    dup_3gram_ratio_4dp,
     punct_count,
     quality_score_4dp,
     shingles,
@@ -81,6 +83,16 @@ def _model(text: str) -> dict:
         "avg4": _rhu(10000 * total, n) / 10000.0,
         "stop4": _rhu(10000 * s, n) / 10000.0,
         "quality4": _rhu(qnum, n) / 10000.0,
+        "dtr4": _rhu(10000 * len(set(toks)), n) / 10000.0,
+        "dup3_4": (
+            _rhu(
+                10000 * (len(_shingles(toks)) - len(set(_shingles(toks)))),
+                len(_shingles(toks)),
+            )
+            / 10000.0
+            if _shingles(toks)
+            else 0.0
+        ),
         "simhash": _simhash(toks),
     }
 
@@ -116,6 +128,8 @@ def test_spark_text_functions_match_python_model(spark, docs):
         avg_token_len_4dp("text").alias("avg4"),
         stopword_ratio_4dp("text").alias("stop4"),
         quality_score_4dp("text").alias("quality4"),
+        distinct_token_ratio_4dp("text").alias("dtr4"),
+        dup_3gram_ratio_4dp("text").alias("dup3_4"),
         simhash("text").alias("simhash"),
     ).collect()
     assert len(rows) == len(docs)

@@ -239,6 +239,38 @@ def quality_score_4dp(text: Column | str) -> Column:
     return _round_half_up_div(qnum, n).cast("double") / F.lit(10000.0)
 
 
+def document_chunks(text: Column | str, window: int = 64, stride: int = 48) -> Column:
+    """Sliding-window token chunks (context-window splitting).
+
+    Returns ``array<struct<chunk_idx, n_toks, chunk_text>>``: chunk c
+    covers tokens [c*stride+1, c*stride+window] (1-based); the last
+    chunk may be short. ``n_chunks = floor((n-1)/stride)+1``, so every
+    token lands in at least one chunk and consecutive chunks overlap
+    by ``window - stride`` tokens — the standard long-document
+    splitting step before tokenization/packing. Map-only over the
+    bound token array; at 100 TB this is scan-speed, and the explode
+    that follows multiplies rows by only ~n/stride.
+    """
+
+    def build(tk: Column) -> Column:
+        n = F.size(tk)
+        n_chunks = (F.floor((n - 1) / F.lit(stride)) + 1).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda c: F.struct(
+                c.cast("bigint").alias("chunk_idx"),
+                F.least(F.lit(window).cast("bigint"), (n - c * stride).cast("bigint")).alias(
+                    "n_toks"
+                ),
+                F.concat_ws(TOKEN_SEP, F.slice(tk, c * stride + 1, window)).alias(
+                    "chunk_text"
+                ),
+            ),
+        )
+
+    return bind(tokens(text), build)
+
+
 def distinct_token_ratio_4dp(text: Column | str) -> Column:
     """Type/token ratio (distinct tokens / tokens), 4-dp HALF_UP exact.
 

@@ -27,6 +27,7 @@ from lakeflush_spark.functions.text import (
     bpe_token_count,
     distinct_token_ratio_4dp,
     doc_fingerprint,
+    document_chunks,
     dup_3gram_ratio_4dp,
     lang_id,
     punct_count,
@@ -168,16 +169,25 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q58 — sequence packing: assign documents to fixed-token-budget bins
-# (the training-data "sample packing" step), fully declaratively. Each
-# doc's bin = floor(start_offset / budget) where start_offset is the
-# running token count before it (per-language, doc_id order). Greedy
-# streaming packing: docs may straddle a boundary — the packer that
-# consumes this table splits at sequence build time. One shuffle
+# Q58 — training-sample assembly, a labeled two-part suite:
+#
+# 'bin' rows — sequence packing: assign documents to fixed-token-budget
+# bins (the training-data "sample packing" step), fully declaratively.
+# Each doc's bin = floor(start_offset / budget) where start_offset is
+# the running token count before it (per-language, doc_id order).
+# Greedy streaming packing: docs may straddle a boundary — the packer
+# that consumes this table splits at sequence build time. One shuffle
 # (partitionBy lang + window sort), then one aggregation; at 100 TB
 # partition by (lang, shard) to bound the window partition size.
+#
+# 'chunk' rows — context-window chunking (r3, the packing dual):
+# sliding-window token chunks (window 64, stride 48 — 16-token
+# overlap) per document, value-checked by md5 of each chunk's text.
+# Map-only explode; no shuffle at all.
 # ---------------------------------------------------------------------------
 _PACK_BUDGET = 2048
+_CHUNK_W = 64
+_CHUNK_S = 48
 
 
 @declare(
@@ -189,17 +199,37 @@ _PACK_BUDGET = 2048
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               - {_SQL_NI}) AS start_off
       FROM documents
+    ),
+    t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    ch AS (
+      SELECT doc_id, lang, toks,
+             unnest(range(0, ((len(toks) - 1) // {_CHUNK_S}) + 1)) AS c
+      FROM t
     )
-    SELECT lang,
-           CAST(FLOOR(start_off / {_PACK_BUDGET}) AS BIGINT) AS bin,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
-    FROM offs
-    GROUP BY lang, bin
-    ORDER BY lang, bin
+    SELECT part, lang, id, n, n_toks, h FROM (
+      SELECT 'bin' AS part, lang,
+             CAST(FLOOR(start_off / {_PACK_BUDGET}) AS BIGINT) AS id,
+             COUNT(*) AS n,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_toks,
+             NULL::VARCHAR AS h
+      FROM offs
+      GROUP BY lang, id
+      UNION ALL
+      SELECT 'chunk', lang, doc_id, c,
+             least({_CHUNK_W}, len(toks) - c * {_CHUNK_S})::BIGINT,
+             md5(array_to_string(
+                 list_slice(toks, c * {_CHUNK_S} + 1, c * {_CHUNK_S} + {_CHUNK_W}),
+                 ' '))
+      FROM ch
+    )
+    ORDER BY part, lang, id, n
     """,
-    "Token-budget sequence packing: per-language running offsets assign docs to "
-    f"{_PACK_BUDGET}-token bins; aggregate shows docs+tokens per packed bin.",
+    "Training-sample assembly suite: 'bin' rows pack docs into "
+    f"{_PACK_BUDGET}-token bins via per-language running offsets (one window "
+    "shuffle + one aggregation); 'chunk' rows split every doc into "
+    f"{_CHUNK_W}-token sliding windows (stride {_CHUNK_S}), each chunk "
+    "value-checked by md5 of its text — the long-document context-window "
+    "split, map-only at scan speed. (r3: merged chunking.)",
 )
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -217,17 +247,40 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_tokens"),
         (F.sum(n).over(w) - n).alias("start_off"),
     )
-    return (
+    bins = (
         offs.groupBy(
             "lang",
-            F.floor(F.col("start_off") / _PACK_BUDGET).cast("bigint").alias("bin"),
+            F.floor(F.col("start_off") / _PACK_BUDGET).cast("bigint").alias("id"),
         )
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("bin_tokens"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").alias("n_toks"),
         )
-        .orderBy("lang", "bin")
+        .select(
+            F.lit("bin").alias("part"),
+            "lang",
+            "id",
+            "n",
+            "n_toks",
+            F.lit(None).cast("string").alias("h"),
+        )
     )
+    chunks = (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.explode(document_chunks("text", _CHUNK_W, _CHUNK_S)).alias("_c"),
+        )
+        .select(
+            F.lit("chunk").alias("part"),
+            "lang",
+            F.col("doc_id").alias("id"),
+            F.col("_c.chunk_idx").alias("n"),
+            F.col("_c.n_toks").alias("n_toks"),
+            F.md5("_c.chunk_text").alias("h"),
+        )
+    )
+    return bins.unionByName(chunks).orderBy("part", "lang", "id", "n")
 
 
 # ---------------------------------------------------------------------------

@@ -137,3 +137,35 @@ def test_spark_text_functions_match_python_model(spark, docs):
         m = _model(r.text)
         got = {k: r[k] for k in m}
         assert got == m, f"mismatch for text={r.text!r}: {got} != {m}"
+
+
+def test_document_chunks_match_model(spark):
+    from lakeflush_spark.functions.text import document_chunks
+    import pyspark.sql.functions as F
+
+    W, S = 10, 7
+    docs = [
+        "",  # splits to one empty token
+        "a",
+        " ".join(f"t{i}" for i in range(9)),   # < window
+        " ".join(f"t{i}" for i in range(10)),  # == window
+        " ".join(f"t{i}" for i in range(11)),  # window + 1
+        " ".join(f"t{i}" for i in range(100)),
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id", F.explode(document_chunks("text", W, S)).alias("c")
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.c.chunk_idx, r.c.n_toks, r.c.chunk_text))
+    for i, d in enumerate(docs):
+        toks = d.split(" ")
+        n = len(toks)
+        exp = []
+        for c in range((n - 1) // S + 1):
+            piece = toks[c * S : c * S + W]
+            exp.append((c, len(piece), " ".join(piece)))
+        assert got[i] == exp, f"doc {i}: {got[i]} != {exp}"

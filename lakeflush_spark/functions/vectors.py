@@ -17,6 +17,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
+from lakeflush_spark.functions.text import bind
+
 
 def to_double_vec(vec: Column | str) -> Column:
     v = F.col(vec) if isinstance(vec, str) else vec
@@ -38,6 +40,59 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize a double vector (zero vectors pass through).
+
+    Nested ``bind`` so the norm fold runs once per row, not once per
+    element — the map-only prep step that turns cosine similarity into
+    a plain dot product downstream (halves the per-pair cost of every
+    ANN / near-dup join).
+    """
+
+    def with_vec(v: Column) -> Column:
+        def with_norm(nrm: Column) -> Column:
+            return F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+
+        return bind(l2_norm(v), with_norm)
+
+    return bind(a, with_vec)
+
+
+def quantize_int8(a: Column) -> Column:
+    """Symmetric per-vector int8 quantization.
+
+    Returns ``struct<scale: double, q: array<tinyint>>`` with
+    ``scale = max(|x|)/127`` and ``q = round(x/scale)`` — the standard
+    4x shrink for embedding storage and shuffle width at 100 TB scale
+    (the band/bucket joins carry 1-byte lanes instead of 4-byte
+    floats). Zero vectors quantize to scale 0 and all-zero lanes.
+    Reconstruction error is bounded by scale/2 per element
+    (``tests/test_vectors.py`` asserts the bound and cosine fidelity).
+    """
+
+    def with_vec(v: Column) -> Column:
+        def with_scale(scale: Column) -> Column:
+            zero8 = F.lit(0).cast("tinyint")
+            q = F.when(
+                scale > 0,
+                F.transform(v, lambda x: F.round(x / scale).cast("int").cast("tinyint")),
+            ).otherwise(F.transform(v, lambda x: zero8))
+            return F.struct(scale.alias("scale"), q.alias("q"))
+
+        return bind(
+            F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0), with_scale
+        )
+
+    return bind(a, with_vec)
+
+
+def dequantize_int8(qs: Column) -> Column:
+    """Inverse of ``quantize_int8``: q * scale back to double."""
+    return bind(
+        qs, lambda s: F.transform(s["q"], lambda x: x.cast("double") * s["scale"])
+    )
 
 
 def sign_lsh_bucket(vec: Column | str, n_bits: int = 8) -> Column:

@@ -1,0 +1,113 @@
+"""Cross-document repeated-substring (passage) detection.
+
+The dedup suite's other modalities (``operators/dedup.py``) compare
+WHOLE documents (set Jaccard / SimHash); this operator finds verbatim
+PASSAGES shared across documents — boilerplate headers, license
+blocks, templated spam — the substring-level duplication described in
+the published "deduplicating training data" line of work, which
+whole-doc similarity misses when the surrounding text differs.
+
+Spark-first design (no suffix arrays, which need global order):
+
+- **Content-defined anchors.** A window of ``window`` tokens is
+  fingerprinted only where it starts at an *anchor* token
+  (``token_hash(tok) % stride == 0``). Anchors depend on content
+  alone, so the same passage anchors at the same interior tokens in
+  EVERY document regardless of its offset — the winnowing/CDC trick
+  that makes a strided scheme alignment-free. A shared run of length
+  L >= window contains an anchor-started full window unless all
+  ``L - window + 1`` of its start tokens miss the 1/stride anchor
+  condition (deterministic per content; vanishing for L >> window).
+- **Map-only probe.** Per doc: bound token array -> anchor positions
+  -> md5 fingerprint per anchored window (distinct-ed within doc).
+  Explode yields ~n/stride rows per doc; the ONE shuffle is the
+  groupBy on the 16-byte fingerprint. At 100 TB this is the same
+  shape as exact dedup — no pairwise work anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from lakeflush_spark.functions.text import TOKEN_SEP, bind, token_hash, tokens
+
+
+def anchored_span_fps(
+    text: Column | str, window: int = 50, stride: int = 8
+) -> Column:
+    """Distinct md5 fingerprints of content-anchored token windows."""
+
+    def build(tk: Column) -> Column:
+        n = F.size(tk)
+        starts = F.when(
+            n >= window, F.sequence(F.lit(1), n - (window - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        anchors = F.filter(
+            starts, lambda i: token_hash(F.element_at(tk, i)) % stride == 0
+        )
+        return F.array_distinct(
+            F.transform(
+                anchors, lambda i: F.md5(F.concat_ws(TOKEN_SEP, F.slice(tk, i, window)))
+            )
+        )
+
+    return bind(tokens(text), build)
+
+
+def repeated_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    stride: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(fp, n_docs, min_doc, max_doc) per passage shared by >= min_docs docs.
+
+    ``n_docs`` counts distinct documents containing the anchored
+    window (within-doc repeats were distinct-ed away map-side).
+    """
+    spans = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(anchored_span_fps(text_col, window, stride)).alias("fp"),
+    )
+    return (
+        spans.groupBy("fp")
+        .agg(
+            F.countDistinct("_id").alias("n_docs"),
+            F.min("_id").alias("min_doc"),
+            F.max("_id").alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def docs_with_repeated_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    stride: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Distinct ids of documents containing a cross-doc repeated passage.
+
+    Two passes over the corpus (probe + membership), both map-only;
+    the join keys are fingerprints, never text.
+    """
+    hot = repeated_spans(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        window=window,
+        stride=stride,
+        min_docs=min_docs,
+    ).select("fp")
+    spans = docs.select(
+        F.col(id_col).alias(id_col),
+        F.explode(anchored_span_fps(text_col, window, stride)).alias("fp"),
+    )
+    return spans.join(hot, "fp", "left_semi").select(id_col).distinct()

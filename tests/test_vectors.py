@@ -1,0 +1,118 @@
+"""Vector function units: normalization, int8 quantization round-trip,
+and the repeated-passage (substring) detector."""
+
+
+import random
+
+import pyspark.sql.functions as F
+
+from lakeflush_spark.functions.vectors import (
+    cosine_similarity,
+    dequantize_int8,
+    l2_norm,
+    l2_normalize,
+    quantize_int8,
+    to_double_vec,
+)
+from lakeflush_spark.operators.substring_dedup import (
+    docs_with_repeated_spans,
+    repeated_spans,
+)
+
+
+def _rand_vecs(n, dim, seed=11):
+    rng = random.Random(seed)
+    return [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n)]
+
+
+def test_l2_normalize_unit_norm_and_zero_passthrough(spark):
+    vecs = _rand_vecs(20, 16) + [[0.0] * 16]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i long, v array<double>"
+    )
+    rows = df.select(
+        "i", l2_norm(l2_normalize(F.col("v"))).alias("nrm")
+    ).collect()
+    for r in rows:
+        if r.i == len(vecs) - 1:
+            assert r.nrm == 0.0  # zero vector passes through
+        else:
+            assert abs(r.nrm - 1.0) < 1e-12
+
+
+def test_quantize_int8_roundtrip_bound_and_cosine(spark):
+    vecs = _rand_vecs(30, 64)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i long, v array<double>"
+    )
+    q = df.select("i", "v", quantize_int8(F.col("v")).alias("qs"))
+    rows = q.select(
+        "i",
+        "v",
+        F.col("qs.scale").alias("scale"),
+        dequantize_int8(F.col("qs")).alias("dq"),
+    ).collect()
+    for r in rows:
+        assert r.scale > 0
+        for orig, deq in zip(r.v, r.dq):
+            assert abs(orig - deq) <= r.scale / 2 + 1e-12
+    # cosine fidelity of the reconstruction
+    sims = q.select(
+        cosine_similarity(F.col("v"), dequantize_int8(F.col("qs"))).alias("cs")
+    ).collect()
+    assert min(r.cs for r in sims) > 0.999
+
+
+def test_quantize_int8_zero_vector(spark):
+    df = spark.createDataFrame([(1, [0.0] * 8)], "i long, v array<double>")
+    r = df.select(quantize_int8(F.col("v")).alias("qs")).select(
+        "qs.scale", "qs.q"
+    ).collect()[0]
+    assert r.scale == 0.0 and list(r.q) == [0] * 8
+
+
+def test_quantize_embeddings_table(spark, sf_dir):
+    from lakeflush_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_vec("embedding").alias("v")
+    )
+    qs = emb.select(
+        "vec_id", cosine_similarity(F.col("v"), dequantize_int8(quantize_int8(F.col("v")))).alias("cs")
+    )
+    assert qs.where(F.col("cs") < 0.999).count() == 0
+
+
+def _passage_docs(spark):
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(500)]
+    passage = " ".join(rng.choice(vocab) for _ in range(60))
+    rows = []
+    for i in range(10):
+        filler = lambda k: " ".join(rng.choice(vocab) for _ in range(k))  # noqa: E731
+        if i < 3:  # planted: same 60-token passage at different offsets
+            rows.append((i, f"{filler(5 + 7 * i)} {passage} {filler(11)}"))
+        else:
+            rows.append((i, filler(80)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repeated_spans_finds_planted_passage(spark):
+    docs = _passage_docs(spark)
+    spans = repeated_spans(docs, window=30, stride=4).collect()
+    assert spans, "planted passage not detected"
+    assert all(s.n_docs == 3 for s in spans)  # only the 3 planted docs share
+    flagged = {r.doc_id for r in docs_with_repeated_spans(
+        docs, window=30, stride=4
+    ).collect()}
+    assert flagged == {0, 1, 2}
+
+
+def test_repeated_spans_clean_corpus(spark):
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(80))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    assert repeated_spans(docs, window=30, stride=4).count() == 0

@@ -21,6 +21,12 @@ str), extended with the schema/partitioning/UDF plumbing Spark needs:
 - **frame sampling** (`sample_frames`): one input row fans out to N
   frame rows inside `mapInPandas` — demonstrates the 1→N batch shape
   (video → frames, audio → windows) with bounded memory per batch.
+- **resize** (`resize_media`): payload → smaller payload (image
+  thumbnail / audio downsample shape). The decode→interpolate→encode
+  middle is the stubbed part (no codec libs here); the deterministic
+  stand-in keeps every ``ratio``-th byte, so output size, content
+  hash, and the binary-in/binary-out Arrow plumbing are all real and
+  value-tested.
 
 At 100 TB: payloads dominate bytes, so all three operators are
 map-only over the scan partitioning — no shuffle. Feature extraction
@@ -38,6 +44,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -118,6 +125,53 @@ def extract_features(df: DataFrame, id_col: str = "media_id", payload_col: str =
             yield pd.DataFrame(rows, columns=[f.name for f in _FEATURE_SCHEMA.fields])
 
     return df.select(id_col, payload_col).mapInPandas(featurize, _FEATURE_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("orig_bytes", LongType()),
+        StructField("resized_bytes", LongType()),
+        StructField("resized_payload", BinaryType()),
+        StructField("resized_sha256", StringType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    ratio: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Binary-in/binary-out downsample via mapInPandas (resize shape).
+
+    Production swaps the strided-byte stand-in for decode → resample →
+    re-encode (`decode_media`); the Spark contract — opaque binary
+    column out, ~1/ratio the bytes, deterministic content hash, output
+    partitioning == input partitioning, no shuffle — is identical.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                out = bytes(payload[::ratio])
+                rows.append(
+                    (
+                        int(mid),
+                        len(payload),
+                        len(out),
+                        out,
+                        hashlib.sha256(out).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(resize, _RESIZE_SCHEMA)
 
 
 _FRAME_SCHEMA = StructType(

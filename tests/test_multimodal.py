@@ -94,3 +94,20 @@ def test_partitioning_preserved(spark):
         [(i, b"x" * 10) for i in range(20)], "media_id LONG, payload BINARY"
     ).repartition(4)
     assert extract_features(df).rdd.getNumPartitions() == 4
+
+
+def test_resize_media_values(media_df):
+    from lakeflush_spark.operators.multimodal import resize_media
+
+    out = {r["media_id"]: r for r in resize_media(media_df, ratio=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for mid, payload in [
+        (1, b"hello world payload"),
+        (4, bytes(range(256)) * 3),
+    ]:
+        exp = bytes(payload[::4])
+        r = out[mid]
+        assert r["orig_bytes"] == len(payload)
+        assert r["resized_bytes"] == len(exp)
+        assert bytes(r["resized_payload"]) == exp
+        assert r["resized_sha256"] == hashlib.sha256(exp).hexdigest()

@@ -47,6 +47,18 @@ class StreamCompactionConfig:
     max_files_per_trigger: int | None = None
     max_bytes_per_trigger: str | None = None
     glob: str | None = None
+    #: exactly-once bundle delivery under batch replay: bundles land in
+    #: a ``batch=<id>`` partition written with DYNAMIC partition
+    #: overwrite, so a micro-batch replayed after a crash (foreachBatch
+    #: is otherwise at-least-once) REPLACES its own output instead of
+    #: appending duplicates. The reference's restart semantics
+    #: re-collect and duplicate data (SURVEY §3.4); plain append mode
+    #: reproduces that, this flag upgrades it. Caveat: combined with
+    #: ``date_partition_format``, a replay that crosses a
+    #: processing-time partition boundary lands in the new date dir
+    #: (the overwrite is scoped to the partition actually written) —
+    #: inherent to processing-time partitioning, not to the batch scheme.
+    exactly_once: bool = False
 
 
 def _bundle_writer(cfg: StreamCompactionConfig):
@@ -81,21 +93,45 @@ def _bundle_writer(cfg: StreamCompactionConfig):
         n_bundles = max(1, -(-n_records // records_per_bundle))
         if n_bundles < 2048:
             out = out.repartition(n_bundles)
-        writer = out.write.mode("append").option("maxRecordsPerFile", records_per_bundle)
+        part_names = [name for name, _ in part_cols]
+        if cfg.exactly_once:
+            # batch-scoped partition + dynamic overwrite: a replay of
+            # batch N rewrites ONLY batch=N — idempotent delivery.
+            out = out.withColumn("batch", F.lit(int(batch_id)))
+            writer = (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("maxRecordsPerFile", records_per_bundle)
+            )
+            part_names = part_names + ["batch"]
+        else:
+            writer = out.write.mode("append").option(
+                "maxRecordsPerFile", records_per_bundle
+            )
         if cfg.compress:
             writer = writer.option("compression", "gzip")
-        if part_cols:
-            writer = writer.partitionBy(*[name for name, _ in part_cols])
+        if part_names:
+            writer = writer.partitionBy(*part_names)
         writer.text(cfg.dest_dir)
 
         # audit: one row per micro-batch (queryable upgrade of the
         # reference's per-bundle sidecar files, utils/file/store.py:10-21)
-        spark.sql(
+        audit_row = spark.sql(
             "SELECT "
             f"'{uuid.uuid4().hex}' AS run_id, {int(batch_id)}L AS batch_id, "
             f"{n_records}L AS records, {batch_bytes}L AS bytes, "
             f"current_timestamp() AS flushed_at"
-        ).write.mode("append").parquet(f"{cfg.dest_dir.rstrip('/')}/_lakeflush_audit_stream")
+        )
+        audit_path = f"{cfg.dest_dir.rstrip('/')}/_lakeflush_audit_stream"
+        if cfg.exactly_once:
+            (
+                audit_row.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(audit_path)
+            )
+        else:
+            audit_row.write.mode("append").parquet(audit_path)
 
     return write_batch
 

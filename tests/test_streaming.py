@@ -87,6 +87,34 @@ def test_stream_compaction_exactly_once_on_restart(spark, small_lake, tmp_path):
     assert len(_bundles(dest)) == n_before
 
 
+def test_stream_compaction_idempotent_batch_replay(spark, small_lake, tmp_path):
+    """exactly_once mode: re-running a micro-batch (foreachBatch replay
+    after a crash between sink write and checkpoint commit) REPLACES
+    its batch partition instead of appending duplicates."""
+    from lakeflush_spark.streaming.compaction import _bundle_writer
+
+    dest = str(tmp_path / "dest")
+    cfg = StreamCompactionConfig(
+        source_dir=small_lake,
+        dest_dir=dest,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_size_mb=1.0,
+        exactly_once=True,
+    )
+    writer = _bundle_writer(cfg)
+    batch = spark.read.json(small_lake).selectExpr("to_json(struct(*)) AS value")
+    n = batch.count()
+    writer(batch, 7)
+    writer(batch, 7)  # simulated replay of the SAME batch id
+    out = spark.read.text([p for p in _bundles(dest)])
+    assert out.count() == n  # no duplicates
+    audit = spark.read.parquet(f"{dest}/_lakeflush_audit_stream")
+    assert audit.where("batch_id = 7").count() == 1
+    # a different batch id still appends alongside
+    writer(batch.limit(5), 8)
+    assert spark.read.text([p for p in _bundles(dest)]).count() == n + 5
+
+
 def _stream_events(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from lakeflush_spark.io import table_path

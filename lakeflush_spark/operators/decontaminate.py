@@ -83,6 +83,7 @@ def _gram_hits(
     id_col: str,
     text_col: str,
     n: int,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Exploded (corpus_id, _csz, eval_id, _esz, _g) contamination hits.
 
@@ -111,7 +112,10 @@ def _gram_hits(
     co_grams = gram_side(corpus, "corpus_id", "_csz")
     # Broadcast the (small) eval gram table: the exploded corpus feeds
     # the join with no exchange; only hits reach downstream aggregations.
-    return co_grams.join(F.broadcast(ev_grams), "_g")
+    # broadcast_eval=False degrades to a shuffle hash join for eval sets
+    # too large for executor memory (both sides then exchange on _g).
+    ev_side = F.broadcast(ev_grams) if broadcast_eval else ev_grams
+    return co_grams.join(ev_side, "_g")
 
 
 def _pairs_from_hits(hits: DataFrame) -> DataFrame:
@@ -137,6 +141,7 @@ def contamination_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = DECONTAM_N,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """(eval_id, corpus_id, n_common, jaccard) for every overlapping pair.
 
@@ -147,7 +152,14 @@ def contamination_pairs(
     callers can threshold on either column.
     """
     return _pairs_from_hits(
-        _gram_hits(corpus, eval_docs, id_col=id_col, text_col=text_col, n=n)
+        _gram_hits(
+            corpus,
+            eval_docs,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            broadcast_eval=broadcast_eval,
+        )
     )
 
 
@@ -160,6 +172,7 @@ def decontaminate(
     n: int = DECONTAM_N,
     min_common: int = 1,
     materialize: bool = True,
+    broadcast_eval: bool = True,
 ) -> DecontamResult:
     """Remove corpus docs sharing ≥ ``min_common`` word n-grams with eval.
 
@@ -174,7 +187,14 @@ def decontaminate(
     neither pass shuffles corpus rows (both joins broadcast the small
     side). Call ``result.unpersist()`` when done.
     """
-    hits = _gram_hits(corpus, eval_docs, id_col=id_col, text_col=text_col, n=n)
+    hits = _gram_hits(
+        corpus,
+        eval_docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        broadcast_eval=broadcast_eval,
+    )
     if materialize:
         hits = hits.persist()
     pairs = _pairs_from_hits(hits)

@@ -98,10 +98,14 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint") % 100
     eval_docs = docs.where(bucket < EVAL_PCT)
     corpus = docs.where(bucket >= EVAL_PCT)
-    # materialize=False: the three branches below land in ONE union
-    # action at contract scale; production callers keep the default.
+    # materialize=True persists the hit set (only MATCHING gram rows —
+    # KBs here, bounded by contamination volume at any scale) so the
+    # three union branches run the corpus probe once, not three times
+    # (measured 1.6x on the whole query at sf0.1). The tiny cache is
+    # left to LRU eviction: a declarative builder has no post-collect
+    # hook, and per driver run it is one bounded block.
     res = decontaminate(
-        corpus, eval_docs, n=CONTRACT_N, min_common=1, materialize=False
+        corpus, eval_docs, n=CONTRACT_N, min_common=1, materialize=True
     )
     null_big = F.lit(None).cast("bigint")
     null_dbl = F.lit(None).cast("double")

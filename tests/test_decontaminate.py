@@ -91,6 +91,22 @@ def test_hash_set_is_distinct_after_hashing(spark):
     assert row.n == row.nd > 0
 
 
+def test_shuffle_fallback_matches_broadcast(spark, frames):
+    corpus, eval_docs = frames
+    by_bc = sorted(
+        map(tuple, contamination_pairs(corpus, eval_docs, n=5).collect())
+    )
+    by_sj = sorted(
+        map(
+            tuple,
+            contamination_pairs(
+                corpus, eval_docs, n=5, broadcast_eval=False
+            ).collect(),
+        )
+    )
+    assert by_bc == by_sj and by_bc
+
+
 def test_materialize_roundtrip(spark, frames):
     corpus, eval_docs = frames
     res = decontaminate(corpus, eval_docs, n=5)

@@ -221,8 +221,9 @@ sh AS (SELECT doc_id, source, ({_simhash_bits_sql('hs')})::BIGINT AS simhash FRO
     LIMIT 30
     """,
     "Closest pairs by SimHash Hamming distance. All-pairs here for the "
-    "oracle; the scale path splits the fingerprint into chunks and "
-    "equi-joins on chunk equality (pigeonhole), mirroring the LSH band join.",
+    "oracle; the scale path is operators/dedup.simhash_near_dups — the "
+    "pigeonhole chunk equi-join, proven pair-for-pair identical to the "
+    "all-pairs scan in tests/test_dedup_ops.py.",
 )
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark).select(

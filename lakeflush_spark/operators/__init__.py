@@ -3,6 +3,45 @@ from lakeflush_spark.operators.compaction import (
     CompactionResult,
     compact,
 )
+from lakeflush_spark.operators.decontaminate import (
+    DecontamResult,
+    contamination_pairs,
+    decontaminate,
+)
+from lakeflush_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    simhash_near_dups,
+)
+from lakeflush_spark.operators.layout import zorder_write
 from lakeflush_spark.operators.manifest import scan_manifest
+from lakeflush_spark.operators.multimodal import (
+    extract_features,
+    media_metadata,
+    resize_media,
+    sample_frames,
+)
+from lakeflush_spark.operators.substring_dedup import (
+    docs_with_repeated_spans,
+    repeated_spans,
+)
 
-__all__ = ["CompactionConfig", "CompactionResult", "compact", "scan_manifest"]
+__all__ = [
+    "CompactionConfig",
+    "CompactionResult",
+    "DecontamResult",
+    "compact",
+    "contamination_pairs",
+    "decontaminate",
+    "docs_with_repeated_spans",
+    "exact_dedup",
+    "extract_features",
+    "media_metadata",
+    "minhash_near_dups",
+    "repeated_spans",
+    "resize_media",
+    "sample_frames",
+    "scan_manifest",
+    "simhash_near_dups",
+    "zorder_write",
+]

@@ -8,6 +8,7 @@ standard LLM-corpus preparation flow:
       -> filter (length / language / quality gates)
       -> exact dedup (content hash)
       -> near-dup removal (MinHash+LSH candidate pairs, greedy keep)
+      -> optional repeated-passage (boilerplate) removal
       -> optional eval-set decontamination (broadcast n-gram probe)
       -> curated corpus + per-stage stats
 
@@ -54,6 +55,13 @@ class CurationConfig:
     #: ~L/2 rounds; unresolved edges after the budget keep both ends
     #: (conservative: never over-delete).
     cc_iterations: int = 0
+    #: drop documents containing a cross-document repeated passage
+    #: (operators/substring_dedup.py) of at least this many tokens;
+    #: None disables the stage. Catches boilerplate/license blocks that
+    #: whole-doc similarity misses when surrounding text differs.
+    drop_repeated_passage_window: int | None = None
+    #: anchor stride for the repeated-passage probe (see substring_dedup)
+    repeated_passage_stride: int = 8
     #: word-n-gram width for the optional eval-set decontamination
     #: stage (only used when ``curate_documents`` receives eval_docs)
     decontam_n: int = 13
@@ -70,7 +78,8 @@ class CurationStats:
     after_filters: int
     after_exact_dedup: int
     after_near_dedup: int
-    #: equals after_near_dedup when no eval set was supplied
+    #: final count after the optional repeated-passage and
+    #: decontamination stages; equals after_near_dedup when both are off
     after_decontam: int | None = None
 
 
@@ -178,6 +187,18 @@ def curate_documents(
     ).first()
     n_exact = exact.count()
     n_near = curated.count()
+
+    if cfg.drop_repeated_passage_window is not None:
+        from lakeflush_spark.operators.substring_dedup import docs_with_repeated_spans
+
+        boiler = docs_with_repeated_spans(
+            curated,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+            window=cfg.drop_repeated_passage_window,
+            stride=cfg.repeated_passage_stride,
+        )
+        curated = curated.join(F.broadcast(boiler), cfg.id_col, "left_anti")
 
     if eval_docs is not None:
         res = decontaminate(

@@ -71,6 +71,32 @@ def test_curation_decontam_stage(spark, sf_dir):
     assert stats2.after_decontam == stats2.after_near_dedup
 
 
+def test_curation_repeated_passage_stage(spark):
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(400)]
+    passage = " ".join(rng.choice(vocab) for _ in range(50))
+    rows = []
+    for i in range(9):
+        filler = " ".join(rng.choice(vocab) for _ in range(60))
+        if i < 3:
+            rows.append((i, f"{filler} {passage}", "en"))
+        else:
+            rows.append((i, filler, "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cfg = CurationConfig(
+        min_tokens=1,
+        near_dup_threshold=0.99,
+        drop_repeated_passage_window=30,
+        repeated_passage_stride=4,
+    )
+    curated, stats = curate_documents(spark, docs, cfg)
+    kept = {r.doc_id for r in curated.collect()}
+    assert kept == {3, 4, 5, 6, 7, 8}  # the 3 boilerplate carriers dropped
+    assert stats.after_decontam == 6
+
+
 def test_pii_scrub_redacts_injected(spark):
     from lakeflush_spark.plans.text_queries import _PII_PATTERNS
     import pyspark.sql.functions as F2

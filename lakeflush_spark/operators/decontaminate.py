@@ -56,11 +56,11 @@ def ngram_hash_set(text: Column | str, n: int = DECONTAM_N) -> Column:
     """Distinct hashed lowercased word n-grams of a document (map-only).
 
     Lowercases first (the published decontamination procedure is
-    case-insensitive), and distincts AGAIN after hashing so 32-bit
-    collisions cannot introduce duplicate elements into the set.
+    case-insensitive). ``shingle_hash_set`` distincts AFTER hashing, so
+    32-bit collisions cannot introduce duplicate elements into the set.
     """
     c = F.col(text) if isinstance(text, str) else text
-    return F.array_distinct(shingle_hash_set(F.lower(c), k=n))
+    return shingle_hash_set(F.lower(c), k=n)
 
 
 @dataclass

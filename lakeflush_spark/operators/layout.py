@@ -58,8 +58,21 @@ def zorder_key(
     grid = (1 << bits_per_col) - 1
     normed = []
     for c in cols:
-        mn = float(bounds[f"_mn_{c}"])
-        span = float(bounds[f"_mx_{c}"]) - mn
+        raw_mn, raw_mx = bounds[f"_mn_{c}"], bounds[f"_mx_{c}"]
+        if raw_mn is None or raw_mx is None:
+            # empty frame or all-NULL column: min/max aggregate to NULL.
+            # Treat as a constant column (contributes no bits) instead
+            # of an opaque float(None) TypeError.
+            normed.append(F.lit(0))
+            continue
+        try:
+            mn = float(raw_mn)
+            span = float(raw_mx) - mn
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"zorder_key column {c!r} is not numeric "
+                f"(min={raw_mn!r}); cast it before clustering"
+            ) from None
         if span <= 0:
             normed.append(F.lit(0))
         else:

@@ -198,7 +198,11 @@ def curate_documents(
             window=cfg.drop_repeated_passage_window,
             stride=cfg.repeated_passage_stride,
         )
-        curated = curated.join(F.broadcast(boiler), cfg.id_col, "left_anti")
+        # no broadcast hint: unlike the decontamination hit set (bounded
+        # by the small eval suite), boilerplate-heavy corpora can flag a
+        # large fraction of docs — let AQE pick broadcast vs shuffle
+        # from the actual flagged-set size.
+        curated = curated.join(boiler, cfg.id_col, "left_anti")
 
     if eval_docs is not None:
         res = decontaminate(

@@ -64,7 +64,7 @@ def _sql_band(band: int) -> str:
 _MINHASH_CTES = f"""
 WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
 h AS (SELECT doc_id, source,
-             list_transform({_SHINGLE_SET}, s -> {_HASH}) AS hs
+             list_distinct(list_transform({_SHINGLE_SET}, s -> {_HASH})) AS hs
       FROM t),
 g AS (SELECT doc_id, source, hs, [{_SIG_EXPRS}] AS sig FROM h),
 b AS (SELECT doc_id, {", ".join(f"{_sql_band(i)} AS band{i}" for i in range(MINHASH_BANDS))}

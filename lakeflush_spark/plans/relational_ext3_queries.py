@@ -159,9 +159,10 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _Q52_SCHEMA = "o_custkey bigint, o_orderkey bigint, zscore double"
 
-#: target rows per applyInPandas bucket — each bucket materializes as ONE
-#: pandas frame in a Python worker, so this bounds per-group memory.
-_Q52_ROWS_PER_BUCKET = 250_000
+#: target on-disk bytes per applyInPandas bucket — each bucket
+#: materializes as ONE pandas frame in a Python worker, so this bounds
+#: per-group memory (8 MiB parquet ≈ tens of MB as a pandas frame).
+_Q52_BYTES_PER_BUCKET = 8 << 20
 _Q52_MIN_BUCKETS = 32
 
 
@@ -203,9 +204,11 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 41 s vs ~1 s bucketed at sf0.1). The bucket COUNT is
     # derived from input size — a fixed count would make each bucket
     # ~table_size/N rows, i.e. unbounded per-group memory at 100 TB.
-    # Parquet footer row counts make this a metadata-only estimate.
-    n_rows = _t(spark, sf_dir, "orders").count()  # footer-count only: no data pages read
-    n_buckets = max(_Q52_MIN_BUCKETS, -(-n_rows // _Q52_ROWS_PER_BUCKET))
+    # Catalyst's relation statistics (total file size from the parquet
+    # footer listing) make this a zero-job, driver-side estimate —
+    # previously a `.count()` action ran one extra Spark job per call.
+    size_bytes = int(orders._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n_buckets = max(_Q52_MIN_BUCKETS, -(-size_bytes // _Q52_BYTES_PER_BUCKET))
     bucketed = orders.withColumn("_b", F.pmod(F.hash("o_custkey"), F.lit(n_buckets)))
     return (
         bucketed.groupBy("_b")

@@ -65,7 +65,13 @@ class _PriceBuckets:
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    spark.udtf.register("price_buckets", udtf(_PriceBuckets, returnType="bucket int, remainder double"))
+    # Arrow-optimized UDTF (Spark 3.5+): rows cross the Python boundary
+    # in Arrow record batches instead of pickled one-at-a-time — the
+    # per-row overhead was this suite's slowest query (~2.9 s of 21 s).
+    spark.udtf.register(
+        "price_buckets",
+        udtf(_PriceBuckets, returnType="bucket int, remainder double", useArrow=True),
+    )
     # Pre-filter BEFORE the lateral: orders under one bucket yield zero
     # rows from the UDTF anyway, so the filter is semantics-preserving
     # and keeps ~72% of rows out of the Python boundary (the expensive

@@ -27,6 +27,7 @@ so audit/bundle listing never scans history.
 
 from __future__ import annotations
 
+import os
 import uuid
 from dataclasses import dataclass
 
@@ -59,6 +60,48 @@ class StreamCompactionConfig:
     #: (the overwrite is scoped to the partition actually written) —
     #: inherent to processing-time partitioning, not to the batch scheme.
     exactly_once: bool = False
+
+
+def _validate_dest_layout(cfg: StreamCompactionConfig) -> None:
+    """Fail fast when ``exactly_once`` disagrees with an existing dest.
+
+    The two modes write incompatible layouts (``batch=N``-partitioned
+    vs flat appended bundles; ``batch_id=``-partitioned vs flat audit
+    parquet) — mixing them in one directory breaks partition discovery
+    for every reader of that directory, so the mode must be chosen at
+    stream creation and kept for the directory's lifetime. Local paths
+    only (object-store layouts are validated by their first read).
+    """
+    root = cfg.dest_dir
+    if "://" in root or not os.path.isdir(root):
+        return
+    audit = os.path.abspath(os.path.join(root, "_lakeflush_audit_stream"))
+    batch_dirs = loose_files = False
+    for dirpath, dirnames, filenames in os.walk(root):
+        if os.path.abspath(dirpath) == audit:
+            if any(d.startswith("batch_id=") for d in dirnames):
+                batch_dirs = True
+            elif any(f.endswith(".parquet") for f in filenames):
+                loose_files = True
+            dirnames[:] = []
+            continue
+        if any(d.startswith("batch=") for d in dirnames):
+            batch_dirs = True
+            dirnames[:] = [d for d in dirnames if not d.startswith("batch=")]
+        if any(not f.startswith(("_", ".")) for f in filenames):
+            loose_files = True
+    if cfg.exactly_once and loose_files:
+        raise ValueError(
+            f"exactly_once=True but {root!r} already holds unpartitioned "
+            "bundles from an append-mode stream; use a fresh dest_dir "
+            "(the modes' layouts cannot share a directory)"
+        )
+    if not cfg.exactly_once and batch_dirs:
+        raise ValueError(
+            f"exactly_once=False but {root!r} already holds batch=N "
+            "partitions from an exactly-once stream; use a fresh "
+            "dest_dir (the modes' layouts cannot share a directory)"
+        )
 
 
 def _bundle_writer(cfg: StreamCompactionConfig):
@@ -150,6 +193,7 @@ def compact_stream(
     reference's daemon pair (collector O8-time + flusher O11) in one
     query.
     """
+    _validate_dest_layout(cfg)
     reader = spark.readStream.option("recursiveFileLookup", "true")
     if cfg.glob:
         reader = reader.option("pathGlobFilter", cfg.glob)

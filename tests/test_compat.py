@@ -292,3 +292,76 @@ def test_flusher_event_driven_delivery(tmp_path):
         (stage / "wake.lakeflush.collected").write_text("x")
         t.join(timeout=35)
         assert not t.is_alive()
+
+
+def test_utils_import_parity():
+    """The reference's three utility import paths resolve (SURVEY §2.D)."""
+    from lakeflush.utils import MetaDataKey as K1
+    from lakeflush.utils.logger import Logger
+    from lakeflush.utils.metadata import MetaDataKey, MetaDataStore
+    from lakeflush.utils.metadata.key import MetaDataKey as K2
+    from lakeflush.utils.metadata.store import MetaDataStore as S2
+    from lakeflush.utils.metastore import SQLiteMetastore
+
+    assert K1 is MetaDataKey is K2
+    assert S2 is MetaDataStore
+    assert MetaDataKey.COLLECTED == "collected"
+    assert callable(Logger.setup) and callable(SQLiteMetastore)
+
+
+def test_metadata_store_counters():
+    from lakeflush.utils.metadata import MetaDataKey, MetaDataStore
+
+    MetaDataStore.setup()
+    assert MetaDataStore.get(MetaDataKey.COLLECTED) == 0
+    MetaDataStore.set(MetaDataKey.COLLECTED, 7)
+    assert MetaDataStore.get(MetaDataKey.COLLECTED) == 7
+    # live link: metrics incremented through the Spark plumbing are the
+    # same numbers the compat class reads
+    MetaDataStore.metrics().add(collected=3)
+    assert MetaDataStore.get(MetaDataKey.COLLECTED) == 10
+    MetaDataStore.setup()
+    assert MetaDataStore.get(MetaDataKey.COLLECTED) == 0
+
+
+def test_logger_facade(capsys):
+    import logging
+
+    from lakeflush.utils.logger import Logger
+
+    Logger.setup(name="lakeflush-test", level=logging.INFO)
+    Logger.info("hello from compat")
+    Logger.warning("warn line")
+    out = capsys.readouterr().out
+    assert "| INFO | lakeflush-test | hello from compat" in out
+    assert "| WARNING | lakeflush-test | warn line" in out
+
+
+def test_sqlite_metastore_adapter(spark, tmp_path):
+    from lakeflush.utils.metastore import SQLiteMetastore
+
+    ms = SQLiteMetastore(str(tmp_path / "meta"), spark=spark)
+    ms.set_metadata("plain", "v1")
+    ms.set_metadata("obj", {"a": 1, "b": [2, 3]})
+    assert ms.get_metadata("plain") == "v1"
+    assert ms.get_metadata("obj") == {"a": 1, "b": [2, 3]}
+    assert ms.get_metadata("missing", default="d") == "d"
+
+    # versioned overwrite archives the superseded value, newest first
+    ms.set_metadata("plain", "v2", versioned=True)
+    ms.set_metadata("plain", "v3", versioned=True)
+    hist = [h["value"] for h in ms.get_metadata_versions("plain")]
+    assert hist == ["v2", "v1"]
+    # unversioned overwrites leave no history
+    ms.set_metadata("obj", {"a": 9})
+    assert ms.get_metadata_versions("obj") == []
+
+    got = ms.get_metadata_with_timestamps("plain")
+    assert got["value"] == "v3" and got["created_at"] <= got["updated_at"]
+
+    assert ms.search_metadata("v3") == {"plain": "v3"}
+    assert sorted(ms.list_keys()) == ["obj", "plain"]
+    ms.delete_metadata("obj")
+    assert ms.get_metadata("obj") is None
+    ms.clear()
+    assert ms.list_keys() == []

@@ -43,3 +43,71 @@ def test_pigeonhole_max_hamming_guard(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         simhash_near_dups(docs, max_hamming=40)
+
+
+def _boilerplate_corpus(spark, n_hot=40, n_normal=5):
+    """n_hot identical docs (one giant LSH bucket) + a few distinct ones,
+    including one genuine near-dup pair among the normal docs."""
+    rows = [(i, "the same boilerplate footer text repeated everywhere") for i in range(n_hot)]
+    base = 1000
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",  # near-dup of previous
+        "completely different words about spark and parquet files",
+        "numbers one two three four five six seven eight nine",
+        "final unrelated document mentioning lakehouse compaction",
+    ]
+    rows += [(base + i, t) for i, t in enumerate(texts[:n_normal])]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    from lakeflush_spark.operators.dedup import lsh_candidate_pairs, with_minhash
+
+    docs = _boilerplate_corpus(spark)
+    prepared = with_minhash(docs)
+    uncapped = lsh_candidate_pairs(prepared).count()
+    # the 40 identical docs alone produce 40*39/2 = 780 pairs
+    assert uncapped >= 780
+    capped = lsh_candidate_pairs(prepared, max_bucket_size=10)
+    rows = capped.collect()
+    # every hot-bucket pair is gone; only normal-doc collisions remain
+    assert all(r.id1 >= 1000 and r.id2 >= 1000 for r in rows)
+    assert len(rows) < 50
+    # the genuine near-dup pair among normal docs survives the cap
+    assert any((r.id1, r.id2) == (1000, 1001) for r in rows)
+
+
+def test_simhash_hot_bucket_cap_bounds_candidates(spark):
+    docs = _boilerplate_corpus(spark)
+    uncapped = simhash_near_dups(docs, max_hamming=4).count()
+    assert uncapped >= 780
+    rows = simhash_near_dups(docs, max_hamming=4, max_bucket_size=10).collect()
+    assert all(r.id1 >= 1000 and r.id2 >= 1000 for r in rows)
+    assert len(rows) < 50
+
+
+def test_minhash_near_dups_cap_and_no_full_cache(spark):
+    from lakeflush_spark.operators.dedup import minhash_near_dups
+
+    docs = _boilerplate_corpus(spark)
+    pairs = minhash_near_dups(docs, threshold=0.5, max_bucket_size=10).collect()
+    assert all(r.id1 >= 1000 and r.id2 >= 1000 for r in pairs)
+    assert any((r.id1, r.id2) == (1000, 1001) for r in pairs)
+    # the signature/shingle frame must not be pinned in executor memory:
+    # any cached relation in the plan carries only pair ids, never the
+    # corpus-sized _sh shingle arrays
+    plan = minhash_near_dups(docs, threshold=0.5)._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "InMemoryRelation" in line:
+            assert "_sh" not in line
+
+
+def test_cap_validation(spark):
+    import pytest
+
+    from lakeflush_spark.operators.dedup import lsh_candidate_pairs, with_minhash
+
+    docs = _boilerplate_corpus(spark, n_hot=2, n_normal=2)
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(with_minhash(docs), max_bucket_size=0).collect()

@@ -32,6 +32,27 @@ def test_interleave_bits_width_guard():
         interleave_bits([F.lit(1)] * 8, 8)
 
 
+def test_zorder_key_degenerate_bounds(spark):
+    from lakeflush_spark.operators.layout import zorder_key
+
+    # all-NULL column: min/max aggregate to NULL -> constant, no crash
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "x int, y int"
+    )
+    _, key = zorder_key(df, ["x", "y"])
+    assert df.select(key.alias("z")).count() == 2
+
+    # empty frame: every bound NULL -> constant key
+    empty = df.where("x < 0")
+    _, key = zorder_key(empty, ["x", "y"])
+    assert empty.select(key.alias("z")).count() == 0
+
+    # non-numeric column: a clear error naming the column
+    sdf = spark.createDataFrame([(1, "a")], "x int, s string")
+    with pytest.raises(ValueError, match="'s'"):
+        zorder_key(sdf, ["x", "s"])
+
+
 def test_zorder_write_prunes_box_predicates(spark, sf_dir, tmp_path):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity"

@@ -38,9 +38,48 @@ def test_metadata_values(media_df):
     assert out[3]["sniffed_type"] == "image/jpeg"
 
 
-def test_decode_is_stubbed():
+def _pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_decode_guarded_when_pil_absent():
+    if _pil():
+        pytest.skip("PIL present: the guarded-absent path cannot fire")
     with pytest.raises(NotImplementedError):
         decode_media("image/png")
+
+
+def test_resize_codec_guarded_when_pil_absent(media_df):
+    from lakeflush_spark.operators.multimodal import resize_media
+
+    if _pil():
+        pytest.skip("PIL present: the guarded-absent path cannot fire")
+    # fails fast at plan time, not per-row inside executors
+    with pytest.raises(NotImplementedError):
+        resize_media(media_df, codec=True)
+
+
+@pytest.mark.skipif(not _pil(), reason="real-codec path needs PIL")
+def test_resize_codec_real_decode(spark):
+    """Real decode→resize→re-encode when the codec library exists."""
+    import io
+
+    from PIL import Image
+
+    from lakeflush_spark.operators.multimodal import resize_media
+
+    buf = io.BytesIO()
+    Image.new("RGB", (64, 32), (200, 10, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, buf.getvalue())], "media_id LONG, payload BINARY")
+    row = resize_media(df, ratio=4, codec=True).collect()[0]
+    out_img = Image.open(io.BytesIO(bytes(row["resized_payload"])))
+    assert out_img.size == (16, 8)
+    assert row["resized_bytes"] == len(bytes(row["resized_payload"]))
 
 
 def test_features_match_numpy_reference(media_df):

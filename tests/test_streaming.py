@@ -115,6 +115,50 @@ def test_stream_compaction_idempotent_batch_replay(spark, small_lake, tmp_path):
     assert spark.read.text([p for p in _bundles(dest)]).count() == n + 5
 
 
+def test_stream_compaction_mode_toggle_fails_fast(spark, small_lake, tmp_path):
+    """exactly_once must be chosen at stream creation: toggling it on an
+    existing dest would mix batch=N-partitioned and flat layouts in one
+    directory, breaking partition discovery for readers."""
+    import pytest
+
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+    append_cfg = StreamCompactionConfig(
+        source_dir=small_lake, dest_dir=dest, checkpoint_dir=ckpt, max_size_mb=1.0
+    )
+    compact_stream(spark, append_cfg, available_now=True).awaitTermination(180)
+    eo_cfg = StreamCompactionConfig(
+        source_dir=small_lake,
+        dest_dir=dest,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        max_size_mb=1.0,
+        exactly_once=True,
+    )
+    with pytest.raises(ValueError, match="append-mode"):
+        compact_stream(spark, eo_cfg, available_now=True)
+
+    # and the reverse direction: exactly-once dest, append-mode restart
+    dest2 = str(tmp_path / "dest2")
+    eo_cfg2 = StreamCompactionConfig(
+        source_dir=small_lake,
+        dest_dir=dest2,
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        max_size_mb=1.0,
+        exactly_once=True,
+    )
+    compact_stream(spark, eo_cfg2, available_now=True).awaitTermination(180)
+    append_cfg2 = StreamCompactionConfig(
+        source_dir=small_lake,
+        dest_dir=dest2,
+        checkpoint_dir=str(tmp_path / "ckpt4"),
+        max_size_mb=1.0,
+    )
+    with pytest.raises(ValueError, match="batch=N"):
+        compact_stream(spark, append_cfg2, available_now=True)
+    # same mode on the same dest stays fine (restart path)
+    compact_stream(spark, eo_cfg2, available_now=True).awaitTermination(180)
+
+
 def _stream_events(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from lakeflush_spark.io import table_path

@@ -44,8 +44,8 @@ HEADLINE = [
     "q23_minhash_simhash_sigs",
     "q24_neardup_pairs",
     "q61_decontaminate",
-    "q29_ann_bruteforce",
-    "q30_ann_lsh",
+    "q62_repeated_passage",
+    "q29_ann_topk",
     "q34_session_window",
     # extended relational + escape-hatch surface
     "q47_full_outer_join",

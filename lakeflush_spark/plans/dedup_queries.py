@@ -243,6 +243,55 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q62 mirrors operators/substring_dedup.anchored_span_fps: content-
+# anchored token windows (winnowing/CDC trick — anchors depend on token
+# content alone, so shared passages fingerprint identically at any doc
+# offset), md5 span fingerprints, one exact-dedup-shaped groupBy.
+_Q62_WINDOW = 8
+_Q62_STRIDE = 2
+
+
+@declare(
+    "q62_repeated_passage",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                     list_filter(
+                         CASE WHEN len(toks) >= {_Q62_WINDOW}
+                              THEN range(1, len(toks) - {_Q62_WINDOW} + 2)
+                              ELSE [] END,
+                         i -> ('0x' || substring(md5(toks[i]), 1, 8))::BIGINT
+                              % {_Q62_STRIDE} = 0
+                     ),
+                     i -> md5(array_to_string(
+                              list_slice(toks, i, i + {_Q62_WINDOW} - 1), ' '))
+                 )) AS fps
+          FROM t),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM s)
+    SELECT fp,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM e GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY fp
+    """,
+    "Cross-document repeated passages (boilerplate/license-block "
+    "detection) via content-anchored window fingerprints: map-only "
+    "anchor+md5 per doc, ONE shuffle on 16-byte fingerprints — the "
+    "exact-dedup shape, no pairwise work. The substring-level dup "
+    "class whole-doc Jaccard/SimHash miss. (new in r4: promoted from "
+    "test-only to hash-checked contract entry.)",
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeflush_spark.operators.substring_dedup import repeated_spans
+
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    return repeated_spans(
+        docs, window=_Q62_WINDOW, stride=_Q62_STRIDE, min_docs=2
+    ).orderBy("fp")
+
+
 @declare(
     "q28_embedding_neardup",
     """

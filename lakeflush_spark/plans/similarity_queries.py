@@ -8,6 +8,7 @@ id tie-breaks, so rank assignment is engine-independent.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from lakeflush_spark.io import load_table, spread_for_compute
@@ -58,30 +59,47 @@ def _sql_topk(bucket_cond: str) -> str:
     )
 
 
+def _sql_topk_labeled(method: str, bucket_cond: str) -> str:
+    """One method's scored+ranked CTE chain as a labeled SELECT."""
+    return f"""
+    SELECT '{method}' AS method, query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+               ) AS BIGINT) AS rank
+        FROM (
+            SELECT qid AS query_id, vec_id AS neighbor_id, {_SQL_COS} AS cos_sim
+            FROM n JOIN q ON vec_id != qid {bucket_cond}
+        )
+    ) WHERE rank <= {TOP_K}
+    """
+
+
 @declare(
-    "q29_ann_bruteforce",
-    _sql_topk(""),
-    "Exact cosine top-10 for 5 query vectors over the full corpus — "
-    "broadcast the queries, scan the corpus once, window top-k.",
+    "q29_ann_topk",
+    _VEC_CTES
+    + _sql_topk_labeled("exact", "")
+    + " UNION ALL "
+    + _sql_topk_labeled("lsh", "AND bucket = qbucket")
+    + " ORDER BY method, query_id, rank",
+    "ANN top-10 for 5 query vectors, two strategies labeled in one "
+    "frame: exact brute-force cosine (broadcast queries, one corpus "
+    "scan, window top-k — the correctness baseline) and sign-LSH "
+    "bucketed search (256 sign buckets; the bucket equi-join cuts "
+    "candidate pairs ~256x — the scale path). (r4: merged q29+q30 to "
+    "free a contract slot for q62.)",
 )
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark)
-    corpus = prepare_vectors(emb)
-    queries = corpus.where(corpus.vid < N_QUERIES)
-    return brute_force_topk(corpus, queries, TOP_K).orderBy("query_id", "rank")
-
-
-@declare(
-    "q30_ann_lsh",
-    _sql_topk("AND bucket = qbucket"),
-    "Sign-LSH bucketed ANN top-10 (256 buckets from coordinate signs): "
-    "the bucket equi-join cuts candidate pairs ~256x; recall traded for scan cost.",
-)
-def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark)
     corpus = prepare_vectors(emb, with_bucket=True, n_bits=LSH_BITS)
     queries = corpus.where(corpus.vid < N_QUERIES)
-    return lsh_topk(corpus, queries, TOP_K).orderBy("query_id", "rank")
+    exact = brute_force_topk(corpus.drop("bucket"), queries.drop("bucket"), TOP_K).select(
+        F.lit("exact").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+    lsh = lsh_topk(corpus, queries, TOP_K).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+    return exact.unionByName(lsh).orderBy("method", "query_id", "rank")
 
 
 _IVF_CELLS = 16

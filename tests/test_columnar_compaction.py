@@ -102,7 +102,8 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
 
     exact = {
         (r.query_id, r.neighbor_id)
-        for r in QUERIES["q29_ann_bruteforce"].builder(spark, sf_dir).collect()
+        for r in QUERIES["q29_ann_topk"].builder(spark, sf_dir).collect()
+        if r.method == "exact"
     }
     ivf = {
         (r.query_id, r.neighbor_id)

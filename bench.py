@@ -11,6 +11,13 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 The compaction section is the BASELINE.md comparable: the reference
 ingests CSV at 7.4 MB/s and tiny JSON files at ~10.5k files/s on one
 core; this engine should beat both on 32.
+
+Variance note: single runs on a contended box swing ±40%; conclude
+regressions only from isolated warm runs. Isolated r4 re-measure of
+csv_mb_s (per round-3 VERDICT item 7): 34.1 and 36.5 MB/s in two
+back-to-back runs with no concurrent JVMs — r3's 35.1 was not a
+regression; r2's 43.1 was the high outlier. Steady-state ≈ 35 MB/s
+(4.7x the reference baseline).
 """
 
 from __future__ import annotations

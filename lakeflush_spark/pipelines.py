@@ -55,6 +55,13 @@ class CurationConfig:
     #: ~L/2 rounds; unresolved edges after the budget keep both ends
     #: (conservative: never over-delete).
     cc_iterations: int = 0
+    #: drop LSH band buckets larger than this before the near-dup
+    #: self-join (operators/dedup._cap_hot_buckets): one boilerplate
+    #: bucket of B docs otherwise costs O(B²) candidate pairs — the
+    #: only quadratic risk in the pipeline at 100 TB. Docs in dropped
+    #: buckets are boilerplate by construction; enable the
+    #: repeated-passage stage to catch them instead. None = uncapped.
+    near_dup_max_bucket: int | None = None
     #: drop documents containing a cross-document repeated passage
     #: (operators/substring_dedup.py) of at least this many tokens;
     #: None disables the stage. Catches boilerplate/license blocks that
@@ -171,7 +178,11 @@ def curate_documents(
     # chain tails) or the iterative independent-set walk (cc_iterations
     # rounds, keeps chain tails whose surviving neighbors were dropped).
     pairs = minhash_near_dups(
-        exact, id_col=cfg.id_col, text_col=tc, threshold=cfg.near_dup_threshold
+        exact,
+        id_col=cfg.id_col,
+        text_col=tc,
+        threshold=cfg.near_dup_threshold,
+        max_bucket_size=cfg.near_dup_max_bucket,
     )
     if cfg.cc_iterations > 0:
         losers = _iterative_near_dup_losers(pairs, cfg.cc_iterations, cfg.id_col)

@@ -97,6 +97,27 @@ def test_curation_repeated_passage_stage(spark):
     assert stats.after_decontam == 6
 
 
+def test_curation_hot_bucket_cap_wired(spark):
+    """near_dup_max_bucket reaches the LSH join: a swarm of identical
+    docs (one giant band bucket) is NOT pairwise-deduped when capped —
+    the repeated-passage stage is the designated catcher instead."""
+    rows = [(i, "same boilerplate body repeated in every doc here", "en") for i in range(30)]
+    rows += [(100, "one normal document with enough distinct tokens", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    base = CurationConfig(min_tokens=1, near_dup_threshold=0.5)
+    # exact dedup already collapses identical docs; make them near-identical
+    docs = docs.withColumn(
+        "text", F.concat_ws(" ", "text", F.concat(F.lit("tail"), F.col("doc_id")))
+    )
+    _, uncapped_stats = curate_documents(spark, docs, base)
+    capped_cfg = CurationConfig(min_tokens=1, near_dup_threshold=0.5, near_dup_max_bucket=5)
+    _, capped_stats = curate_documents(spark, docs, capped_cfg)
+    # uncapped: the swarm pairwise-resolves to ~1 survivor; capped: the
+    # oversized bucket is dropped pre-join, so the swarm survives intact
+    assert uncapped_stats.after_near_dedup < capped_stats.after_near_dedup
+    assert capped_stats.after_near_dedup == 31
+
+
 def test_pii_scrub_redacts_injected(spark):
     from lakeflush_spark.plans.text_queries import _PII_PATTERNS
     import pyspark.sql.functions as F2

@@ -11,9 +11,16 @@ from lakeflush_spark.operators.decontaminate import (
 from lakeflush_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dups,
+    near_dup_clusters,
     simhash_near_dups,
 )
 from lakeflush_spark.operators.layout import zorder_write
+from lakeflush_spark.operators.mixing import (
+    deterministic_shuffle,
+    mix_sources,
+    sample_fraction,
+    take_token_budget,
+)
 from lakeflush_spark.operators.manifest import scan_manifest
 from lakeflush_spark.operators.multimodal import (
     extract_features,
@@ -33,11 +40,16 @@ __all__ = [
     "compact",
     "contamination_pairs",
     "decontaminate",
+    "deterministic_shuffle",
     "docs_with_repeated_spans",
     "exact_dedup",
     "extract_features",
+    "mix_sources",
+    "sample_fraction",
+    "take_token_budget",
     "media_metadata",
     "minhash_near_dups",
+    "near_dup_clusters",
     "repeated_spans",
     "resize_media",
     "sample_frames",

@@ -111,3 +111,64 @@ def test_cap_validation(spark):
     docs = _boilerplate_corpus(spark, n_hot=2, n_normal=2)
     with pytest.raises(ValueError):
         lsh_candidate_pairs(with_minhash(docs), max_bucket_size=0).collect()
+
+
+def _py_components(pairs):
+    """Union-find reference implementation."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_near_dup_clusters_matches_union_find(spark):
+    from lakeflush_spark.operators.dedup import near_dup_clusters
+
+    # chains, a triangle, a star, and an isolated pair — plus a long
+    # chain to force several propagation rounds
+    pairs = [
+        (1, 2), (2, 3),                     # chain
+        (10, 11), (11, 12), (10, 12),       # triangle
+        (20, 21), (20, 22), (20, 23),       # star
+        (30, 31),                           # pair
+    ] + [(100 + i, 101 + i) for i in range(12)]  # 13-node chain
+    df = spark.createDataFrame(pairs, "id1 long, id2 long")
+    got = {r.id: r.cluster_id for r in near_dup_clusters(df).collect()}
+    assert got == _py_components(pairs)
+
+
+def test_near_dup_clusters_on_real_lsh_pairs(spark, sf_dir):
+    from lakeflush_spark.io import load_table
+    from lakeflush_spark.operators.dedup import minhash_near_dups, near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_near_dups(docs, threshold=0.5)
+    rows = pairs.collect()
+    assert rows  # planted near-dups exist
+    got = {r.id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert got == _py_components([(r.id1, r.id2) for r in rows])
+    # cluster representative is always the component's min id
+    for node, rep in got.items():
+        assert rep <= node
+
+
+def test_near_dup_clusters_budget_guard(spark):
+    import pytest
+
+    from lakeflush_spark.operators.dedup import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id1 long, id2 long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        near_dup_clusters(chain, max_iters=2)

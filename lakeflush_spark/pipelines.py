@@ -55,6 +55,13 @@ class CurationConfig:
     #: ~L/2 rounds; unresolved edges after the budget keep both ends
     #: (conservative: never over-delete).
     cc_iterations: int = 0
+    #: True = resolve near-dups by FULL connected components
+    #: (operators/dedup.near_dup_clusters): exactly one survivor (the
+    #: min id) per component — the published "keep one per cluster"
+    #: recipe. Stricter than cc_iterations (a chain A~B~C keeps only
+    #: A) and exact regardless of chain length; costs ~log(diameter)
+    #: edges-only join rounds. Mutually exclusive with cc_iterations.
+    cluster_resolution: bool = False
     #: drop LSH band buckets larger than this before the near-dup
     #: self-join (operators/dedup._cap_hot_buckets): one boilerplate
     #: bucket of B docs otherwise costs O(B²) candidate pairs — the
@@ -184,7 +191,16 @@ def curate_documents(
         threshold=cfg.near_dup_threshold,
         max_bucket_size=cfg.near_dup_max_bucket,
     )
-    if cfg.cc_iterations > 0:
+    if cfg.cluster_resolution and cfg.cc_iterations > 0:
+        raise ValueError("cluster_resolution and cc_iterations are mutually exclusive")
+    if cfg.cluster_resolution:
+        from lakeflush_spark.operators.dedup import near_dup_clusters
+
+        members = near_dup_clusters(pairs)
+        losers = members.where(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(cfg.id_col)
+        )
+    elif cfg.cc_iterations > 0:
         losers = _iterative_near_dup_losers(pairs, cfg.cc_iterations, cfg.id_col)
     else:
         losers = pairs.select(F.col("id2").alias(cfg.id_col)).distinct()

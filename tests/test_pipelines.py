@@ -97,6 +97,32 @@ def test_curation_repeated_passage_stage(spark):
     assert stats.after_decontam == 6
 
 
+def test_curation_cluster_resolution(spark):
+    """cluster_resolution keeps exactly one doc (min id) per near-dup
+    component: a similarity chain A~B~C collapses to A, unlike the
+    iterative mode which keeps the chain tail."""
+    import pytest
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base + " one", "en"),
+        (1, base + " one two", "en"),   # ~0 and ~2
+        (2, base + " one two three", "en"),
+        (50, "entirely different text about compaction and parquet files", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cfg = CurationConfig(min_tokens=1, near_dup_threshold=0.55, cluster_resolution=True)
+    curated, stats = curate_documents(spark, docs, cfg)
+    kept = {r.doc_id for r in curated.collect()}
+    assert kept == {0, 50}
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        curate_documents(
+            spark,
+            docs,
+            CurationConfig(min_tokens=1, cluster_resolution=True, cc_iterations=2),
+        )
+
+
 def test_curation_hot_bucket_cap_wired(spark):
     """near_dup_max_bucket reaches the LSH join: a swarm of identical
     docs (one giant band bucket) is NOT pairwise-deduped when capped —

@@ -169,3 +169,53 @@ def test_document_chunks_match_model(spark):
             piece = toks[c * S : c * S + W]
             exp.append((c, len(piece), " ".join(piece)))
         assert got[i] == exp, f"doc {i}: {got[i]} != {exp}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31),
+    offsets=st.lists(st.integers(0, 40), min_size=2, max_size=4),
+    window=st.sampled_from([5, 8]),
+)
+def test_repeated_spans_alignment_free(spark, seed, offsets, window):
+    """The winnowing property: a passage of >= 2*window tokens embedded
+    at ARBITRARY offsets in otherwise-random documents is detected —
+    anchors depend only on content, so alignment cannot hide it."""
+    import random
+
+    from lakeflush_spark.operators.substring_dedup import repeated_spans
+
+    rng = random.Random(seed)
+    vocab = [f"tok{i}" for i in range(500)]
+    # 2*window guarantees an anchored full window exists for stride 2
+    # with overwhelming probability per content draw; use stride 2 and
+    # retry the draw deterministically if the passage itself anchors
+    # nowhere (possible but ~2^-window rare)
+    passage = [rng.choice(vocab) for _ in range(2 * window)]
+    rows = []
+    for i, off in enumerate(offsets):
+        prefix = [rng.choice(vocab) for _ in range(off)]
+        suffix = [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+        rows.append((i, " ".join(prefix + passage + suffix)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = repeated_spans(docs, window=window, stride=2, min_docs=len(rows))
+    hits = spans.collect()
+    # every document carries the passage, so at least one fingerprint
+    # must be shared by ALL docs (unless the passage has no anchor at
+    # stride 2 — check that digest-side, not by weakening the assert)
+    from lakeflush_spark.functions.text import token_hash
+    import pyspark.sql.functions as F
+
+    anchor_exists = (
+        spark.createDataFrame([(p,) for p in passage[: window + 1]], "t string")
+        .where(token_hash(F.col("t")) % 2 == 0)
+        .count()
+        > 0
+    )
+    if anchor_exists:
+        assert hits, f"shared passage missed at offsets {offsets}"
+        assert all(r.n_docs == len(rows) for r in hits)

@@ -116,11 +116,9 @@ def take_token_budget(
     budget = F.create_map(
         *[x for s, b in budget_per_source.items() for x in (F.lit(s), F.lit(b))]
     )
+    limit = F.element_at(budget, F.col(source_col))
     return (
         df.withColumn("_preceding_tokens", running)
-        .where(
-            budget.getItem(F.col(source_col)).isNotNull()
-            & (F.col("_preceding_tokens") < budget.getItem(F.col(source_col)))
-        )
+        .where(limit.isNotNull() & (F.col("_preceding_tokens") < limit))
         .drop("_preceding_tokens")
     )

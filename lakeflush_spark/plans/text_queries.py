@@ -344,23 +344,64 @@ _SAMPLE_PCT = 10
 @declare(
     "q60_stratified_sample",
     f"""
-    SELECT lang, CAST(COUNT(*) AS BIGINT) AS sampled_docs
-    FROM documents
-    WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
-          < {_SAMPLE_PCT}
-    GROUP BY lang ORDER BY lang
+    WITH d AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS b100,
+               ('0x' || substring(md5('0:' || doc_id::VARCHAR), 1, 8))::BIGINT AS mixb,
+               md5('0:' || doc_id::VARCHAR) AS skey,
+               CAST(substring(source, 4) AS INT) AS sidx
+        FROM documents)
+    SELECT kind, key, n_docs, sum_tokens FROM (
+        SELECT 'stratified' AS kind, lang AS key,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM d WHERE b100 % 100 < {_SAMPLE_PCT} GROUP BY lang
+        UNION ALL
+        SELECT 'mixed', source, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+        FROM d WHERE mixb < (sidx % 4 + 1)::BIGINT * 1073741824 GROUP BY source
+        UNION ALL
+        SELECT 'budget', source, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+        FROM (
+            SELECT source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY skey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prec
+            FROM d)
+        WHERE prec < 300 + (CAST(substring(source, 4) AS INT) % 5) * 150
+        GROUP BY source
+    ) ORDER BY kind, key
     """,
-    "Deterministic ~10%-per-language sample via md5 bucket of the doc id "
-    "(reproducible across engines/retries, unlike rand()).",
+    "Deterministic sampling & training-mix suite, three strategies "
+    "labeled in one frame: ~10%-per-language stratified sample (md5 "
+    "bucket of the doc id — reproducible across engines/retries, "
+    "unlike rand()); per-source weighted mixing (operators/mixing."
+    "mix_sources, weights 0.25-1.0 derived from the source index); and "
+    "per-source token-budget prefix selection (take_token_budget — the "
+    "running-sum window over the seeded shuffle order). All three are "
+    "map-only or one-window plans keyed on md5(seed:id), so partition "
+    "layout, retries and re-runs cannot change the selection. "
+    "(r4: merged mixing into the sampling entry.)",
 )
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeflush_spark.operators.mixing import mix_sources, take_token_budget
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", token_count("text").alias("n_tokens")
+    )
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint") % 100
-    return (
-        load_table(spark, sf_dir, "documents")
-        .where(bucket < _SAMPLE_PCT)
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("sampled_docs"))
-        .orderBy("lang")
-    )
+
+    def agg(df: DataFrame, kind: str, key: str) -> DataFrame:
+        return df.groupBy(F.col(key).alias("key")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        ).select(F.lit(kind).alias("kind"), "key", "n_docs", "sum_tokens")
+
+    strat = agg(d.where(bucket < _SAMPLE_PCT), "stratified", "lang")
+    weights = {f"src{i}": (i % 4 + 1) / 4 for i in range(20)}
+    mixed = agg(mix_sources(d, weights), "mixed", "source")
+    budgets = {f"src{i}": 300 + (i % 5) * 150 for i in range(20)}
+    budget = agg(take_token_budget(d, budgets), "budget", "source")
+    return strat.unionByName(mixed).unionByName(budget).orderBy("kind", "key")

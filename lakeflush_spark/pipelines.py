@@ -7,7 +7,9 @@ standard LLM-corpus preparation flow:
       -> quality metrics (token count, stopword ratio, language ID)
       -> filter (length / language / quality gates)
       -> exact dedup (content hash)
-      -> near-dup removal (MinHash+LSH candidate pairs, greedy keep)
+      -> near-dup removal (MinHash+LSH candidate pairs; greedy,
+         iterative chain-preserving, or one-per-cluster resolution;
+         optional hot-bucket cap)
       -> optional repeated-passage (boilerplate) removal
       -> optional eval-set decontamination (broadcast n-gram probe)
       -> curated corpus + per-stage stats

@@ -30,6 +30,7 @@ from lakeflush_spark.operators.multimodal import (
 )
 from lakeflush_spark.operators.substring_dedup import (
     docs_with_repeated_spans,
+    repeated_span_texts,
     repeated_spans,
 )
 
@@ -50,6 +51,7 @@ __all__ = [
     "media_metadata",
     "minhash_near_dups",
     "near_dup_clusters",
+    "repeated_span_texts",
     "repeated_spans",
     "resize_media",
     "sample_frames",

@@ -84,6 +84,55 @@ def repeated_spans(
     )
 
 
+def repeated_span_texts(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    stride: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(fp, n_docs, span_text) — repeated passages WITH their text.
+
+    Same one-shuffle shape as :func:`repeated_spans`, but the exploded
+    rows carry the anchored window's text alongside its fingerprint so
+    the report is human-readable (which license block? which footer?).
+    ``min`` over the carried text is deterministic and — since every
+    row of a fingerprint group holds the identical window — exact.
+    The shuffle carries one ~window-token string per anchor instead of
+    a 16-byte fp; use :func:`repeated_spans` when only ids/counts are
+    needed at full scale and this only on the (already rare) flagged
+    fingerprints or for debugging samples.
+    """
+
+    def build(tk: Column) -> Column:
+        n = F.size(tk)
+        starts = F.when(
+            n >= window, F.sequence(F.lit(1), n - (window - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        anchors = F.filter(
+            starts, lambda i: token_hash(F.element_at(tk, i)) % stride == 0
+        )
+        spans_txt = F.transform(
+            anchors, lambda i: F.concat_ws(TOKEN_SEP, F.slice(tk, i, window))
+        )
+        return F.array_distinct(spans_txt)
+
+    spans = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(bind(tokens(text_col), build)).alias("span_text"),
+    ).withColumn("fp", F.md5("span_text"))
+    return (
+        spans.groupBy("fp")
+        .agg(
+            F.countDistinct("_id").alias("n_docs"),
+            F.min("span_text").alias("span_text"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def docs_with_repeated_spans(
     docs: DataFrame,
     *,

@@ -116,3 +116,30 @@ def test_repeated_spans_clean_corpus(spark):
         "doc_id long, text string",
     )
     assert repeated_spans(docs, window=30, stride=4).count() == 0
+
+
+def test_repeated_span_texts_reports_passage(spark):
+    import random
+
+    from lakeflush_spark.operators.substring_dedup import (
+        repeated_span_texts,
+        repeated_spans,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    passage = " ".join(rng.choice(vocab) for _ in range(60))
+    rows = []
+    for i in range(6):
+        filler = " ".join(rng.choice(vocab) for _ in range(40))
+        rows.append((i, f"{filler} {passage}" if i < 4 else filler))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    texts = repeated_span_texts(docs, window=30, stride=4).collect()
+    assert texts
+    # every reported span is a true verbatim substring of the passage
+    for r in texts:
+        assert r.span_text in passage
+        assert r.n_docs == 4
+    # fingerprints agree with the fp-only operator (same anchors/windows)
+    fps = {r.fp for r in repeated_spans(docs, window=30, stride=4).collect()}
+    assert {r.fp for r in texts} == fps

@@ -14,9 +14,9 @@ draw): no RNG state, so retried tasks, re-runs, and different
 partitionings all produce the SAME selection and order — the property
 that matters for reproducible training runs.
 
-Scale notes: selection is a map-only filter or a per-source window
-rank over md5 keys (one shuffle per source partition, same shape as
-any groupBy); the global shuffle is ONE repartition-by-range over the
+Scale notes: selection is a map-only filter or a SHARDED per-source
+prefix sum (see ``sharded_prefix_sum`` — no single task ever sorts a
+whole source); the global shuffle is ONE repartition-by-range over the
 md5 sort key — exactly the cost of any total order, and writers
 usually want ``write.sortBy`` on the same key instead of a driver-side
 sort.
@@ -89,6 +89,74 @@ def mix_sources(
     return df.where(keep)
 
 
+def hex_order_shard(key_col: Column, shards: int) -> Column:
+    """Order-preserving shard id from an md5-hex sort key.
+
+    Folds the first 4 hex chars (uniform on [0, 65536)) into
+    ``shards`` buckets with ``floor(prefix * shards / 65536)`` — a
+    monotone map, so sorting by (shard, key) equals sorting by key.
+    That monotonicity is what lets a sharded prefix sum reproduce the
+    unsharded one bit-for-bit.
+    """
+    if not 1 <= shards <= 65536:
+        raise ValueError("shards must be in [1, 65536]")
+    prefix = F.conv(F.substring(key_col, 1, 4), 16, 10).cast("bigint")
+    return F.floor(prefix * shards / F.lit(65536)).cast("int")
+
+
+def sharded_prefix_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list,
+    value_col: str,
+    shard_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Exclusive running sum over (part_cols, ORDER BY order_cols)
+    computed WITHOUT putting a whole partition in one task.
+
+    ``df[shard_col]`` must already be an order-preserving bucketing of
+    the order key (see ``hex_order_shard``). Two passes:
+
+    1. window over (part_cols, shard) — each task holds one shard of
+       one partition key, so max task size is partition/shards;
+    2. per-(part, shard) token totals (a tiny map-side-combined agg:
+       |parts| × shards rows), turned into cumulative shard offsets by
+       a window over the TINY totals frame, broadcast-joined back.
+
+    out = shard_offset + within-shard exclusive sum — identical to the
+    naive ``Window.partitionBy(part)`` result because the shard map is
+    monotone in the order key. This is the 100 TB shape: the naive
+    window is a single task per source (~TBs); this is
+    sources × shards bounded tasks plus a broadcast of a few-KB frame.
+    """
+    w_in = (
+        Window.partitionBy(*part_cols, shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum(value_col).over(w_in), F.lit(0)).cast("bigint")
+    totals = df.groupBy(*part_cols, shard_col).agg(
+        F.sum(value_col).cast("bigint").alias("_sps_t")
+    )
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy(shard_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *part_cols,
+        shard_col,
+        F.coalesce(F.sum("_sps_t").over(w_off), F.lit(0)).cast("bigint").alias("_sps_off"),
+    )
+    return (
+        df.withColumn("_sps_within", within)
+        .join(F.broadcast(offsets), [*part_cols, shard_col])
+        .withColumn(out_col, F.col("_sps_off") + F.col("_sps_within"))
+        .drop("_sps_within", "_sps_off")
+    )
+
+
 def take_token_budget(
     df: DataFrame,
     budget_per_source: dict[str, int],
@@ -96,29 +164,52 @@ def take_token_budget(
     source_col: str = "source",
     id_col: str = "doc_id",
     seed: str = "0",
+    shards: int = 64,
 ) -> DataFrame:
     """Per-source prefix of a seeded shuffle whose token sum fits the
     budget (the "N billion tokens of source X" selection).
 
     Docs are ranked per source by the md5 shuffle key; the running
-    token sum (window, one shuffle per the groupBy shape) keeps every
-    doc whose PRECEDING sum is under budget — so the budget is
-    exceeded by at most one document, and the selection is a prefix:
-    rerunning with a bigger budget is a superset (monotone, the
-    property curriculum reruns rely on).
+    token sum keeps every doc whose PRECEDING sum is under budget — so
+    the budget is exceeded by at most one document, and the selection
+    is a prefix: rerunning with a bigger budget is a superset
+    (monotone, the property curriculum reruns rely on).
+
+    Scale: the running sum is the two-pass SHARDED prefix sum
+    (``sharded_prefix_sum``) — ``Window.partitionBy(source)`` alone
+    would sort an entire source in ONE task at 100 TB. The shard id is
+    a monotone fold of the md5 key (``hex_order_shard``), so the
+    selection is bit-identical to the naive window for any ``shards``;
+    ``shards=1`` degenerates to the single-window plan (kept as the
+    test reference).
     """
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(shuffle_key(id_col, seed), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    running = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("bigint"))
     budget = F.create_map(
         *[x for s, b in budget_per_source.items() for x in (F.lit(s), F.lit(b))]
     )
     limit = F.element_at(budget, F.col(source_col))
-    return (
-        df.withColumn("_preceding_tokens", running)
-        .where(limit.isNotNull() & (F.col("_preceding_tokens") < limit))
-        .drop("_preceding_tokens")
+    if shards <= 1:
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(shuffle_key(id_col, seed), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        running = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("bigint"))
+        return (
+            df.withColumn("_preceding_tokens", running)
+            .where(limit.isNotNull() & (F.col("_preceding_tokens") < limit))
+            .drop("_preceding_tokens")
+        )
+    keyed = df.withColumn("_tb_k", shuffle_key(id_col, seed)).withColumn(
+        "_tb_shard", hex_order_shard(F.col("_tb_k"), shards)
     )
+    summed = sharded_prefix_sum(
+        keyed,
+        part_cols=[source_col],
+        order_cols=[F.col("_tb_k"), F.col(id_col)],
+        value_col=token_col,
+        shard_col="_tb_shard",
+        out_col="_preceding_tokens",
+    )
+    return summed.where(
+        limit.isNotNull() & (F.col("_preceding_tokens") < limit)
+    ).select(*df.columns)

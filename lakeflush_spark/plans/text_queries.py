@@ -176,9 +176,12 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Each doc's bin = floor(start_offset / budget) where start_offset is
 # the running token count before it (per-language, doc_id order).
 # Greedy streaming packing: docs may straddle a boundary — the packer
-# that consumes this table splits at sequence build time. One shuffle
-# (partitionBy lang + window sort), then one aggregation; at 100 TB
-# partition by (lang, shard) to bound the window partition size.
+# that consumes this table splits at sequence build time. The running
+# offset is the two-pass SHARDED prefix sum (operators/mixing.
+# sharded_prefix_sum): window over (lang, shard) + broadcast cumulative
+# shard offsets, so no single task ever sorts a whole language at
+# 100 TB. Shard = width-bucket of doc_id over its global bounds
+# (monotone ⇒ bit-identical to the naive per-lang window).
 #
 # 'chunk' rows — context-window chunking (r3, the packing dual):
 # sliding-window token chunks (window 64, stride 48 — 16-token
@@ -232,21 +235,35 @@ _CHUNK_S = 48
     "split, map-only at scan speed. (r3: merged chunking.)",
 )
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from lakeflush_spark.operators.mixing import sharded_prefix_sum
 
+    _BIN_SHARDS = 64
     docs = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     n = token_count("text")
-    offs = docs.select(
-        "lang",
-        "doc_id",
-        n.alias("n_tokens"),
-        (F.sum(n).over(w) - n).alias("start_off"),
+    bounds = docs.agg(
+        F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx")
     )
+    sharded = (
+        docs.select("lang", "doc_id", n.alias("n_tokens"))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_shard",
+            F.floor(
+                (F.col("doc_id") - F.col("_mn"))
+                * _BIN_SHARDS
+                / (F.col("_mx") - F.col("_mn") + 1)
+            ).cast("int"),
+        )
+        .drop("_mn", "_mx")
+    )
+    offs = sharded_prefix_sum(
+        sharded,
+        part_cols=["lang"],
+        order_cols=[F.col("doc_id")],
+        value_col="n_tokens",
+        shard_col="_shard",
+        out_col="start_off",
+    ).drop("_shard")
     bins = (
         offs.groupBy(
             "lang",
@@ -400,8 +417,15 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(kind).alias("kind"), "key", "n_docs", "sum_tokens")
 
     strat = agg(d.where(bucket < _SAMPLE_PCT), "stratified", "lang")
-    weights = {f"src{i}": (i % 4 + 1) / 4 for i in range(20)}
+    # Derive the weight/budget maps from the sources actually present
+    # (same substring(source, 4) formula as the oracle) rather than a
+    # hardcoded src0..src19 — a datagen cardinality change can't
+    # silently desync the two engines. Bounded collect: source
+    # cardinality is the mix dimension (tens, never corpus-sized).
+    srcs = sorted(r[0] for r in d.select("source").distinct().collect())
+    idx = {s: int(s[3:]) for s in srcs}
+    weights = {s: (idx[s] % 4 + 1) / 4 for s in srcs}
     mixed = agg(mix_sources(d, weights), "mixed", "source")
-    budgets = {f"src{i}": 300 + (i % 5) * 150 for i in range(20)}
+    budgets = {s: 300 + (idx[s] % 5) * 150 for s in srcs}
     budget = agg(take_token_budget(d, budgets), "budget", "source")
     return strat.unionByName(mixed).unionByName(budget).orderBy("kind", "key")

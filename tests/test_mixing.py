@@ -98,3 +98,89 @@ def test_take_token_budget_prefix_and_bound(spark, sf_dir):
     ids_small = {r.doc_id for r in rows}
     ids_big = {r.doc_id for r in bigger.collect()}
     assert ids_small <= ids_big
+
+
+def test_take_token_budget_sharded_identical_to_naive(spark):
+    """The two-pass sharded prefix sum (the 100 TB plan) must select
+    EXACTLY the rows of the naive single-window path, including on a
+    deliberately skewed source distribution."""
+    # skew: src0 has 3000 docs, src1 has 40, src2 has 3
+    docs = spark.range(3043).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 3000, "src0")
+        .when(F.col("id") < 3040, "src1")
+        .otherwise("src2")
+        .alias("source"),
+        (F.col("id") % 37 + 1).cast("bigint").alias("n_tokens"),
+    )
+    budgets = {"src0": 20_000, "src1": 300, "src2": 5}
+    for shards in (2, 7, 64):
+        naive = take_token_budget(docs, budgets, shards=1)
+        sharded = take_token_budget(docs, budgets, shards=shards)
+        a = sorted(r.doc_id for r in naive.collect())
+        b = sorted(r.doc_id for r in sharded.collect())
+        assert a == b, f"selection diverged at shards={shards}"
+    # column contract preserved by the sharded path
+    assert sharded.columns == docs.columns
+
+
+def test_sharded_prefix_sum_bounds_partition_size(spark):
+    """No (source, shard) window group may hold a whole skewed source:
+    the max group must be well under the naive per-source partition."""
+    from lakeflush_spark.operators.mixing import hex_order_shard, shuffle_key
+
+    n = 4096
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("hot").alias("source"),  # ALL rows in one source
+        F.lit(1).cast("bigint").alias("n_tokens"),
+    )
+    shards = 64
+    keyed = docs.withColumn("_k", shuffle_key("doc_id", "0")).withColumn(
+        "_shard", hex_order_shard(F.col("_k"), shards)
+    )
+    sizes = [
+        r["cnt"]
+        for r in keyed.groupBy("source", "_shard")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    ]
+    # md5 prefixes are uniform: every shard is populated and the max
+    # group is a small multiple of n/shards, never the full source
+    assert len(sizes) == shards
+    assert max(sizes) < 3 * n / shards
+
+
+def test_sharded_prefix_sum_values_match_window(spark):
+    """The helper's exclusive running sum equals the naive window's,
+    value for value (not just the downstream selection)."""
+    from pyspark.sql import Window
+
+    from lakeflush_spark.operators.mixing import (
+        hex_order_shard,
+        sharded_prefix_sum,
+        shuffle_key,
+    )
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("source"),
+        (F.col("id") % 11 + 1).cast("bigint").alias("n_tokens"),
+    )
+    keyed = docs.withColumn("_k", shuffle_key("doc_id", "s")).withColumn(
+        "_shard", hex_order_shard(F.col("_k"), 8)
+    )
+    got = sharded_prefix_sum(
+        keyed, ["source"], [F.col("_k"), F.col("doc_id")], "n_tokens", "_shard", "pre"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = keyed.withColumn(
+        "pre", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    )
+    a = {r.doc_id: r.pre for r in got.collect()}
+    b = {r.doc_id: r.pre for r in want.collect()}
+    assert a == b

@@ -61,16 +61,27 @@ class CurationConfig:
     #: (operators/dedup.near_dup_clusters): exactly one survivor (the
     #: min id) per component — the published "keep one per cluster"
     #: recipe. Stricter than cc_iterations (a chain A~B~C keeps only
-    #: A) and exact regardless of chain length; costs ~log(diameter)
-    #: edges-only join rounds. Mutually exclusive with cc_iterations.
+    #: A) and exact regardless of chain length; costs ~diameter
+    #: edges-only join rounds (one-hop min-label propagation — linear
+    #: in component diameter). Mutually exclusive with cc_iterations.
     cluster_resolution: bool = False
-    #: drop LSH band buckets larger than this before the near-dup
+    #: round budget for cluster_resolution: a near-dup CHAIN of L docs
+    #: needs ~L propagation rounds, and near_dup_clusters raises (never
+    #: silently partial) when the budget is exceeded — raise this for
+    #: corpora with long chain-shaped components.
+    cluster_max_iters: int = 20
+    #: bound LSH band buckets at this size before the near-dup
     #: self-join (operators/dedup._cap_hot_buckets): one boilerplate
     #: bucket of B docs otherwise costs O(B²) candidate pairs — the
-    #: only quadratic risk in the pipeline at 100 TB. Docs in dropped
-    #: buckets are boilerplate by construction; enable the
-    #: repeated-passage stage to catch them instead. None = uncapped.
+    #: only quadratic risk in the pipeline at 100 TB. None = uncapped.
     near_dup_max_bucket: int | None = None
+    #: what to do with over-cap buckets: "drop" removes them (docs in
+    #: dropped buckets are boilerplate by construction — enable the
+    #: repeated-passage stage to catch them); "sample" keeps a
+    #: content-deterministic near_dup_max_bucket-row sample, retaining
+    #: partial recall on legitimately hot keys at the same ≤cap² pair
+    #: bound.
+    near_dup_hot_bucket_mode: str = "drop"
     #: drop documents containing a cross-document repeated passage
     #: (operators/substring_dedup.py) of at least this many tokens;
     #: None disables the stage. Catches boilerplate/license blocks that
@@ -192,13 +203,14 @@ def curate_documents(
         text_col=tc,
         threshold=cfg.near_dup_threshold,
         max_bucket_size=cfg.near_dup_max_bucket,
+        hot_bucket_mode=cfg.near_dup_hot_bucket_mode,
     )
     if cfg.cluster_resolution and cfg.cc_iterations > 0:
         raise ValueError("cluster_resolution and cc_iterations are mutually exclusive")
     if cfg.cluster_resolution:
         from lakeflush_spark.operators.dedup import near_dup_clusters
 
-        members = near_dup_clusters(pairs)
+        members = near_dup_clusters(pairs, max_iters=cfg.cluster_max_iters)
         losers = members.where(F.col("id") != F.col("cluster_id")).select(
             F.col("id").alias(cfg.id_col)
         )

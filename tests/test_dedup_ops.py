@@ -172,3 +172,79 @@ def test_near_dup_clusters_budget_guard(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         near_dup_clusters(chain, max_iters=2)
+
+
+def test_hot_bucket_sample_mode_bounds_and_keeps_recall(spark):
+    """'sample' mode keeps a deterministic cap-row slice of each hot
+    bucket: candidate count stays ≤ cap² per bucket, a planted
+    hot-bucket dup retains SOME pairs (recall survives, unlike
+    'drop'), and the sample is reproducible."""
+    import pytest
+
+    from lakeflush_spark.operators.dedup import lsh_candidate_pairs, with_minhash
+
+    cap = 10
+    docs = _boilerplate_corpus(spark, n_hot=40)
+    prepared = with_minhash(docs)
+    sampled = lsh_candidate_pairs(
+        prepared, max_bucket_size=cap, hot_bucket_mode="sample"
+    )
+    rows = sampled.collect()
+    hot = [(r.id1, r.id2) for r in rows if r.id1 < 1000 and r.id2 < 1000]
+    # recall survives: the identical-doc bucket still yields pairs...
+    assert hot
+    # ...but bounded: ≤ cap*(cap-1)/2 per band, MINHASH_BANDS bands,
+    # deduped across bands — never the uncapped 780
+    assert len(hot) <= cap * (cap - 1) // 2
+    # the genuine normal-doc near-dup pair is untouched
+    assert any((r.id1, r.id2) == (1000, 1001) for r in rows)
+    # deterministic: same call, same sample
+    rows2 = {(r.id1, r.id2) for r in sampled.collect()}
+    assert {(r.id1, r.id2) for r in rows} == rows2
+    with pytest.raises(ValueError, match="mode"):
+        lsh_candidate_pairs(prepared, max_bucket_size=cap, hot_bucket_mode="nope").collect()
+
+
+def test_near_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    import pytest
+
+    from lakeflush_spark.operators.dedup import near_dup_clusters
+
+    pairs = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(pairs, "id1 long, id2 long")
+    # without a checkpoint dir the option fails fast with guidance
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        near_dup_clusters(df, use_checkpoint_dir=True)
+    ckdir = str(tmp_path / "ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    got = {
+        r.id: r.cluster_id
+        for r in near_dup_clusters(df, use_checkpoint_dir=True).collect()
+    }
+    assert got == _py_components(pairs)
+    # round state actually went to the reliable dir
+    import os
+
+    assert any(files for _, _, files in os.walk(ckdir))
+
+
+def test_minhash_pair_cache_does_not_accumulate(spark):
+    """Repeated minhash_near_dups calls hold at most ONE cached pair
+    table (each call releases the previous; unpersist_pair_cache
+    releases the last)."""
+    from lakeflush_spark.operators.dedup import (
+        minhash_near_dups,
+        unpersist_pair_cache,
+    )
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    unpersist_pair_cache()
+    base = n_cached()
+    docs = _boilerplate_corpus(spark, n_hot=4)
+    for _ in range(3):
+        minhash_near_dups(docs, threshold=0.5).count()
+        assert n_cached() <= base + 1
+    unpersist_pair_cache()
+    assert n_cached() == base

@@ -144,20 +144,35 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "q24_neardup_pairs",
-    _MINHASH_CTES
+    _MINHASH_CTES.replace("WITH t", "WITH RECURSIVE t", 1)
     + f""",
     e AS ({_BAND_ROWS}),
     cands AS (
         SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
         FROM e a JOIN e b2 ON a.band_idx = b2.band_idx AND a.bh = b2.bh
                           AND a.doc_id < b2.doc_id
-    )
-    SELECT method, id1, id2, jaccard FROM (
-        SELECT 'lsh' AS method, c.id1, c.id2, round({_SQL_JACCARD}, 4) AS jaccard
+    ),
+    v AS (
+        SELECT c.id1, c.id2, round({_SQL_JACCARD}, 4) AS jaccard
         FROM cands c
         JOIN h a  ON a.doc_id  = c.id1
         JOIN h b2 ON b2.doc_id = c.id2
         WHERE {_SQL_JACCARD} >= 0.5
+    ),
+    ed AS (SELECT id1 AS a, id2 AS b FROM v
+           UNION SELECT id2, id1 FROM v),
+    reach AS (
+        SELECT a AS id, a AS r FROM ed
+        UNION
+        SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a
+    ),
+    clus AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT method, id1, id2, jaccard FROM (
+        SELECT 'lsh' AS method, id1, id2, jaccard FROM v
+        UNION ALL
+        SELECT 'cluster' AS method, id AS id1, cluster_id AS id2,
+               NULL::DOUBLE AS jaccard
+        FROM clus
         UNION ALL
         SELECT 'blocked' AS method, id1, id2, jaccard FROM (
             SELECT a.doc_id AS id1, b2.doc_id AS id2, round({_SQL_JACCARD}, 4) AS jaccard
@@ -168,17 +183,30 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ORDER BY method, id1, id2
     """,
-    "Near-dup pair detection, two strategies labeled in one frame: "
-    "MinHash+LSH candidates verified by exact Jaccard (finds the 25 "
-    "planted pairs; the only wide shuffle is the band-bucket equi-join — "
-    "the unblocked 100 TB path), and brute-force 3-gram Jaccard within "
-    "source blocks (attribute blocking bounds the pair count). "
-    "(r2: merged q24+q27.)",
+    "Near-dup pair detection and resolution, three strategies labeled in "
+    "one frame: MinHash+LSH candidates verified by exact Jaccard (finds "
+    "the 25 planted pairs; the only wide shuffle is the band-bucket "
+    "equi-join — the unblocked 100 TB path, with skew bounded by the "
+    "hot-bucket cap the pipeline exposes as CurationConfig."
+    "near_dup_max_bucket / near_dup_hot_bucket_mode); 'cluster' rows "
+    "(id1=member, id2=component min-id) from connected components over "
+    "the verified pairs (operators/dedup.near_dup_clusters — the "
+    "CurationConfig.cluster_resolution keep-one-per-cluster recipe; "
+    "DuckDB twin is a recursive reachability CTE + MIN); and brute-force "
+    "3-gram Jaccard within source blocks (attribute blocking bounds the "
+    "pair count). (r2: merged q24+q27; r5: added cluster resolution.)",
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeflush_spark.operators.dedup import near_dup_clusters
+
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
-    lsh = minhash_near_dups(docs, threshold=0.5).select(
-        F.lit("lsh").alias("method"), "id1", "id2", "jaccard"
+    pairs = minhash_near_dups(docs, threshold=0.5)
+    lsh = pairs.select(F.lit("lsh").alias("method"), "id1", "id2", "jaccard")
+    clusters = near_dup_clusters(pairs).select(
+        F.lit("cluster").alias("method"),
+        F.col("id").alias("id1"),
+        F.col("cluster_id").alias("id2"),
+        F.lit(None).cast("double").alias("jaccard"),
     )
     blocked_docs = docs.select("doc_id", "source", shingle_hash_set("text").alias("hs"))
     a, b = blocked_docs.alias("a"), blocked_docs.alias("b")
@@ -196,7 +224,9 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.lit("blocked").alias("method"), "id1", "id2", "jaccard")
     )
-    return lsh.unionByName(blocked).orderBy("method", "id1", "id2")
+    return lsh.unionByName(clusters).unionByName(blocked).orderBy(
+        "method", "id1", "id2"
+    )
 
 
 # single source for the simhash bit-extraction SQL: _simhash_bits_sql

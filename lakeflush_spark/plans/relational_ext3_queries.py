@@ -207,7 +207,23 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst's relation statistics (total file size from the parquet
     # footer listing) make this a zero-job, driver-side estimate —
     # previously a `.count()` action ran one extra Spark job per call.
-    size_bytes = int(orders._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    # `_jdf` is a private, classic-mode-only surface (absent under
+    # Spark Connect, unstable across versions), so degrade gracefully:
+    # fall back to summing the scan's input file sizes, then to a
+    # one-job count estimate.
+    try:
+        size_bytes = int(
+            orders._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        try:
+            import os
+
+            size_bytes = sum(
+                os.path.getsize(f.removeprefix("file:")) for f in orders.inputFiles()
+            )
+        except Exception:
+            size_bytes = orders.count() * 24  # ~3 numeric cols/row
     n_buckets = max(_Q52_MIN_BUCKETS, -(-size_bytes // _Q52_BYTES_PER_BUCKET))
     bucketed = orders.withColumn("_b", F.pmod(F.hash("o_custkey"), F.lit(n_buckets)))
     return (

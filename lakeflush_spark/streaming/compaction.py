@@ -88,13 +88,19 @@ def _validate_dest_layout(cfg: StreamCompactionConfig) -> None:
         if any(d.startswith("batch=") for d in dirnames):
             batch_dirs = True
             dirnames[:] = [d for d in dirnames if not d.startswith("batch=")]
-        if any(not f.startswith(("_", ".")) for f in filenames):
+        # only files the text writer actually produces count as
+        # append-mode bundles (part-*.txt[.gz]); a stray README or
+        # notes file in the dest must not fail exactly-once startup
+        if any(
+            f.startswith("part-") and (f.endswith(".txt") or f.endswith(".txt.gz"))
+            for f in filenames
+        ):
             loose_files = True
     if cfg.exactly_once and loose_files:
         raise ValueError(
             f"exactly_once=True but {root!r} already holds unpartitioned "
-            "bundles from an append-mode stream; use a fresh dest_dir "
-            "(the modes' layouts cannot share a directory)"
+            "part-*.txt bundles from an append-mode stream; use a fresh "
+            "dest_dir (the modes' layouts cannot share a directory)"
         )
     if not cfg.exactly_once and batch_dirs:
         raise ValueError(

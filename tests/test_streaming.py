@@ -159,6 +159,24 @@ def test_stream_compaction_mode_toggle_fails_fast(spark, small_lake, tmp_path):
     compact_stream(spark, eo_cfg2, available_now=True).awaitTermination(180)
 
 
+def test_stream_compaction_ignores_stray_files(spark, small_lake, tmp_path):
+    """Unrelated files in the dest (a README, notes) must NOT trip the
+    exactly-once layout check — only part-*.txt[.gz] bundles count as
+    append-mode evidence."""
+    dest = tmp_path / "dest"
+    dest.mkdir()
+    (dest / "README.md").write_text("docs about this directory\n")
+    (dest / "notes.txt").write_text("not a bundle: no part- prefix\n")
+    cfg = StreamCompactionConfig(
+        source_dir=small_lake,
+        dest_dir=str(dest),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_size_mb=1.0,
+        exactly_once=True,
+    )
+    compact_stream(spark, cfg, available_now=True).awaitTermination(180)
+
+
 def _stream_events(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from lakeflush_spark.io import table_path

@@ -48,6 +48,7 @@ HEADLINE = [
     # LLM-data pipeline ops (documents/embeddings tables)
     "q18_text_metrics",
     "q58_sequence_packing",
+    "q60_stratified_sample",
     "q23_minhash_simhash_sigs",
     "q24_neardup_pairs",
     "q61_decontaminate",

@@ -240,6 +240,9 @@ def test_minhash_pair_cache_does_not_accumulate(spark):
     def n_cached():
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
+    # unrelated cached RDDs from earlier tests in the shared session may
+    # be released asynchronously by the ContextCleaner, so assert on
+    # GROWTH bounds, not exact equality with the baseline
     unpersist_pair_cache()
     base = n_cached()
     docs = _boilerplate_corpus(spark, n_hot=4)
@@ -247,4 +250,4 @@ def test_minhash_pair_cache_does_not_accumulate(spark):
         minhash_near_dups(docs, threshold=0.5).count()
         assert n_cached() <= base + 1
     unpersist_pair_cache()
-    assert n_cached() == base
+    assert n_cached() <= base

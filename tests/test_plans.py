@@ -25,13 +25,16 @@ from lakeflush_spark.plans import QUERIES
 # queries whose plans legitimately contain a BroadcastNestedLoopJoin /
 # CartesianProduct: explicit cartesian (q49), all-pairs oracle-bounded
 # self-joins (q26), broadcast scoring with a non-equi join condition
-# (q29), and 1x1 scalar-frame combines (q06, q48)
+# (q29), 1x1 scalar-frame combines (q06, q48), and the broadcast of a
+# 1-row doc_id-bounds frame feeding q58's order-preserving shard
+# assignment (see plans/text_queries.py)
 NLJ_ALLOWED = {
     "q06_semi_anti_join",
     "q26_simhash_neardup",
     "q29_ann_topk",
     "q48_correlated_exists",
     "q49_cross_join",
+    "q58_sequence_packing",
 }
 
 # queries that run driver-side actions or streaming at build time —

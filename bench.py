@@ -18,6 +18,18 @@ csv_mb_s (per round-3 VERDICT item 7): 34.1 and 36.5 MB/s in two
 back-to-back runs with no concurrent JVMs — r3's 35.1 was not a
 regression; r2's 43.1 was the high outlier. Steady-state ≈ 35 MB/s
 (4.7x the reference baseline).
+
+Isolated r5 re-measure of q23/q24 (per round-4 VERDICT item 3): warm
+isolated q23 = [1.88, 1.90, 1.61] s — within contended-box variance of
+the r4 suite number (1.37 s), and the plan is unchanged (PLANS.md: 2
+exchanges, map-only), so the r4 +23% is the correctness-mandated
+post-hash array_distinct, not a plan regression; keeping the distinct
+(hash-green on both engines) over a distinct-free twin rewrite. q24
+with the new r5 'cluster' label first measured 6.5 s isolated; after
+localCheckpoint-ing the verified pair table (consumed by both the lsh
+label and the cluster loop) and fusing the convergence probe into the
+round checkpoint, warm isolated q24 = [3.98, 3.63, 3.55] s — the full
+connected-components resolution costs ~1 s over the r4 2.59 s entry.
 """
 
 from __future__ import annotations

@@ -200,7 +200,11 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.dedup import near_dup_clusters
 
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
-    pairs = minhash_near_dups(docs, threshold=0.5)
+    # localCheckpoint: the verified pair table (tiny) feeds BOTH the
+    # 'lsh' label and the cluster loop — materializing it once avoids
+    # recomputing the verify join per consumer, and the cluster loop
+    # runs eagerly at build time anyway.
+    pairs = minhash_near_dups(docs, threshold=0.5).localCheckpoint()
     lsh = pairs.select(F.lit("lsh").alias("method"), "id1", "id2", "jaccard")
     clusters = near_dup_clusters(pairs).select(
         F.lit("cluster").alias("method"),

@@ -59,12 +59,20 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     # rank over the ROUNDED score so ordering is reproducible across
     # engines (raw doubles can differ in the last ulp between
     # summation strategies); ties broken by neighbor id.
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    # Two-phase grouped top-k (operators/topk.py): a plain
+    # partitionBy(query_id) window would sort every scored candidate
+    # of a query in ONE task — for the brute-force path that is the
+    # whole corpus per query at 100 TB. Salted local top-k + tiny
+    # global re-rank is value-identical.
+    from lakeflush_spark.operators.topk import grouped_top_k
+
+    return grouped_top_k(
+        scored,
+        group_cols=["query_id"],
+        order_cols=[F.desc("cos_sim"), F.asc("neighbor_id")],
+        k=k,
+        salt_cols=["neighbor_id"],
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
 def _score(corpus: DataFrame, queries: DataFrame, extra_cond) -> DataFrame:

@@ -1,0 +1,62 @@
+"""Exact grouped top-k without a single-task-per-group sort.
+
+``row_number() OVER (PARTITION BY group ORDER BY ...)`` puts every row
+of a group in ONE window task — for low-cardinality groups (25
+nations, a handful of ANN queries) that is a whole-corpus sort on one
+core at 100 TB. The standard two-phase rewrite is exact for any k:
+
+1. salt each group into ``shards`` disjoint subsets (hash of the
+   tie-break id — deterministic, layout-independent) and take the
+   local top-k of every (group, shard): any row ranked ≤ k in the
+   full group is ranked ≤ k within whichever subset contains it, so
+   no global winner is lost;
+2. re-rank the surviving ≤ groups × shards × k rows (tiny) with the
+   plain per-group window.
+
+Same decomposition trick as ``operators/mixing.sharded_prefix_sum``
+(shard, solve locally, combine cheap global state); here the global
+combine is itself a window but over a provably tiny frame.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def grouped_top_k(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    salt_cols: list[str],
+    rank_col: str = "rank",
+    shards: int = 32,
+) -> DataFrame:
+    """Per-group top-k with ``rank_col`` (1-based, bigint) attached.
+
+    ``order_cols`` must define a TOTAL order within each group (include
+    a unique tie-break column — the same requirement a deterministic
+    row_number has); ``salt_cols`` are hashed into the shard id, and
+    should be that tie-break id so shards are deterministic and
+    well-balanced. Output rows/values are identical to the naive
+    single-window form for any ``shards``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(shards))
+    local_w = Window.partitionBy(*group_cols, "_tk_salt").orderBy(*order_cols)
+    cand = (
+        df.withColumn("_tk_salt", salt)
+        .withColumn("_tk_lr", F.row_number().over(local_w))
+        .where(F.col("_tk_lr") <= k)
+        .drop("_tk_lr")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        cand.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+        .where(F.col(rank_col) <= k)
+        .drop("_tk_salt")
+    )

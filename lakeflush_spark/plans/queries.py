@@ -283,12 +283,20 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "c_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
-    w = Window.partitionBy("n_name").orderBy(F.desc("total"), F.asc("c_custkey"))
-    return (
-        totals.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rn") <= 3)
-        .orderBy("n_name", "rn")
-    )
+    # two-phase grouped top-k (operators/topk.py): nation has 25
+    # values, so a plain partitionBy(n_name) window would sort an
+    # entire nation's customers in ONE task at scale; the salted
+    # local-top-3 + tiny global re-rank is value-identical.
+    from lakeflush_spark.operators.topk import grouped_top_k
+
+    return grouped_top_k(
+        totals,
+        group_cols=["n_name"],
+        order_cols=[F.desc("total"), F.asc("c_custkey")],
+        k=3,
+        salt_cols=["c_custkey"],
+        rank_col="rn",
+    ).orderBy("n_name", "rn")
 
 
 # ---------------------------------------------------------------------------

@@ -61,14 +61,15 @@ class CurationConfig:
     #: (operators/dedup.near_dup_clusters): exactly one survivor (the
     #: min id) per component — the published "keep one per cluster"
     #: recipe. Stricter than cc_iterations (a chain A~B~C keeps only
-    #: A) and exact regardless of chain length; costs ~diameter
-    #: edges-only join rounds (one-hop min-label propagation — linear
-    #: in component diameter). Mutually exclusive with cc_iterations.
+    #: A) and exact regardless of chain length; costs O(log diameter)
+    #: edges-only join rounds (min-label propagation + per-round
+    #: pointer jumping). Mutually exclusive with cc_iterations.
     cluster_resolution: bool = False
-    #: round budget for cluster_resolution: a near-dup CHAIN of L docs
-    #: needs ~L propagation rounds, and near_dup_clusters raises (never
-    #: silently partial) when the budget is exceeded — raise this for
-    #: corpora with long chain-shaped components.
+    #: round budget for cluster_resolution: with pointer jumping a
+    #: component of diameter D converges in ~log2(D) rounds, so the
+    #: default 20 covers astronomically long chains; near_dup_clusters
+    #: raises (never silently partial) if the budget is somehow
+    #: exceeded.
     cluster_max_iters: int = 20
     #: bound LSH band buckets at this size before the near-dup
     #: self-join (operators/dedup._cap_hot_buckets): one boilerplate

@@ -174,6 +174,19 @@ def test_near_dup_clusters_budget_guard(spark):
         near_dup_clusters(chain, max_iters=2)
 
 
+def test_near_dup_clusters_log_rounds_on_long_chain(spark):
+    """Pointer jumping makes convergence logarithmic in diameter: a
+    201-node chain (diameter 200) must converge well inside 12 rounds —
+    pure one-hop propagation would need ~200."""
+    from lakeflush_spark.operators.dedup import near_dup_clusters
+
+    pairs = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(pairs, "id1 long, id2 long")
+    got = {r.id: r.cluster_id for r in near_dup_clusters(df, max_iters=12).collect()}
+    assert got == _py_components(pairs)
+    assert set(got.values()) == {0}
+
+
 def test_hot_bucket_sample_mode_bounds_and_keeps_recall(spark):
     """'sample' mode keeps a deterministic cap-row slice of each hot
     bucket: candidate count stays ≤ cap² per bucket, a planted

@@ -19,8 +19,10 @@ from lakeflush_spark.operators.mixing import (
     deterministic_shuffle,
     mix_sources,
     sample_fraction,
+    sharded_prefix_sum,
     take_token_budget,
 )
+from lakeflush_spark.operators.topk import grouped_top_k
 from lakeflush_spark.operators.manifest import scan_manifest
 from lakeflush_spark.operators.multimodal import (
     extract_features,
@@ -45,6 +47,7 @@ __all__ = [
     "docs_with_repeated_spans",
     "exact_dedup",
     "extract_features",
+    "grouped_top_k",
     "mix_sources",
     "sample_fraction",
     "take_token_budget",
@@ -56,6 +59,7 @@ __all__ = [
     "resize_media",
     "sample_frames",
     "scan_manifest",
+    "sharded_prefix_sum",
     "simhash_near_dups",
     "zorder_write",
 ]

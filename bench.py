@@ -29,7 +29,17 @@ with the new r5 'cluster' label first measured 6.5 s isolated; after
 localCheckpoint-ing the verified pair table (consumed by both the lsh
 label and the cluster loop) and fusing the convergence probe into the
 round checkpoint, warm isolated q24 = [3.98, 3.63, 3.55] s — the full
-connected-components resolution costs ~1 s over the r4 2.59 s entry.
+connected-components resolution costs ~1 s over the r4 2.59 s entry
+(pointer jumping, added after, re-measured [4.08, 3.93, 3.74] —
++0.2 s/round for O(log D) instead of O(D) convergence).
+
+r5 two-phase grouped top-k trade (operators/topk.py): q08 isolated
+[1.06, 0.88, 0.87] s (was ~0.64) and q29 [1.19, 1.09, 1.08] s (was
+~0.88) — one extra small shuffle each. Deliberate: the old plans
+sorted an entire nation / every scored candidate of a query in ONE
+window task, the classic low-cardinality-partition scale killer; the
+salted local-top-k keeps values bit-identical while bounding every
+task at group/shards rows.
 """
 
 from __future__ import annotations

@@ -10,6 +10,7 @@ from lakeflush_spark.operators.decontaminate import (
 )
 from lakeflush_spark.operators.dedup import (
     exact_dedup,
+    exact_dedup_by_hash,
     minhash_near_dups,
     near_dup_clusters,
     simhash_near_dups,
@@ -46,6 +47,7 @@ __all__ = [
     "deterministic_shuffle",
     "docs_with_repeated_spans",
     "exact_dedup",
+    "exact_dedup_by_hash",
     "extract_features",
     "grouped_top_k",
     "mix_sources",

@@ -20,7 +20,9 @@ Scale design:
   shuffle, no Python.
 - Per-stage counts come from ONE aggregation over stage flags, not a
   count() action per stage (four extra full scans at 100 TB).
-- Exact dedup shuffles once on the content hash.
+- Exact dedup shuffles 16-byte digests on the content hash, never
+  document bodies (operators/dedup.exact_dedup_by_hash), with a
+  deterministic min-id winner.
 - Near-dup uses the LSH band join (operators/dedup.py), so candidate
   generation is an equi-join, never all-pairs. The greedy resolution
   ("drop every doc that pairs with a lower-id survivor") is one
@@ -34,11 +36,11 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from lakeflush_spark.functions.text import lang_id, stopword_ratio, token_count
 from lakeflush_spark.operators.decontaminate import decontaminate
-from lakeflush_spark.operators.dedup import minhash_near_dups
+from lakeflush_spark.operators.dedup import exact_dedup_by_hash, minhash_near_dups
 
 
 @dataclass
@@ -174,7 +176,6 @@ def curate_documents(
         token_count(tc).alias("n_tokens"),
         stopword_ratio(tc).alias("stop_ratio"),
         lang_id(tc).alias("lang_pred"),
-        F.md5(F.col(tc)).alias("_content_hash"),
     )
 
     keep = (
@@ -187,12 +188,12 @@ def curate_documents(
 
     filtered = annotated.where(keep)
 
-    # Exact dedup: one shuffle on the content hash; deterministic
-    # winner (min id) so retries/replans keep identical output.
-    w_rank = F.row_number().over(
-        Window.partitionBy("_content_hash").orderBy(cfg.id_col)
-    )
-    exact = filtered.withColumn("_r", w_rank).where(F.col("_r") == 1).drop("_r")
+    # Exact dedup: digests-only shuffle with a deterministic min-id
+    # winner (operators/dedup.exact_dedup_by_hash) — document bodies
+    # never move on the content-hash key, and the winners semi-join
+    # leaves the corpus id-partitioned, the layout the near-dup
+    # anti-join below shuffles on anyway.
+    exact = exact_dedup_by_hash(filtered, [tc], cfg.id_col)
 
     # Near-dup: LSH candidates above threshold. Resolution is either the
     # single-pass greedy (drop every id2 — cheapest, may over-delete
@@ -219,7 +220,7 @@ def curate_documents(
         losers = _iterative_near_dup_losers(pairs, cfg.cc_iterations, cfg.id_col)
     else:
         losers = pairs.select(F.col("id2").alias(cfg.id_col)).distinct()
-    curated = exact.join(losers, cfg.id_col, "left_anti").drop("_content_hash")
+    curated = exact.join(losers, cfg.id_col, "left_anti")
 
     # Stage counts: input/filter/exact from ONE aggregation pass over
     # flags; the near-dup stage needs its own count (post-join).

@@ -241,6 +241,37 @@ def test_near_dup_clusters_reliable_checkpoint(spark, tmp_path):
     assert any(files for _, _, files in os.walk(ckdir))
 
 
+def test_exact_dedup_by_hash_min_id_winner(spark):
+    """Digest-shuffle dedup keeps exactly the MINIMUM id per content
+    key (deterministic, unlike dropDuplicates), preserves all columns,
+    and agrees with a plain distinct-on-content accounting."""
+    from lakeflush_spark.operators.dedup import exact_dedup_by_hash
+
+    rows = [
+        (3, "same text", "a"),
+        (1, "same text", "b"),
+        (2, "same text", "c"),
+        (10, "other", "d"),
+        (11, "third", "e"),
+        (12, "third", "f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, meta string")
+    got = {r.doc_id: (r.text, r.meta) for r in exact_dedup_by_hash(df, ["text"]).collect()}
+    assert got == {1: ("same text", "b"), 10: ("other", "d"), 11: ("third", "e")}
+    # layout independence: repartitioned input picks the same winners
+    got2 = {
+        r.doc_id
+        for r in exact_dedup_by_hash(df.repartition(7), ["text"]).collect()
+    }
+    assert got2 == set(got)
+    # multi-column keys treat column boundaries exactly (no "ab"+"c"
+    # vs "a"+"bc" concat collision thanks to the NUL separator)
+    df2 = spark.createDataFrame(
+        [(1, "ab", "c"), (2, "a", "bc")], "doc_id long, x string, y string"
+    )
+    assert exact_dedup_by_hash(df2, ["x", "y"]).count() == 2
+
+
 def test_minhash_pair_cache_does_not_accumulate(spark):
     """Repeated minhash_near_dups calls hold at most ONE cached pair
     table (each call releases the previous; unpersist_pair_cache

@@ -270,6 +270,13 @@ def test_exact_dedup_by_hash_min_id_winner(spark):
         [(1, "ab", "c"), (2, "a", "bc")], "doc_id long, x string, y string"
     )
     assert exact_dedup_by_hash(df2, ["x", "y"]).count() == 2
+    # NULL is a distinct key value, not conflated with empty string
+    df3 = spark.createDataFrame(
+        [(1, None, "x"), (2, "", "x"), (3, None, "x")],
+        "doc_id long, x string, y string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup_by_hash(df3, ["x", "y"]).collect())
+    assert kept == [1, 2]
 
 
 def test_minhash_pair_cache_does_not_accumulate(spark):

@@ -65,7 +65,7 @@ def sample_fraction(
 
 def mix_sources(
     df: DataFrame,
-    weights: dict[str, float],
+    weights: dict[str, float] | Column,
     source_col: str = "source",
     id_col: str = "doc_id",
     seed: str = "0",
@@ -74,14 +74,21 @@ def mix_sources(
 
     ``weights`` maps source value → keep-fraction in [0, 1]; sources
     absent from the map are dropped (explicit beats silent pass-
-    through in a training mix). Map-only: the fraction filter needs no
-    shuffle, so this composes with ``deterministic_shuffle`` for one
-    total-order pass at the end.
+    through in a training mix). Alternatively pass a ``Column``
+    expression evaluating to the keep-fraction per row (NULL = drop) —
+    useful when the weight is a FORMULA over the source value (q60's
+    index-derived weights): no driver-side distinct/collect is needed
+    to enumerate sources. Map-only either way: the fraction filter
+    needs no shuffle, so this composes with ``deterministic_shuffle``
+    for one total-order pass at the end.
     """
+    bucket = F.conv(F.substring(shuffle_key(id_col, seed), 1, 8), 16, 10).cast("bigint")
+    if isinstance(weights, Column):
+        thresh = (weights * F.lit(float(1 << 32))).cast("bigint")
+        return df.where(thresh.isNotNull() & (bucket < thresh))
     for s, w in weights.items():
         if not 0.0 <= w <= 1.0:
             raise ValueError(f"weight for source {s!r} must be in [0, 1], got {w}")
-    bucket = F.conv(F.substring(shuffle_key(id_col, seed), 1, 8), 16, 10).cast("bigint")
     keep = F.lit(False)
     src = F.col(source_col)
     for s, w in weights.items():
@@ -126,9 +133,11 @@ def sharded_prefix_sum(
 
     out = shard_offset + within-shard exclusive sum — identical to the
     naive ``Window.partitionBy(part)`` result because the shard map is
-    monotone in the order key. This is the 100 TB shape: the naive
-    window is a single task per source (~TBs); this is
-    sources × shards bounded tasks plus a broadcast of a few-KB frame.
+    monotone in the order key. NULL partition keys form their own
+    group exactly as the naive window treats them (the offsets join is
+    null-safe). This is the 100 TB shape: the naive window is a single
+    task per source (~TBs); this is sources × shards bounded tasks
+    plus a broadcast of a few-KB frame.
     """
     w_in = (
         Window.partitionBy(*part_cols, shard_col)
@@ -145,21 +154,27 @@ def sharded_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        *part_cols,
-        shard_col,
+        *[F.col(c).alias(f"_sps_{c}") for c in [*part_cols, shard_col]],
         F.coalesce(F.sum("_sps_t").over(w_off), F.lit(0)).cast("bigint").alias("_sps_off"),
     )
+    # eqNullSafe join: groupBy keeps NULL keys as a real group (so does
+    # Window.partitionBy) — a plain equi-join would silently DROP every
+    # NULL-keyed row here, diverging from the naive-window contract
+    cond = None
+    for c in [*part_cols, shard_col]:
+        piece = df[c].eqNullSafe(F.col(f"_sps_{c}"))
+        cond = piece if cond is None else cond & piece
     return (
         df.withColumn("_sps_within", within)
-        .join(F.broadcast(offsets), [*part_cols, shard_col])
+        .join(F.broadcast(offsets), cond)
         .withColumn(out_col, F.col("_sps_off") + F.col("_sps_within"))
-        .drop("_sps_within", "_sps_off")
+        .drop("_sps_within", "_sps_off", *[f"_sps_{c}" for c in [*part_cols, shard_col]])
     )
 
 
 def take_token_budget(
     df: DataFrame,
-    budget_per_source: dict[str, int],
+    budget_per_source: dict[str, int] | Column,
     token_col: str = "n_tokens",
     source_col: str = "source",
     id_col: str = "doc_id",
@@ -182,11 +197,18 @@ def take_token_budget(
     selection is bit-identical to the naive window for any ``shards``;
     ``shards=1`` degenerates to the single-window plan (kept as the
     test reference).
+
+    ``budget_per_source`` is a source → token-budget map, or a
+    ``Column`` expression giving the per-row budget (NULL = drop) for
+    formula-derived budgets with no driver-side source enumeration.
     """
-    budget = F.create_map(
-        *[x for s, b in budget_per_source.items() for x in (F.lit(s), F.lit(b))]
-    )
-    limit = F.element_at(budget, F.col(source_col))
+    if isinstance(budget_per_source, Column):
+        limit = budget_per_source
+    else:
+        budget = F.create_map(
+            *[x for s, b in budget_per_source.items() for x in (F.lit(s), F.lit(b))]
+        )
+        limit = F.element_at(budget, F.col(source_col))
     if shards <= 1:
         w = (
             Window.partitionBy(source_col)

@@ -142,9 +142,19 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q24 needs the RECURSIVE keyword for its reachability CTE; fail at
+# import (not silently at oracle time) if the shared fragment's
+# leading CTE is ever renamed and the rewrite stops matching
+_MINHASH_CTES_RECURSIVE = _MINHASH_CTES.replace("WITH t", "WITH RECURSIVE t", 1)
+assert "WITH RECURSIVE" in _MINHASH_CTES_RECURSIVE, (
+    "_MINHASH_CTES no longer starts with 'WITH t' — update q24's "
+    "recursive rewrite"
+)
+
+
 @declare(
     "q24_neardup_pairs",
-    _MINHASH_CTES.replace("WITH t", "WITH RECURSIVE t", 1)
+    _MINHASH_CTES_RECURSIVE
     + f""",
     e AS ({_BAND_ROWS}),
     cands AS (

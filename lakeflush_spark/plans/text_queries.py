@@ -417,15 +417,18 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(kind).alias("kind"), "key", "n_docs", "sum_tokens")
 
     strat = agg(d.where(bucket < _SAMPLE_PCT), "stratified", "lang")
-    # Derive the weight/budget maps from the sources actually present
-    # (same substring(source, 4) formula as the oracle) rather than a
-    # hardcoded src0..src19 — a datagen cardinality change can't
-    # silently desync the two engines. Bounded collect: source
-    # cardinality is the mix dimension (tens, never corpus-sized).
-    srcs = sorted(r[0] for r in d.select("source").distinct().collect())
-    idx = {s: int(s[3:]) for s in srcs}
-    weights = {s: (idx[s] % 4 + 1) / 4 for s in srcs}
-    mixed = agg(mix_sources(d, weights), "mixed", "source")
-    budgets = {s: 300 + (idx[s] % 5) * 150 for s in srcs}
-    budget = agg(take_token_budget(d, budgets), "budget", "source")
+    # Weights/budgets are the same substring(source, 4) FORMULA the
+    # oracle evaluates, passed as Column expressions — every source the
+    # datagen emits gets its derived weight (no hardcoded src0..src19,
+    # no driver-side distinct/collect at build time; a non-numeric
+    # suffix yields NULL = dropped, mirroring map-miss semantics).
+    sidx = F.substring("source", 4, 10).cast("int")
+    mixed = agg(
+        mix_sources(d, ((sidx % 4 + 1) / F.lit(4.0)).cast("double")), "mixed", "source"
+    )
+    budget = agg(
+        take_token_budget(d, (F.lit(300) + (sidx % 5) * 150).cast("bigint")),
+        "budget",
+        "source",
+    )
     return strat.unionByName(mixed).unionByName(budget).orderBy("kind", "key")

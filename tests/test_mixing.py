@@ -151,6 +151,43 @@ def test_sharded_prefix_sum_bounds_partition_size(spark):
     assert max(sizes) < 3 * n / shards
 
 
+def test_sharded_prefix_sum_null_partition_key(spark):
+    """NULL partition keys must form their own group exactly like
+    Window.partitionBy does — a plain equi-join against the offsets
+    frame would silently drop every NULL-keyed row."""
+    from pyspark.sql import Window
+
+    from lakeflush_spark.operators.mixing import (
+        hex_order_shard,
+        sharded_prefix_sum,
+        shuffle_key,
+    )
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, None).otherwise("s").alias("source"),
+        F.lit(1).cast("bigint").alias("n_tokens"),
+    )
+    keyed = docs.withColumn("_k", shuffle_key("doc_id", "0")).withColumn(
+        "_shard", hex_order_shard(F.col("_k"), 4)
+    )
+    got = sharded_prefix_sum(
+        keyed, ["source"], [F.col("_k"), F.col("doc_id")], "n_tokens", "_shard", "pre"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = keyed.withColumn(
+        "pre", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    )
+    a = {r.doc_id: r.pre for r in got.collect()}
+    b = {r.doc_id: r.pre for r in want.collect()}
+    assert a == b  # no rows lost, offsets correct for the NULL group
+    assert len(a) == 100
+
+
 def test_sharded_prefix_sum_values_match_window(spark):
     """The helper's exclusive running sum equals the naive window's,
     value for value (not just the downstream selection)."""

@@ -40,7 +40,16 @@ NLJ_ALLOWED = {
 # queries that run driver-side actions or streaming at build time —
 # plan text is still obtainable but slow/stateful; the cheap structural
 # gates below don't need them
-SKIP_HEAVY = {"q16_compaction_roundtrip", "q35_streaming_tumbling", "q55_ann_ivf"}
+SKIP_HEAVY = {
+    "q16_compaction_roundtrip",
+    "q35_streaming_tumbling",
+    "q55_ann_ivf",
+    # r5: q24's builder runs the connected-components loop eagerly
+    # (checkpoints + convergence probes) — whole-query plan text costs
+    # the full LSH+cluster computation; its scale shape is audited in
+    # PLANS.md and tests/test_dedup_ops.py instead
+    "q24_neardup_pairs",
+}
 
 
 def _plan(spark, sf_dir, name: str) -> str:

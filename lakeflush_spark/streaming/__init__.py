@@ -13,6 +13,10 @@ from lakeflush_spark.streaming.compaction import (  # noqa: F401
     StreamCompactionConfig,
     compact_stream,
 )
+from lakeflush_spark.streaming.dedup import (  # noqa: F401
+    StreamDedupConfig,
+    dedup_stream,
+)
 from lakeflush_spark.streaming.events import (  # noqa: F401
     dedup_within_watermark,
     sessionize,

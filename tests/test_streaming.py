@@ -159,6 +159,55 @@ def test_stream_compaction_mode_toggle_fails_fast(spark, small_lake, tmp_path):
     compact_stream(spark, eo_cfg2, available_now=True).awaitTermination(180)
 
 
+def test_stream_dedup_incremental_against_history(spark, tmp_path):
+    """Incremental ingest dedup: within-batch dups collapse to the min
+    id, cross-batch dups against already-ingested history are dropped,
+    and a checkpointed restart ingests nothing twice."""
+    from lakeflush_spark.streaming.dedup import StreamDedupConfig, dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamDedupConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    def write_batchfile(name, rows):
+        import glob as _glob
+        import shutil
+
+        stage = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    # batch 1: one within-file dup (ids 3 and 1 share text)
+    write_batchfile("b1", [(3, "alpha"), (1, "alpha"), (2, "beta")])
+    dedup_stream(spark, cfg).awaitTermination(180)
+    got = {
+        r.doc_id: r.text for r in spark.read.parquet(cfg.dest_dir).collect()
+    }
+    assert got == {1: "alpha", 2: "beta"}
+
+    # batch 2: one doc repeats history ("beta"), one is new
+    write_batchfile("b2", [(10, "beta"), (11, "gamma")])
+    dedup_stream(spark, cfg).awaitTermination(180)
+    got = {
+        r.doc_id: r.text for r in spark.read.parquet(cfg.dest_dir).collect()
+    }
+    assert got == {1: "alpha", 2: "beta", 11: "gamma"}
+
+    # restart with the same checkpoint: nothing new -> no change
+    dedup_stream(spark, cfg).awaitTermination(180)
+    assert spark.read.parquet(cfg.dest_dir).count() == 3
+    # digest store holds exactly one digest per surviving doc
+    assert spark.read.parquet(cfg.digest_dir).select("_digest").distinct().count() == 3
+
+
 def test_stream_compaction_ignores_stray_files(spark, small_lake, tmp_path):
     """Unrelated files in the dest (a README, notes) must NOT trip the
     exactly-once layout check — only part-*.txt[.gz] bundles count as

@@ -15,7 +15,9 @@ from lakeflush_spark.streaming.compaction import (  # noqa: F401
 )
 from lakeflush_spark.streaming.dedup import (  # noqa: F401
     StreamDedupConfig,
+    StreamNearDupConfig,
     dedup_stream,
+    near_dup_stream,
 )
 from lakeflush_spark.streaming.events import (  # noqa: F401
     dedup_within_watermark,

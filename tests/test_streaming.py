@@ -208,6 +208,73 @@ def test_stream_dedup_incremental_against_history(spark, tmp_path):
     assert spark.read.parquet(cfg.digest_dir).select("_digest").distinct().count() == 3
 
 
+def test_stream_neardup_incremental_against_history(spark, tmp_path):
+    """Incremental LSH near-dup: a lightly-edited copy arriving in the
+    same batch collapses to the min id, one arriving batches later is
+    dropped against the signature store, and a checkpointed restart
+    changes nothing. Signatures are md5-deterministic, so the planted
+    near-pairs match reproducibly."""
+    from lakeflush_spark.streaming.dedup import StreamNearDupConfig, near_dup_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong coffee beside an ancient river under pale morning light"
+    )
+    edit1 = base.replace("coffee", "tea")
+    edit2 = base.replace("morning", "evening")
+    other = (
+        "completely different subject matter entirely unrelated words "
+        "describing machine learning pipelines and distributed query engines"
+    )
+    third = (
+        "yet another standalone document about parquet file compaction "
+        "strategies for petabyte scale object storage lakes"
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamNearDupConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        sig_dir=str(tmp_path / "sigs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.7,
+    )
+
+    def write_batchfile(name, rows):
+        import glob as _glob
+        import shutil
+
+        stage = tmp_path / f"_nd_stage_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    # batch 1: ids 1/3 are near-dups (one-word edit) -> min id 1 wins
+    write_batchfile("b1", [(3, edit1), (1, base), (2, other)])
+    near_dup_stream(spark, cfg).awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect()}
+    assert got == {1, 2}
+
+    # batch 2: id 10 is a near-dup of HISTORY doc 1, id 11 is new
+    write_batchfile("b2", [(10, edit2), (11, third)])
+    near_dup_stream(spark, cfg).awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect()}
+    assert got == {1, 2, 11}
+
+    # restart with the same checkpoint: no new input -> no change
+    near_dup_stream(spark, cfg).awaitTermination(180)
+    assert spark.read.parquet(cfg.dest_dir).count() == 3
+    # signature store: one row per surviving doc per LSH band
+    sigs = spark.read.parquet(cfg.sig_dir)
+    assert sigs.select("doc").distinct().count() == 3
+    from lakeflush_spark.operators.dedup import MINHASH_BANDS
+
+    assert sigs.count() == 3 * MINHASH_BANDS
+
+
 def test_stream_compaction_ignores_stray_files(spark, small_lake, tmp_path):
     """Unrelated files in the dest (a README, notes) must NOT trip the
     exactly-once layout check — only part-*.txt[.gz] bundles count as

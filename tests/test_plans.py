@@ -130,6 +130,21 @@ def test_q14_single_scan_for_both_window_kinds(plans):
     assert n_scans == 1, f"q14 must scan events once, found {n_scans} scans"
 
 
+def test_single_partition_exchanges_bounded(plans):
+    # Every `Exchange SinglePartition` collapses the job to ONE task.
+    # The only legitimate occurrences in this surface are final global
+    # aggregates over already-reduced data (counts, scalar combines,
+    # the 16-row centroid pull, q58's 1-row doc_id-bounds frame) — at
+    # most two per query. A third, or one feeding corpus-sized data,
+    # is a driver funnel; PLANS.md's 1P column itemizes the audit.
+    offenders = {
+        n: len(re.findall(r"Arguments: SinglePartition", p))
+        for n, p in plans.items()
+        if len(re.findall(r"Arguments: SinglePartition", p)) > 2
+    }
+    assert not offenders, f"SinglePartition exchange crept in: {offenders}"
+
+
 def test_python_stages_only_in_python_queries(plans):
     py_queries = {"q32_media_pipeline", "q36_stateful_sessions",
                   "q52_pandas_udf_zscore", "q53_python_udtf", "q54_pandas_udaf"}

@@ -1,4 +1,4 @@
-"""Exact grouped top-k without a single-task-per-group sort.
+"""Exact grouped top-k and global row numbering without single-task sorts.
 
 ``row_number() OVER (PARTITION BY group ORDER BY ...)`` puts every row
 of a group in ONE window task — for low-cardinality groups (25
@@ -59,4 +59,48 @@ def grouped_top_k(
         cand.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
         .where(F.col(rank_col) <= k)
         .drop("_tk_salt")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    shard_col: str,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY order_cols)`` without the
+    single-task total sort.
+
+    The naive global window is ``Exchange SinglePartition`` + one task
+    sorting the entire input — the worst driver-funnel shape at 100 TB.
+    This is the prefix-count special case of
+    ``operators/mixing.sharded_prefix_sum`` (each row's rank = 1 +
+    count of preceding rows): rank within (shard), then add broadcast
+    cumulative shard counts. Exact and deterministic for any shard
+    count, PROVIDED:
+
+    - ``order_cols`` is a TOTAL order (include a unique tie-break);
+    - ``df[shard_col]`` is an order-preserving bucketing: monotone
+      non-decreasing in the leading order column(s), e.g. a width
+      bucket over the leading key's bounds (q42/q58 pattern) or
+      ``mixing.hex_order_shard`` over an md5 sort key. A monotone map
+      can only cut between order-distinct rows, so shard-local ranks +
+      shard offsets reproduce the global ranks bit-for-bit.
+
+    Max task size is the largest shard, not the whole input; shard
+    balance is the caller's shard function's job.
+    """
+    from lakeflush_spark.operators.mixing import sharded_prefix_sum
+
+    out = sharded_prefix_sum(
+        df.withColumn("_grn_one", F.lit(1)),
+        part_cols=[],
+        order_cols=order_cols,
+        value_col="_grn_one",
+        shard_col=shard_col,
+        out_col="_grn_prec",
+    )
+    return (
+        out.withColumn(out_col, (F.col("_grn_prec") + 1).cast("bigint"))
+        .drop("_grn_one", "_grn_prec")
     )

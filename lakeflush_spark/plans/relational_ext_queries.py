@@ -214,6 +214,15 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ntile needs a single-partition total order; at scale use approx
 # percentile boundaries + a bucketing join instead (q50/q10 document
 # that trade-off). (r2: merged q42+q43.)
+#
+# global_rn (r5) — a GLOBAL row_number over (o_orderdate, o_orderkey)
+# via operators/topk.global_row_number: rank within an order-preserving
+# shard + broadcast cumulative shard counts, instead of the naive
+# Exchange SinglePartition + whole-table one-task sort. The shard is
+# calendar month (year*12+month of o_orderdate) — data-independent,
+# monotone in the leading order col (⇒ bit-identical to the naive
+# window), and needs no bounds pre-aggregate; the oracle recomputes it
+# as the plain single-window ROW_NUMBER.
 # ---------------------------------------------------------------------------
 @declare(
     "q42_window_analytics",
@@ -221,17 +230,26 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            ROUND(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
            lead(o_orderkey) OVER w AS next_orderkey,
-           CAST(ntile(4) OVER w AS BIGINT) AS tile
+           CAST(ntile(4) OVER w AS BIGINT) AS tile,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+             AS global_rn
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ORDER BY o_custkey, o_orderkey
     """,
-    "lag/lead/ntile over per-customer order sequences in one window pass.",
+    "lag/lead/ntile over per-customer order sequences in one window pass, "
+    "plus a scale-safe sharded global row_number (no single-task sort).",
 )
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeflush_spark.operators.topk import global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        _t(spark, sf_dir, "orders")
+    analytic = (
+        orders.withColumn(
+            "_sh",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int"),
+        )
         .select(
             "o_custkey",
             "o_orderkey",
@@ -240,7 +258,18 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lead("o_orderkey").over(w).cast("bigint").alias("next_orderkey"),
             F.ntile(4).over(w).cast("bigint").alias("tile"),
+            "o_orderdate",
+            "_sh",
         )
+    )
+    return (
+        global_row_number(
+            analytic,
+            [F.asc("o_orderdate"), F.asc("o_orderkey")],
+            "_sh",
+            out_col="global_rn",
+        )
+        .drop("o_orderdate", "_sh")
         .orderBy("o_custkey", "o_orderkey")
     )
 

@@ -53,6 +53,59 @@ def test_grouped_top_k_bounds_local_groups(spark):
     assert max(sizes) < 3 * 4096 / (2 * shards)
 
 
+def test_global_row_number_matches_naive_window(spark):
+    """Sharded global row_number must equal the single-window form for
+    any shard count, including heavy ties on the leading order col and
+    a degenerate one-shard bucketing."""
+    from lakeflush_spark.operators.topk import global_row_number
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("item"),
+        # leading order col with heavy ties (125 distinct values)
+        (F.col("id") % 125).cast("long").alias("key"),
+    )
+    order = [F.asc("key"), F.asc("item")]
+    w = Window.orderBy(*order)
+    want = sorted(
+        (r.key, r.item, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w).cast("bigint")).collect()
+    )
+    for shards in (1, 7, 64):
+        # width-bucket of the LEADING order col: monotone, so shard
+        # boundaries only cut between key-distinct rows
+        sharded = df.withColumn(
+            "_sh", F.floor(F.col("key") * shards / F.lit(125)).cast("int")
+        )
+        got = sorted(
+            (r.key, r.item, r.rn)
+            for r in global_row_number(sharded, order, "_sh").drop("_sh").collect()
+        )
+        assert got == want, f"diverged at shards={shards}"
+
+
+def test_global_row_number_bounds_window_partitions(spark):
+    """No window partition holds more than ~n/shards rows — the naive
+    global window would put all n in one."""
+    from lakeflush_spark.operators.topk import global_row_number
+
+    n, shards = 8192, 32
+    df = spark.range(n).select(
+        F.col("id").alias("item"), F.col("id").cast("long").alias("key")
+    ).withColumn("_sh", F.floor(F.col("key") * shards / F.lit(8192)).cast("int"))
+    sizes = [
+        r.cnt for r in df.groupBy("_sh").agg(F.count("*").alias("cnt")).collect()
+    ]
+    assert len(sizes) == shards
+    assert max(sizes) <= n // shards + 1
+    # and the operator still numbers all rows 1..n exactly once
+    got = global_row_number(df, [F.asc("key"), F.asc("item")], "_sh")
+    assert got.agg(
+        F.count("*").alias("c"), F.min("rn").alias("mn"), F.max("rn").alias("mx"),
+        F.countDistinct("rn").alias("d"),
+    ).collect()[0] == (n, 1, n, n)
+
+
 def test_grouped_top_k_validation(spark):
     import pytest
 

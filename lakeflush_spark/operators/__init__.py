@@ -23,7 +23,11 @@ from lakeflush_spark.operators.mixing import (
     sharded_prefix_sum,
     take_token_budget,
 )
-from lakeflush_spark.operators.topk import global_row_number, grouped_top_k
+from lakeflush_spark.operators.topk import (
+    global_ntile,
+    global_row_number,
+    grouped_top_k,
+)
 from lakeflush_spark.operators.manifest import scan_manifest
 from lakeflush_spark.operators.multimodal import (
     extract_features,
@@ -49,6 +53,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_by_hash",
     "extract_features",
+    "global_ntile",
     "global_row_number",
     "grouped_top_k",
     "mix_sources",

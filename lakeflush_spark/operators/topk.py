@@ -104,3 +104,42 @@ def global_row_number(
         out.withColumn(out_col, (F.col("_grn_prec") + 1).cast("bigint"))
         .drop("_grn_one", "_grn_prec")
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list,
+    shard_col: str,
+    k: int,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact global ``ntile(k) OVER (ORDER BY order_cols)`` without the
+    single-task total sort.
+
+    ntile is a pure function of (row_number, total count): with
+    ``n = q*k + r``, the first ``r`` tiles hold ``q+1`` rows and the
+    rest hold ``q``. So: :func:`global_row_number` (sharded, no global
+    sort) + one count aggregate broadcast back + row-local arithmetic.
+    Same shard-column contract as ``global_row_number``. The q50/q42
+    docstrings' historical advice (approx percentile boundaries +
+    bucketing join) remains the cheaper path when approximate tile
+    EDGES are acceptable; this is the exact form.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    rn = global_row_number(df, order_cols, shard_col, out_col="_gnt_rn")
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("_gnt_n"))
+    q = F.floor(F.col("_gnt_n") / k)
+    r = F.col("_gnt_n") % k
+    i = F.col("_gnt_rn") - 1  # 0-based
+    big = r * (q + 1)  # rows living in the q+1-sized leading tiles
+    tile = (
+        F.when(i < big, F.floor(i / (q + 1)))
+        .otherwise(r + F.floor((i - big) / q))
+        + 1
+    )
+    return (
+        rn.crossJoin(F.broadcast(total))
+        .withColumn(out_col, tile.cast("bigint"))
+        .drop("_gnt_rn", "_gnt_n")
+    )

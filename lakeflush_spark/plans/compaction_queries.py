@@ -115,6 +115,11 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     _build_q17_lake()
+    # global window is fine HERE: the frame is file METADATA (one row
+    # per file, ~100 bytes), not data — even a 100 TB lake of 16 MB
+    # bundles is ~6.5M manifest rows, a single-task sort of <1 GB. A
+    # billion-file manifest would switch to operators/topk.
+    # global_row_number with an mtime-bucket shard.
     w = Window.orderBy("mtime", "file_path")
     return (
         ordered_manifest(spark, _Q17_LAKE, ["*.json"])

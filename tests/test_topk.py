@@ -106,6 +106,29 @@ def test_global_row_number_bounds_window_partitions(spark):
     ).collect()[0] == (n, 1, n, n)
 
 
+def test_global_ntile_matches_naive_window(spark):
+    """Exact-arithmetic global ntile must equal F.ntile over the naive
+    global window for divisible, remainder, and k>n cases."""
+    from lakeflush_spark.operators.topk import global_ntile
+
+    n = 1000
+    df = spark.range(n).select(
+        F.col("id").alias("item"), (F.col("id") % 37).cast("long").alias("key")
+    ).withColumn("_sh", F.floor(F.col("key") * 8 / F.lit(37)).cast("int"))
+    order = [F.asc("key"), F.asc("item")]
+    for k in (1, 4, 7, 1500):
+        w = Window.orderBy(*order)
+        want = sorted(
+            (r.item, r.tile)
+            for r in df.withColumn("tile", F.ntile(k).over(w).cast("bigint")).collect()
+        )
+        got = sorted(
+            (r.item, r.tile)
+            for r in global_ntile(df, order, "_sh", k).drop("_sh").collect()
+        )
+        assert got == want, f"diverged at k={k}"
+
+
 def test_grouped_top_k_validation(spark):
     import pytest
 

@@ -118,6 +118,7 @@ def sharded_prefix_sum(
     value_col: str,
     shard_col: str,
     out_col: str,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exclusive running sum over (part_cols, ORDER BY order_cols)
     computed WITHOUT putting a whole partition in one task.
@@ -138,6 +139,13 @@ def sharded_prefix_sum(
     null-safe). This is the 100 TB shape: the naive window is a single
     task per source (~TBs); this is sources × shards bounded tasks
     plus a broadcast of a few-KB frame.
+
+    ``total_col`` (optional) additionally attaches each row's GROUP
+    TOTAL (sum of ``value_col`` over its whole part group) — computed
+    as one more window over the already-tiny totals frame and carried
+    through the same broadcast join, i.e. free: consumers that would
+    otherwise run a separate whole-input aggregate for the total
+    (``global_ntile``) avoid re-executing the input lineage.
     """
     w_in = (
         Window.partitionBy(*part_cols, shard_col)
@@ -153,10 +161,16 @@ def sharded_prefix_sum(
         .orderBy(shard_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = totals.select(
+    off_cols = [
         *[F.col(c).alias(f"_sps_{c}") for c in [*part_cols, shard_col]],
         F.coalesce(F.sum("_sps_t").over(w_off), F.lit(0)).cast("bigint").alias("_sps_off"),
-    )
+    ]
+    if total_col is not None:
+        w_tot = Window.partitionBy(*part_cols).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("_sps_t").over(w_tot).cast("bigint").alias("_sps_tot"))
+    offsets = totals.select(*off_cols)
     # eqNullSafe join: groupBy keeps NULL keys as a real group (so does
     # Window.partitionBy) — a plain equi-join would silently DROP every
     # NULL-keyed row here, diverging from the naive-window contract
@@ -164,11 +178,15 @@ def sharded_prefix_sum(
     for c in [*part_cols, shard_col]:
         piece = df[c].eqNullSafe(F.col(f"_sps_{c}"))
         cond = piece if cond is None else cond & piece
-    return (
+    out = (
         df.withColumn("_sps_within", within)
         .join(F.broadcast(offsets), cond)
         .withColumn(out_col, F.col("_sps_off") + F.col("_sps_within"))
-        .drop("_sps_within", "_sps_off", *[f"_sps_{c}" for c in [*part_cols, shard_col]])
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_sps_tot")).drop("_sps_tot")
+    return out.drop(
+        "_sps_within", "_sps_off", *[f"_sps_{c}" for c in [*part_cols, shard_col]]
     )
 
 

@@ -67,6 +67,7 @@ def global_row_number(
     order_cols: list,
     shard_col: str,
     out_col: str = "rn",
+    total_col: str | None = None,
 ) -> DataFrame:
     """Global ``row_number() OVER (ORDER BY order_cols)`` without the
     single-task total sort.
@@ -88,7 +89,10 @@ def global_row_number(
       shard offsets reproduce the global ranks bit-for-bit.
 
     Max task size is the largest shard, not the whole input; shard
-    balance is the caller's shard function's job.
+    balance is the caller's shard function's job. ``total_col``
+    additionally attaches the TOTAL row count to every row — it rides
+    the prefix-sum machinery's tiny shard-totals frame for free
+    (no separate whole-input count pass; see :func:`global_ntile`).
     """
     from lakeflush_spark.operators.mixing import sharded_prefix_sum
 
@@ -99,6 +103,7 @@ def global_row_number(
         value_col="_grn_one",
         shard_col=shard_col,
         out_col="_grn_prec",
+        total_col=total_col,
     )
     return (
         out.withColumn(out_col, (F.col("_grn_prec") + 1).cast("bigint"))
@@ -118,17 +123,20 @@ def global_ntile(
 
     ntile is a pure function of (row_number, total count): with
     ``n = q*k + r``, the first ``r`` tiles hold ``q+1`` rows and the
-    rest hold ``q``. So: :func:`global_row_number` (sharded, no global
-    sort) + one count aggregate broadcast back + row-local arithmetic.
-    Same shard-column contract as ``global_row_number``. The q50/q42
-    docstrings' historical advice (approx percentile boundaries +
-    bucketing join) remains the cheaper path when approximate tile
-    EDGES are acceptable; this is the exact form.
+    rest hold ``q``. So: :func:`global_row_number` with its free
+    ``total_col`` (the total rides the prefix-sum machinery's tiny
+    shard-totals frame — no separate whole-input count pass, which
+    would re-execute the input lineage once more) + row-local
+    arithmetic. Same shard-column contract as ``global_row_number``.
+    The q50/q42 docstrings' historical advice (approx percentile
+    boundaries + bucketing join) remains the cheaper path when
+    approximate tile EDGES are acceptable; this is the exact form.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    rn = global_row_number(df, order_cols, shard_col, out_col="_gnt_rn")
-    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("_gnt_n"))
+    rn = global_row_number(
+        df, order_cols, shard_col, out_col="_gnt_rn", total_col="_gnt_n"
+    )
     q = F.floor(F.col("_gnt_n") / k)
     r = F.col("_gnt_n") % k
     i = F.col("_gnt_rn") - 1  # 0-based
@@ -138,8 +146,4 @@ def global_ntile(
         .otherwise(r + F.floor((i - big) / q))
         + 1
     )
-    return (
-        rn.crossJoin(F.broadcast(total))
-        .withColumn(out_col, tile.cast("bigint"))
-        .drop("_gnt_rn", "_gnt_n")
-    )
+    return rn.withColumn(out_col, tile.cast("bigint")).drop("_gnt_rn", "_gnt_n")

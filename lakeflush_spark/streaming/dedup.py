@@ -1,15 +1,15 @@
-"""Incremental ingest dedup: exact-dedup each arriving micro-batch
-against everything ingested before it.
+"""Incremental ingest dedup: exact- and NEAR-dedup each arriving
+micro-batch against everything ingested before it.
 
 The batch dedup operators (``operators/dedup.py``) assume the corpus
 is at rest; a continuously-fed training-data lake needs dedup ON
 ARRIVAL — a document seen last week must not re-enter the corpus
 today. The reference has no analog (it stops at bundle delivery);
-this is the streaming face of ``exact_dedup_by_hash``:
+``dedup_stream`` is the streaming face of ``exact_dedup_by_hash``:
 
 1. every micro-batch first dedups WITHIN itself (min-id winner, the
    same digest-shuffle shape as the batch operator);
-2. survivors are anti-joined against the persisted DIGEST STORE — a
+2. survivors are checked against the persisted DIGEST STORE — a
    parquet table of 16-byte content digests, never document bodies;
 3. genuinely-new documents append to the dest corpus and their
    digests append to the store, both under ``batch=<id>`` partitions
@@ -18,28 +18,35 @@ this is the streaming face of ``exact_dedup_by_hash``:
    duplicating it, the same exactly-once recipe as
    ``streaming/compaction.py``.
 
-Scale stance: the per-batch cost is (batch digests) × (history
-digests) — an anti-join on 16-byte keys with the batch side tiny, so
-AQE broadcasts the batch side against the history scan; document
-bodies never shuffle. At 100 TB of history, partition-prune the store
-by digest prefix (write ``prefix=substr(digest,1,2)`` partitions and
-join per-prefix) or front it with a Bloom filter — the store schema
-(digest, batch) already supports both upgrades without rewriting
-history.
+Scale stance: the batch's digests are explicitly BROADCAST into a
+semi-probe of the history scan (then the tiny hit set anti-joins the
+batch) — history is only ever scanned, never shuffled and never
+broadcast, and per-batch cost is one history scan + broadcast-sized
+joins; document bodies never shuffle. At 100 TB of history,
+partition-prune the store by digest prefix (write
+``prefix=substr(digest,1,2)`` partitions and join per-prefix) or
+front it with a Bloom filter — the store schema (digest, batch)
+already supports both upgrades without rewriting history.
+
+Store existence/history reads go through the Spark reader itself
+(missing-store analysis errors caught), so the same code works on
+local paths and on object stores (``s3a://`` etc.) where a local
+``os.listdir`` probe would silently report "no history".
 """
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from lakeflush_spark.operators.dedup import (
     MINHASH_BANDS,
     MINHASH_NUM,
     _cap_hot_buckets,
+    content_digest,
     with_minhash,
 )
 
@@ -59,14 +66,26 @@ class StreamDedupConfig:
 
 
 def _batch_digests(df: DataFrame, cfg: StreamDedupConfig) -> DataFrame:
-    # same injective single-column encoding as exact_dedup_by_hash
-    s = F.col(cfg.text_col).cast("string")
-    key = F.md5(
-        F.when(s.isNull(), F.lit("N;")).otherwise(
-            F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(";"), s)
-        )
-    )
-    return df.withColumn("_digest", key)
+    # the SAME key builder as exact_dedup_by_hash — a store written by
+    # the stream stays digest-compatible with batch dedup and vice versa
+    return df.withColumn("_digest", content_digest([cfg.text_col]))
+
+
+def _read_store(sp: SparkSession, store_dir: str, batch_id: int) -> DataFrame | None:
+    """History rows of a ``batch=N``-partitioned store, EXCLUDING the
+    replaying batch's own partition (so a replay does not see its
+    previous crashed attempt as history); None when the store does not
+    exist yet. Existence is probed by the read itself — works on any
+    Hadoop-compatible filesystem, unlike a driver-local ``os.listdir``
+    which would silently report "no history" for ``s3a://`` stores and
+    re-admit every previously-ingested document."""
+    try:
+        df = sp.read.option("basePath", store_dir).parquet(store_dir)
+    except AnalysisException:
+        # PATH_NOT_FOUND (no store yet) / UNABLE_TO_INFER_SCHEMA
+        # (dir exists but holds no data files yet)
+        return None
+    return df.where(F.col("batch") != int(batch_id))
 
 
 def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
@@ -93,19 +112,19 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
             .select(cfg.id_col)
         )
         fresh = keyed.join(winners, cfg.id_col, "semi")
-        # against-history: digest anti-join, bodies never shuffle.
-        # Exclude THIS batch's own partition so a replay does not see
-        # its previous (crashed) attempt as history.
-        if os.path.isdir(cfg.digest_dir) and any(
-            d.startswith("batch=") for d in os.listdir(cfg.digest_dir)
-        ):
-            seen = (
-                sp.read.option("basePath", cfg.digest_dir)
-                .parquet(cfg.digest_dir)
-                .where(F.col("batch") != int(batch_id))
-                .select("_digest")
+        seen = _read_store(sp, cfg.digest_dir, batch_id)
+        if seen is not None:
+            # broadcast the BATCH digests into a semi-probe of the
+            # history scan: LeftAnti can only build (broadcast) its
+            # right side, so `fresh anti-join history` would broadcast
+            # or shuffle ALL history. Probing history with the tiny
+            # batch set instead yields `dup` (≤ batch size), and the
+            # anti-join against THAT broadcasts the small side —
+            # history is scanned once, never shuffled.
+            dup = seen.select("_digest").join(
+                F.broadcast(fresh.select("_digest")), "_digest", "semi"
             )
-            fresh = fresh.join(seen, "_digest", "left_anti")
+            fresh = fresh.join(F.broadcast(dup), "_digest", "left_anti")
         # persist: consumed by BOTH writes, and the digest write must
         # see a snapshot computed BEFORE it starts replacing files
         # under the digest dir it was derived from
@@ -151,7 +170,11 @@ class StreamNearDupConfig:
     because history stores signatures only (MINHASH_NUM bigints per
     doc), never bodies or shingle sets; an unbiased estimator whose
     error shrinks with MINHASH_NUM, the standard trade for dedup-on-
-    arrival where re-reading old bodies per batch is not viable.
+    arrival where re-reading old bodies per batch is not viable. Note
+    this is a DIFFERENT verify than the batch pipeline's exact shingle
+    Jaccard: with MINHASH_NUM=16 the effective threshold quantizes to
+    sixteenths (0.7 ⇒ ≥ 12/16), so streamed and batch-curated survivor
+    sets can differ near the threshold.
     """
 
     #: streaming source directory of parquet document files
@@ -164,10 +187,18 @@ class StreamNearDupConfig:
     id_col: str = "doc_id"
     text_col: str = "text"
     threshold: float = 0.7
-    #: cap on members per LSH bucket across batch+history (see
-    #: operators/dedup._cap_hot_buckets — bounds the per-band join at
-    #: cap² candidates under boilerplate skew); None = uncapped
+    #: cap on members per LSH bucket on the join's candidate side (see
+    #: operators/dedup._cap_hot_buckets — bounds each bucket's
+    #: candidate rows at the cap under boilerplate skew); None = uncapped
     max_bucket: int | None = None
+    #: how to enforce the cap. Default "sample" (keep a deterministic
+    #: max_bucket-row sample): with an ever-growing history store,
+    #: "drop" would PERMANENTLY disable near-dup detection for any
+    #: bucket whose cumulative membership once crosses the cap (every
+    #: later dup in it admitted forever); sampling keeps cap
+    #: representatives so detection degrades to partial recall instead
+    #: of zero.
+    hot_bucket_mode: str = "sample"
     max_files_per_trigger: int | None = None
 
 
@@ -187,29 +218,33 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
 
     1. map-only minhash signatures + band hashes for arriving docs
        (``operators/dedup.with_minhash`` — the batch operators' exact
-       signature math, so batch and stream agree on what "near" means);
-    2. WITHIN-batch greedy resolution: band equi-join inside the batch,
-       signature-agreement verify, drop every doc pairing with a
-       lower-id doc (the same greedy semantics as
-       ``pipelines.curate_documents`` round 0);
-    3. AGAINST-history: survivors' band rows equi-join the persisted
-       band store on (band_idx, band_hash), candidates verify against
-       stored signatures, matching docs drop. Only (id, band, 8-byte
-       hash) and (id, 16-bigint sig) rows ever join — bodies never
-       shuffle, and the store is ~1e-3 the corpus bytes;
+       signature/band math, so a store built here is directly
+       comparable with batch LSH artifacts; the VERIFY step differs —
+       estimated vs exact Jaccard, see :class:`StreamNearDupConfig`);
+    2. the persisted band store is PRUNED to the buckets this batch
+       touches (broadcast semi-join on the batch's (band, hash) keys —
+       history is scanned, never shuffled);
+    3. ONE equi-join covers both within-batch and against-history
+       pairing: new docs left, (new ∪ pruned history) right. A new doc
+       drops iff it signature-verifies against a history doc (any id)
+       or a lower-id doc of its own batch — the batch pipeline's
+       greedy round-0 resolution semantics. Only (id, band, 8-byte
+       hash, 16-bigint sig) rows ever join — bodies never shuffle;
     4. survivors append bodies to ``dest_dir`` and signature+band rows
        to ``sig_dir``, both under ``batch=<id>`` partitions with
        dynamic overwrite — replayed batches replace their own output
        (see :func:`dedup_stream`; same exactly-once recipe), and
        history reads exclude the replaying batch's own partition.
 
-    Scale: per-batch cost is the band equi-join of (batch bands) ×
-    (batch+history bands) on 8-byte keys — linear-ish in arrivals,
-    independent of corpus BODY size; ``cfg.max_bucket`` bounds
-    boilerplate-skewed buckets exactly as in the batch LSH path. At
-    very large history, partition the store by band hash prefix and
-    bucket-sort it so the join co-partitions without a history
-    shuffle; the store schema already supports that layout rewrite.
+    Scale: per-batch cost = one column-pruned history scan + joins
+    over (batch bands) × (touched-bucket rows) — linear-ish in
+    arrivals, independent of corpus BODY size. ``cfg.max_bucket``
+    bounds boilerplate-skewed buckets (default mode "sample"; see the
+    config for why "drop" is wrong for an append-forever store). The
+    store itself still accrues rows for hot buckets — compact it
+    offline by applying the same cap to the store when that matters.
+    At very large history, partition the store by band-hash prefix so
+    the pruning semi-join partition-prunes the scan too.
     """
     if schema is None:
         schema = spark.read.parquet(cfg.source_dir).schema
@@ -232,30 +267,24 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
         keyed = with_minhash(batch_df, text_col=cfg.text_col)
         new_bands = _bands_long(keyed).withColumn("hist", F.lit(False))
 
-        have_history = os.path.isdir(cfg.sig_dir) and any(
-            d.startswith("batch=") for d in os.listdir(cfg.sig_dir)
-        )
+        hist = _read_store(sp, cfg.sig_dir, batch_id)
         all_bands = new_bands
-        if have_history:
+        if hist is not None:
+            touched = new_bands.select("band_idx", "bh").distinct()
             hist_bands = (
-                sp.read.option("basePath", cfg.sig_dir)
-                .parquet(cfg.sig_dir)
-                .where(F.col("batch") != int(batch_id))
-                .select("doc", "sig", "band_idx", "bh")
+                hist.select("doc", "sig", "band_idx", "bh")
+                .join(F.broadcast(touched), ["band_idx", "bh"], "semi")
                 .withColumn("hist", F.lit(True))
             )
             all_bands = new_bands.unionByName(hist_bands)
         all_bands = _cap_hot_buckets(
-            all_bands, ["band_idx", "bh"], cfg.max_bucket, mode="drop"
+            all_bands,
+            ["band_idx", "bh"],
+            cfg.max_bucket,
+            mode=cfg.hot_bucket_mode,
+            doc_col="doc",
         )
-        # ONE equi-join covers both within-batch and against-history
-        # pairing: new docs left, (new ∪ history) right. A new doc is
-        # dropped iff it verifies against a history doc (any id) or a
-        # lower-id doc of its own batch — the batch pipeline's greedy
-        # round-0 semantics, so replaying the whole corpus as one batch
-        # and streaming it in pieces drop the same documents (modulo
-        # chains that greedy over-deletes either way).
-        n, o = new_bands.alias("n"), all_bands.alias("o")
+        n, o = F.broadcast(new_bands).alias("n"), all_bands.alias("o")
         dropped = (
             n.join(
                 o,
@@ -268,7 +297,7 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
             .distinct()
         )
         out = (
-            keyed.join(dropped, cfg.id_col, "left_anti")
+            keyed.join(F.broadcast(dropped), cfg.id_col, "left_anti")
             .withColumn("batch", F.lit(int(batch_id)))
             .persist()
         )

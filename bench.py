@@ -230,6 +230,40 @@ def bench_compaction(spark) -> dict[str, float]:
     return out
 
 
+def bench_stream_dedup(spark) -> dict[str, float]:
+    """Incremental LSH near-dup throughput (streaming/dedup.py): the
+    sf documents table arrives as one AvailableNow micro-batch stream
+    and is near-deduped against an empty store — measures the full
+    minhash + band-store + verify + exactly-once-write path end to
+    end, in docs/s."""
+    from lakeflush_spark.io import load_table
+    from lakeflush_spark.streaming.dedup import StreamNearDupConfig, near_dup_stream
+
+    work = tempfile.mkdtemp(prefix="lakeflush_bench_stream_")
+    try:
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        n = docs.count()
+        src = os.path.join(work, "src")
+        docs.repartition(8).write.mode("overwrite").parquet(src)
+        cfg = StreamNearDupConfig(
+            source_dir=src,
+            dest_dir=os.path.join(work, "dest"),
+            sig_dir=os.path.join(work, "sigs"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            threshold=0.7,
+        )
+        t0 = time.time()
+        near_dup_stream(spark, cfg).awaitTermination()
+        dt = time.time() - t0
+        return {
+            "neardup_docs_s": round(n / dt, 1),
+            "neardup_docs": n,
+            "neardup_sec": round(dt, 3),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     t_all = time.time()
     from lakeflush_spark import get_spark
@@ -247,6 +281,7 @@ def main() -> int:
 
     queries = bench_queries(spark)
     compaction = bench_compaction(spark)
+    streaming = bench_stream_dedup(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -256,6 +291,7 @@ def main() -> int:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
         "compaction": compaction,
+        "streaming": streaming,
         "wall_sec": round(time.time() - t_all, 1),
     }
     print(json.dumps(result))

@@ -69,7 +69,6 @@ def get_spark(app_name: str = "lakeflush_spark", extra_conf: dict | None = None)
         # --- Determinism for oracle comparison ----------------------
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -12,11 +12,14 @@ today. The reference has no analog (it stops at bundle delivery);
 2. survivors are checked against the persisted DIGEST STORE — a
    parquet table of 16-byte content digests, never document bodies;
 3. genuinely-new documents append to the dest corpus and their
-   digests append to the store, both under ``batch=<id>`` partitions
-   written with DYNAMIC partition overwrite — a replayed micro-batch
-   (foreachBatch is at-least-once) REPLACES its own output instead of
-   duplicating it, the same exactly-once recipe as
-   ``streaming/compaction.py``.
+   digests append to the store, both under ``run=<tag>/batch=<id>``
+   partitions written with DYNAMIC partition overwrite — a replayed
+   micro-batch (foreachBatch is at-least-once) REPLACES its own output
+   instead of duplicating it, the same exactly-once recipe as
+   ``streaming/compaction.py``. The run tag scopes replay exclusion
+   and overwrite to THIS stream generation, so a store can be reused
+   under a fresh checkpoint without clobbering or mis-excluding an
+   earlier generation's partitions (see :func:`_run_tag`).
 
 Scale stance: the batch's digests are explicitly BROADCAST into a
 semi-probe of the history scan (then the tiny hit set anti-joins the
@@ -36,6 +39,8 @@ local paths and on object stores (``s3a://`` etc.) where a local
 
 from __future__ import annotations
 
+import hashlib
+import os
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -71,9 +76,25 @@ def _batch_digests(df: DataFrame, cfg: StreamDedupConfig) -> DataFrame:
     return df.withColumn("_digest", content_digest([cfg.text_col]))
 
 
-def _read_store(sp: SparkSession, store_dir: str, batch_id: int) -> DataFrame | None:
-    """History rows of a ``batch=N``-partitioned store, EXCLUDING the
-    replaying batch's own partition (so a replay does not see its
+def _run_tag(checkpoint_dir: str) -> str:
+    """Stable id of one stream GENERATION, derived from the checkpoint
+    location: replays of the same checkpoint share it (so a replay can
+    exclude its own crashed attempt), while a NEW stream over a fresh
+    checkpoint gets a different tag even against the same store.
+    Without run scoping, store reuse across checkpoint generations is
+    broken twice over: generation 2's batch 0 would exclude generation
+    1's ``batch=0`` partition as if it were its own replay (silently
+    ignoring real history), and its dynamic overwrite of ``batch=0``
+    would REPLACE generation 1's rows. Stores therefore partition by
+    ``(run, batch)`` and exclusion matches both."""
+    return hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+
+
+def _read_store(
+    sp: SparkSession, store_dir: str, batch_id: int, run: str
+) -> DataFrame | None:
+    """History rows of a ``run=R/batch=N``-partitioned store, EXCLUDING
+    the replaying batch's own partition (so a replay does not see its
     previous crashed attempt as history); None when the store does not
     exist yet. Existence is probed by the read itself — works on any
     Hadoop-compatible filesystem, unlike a driver-local ``os.listdir``
@@ -85,7 +106,9 @@ def _read_store(sp: SparkSession, store_dir: str, batch_id: int) -> DataFrame | 
         # PATH_NOT_FOUND (no store yet) / UNABLE_TO_INFER_SCHEMA
         # (dir exists but holds no data files yet)
         return None
-    return df.where(F.col("batch") != int(batch_id))
+    return df.where(
+        ~((F.col("run") == run) & (F.col("batch") == int(batch_id)))
+    )
 
 
 def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
@@ -101,6 +124,7 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
     if cfg.max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
     stream = reader.parquet(cfg.source_dir)
+    run = _run_tag(cfg.checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -112,7 +136,7 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
             .select(cfg.id_col)
         )
         fresh = keyed.join(winners, cfg.id_col, "semi")
-        seen = _read_store(sp, cfg.digest_dir, batch_id)
+        seen = _read_store(sp, cfg.digest_dir, batch_id, run)
         if seen is not None:
             # broadcast the BATCH digests into a semi-probe of the
             # history scan: LeftAnti can only build (broadcast) its
@@ -128,20 +152,24 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
         # persist: consumed by BOTH writes, and the digest write must
         # see a snapshot computed BEFORE it starts replacing files
         # under the digest dir it was derived from
-        out = fresh.withColumn("batch", F.lit(int(batch_id))).persist()
+        out = (
+            fresh.withColumn("run", F.lit(run))
+            .withColumn("batch", F.lit(int(batch_id)))
+            .persist()
+        )
         try:
             (
                 out.drop("_digest")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch")
+                .partitionBy("run", "batch")
                 .parquet(cfg.dest_dir)
             )
             (
-                out.select("_digest", "batch")
+                out.select("_digest", "run", "batch")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch")
+                .partitionBy("run", "batch")
                 .parquet(cfg.digest_dir)
             )
         finally:
@@ -231,10 +259,11 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
        greedy round-0 resolution semantics. Only (id, band, 8-byte
        hash, 16-bigint sig) rows ever join — bodies never shuffle;
     4. survivors append bodies to ``dest_dir`` and signature+band rows
-       to ``sig_dir``, both under ``batch=<id>`` partitions with
-       dynamic overwrite — replayed batches replace their own output
-       (see :func:`dedup_stream`; same exactly-once recipe), and
-       history reads exclude the replaying batch's own partition.
+       to ``sig_dir``, both under ``run=<tag>/batch=<id>`` partitions
+       with dynamic overwrite — replayed batches replace their own
+       output (see :func:`dedup_stream`; same exactly-once,
+       generation-scoped recipe), and history reads exclude only the
+       replaying batch's own (run, batch) partition.
 
     Scale: per-batch cost = one column-pruned history scan + joins
     over (batch bands) × (touched-bucket rows) — linear-ish in
@@ -252,6 +281,7 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
     if cfg.max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
     stream = reader.parquet(cfg.source_dir)
+    run = _run_tag(cfg.checkpoint_dir)
 
     def _bands_long(keyed: DataFrame) -> DataFrame:
         return keyed.select(
@@ -267,7 +297,7 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
         keyed = with_minhash(batch_df, text_col=cfg.text_col)
         new_bands = _bands_long(keyed).withColumn("hist", F.lit(False))
 
-        hist = _read_store(sp, cfg.sig_dir, batch_id)
+        hist = _read_store(sp, cfg.sig_dir, batch_id, run)
         all_bands = new_bands
         if hist is not None:
             touched = new_bands.select("band_idx", "bh").distinct()
@@ -298,24 +328,26 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
         )
         out = (
             keyed.join(F.broadcast(dropped), cfg.id_col, "left_anti")
+            .withColumn("run", F.lit(run))
             .withColumn("batch", F.lit(int(batch_id)))
             .persist()
         )
         try:
-            body_cols = [c for c in batch_df.columns] + ["batch"]
+            body_cols = [c for c in batch_df.columns] + ["run", "batch"]
             (
                 out.select(*body_cols)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch")
+                .partitionBy("run", "batch")
                 .parquet(cfg.dest_dir)
             )
             (
                 _bands_long(out)
+                .withColumn("run", F.lit(run))
                 .withColumn("batch", F.lit(int(batch_id)))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch")
+                .partitionBy("run", "batch")
                 .parquet(cfg.sig_dir)
             )
         finally:

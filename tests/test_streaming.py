@@ -208,6 +208,56 @@ def test_stream_dedup_incremental_against_history(spark, tmp_path):
     assert spark.read.parquet(cfg.digest_dir).select("_digest").distinct().count() == 3
 
 
+def test_stream_dedup_store_reuse_across_checkpoint_generations(spark, tmp_path):
+    """A NEW stream (fresh checkpoint) over an EXISTING digest store
+    must still see the old generation's history: without run-scoped
+    partitions, generation 2's batch 0 would exclude generation 1's
+    batch=0 partition as its own 'replay' and re-admit old documents —
+    and its dynamic overwrite would replace those store rows."""
+    from lakeflush_spark.streaming.dedup import StreamDedupConfig, dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batchfile(name, rows):
+        import glob as _glob
+        import shutil
+
+        stage = tmp_path / f"_gen_stage_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    common = dict(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+    )
+    # generation 1 ingests alpha/beta under checkpoint ckpt1
+    write_batchfile("g1", [(1, "alpha"), (2, "beta")])
+    dedup_stream(
+        spark, StreamDedupConfig(checkpoint_dir=str(tmp_path / "ckpt1"), **common)
+    ).awaitTermination(180)
+
+    # generation 2: FRESH checkpoint, same store. Its batch 0 re-reads
+    # g1's file plus a new one holding a dup of 'alpha' and a new doc.
+    write_batchfile("g2", [(10, "alpha"), (11, "gamma")])
+    dedup_stream(
+        spark, StreamDedupConfig(checkpoint_dir=str(tmp_path / "ckpt2"), **common)
+    ).awaitTermination(180)
+
+    got = {r.doc_id: r.text for r in spark.read.parquet(common["dest_dir"]).collect()}
+    # old docs survive exactly once (gen-1 partitions untouched), the
+    # cross-generation dup is dropped, the new doc lands
+    assert got == {1: "alpha", 2: "beta", 11: "gamma"}
+    digests = spark.read.parquet(common["digest_dir"])
+    assert digests.select("_digest").distinct().count() == 3
+    # two distinct run partitions exist: nothing was clobbered
+    assert digests.select("run").distinct().count() == 2
+
+
 def test_stream_neardup_incremental_against_history(spark, tmp_path):
     """Incremental LSH near-dup: a lightly-edited copy arriving in the
     same batch collapses to the min id, one arriving batches later is

@@ -16,6 +16,7 @@ from lakeflush_spark.streaming.compaction import (  # noqa: F401
 from lakeflush_spark.streaming.dedup import (  # noqa: F401
     StreamDedupConfig,
     StreamNearDupConfig,
+    compact_store,
     dedup_stream,
     near_dup_stream,
 )

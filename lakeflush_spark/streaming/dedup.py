@@ -239,6 +239,33 @@ def _sig_agreement(a: Column, b: Column) -> Column:
     )
 
 
+def compact_store(
+    spark: SparkSession,
+    store_dir: str,
+    dest_dir: str,
+    max_bucket: int,
+    mode: str = "sample",
+) -> None:
+    """Offline compaction of a near-dup signature store: bound every
+    LSH bucket at ``max_bucket`` rows and write the result to
+    ``dest_dir`` (must not exist — compaction never rewrites a store
+    in place while streams may be reading it; swap ``cfg.sig_dir``
+    to the compacted copy between runs).
+
+    Uses the SAME deterministic md5(doc) bucket ranking as the online
+    cap (``operators/dedup._cap_hot_buckets``), so the representatives
+    a compacted store keeps are exactly the ones the online sample
+    mode would have consulted. The ``(run, batch)`` partition layout
+    is preserved — replay exclusion in a continuing stream keeps
+    working against the compacted copy.
+    """
+    df = spark.read.option("basePath", store_dir).parquet(store_dir)
+    capped = _cap_hot_buckets(
+        df, ["band_idx", "bh"], max_bucket, mode=mode, doc_col="doc"
+    )
+    capped.write.mode("error").partitionBy("run", "batch").parquet(dest_dir)
+
+
 def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
     """Start the incremental NEAR-dup stream (``Trigger.AvailableNow``).
 
@@ -270,8 +297,9 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
     arrivals, independent of corpus BODY size. ``cfg.max_bucket``
     bounds boilerplate-skewed buckets (default mode "sample"; see the
     config for why "drop" is wrong for an append-forever store). The
-    store itself still accrues rows for hot buckets — compact it
-    offline by applying the same cap to the store when that matters.
+    store itself still accrues rows for hot buckets —
+    :func:`compact_store` bounds it offline with the same
+    deterministic cap when that matters.
     At very large history, partition the store by band-hash prefix so
     the pruning semi-join partition-prunes the scan too.
     """

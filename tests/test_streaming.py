@@ -325,6 +325,66 @@ def test_stream_neardup_incremental_against_history(spark, tmp_path):
     assert sigs.count() == 3 * MINHASH_BANDS
 
 
+def test_compact_store_bounds_buckets_and_preserves_detection(spark, tmp_path):
+    """Offline store compaction caps every LSH bucket, keeps the
+    (run, batch) layout, and a continuing stream pointed at the
+    compacted copy still drops near-dups against history."""
+    from lakeflush_spark.streaming.dedup import (
+        StreamNearDupConfig,
+        compact_store,
+        near_dup_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong coffee beside an ancient river under pale morning light"
+    )
+    other = (
+        "completely different subject matter entirely unrelated words "
+        "describing machine learning pipelines and distributed query engines"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batchfile(name, rows):
+        import glob as _glob
+        import shutil
+
+        stage = tmp_path / f"_cs_stage_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    cfg = StreamNearDupConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        sig_dir=str(tmp_path / "sigs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.7,
+    )
+    write_batchfile("b1", [(1, base), (2, other)])
+    near_dup_stream(spark, cfg).awaitTermination(180)
+
+    compacted = str(tmp_path / "sigs_compacted")
+    compact_store(spark, cfg.sig_dir, compacted, max_bucket=1)
+    store = spark.read.parquet(compacted)
+    assert set(store.columns) >= {"doc", "sig", "band_idx", "bh", "run", "batch"}
+    sizes = store.groupBy("band_idx", "bh").count().agg(F.max("count")).collect()[0][0]
+    assert sizes == 1
+
+    # continue the SAME stream generation against the compacted copy:
+    # a near-dup of history doc 1 must still be dropped
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, sig_dir=compacted)
+    write_batchfile("b2", [(10, base.replace("morning", "evening"))])
+    near_dup_stream(spark, cfg2).awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect()}
+    assert got == {1, 2}
+
+
 def test_stream_compaction_ignores_stray_files(spark, small_lake, tmp_path):
     """Unrelated files in the dest (a README, notes) must NOT trip the
     exactly-once layout check — only part-*.txt[.gz] bundles count as

@@ -13,6 +13,10 @@ from lakeflush_spark.streaming.compaction import (  # noqa: F401
     StreamCompactionConfig,
     compact_stream,
 )
+from lakeflush_spark.streaming.curation import (  # noqa: F401
+    CurationStreamConfig,
+    curate_stream,
+)
 from lakeflush_spark.streaming.dedup import (  # noqa: F401
     StreamDedupConfig,
     StreamNearDupConfig,

@@ -1,0 +1,228 @@
+"""Continuous corpus curation: the full batch curation pipeline
+(``pipelines.curate_documents``) re-expressed as dedup-on-arrival.
+
+Each micro-batch runs the same stage order as the batch pipeline —
+quality filters → exact dedup → LSH near-dup → eval-set
+decontamination — but the dedup stages check arriving documents
+against PERSISTED history stores (16-byte digests; band hashes +
+minhash signatures), so a continuously-fed corpus stays curated
+without ever re-processing what is already in it. The reference has
+no analog (it stops at bundle delivery; `lakeflush/core/flusher.py`).
+
+Composition, all reused from :mod:`lakeflush_spark.streaming.dedup`:
+
+- ``within_batch_exact`` / ``against_history_exact`` — digest-only
+  shuffles, history scanned never shuffled (batch digests broadcast
+  into a semi-probe);
+- ``near_dup_dropped_ids`` — band store pruned to batch-touched
+  buckets, one band equi-join for within-batch + against-history
+  pairing, signature-agreement verify, hot-bucket cap;
+- ``operators/decontaminate.decontaminate`` — the STATIC eval-gram
+  frame is built once at stream start and broadcast into every batch
+  (the corpus side never shuffles);
+- the ``(run, batch)`` dynamic-overwrite exactly-once store recipe —
+  replays replace their own output; stores survive checkpoint swaps.
+
+Stores describe THE CORPUS (what was admitted), not everything seen:
+a future copy of a rejected document is re-evaluated and — all stages
+being content-deterministic — rejected the same way, without the
+stores accumulating rows for documents that never entered the corpus.
+
+Auditability: every batch appends one stats row
+(n_in / n_filtered / n_exact_dup / n_near_dup / n_contaminated /
+n_out) to a queryable parquet stats store under the same (run, batch)
+exactly-once layout — the streaming twin of the batch pipeline's
+per-stage stats frame. Stage counts are computed from the persisted
+per-stage frames of ONE pass (count jobs over already-materialized or
+id-only frames), not by re-running stages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from lakeflush_spark.functions.text import token_count
+from lakeflush_spark.operators.decontaminate import ngram_hash_set
+from lakeflush_spark.operators.dedup import content_digest, with_minhash
+from lakeflush_spark.streaming.dedup import (
+    _bands_long,
+    _read_store,
+    _run_tag,
+    against_history_exact,
+    near_dup_dropped_ids,
+    within_batch_exact,
+)
+
+
+@dataclass
+class CurationStreamConfig:
+    #: streaming source directory of parquet document files
+    source_dir: str
+    #: curated corpus destination (parquet, run=R/batch=N partitioned)
+    dest_dir: str
+    #: exact-dedup digest store (parquet, run=R/batch=N partitioned)
+    digest_dir: str
+    #: near-dup band/signature store (parquet, run=R/batch=N partitioned)
+    sig_dir: str
+    #: per-batch stats store (parquet, run=R/batch=N partitioned)
+    stats_dir: str
+    checkpoint_dir: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    #: quality gate: keep docs with token count in [min, max] (None =
+    #: unbounded on that side)
+    min_tokens: int | None = None
+    max_tokens: int | None = None
+    #: near-dup gate: estimated-Jaccard threshold (see StreamNearDupConfig)
+    near_dup_threshold: float = 0.7
+    near_dup_max_bucket: int | None = None
+    near_dup_hot_bucket_mode: str = "sample"
+    #: optional parquet directory of eval documents — when set, corpus
+    #: docs sharing >= decontam_min_common distinct word n-grams with
+    #: ANY eval doc are dropped (operators/decontaminate semantics)
+    eval_dir: str | None = None
+    decontam_min_common: int = 1
+    max_files_per_trigger: int | None = None
+
+
+def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
+    """Start the continuous-curation stream (``Trigger.AvailableNow``).
+
+    Returns the StreamingQuery; ``awaitTermination()`` it. Read the
+    curated corpus from ``cfg.dest_dir`` and the per-batch audit from
+    ``cfg.stats_dir``.
+    """
+    if schema is None:
+        schema = spark.read.parquet(cfg.source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if cfg.max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+    stream = reader.parquet(cfg.source_dir)
+    run = _run_tag(cfg.checkpoint_dir)
+
+    # the eval-gram frame is STATIC: build (and pin) it once at stream
+    # start, not per batch — one distinct gram set, broadcast into
+    # every batch's probe
+    eval_grams = None
+    if cfg.eval_dir is not None:
+        eval_grams = (
+            spark.read.parquet(cfg.eval_dir)
+            .select(
+                F.explode(ngram_hash_set(F.col(cfg.text_col))).alias("_g")
+            )
+            .distinct()
+            .persist()
+        )
+        eval_grams.count()
+
+    def _writer(df: DataFrame, dest: str):
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run", "batch")
+            .parquet(dest)
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        n_in = batch_df.count()
+
+        # 1. quality filters (map-only) — cheapest reduction first
+        kept = batch_df
+        if cfg.min_tokens is not None or cfg.max_tokens is not None:
+            nt = token_count(cfg.text_col)
+            cond = F.lit(True)
+            if cfg.min_tokens is not None:
+                cond = cond & (nt >= cfg.min_tokens)
+            if cfg.max_tokens is not None:
+                cond = cond & (nt <= cfg.max_tokens)
+            kept = batch_df.where(cond)
+        n_filtered_in = kept.count()
+
+        # 2. exact dedup: within batch, then vs the digest store (the
+        # same content_digest key builder as batch exact_dedup_by_hash)
+        keyed = kept.withColumn("_digest", content_digest([cfg.text_col]))
+        fresh = within_batch_exact(keyed, cfg.id_col)
+        seen = _read_store(sp, cfg.digest_dir, batch_id, run)
+        fresh = against_history_exact(fresh, seen).persist()
+        n_exact = fresh.count()
+
+        # 3. near-dup vs the band/signature store
+        sigged = with_minhash(fresh, text_col=cfg.text_col)
+        hist = _read_store(sp, cfg.sig_dir, batch_id, run)
+        # persisted: consumed by the anti-join AND the stats count —
+        # an id-only frame bounded by the batch size
+        nd_dropped = near_dup_dropped_ids(
+            _bands_long(sigged, cfg.id_col),
+            hist,
+            cfg.near_dup_threshold,
+            cfg.near_dup_max_bucket,
+            cfg.near_dup_hot_bucket_mode,
+            cfg.id_col,
+        ).persist()
+        nd_count = nd_dropped.count()
+        sigged = sigged.join(F.broadcast(nd_dropped), cfg.id_col, "left_anti")
+
+        # 4. decontamination vs the static broadcast eval grams
+        if eval_grams is not None:
+            doc_grams = sigged.select(
+                F.col(cfg.id_col),
+                F.explode(ngram_hash_set(F.col(cfg.text_col))).alias("_g"),
+            )
+            contaminated = (
+                doc_grams.join(F.broadcast(eval_grams), "_g")
+                .groupBy(cfg.id_col)
+                .agg(F.countDistinct("_g").alias("_ng"))
+                .where(F.col("_ng") >= cfg.decontam_min_common)
+                .select(cfg.id_col)
+            )
+            sigged = sigged.join(F.broadcast(contaminated), cfg.id_col, "left_anti")
+
+        out = (
+            sigged.withColumn("run", F.lit(run))
+            .withColumn("batch", F.lit(int(batch_id)))
+            .persist()
+        )
+        try:
+            n_out = out.count()
+            body_cols = [c for c in batch_df.columns] + ["run", "batch"]
+            _writer(out.select(*body_cols), cfg.dest_dir)
+            _writer(out.select("_digest", "run", "batch"), cfg.digest_dir)
+            _writer(
+                _bands_long(out, cfg.id_col)
+                .withColumn("run", F.lit(run))
+                .withColumn("batch", F.lit(int(batch_id))),
+                cfg.sig_dir,
+            )
+            stats = sp.createDataFrame(
+                [
+                    (
+                        run,
+                        int(batch_id),
+                        n_in,
+                        n_in - n_filtered_in,
+                        n_filtered_in - n_exact,
+                        nd_count,
+                        n_exact - n_out - nd_count,
+                        n_out,
+                    )
+                ],
+                "run string, batch long, n_in long, n_filtered long, "
+                "n_exact_dup long, n_near_dup long, n_contaminated long, "
+                "n_out long",
+            )
+            _writer(stats, cfg.stats_dir)
+        finally:
+            out.unpersist()
+            nd_dropped.unpersist()
+            fresh.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

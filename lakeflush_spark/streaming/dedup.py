@@ -111,6 +111,32 @@ def _read_store(
     )
 
 
+def within_batch_exact(keyed: DataFrame, id_col: str) -> DataFrame:
+    """Min-id winner per ``_digest`` within one micro-batch (map-side
+    combinable groupBy + ids-only semi join — no body shuffle)."""
+    winners = (
+        keyed.groupBy("_digest").agg(F.min(id_col).alias(id_col)).select(id_col)
+    )
+    return keyed.join(winners, id_col, "semi")
+
+
+def against_history_exact(fresh: DataFrame, seen: DataFrame | None) -> DataFrame:
+    """Drop rows whose ``_digest`` appears in the history store.
+
+    Broadcasts the BATCH digests into a semi-probe of the history
+    scan: LeftAnti can only build (broadcast) its right side, so
+    ``fresh anti-join history`` would broadcast or shuffle ALL
+    history. Probing history with the tiny batch set instead yields
+    ``dup`` (≤ batch size), and the anti-join against THAT broadcasts
+    the small side — history is scanned once, never shuffled."""
+    if seen is None:
+        return fresh
+    dup = seen.select("_digest").join(
+        F.broadcast(fresh.select("_digest")), "_digest", "semi"
+    )
+    return fresh.join(F.broadcast(dup), "_digest", "left_anti")
+
+
 def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
     """Start the incremental-dedup stream (``Trigger.AvailableNow``).
 
@@ -129,26 +155,9 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         keyed = _batch_digests(batch_df, cfg)
-        # within-batch winner: min id per digest (map-side combinable)
-        winners = (
-            keyed.groupBy("_digest")
-            .agg(F.min(cfg.id_col).alias(cfg.id_col))
-            .select(cfg.id_col)
-        )
-        fresh = keyed.join(winners, cfg.id_col, "semi")
+        fresh = within_batch_exact(keyed, cfg.id_col)
         seen = _read_store(sp, cfg.digest_dir, batch_id, run)
-        if seen is not None:
-            # broadcast the BATCH digests into a semi-probe of the
-            # history scan: LeftAnti can only build (broadcast) its
-            # right side, so `fresh anti-join history` would broadcast
-            # or shuffle ALL history. Probing history with the tiny
-            # batch set instead yields `dup` (≤ batch size), and the
-            # anti-join against THAT broadcasts the small side —
-            # history is scanned once, never shuffled.
-            dup = seen.select("_digest").join(
-                F.broadcast(fresh.select("_digest")), "_digest", "semi"
-            )
-            fresh = fresh.join(F.broadcast(dup), "_digest", "left_anti")
+        fresh = against_history_exact(fresh, seen)
         # persist: consumed by BOTH writes, and the digest write must
         # see a snapshot computed BEFORE it starts replacing files
         # under the digest dir it was derived from
@@ -239,6 +248,60 @@ def _sig_agreement(a: Column, b: Column) -> Column:
     )
 
 
+def _bands_long(keyed: DataFrame, id_col: str) -> DataFrame:
+    """(doc, sig, band_idx, bh) rows from a ``with_minhash`` frame."""
+    return keyed.select(
+        F.col(id_col).alias("doc"),
+        F.col("_sig").alias("sig"),
+        F.posexplode(
+            F.array(*[F.col(f"_band{b}") for b in range(MINHASH_BANDS)])
+        ).alias("band_idx", "bh"),
+    )
+
+
+def near_dup_dropped_ids(
+    new_bands: DataFrame,
+    hist: DataFrame | None,
+    threshold: float,
+    max_bucket: int | None,
+    hot_bucket_mode: str,
+    id_col: str,
+) -> DataFrame:
+    """Ids of batch docs that near-dup-match history or a lower-id
+    batchmate (the per-batch core of :func:`near_dup_stream`).
+
+    ``new_bands`` is the batch's ``_bands_long`` frame; ``hist`` the
+    full store read (or None). History is pruned to batch-touched
+    buckets by a broadcast semi-join — scanned, never shuffled; ONE
+    band equi-join then covers within-batch and against-history
+    pairing, verified by signature agreement."""
+    new_tag = new_bands.withColumn("hist", F.lit(False))
+    all_bands = new_tag
+    if hist is not None:
+        touched = new_bands.select("band_idx", "bh").distinct()
+        hist_bands = (
+            hist.select("doc", "sig", "band_idx", "bh")
+            .join(F.broadcast(touched), ["band_idx", "bh"], "semi")
+            .withColumn("hist", F.lit(True))
+        )
+        all_bands = new_tag.unionByName(hist_bands)
+    all_bands = _cap_hot_buckets(
+        all_bands, ["band_idx", "bh"], max_bucket, mode=hot_bucket_mode, doc_col="doc"
+    )
+    n, o = F.broadcast(new_tag).alias("n"), all_bands.alias("o")
+    return (
+        n.join(
+            o,
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.bh") == F.col("o.bh"))
+            & (F.col("o.hist") | (F.col("o.doc") < F.col("n.doc"))),
+        )
+        .where(_sig_agreement(F.col("n.sig"), F.col("o.sig")) >= threshold)
+        .select(F.col("n.doc").alias(id_col))
+        .distinct()
+    )
+
+
 def compact_store(
     spark: SparkSession,
     store_dir: str,
@@ -311,48 +374,18 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
     stream = reader.parquet(cfg.source_dir)
     run = _run_tag(cfg.checkpoint_dir)
 
-    def _bands_long(keyed: DataFrame) -> DataFrame:
-        return keyed.select(
-            F.col(cfg.id_col).alias("doc"),
-            F.col("_sig").alias("sig"),
-            F.posexplode(
-                F.array(*[F.col(f"_band{b}") for b in range(MINHASH_BANDS)])
-            ).alias("band_idx", "bh"),
-        )
-
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         keyed = with_minhash(batch_df, text_col=cfg.text_col)
-        new_bands = _bands_long(keyed).withColumn("hist", F.lit(False))
-
+        new_bands = _bands_long(keyed, cfg.id_col)
         hist = _read_store(sp, cfg.sig_dir, batch_id, run)
-        all_bands = new_bands
-        if hist is not None:
-            touched = new_bands.select("band_idx", "bh").distinct()
-            hist_bands = (
-                hist.select("doc", "sig", "band_idx", "bh")
-                .join(F.broadcast(touched), ["band_idx", "bh"], "semi")
-                .withColumn("hist", F.lit(True))
-            )
-            all_bands = new_bands.unionByName(hist_bands)
-        all_bands = _cap_hot_buckets(
-            all_bands,
-            ["band_idx", "bh"],
+        dropped = near_dup_dropped_ids(
+            new_bands,
+            hist,
+            cfg.threshold,
             cfg.max_bucket,
-            mode=cfg.hot_bucket_mode,
-            doc_col="doc",
-        )
-        n, o = F.broadcast(new_bands).alias("n"), all_bands.alias("o")
-        dropped = (
-            n.join(
-                o,
-                (F.col("n.band_idx") == F.col("o.band_idx"))
-                & (F.col("n.bh") == F.col("o.bh"))
-                & (F.col("o.hist") | (F.col("o.doc") < F.col("n.doc"))),
-            )
-            .where(_sig_agreement(F.col("n.sig"), F.col("o.sig")) >= cfg.threshold)
-            .select(F.col("n.doc").alias(cfg.id_col))
-            .distinct()
+            cfg.hot_bucket_mode,
+            cfg.id_col,
         )
         out = (
             keyed.join(F.broadcast(dropped), cfg.id_col, "left_anti")
@@ -370,7 +403,7 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
                 .parquet(cfg.dest_dir)
             )
             (
-                _bands_long(out)
+                _bands_long(out, cfg.id_col)
                 .withColumn("run", F.lit(run))
                 .withColumn("batch", F.lit(int(batch_id)))
                 .write.mode("overwrite")

@@ -325,6 +325,100 @@ def test_stream_neardup_incremental_against_history(spark, tmp_path):
     assert sigs.count() == 3 * MINHASH_BANDS
 
 
+def test_curate_stream_full_pipeline_with_history(spark, tmp_path):
+    """Continuous curation: filters, exact dedup, near-dup, and
+    decontamination all act per batch AND against persisted history,
+    with a per-batch stats row accounting for every drop."""
+    from lakeflush_spark.streaming.curation import CurationStreamConfig, curate_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong coffee beside an ancient river under pale morning light"
+    )
+    leak = (
+        "which ancient empire built the longest continuous defensive wall "
+        "across northern mountain ranges over many centuries of labor"
+    )
+    clean1 = (
+        "completely different subject matter entirely unrelated words "
+        "describing machine learning pipelines and distributed query engines"
+    )
+    clean2 = (
+        "yet another standalone document about parquet file compaction "
+        "strategies for petabyte scale object storage lakes"
+    )
+
+    eval_dir = tmp_path / "eval"
+    spark.createDataFrame([(1000, leak)], "doc_id long, text string").write.parquet(
+        str(eval_dir)
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batchfile(name, rows):
+        import glob as _glob
+        import shutil
+
+        stage = tmp_path / f"_cur_stage_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        min_tokens=5,
+        eval_dir=str(eval_dir),
+    )
+
+    # batch 1: 1=keeper, 2=too short (filter), 3=exact dup of 1,
+    # 4=near-dup of 1 (one-word edit), 5=eval leak, 6=another keeper
+    write_batchfile(
+        "b1",
+        [
+            (1, base),
+            (2, "too short"),
+            (3, base),
+            (4, base.replace("coffee", "tea")),
+            (5, leak),
+            (6, clean1),
+        ],
+    )
+    curate_stream(spark, cfg).awaitTermination(240)
+    got = {r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect()}
+    assert got == {1, 6}
+    s = spark.read.parquet(cfg.stats_dir).orderBy("batch").collect()
+    assert [
+        (r.n_in, r.n_filtered, r.n_exact_dup, r.n_near_dup, r.n_contaminated, r.n_out)
+        for r in s
+    ] == [(6, 1, 1, 1, 1, 2)]
+
+    # batch 2: 10=exact dup of HISTORY doc 1, 11=near-dup of history 1,
+    # 12=new keeper
+    write_batchfile(
+        "b2", [(10, base), (11, base.replace("morning", "evening")), (12, clean2)]
+    )
+    curate_stream(spark, cfg).awaitTermination(240)
+    got = {r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect()}
+    assert got == {1, 6, 12}
+    s = spark.read.parquet(cfg.stats_dir).orderBy("batch").collect()
+    assert [
+        (r.n_in, r.n_filtered, r.n_exact_dup, r.n_near_dup, r.n_contaminated, r.n_out)
+        for r in s
+    ][-1] == (3, 0, 1, 1, 0, 1)
+
+    # checkpointed restart with no new input: nothing changes
+    curate_stream(spark, cfg).awaitTermination(240)
+    assert spark.read.parquet(cfg.dest_dir).count() == 3
+
+
 def test_compact_store_bounds_buckets_and_preserves_detection(spark, tmp_path):
     """Offline store compaction caps every LSH bucket, keeps the
     (run, batch) layout, and a continuing stream pointed at the

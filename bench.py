@@ -40,6 +40,17 @@ sorted an entire nation / every scored candidate of a query in ONE
 window task, the classic low-cardinality-partition scale killer; the
 salted local-top-k keeps values bit-identical while bounding every
 task at group/shards rows.
+
+r5 suite-total delta vs BENCH_r04 (20.0 s): ~25 s, entirely new
+paid-for work and scale-shape upgrades, not regressions — q24 +~2 s
+(new 'cluster' label: full connected-components resolution with
+pointer jumping), q58 +~0.7 s (sharded prefix sum replacing the
+single-task-per-language window), q60 entered the suite (+~1 s),
+q08/q29 the grouped-top-k trade above, q42 gained the sharded global
+row_number label. Same-shape entries (q01–q07, q18, q61, q62,
+compaction) are flat-to-faster in isolated warm runs (q61 1.5 s,
+q62 0.9 s measured isolated; suite-mode outliers on this box are
+contention, see the variance note).
 """
 
 from __future__ import annotations
@@ -77,6 +88,7 @@ HEADLINE = [
     "q62_repeated_passage",
     "q29_ann_topk",
     "q34_session_window",
+    "q42_window_analytics",
     # extended relational + escape-hatch surface
     "q47_full_outer_join",
     "q50_percentiles",

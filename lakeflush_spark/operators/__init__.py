@@ -23,6 +23,11 @@ from lakeflush_spark.operators.mixing import (
     sharded_prefix_sum,
     take_token_budget,
 )
+from lakeflush_spark.operators.similarity import (
+    semantic_dedup,
+    semantic_dedup_pairs,
+    semantic_drop_ids,
+)
 from lakeflush_spark.operators.topk import (
     global_ntile,
     global_row_number,
@@ -67,6 +72,9 @@ __all__ = [
     "resize_media",
     "sample_frames",
     "scan_manifest",
+    "semantic_dedup",
+    "semantic_dedup_pairs",
+    "semantic_drop_ids",
     "sharded_prefix_sum",
     "simhash_near_dups",
     "zorder_write",

@@ -212,6 +212,83 @@ def _cells_as_one_row(spark, cent_rows: list) -> DataFrame:
     )
 
 
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    near-dup pairs via cluster-then-compare — cluster the corpus with
+    the IVF coarse quantizer, then compare ONLY within-cell pairs.
+
+    Input is a :func:`prepare_vectors` frame (vid, v, nrm). Returns
+    ``(id1, id2, cell_id, cos_sim)`` for within-cell pairs whose
+    ROUNDED (4 dp) cosine ≥ ``threshold`` — rounding before the
+    threshold keeps the decision engine-independent (the DuckDB twin
+    recomputes bit-identical decisions).
+
+    Scale stance: the quantizer build is the q55 recipe (deterministic
+    md5-bucket seeds, optional Lloyd refinement, driver-side tiny);
+    assignment is a broadcast map-only pass; the only shuffle is the
+    cell_id equi-join. Within-cell comparison is O(Σ|cell|²), so
+    ``n_cells`` must GROW with the corpus to keep cells bounded (the
+    SemDedup paper runs 50k clusters on LAION; 16 here matches the
+    testdata-sized q55 index). Oversized cells are the skew knob: raise
+    ``n_cells``, and AQE skew-join splits residual hot cells.
+    """
+    cents = ivf_centroids(corpus, n_cells, kmeans_iters)
+    cells_1row = _cells_as_one_row(corpus.sparkSession, cents)
+    indexed = _nearest_cells(corpus, cells_1row, 1)
+    a, b = indexed.alias("a"), indexed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id1"),
+            F.col("b.vid").alias("id2"),
+            F.col("a.cell_id").alias("cell_id"),
+            F.round(
+                dot_product(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_drop_ids(pairs: DataFrame) -> DataFrame:
+    """Greedy min-id resolution of :func:`semantic_dedup_pairs`:
+    ``(vid, dup_of)`` — every vector with at least one SMALLER-id
+    within-cell neighbor above threshold is dropped, keeping the
+    smallest id of each duplicate neighborhood (the same greedy
+    lower-id-batchmate rule the text near-dup pipeline uses).
+    ``dup_of`` is the smallest such neighbor. One tiny groupBy over the
+    pair table; anti-join the result against the corpus to apply."""
+    return pairs.groupBy(F.col("id2").alias("vid")).agg(
+        F.min("id1").alias("dup_of")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """Corpus survivors after SemDedup (pairs → greedy min-id drop →
+    anti-join). Input/output is a :func:`prepare_vectors` frame; the
+    drop set is pair-table-sized (tiny), so the anti-join broadcasts."""
+    drops = semantic_drop_ids(
+        semantic_dedup_pairs(corpus, threshold, n_cells, kmeans_iters)
+    )
+    return corpus.join(drops, corpus["vid"] == drops["vid"], "anti")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

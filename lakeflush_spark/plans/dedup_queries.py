@@ -336,34 +336,98 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fp")
 
 
+# SemDedup constants shared by the q28 builder and its oracle twin.
+# Cells follow q55's index scale; the threshold is applied to the
+# 4dp-ROUNDED cosine so both engines make bit-identical decisions.
+_SEM_THRESHOLD = 0.4
+_SEM_CELLS = 16
+
+_SQL_PAIR_COS = (
+    "round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
+    " / (a.nrm * b.nrm), 4)"
+)
+
+
 @declare(
     "q28_embedding_neardup",
-    """
+    f"""
     WITH e AS (SELECT vec_id, label,
                       list_transform(embedding, x -> x::DOUBLE) AS v
                FROM embeddings),
     n AS (SELECT vec_id, label, v,
                  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-          FROM e)
-    SELECT a.vec_id AS id1, b.vec_id AS id2,
-           round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-                 / (a.nrm * b.nrm), 4) AS cos_sim
-    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-    ORDER BY cos_sim DESC, id1, id2
-    LIMIT 20
+          FROM e),
+    cent AS (
+        SELECT cell_id, v AS cv, nrm AS cnrm FROM (
+            SELECT vec_id, v, nrm,
+                   CAST(row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                        AS BIGINT) AS cell_id
+            FROM n
+        ) WHERE cell_id < {_SEM_CELLS}
+    ),
+    ass AS (
+        SELECT n.vec_id, c.cell_id,
+               round(list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i]))
+                     / (n.nrm * c.cnrm), 6) AS cscore
+        FROM n CROSS JOIN cent c
+    ),
+    cell1 AS (SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cscore DESC, cell_id) AS crn
+        FROM ass
+    ) WHERE crn = 1),
+    semp AS (
+        SELECT id1, id2, cos_sim FROM (
+            SELECT a.vec_id AS id1, b.vec_id AS id2, {_SQL_PAIR_COS} AS cos_sim
+            FROM n a
+            JOIN cell1 ca ON a.vec_id = ca.vec_id
+            JOIN cell1 cb ON ca.cell_id = cb.cell_id
+            JOIN n b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+        ) WHERE cos_sim >= {_SEM_THRESHOLD}
+    )
+    SELECT method, id1, id2, cos_sim FROM (
+        SELECT 'block' AS method, id1, id2, cos_sim FROM (
+            SELECT a.vec_id AS id1, b.vec_id AS id2, {_SQL_PAIR_COS} AS cos_sim
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+            ORDER BY cos_sim DESC, id1, id2
+            LIMIT 20
+        )
+        UNION ALL
+        SELECT 'sem_pair' AS method, id1, id2, cos_sim FROM semp
+        UNION ALL
+        SELECT 'sem_drop' AS method, id2 AS id1, MIN(id1) AS id2,
+               NULL::DOUBLE AS cos_sim
+        FROM semp GROUP BY id2
+    )
+    ORDER BY method, id1, id2
     """,
-    "Embedding-cosine near-dup within label blocks. JVM-side zip_with dot "
-    "product; the unblocked scale path is the sign-LSH bucket join (q30).",
+    "Embedding-space near-dup, two strategies labeled in one frame: "
+    "'block' = top-20 cosine pairs within label blocks (attribute "
+    "blocking); 'sem_pair'/'sem_drop' = SemDedup (arXiv:2303.09540) — "
+    "cluster with the q55 IVF coarse quantizer (deterministic md5-"
+    "bucket seeds), compare only within-cell pairs, drop greedily to "
+    "the min id (operators/similarity.semantic_dedup_pairs/"
+    "semantic_drop_ids). The oracle rebuilds the identical quantizer, "
+    "assignment, pair set, and drop set. At scale n_cells grows with "
+    "the corpus so within-cell comparison stays bounded. (r5: folded "
+    "SemDedup into the q28 suite.)",
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark).select(
+    from lakeflush_spark.operators.similarity import (
+        prepare_vectors,
+        semantic_dedup_pairs,
+        semantic_drop_ids,
+    )
+
+    emb_raw = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark)
+    emb = emb_raw.select(
         "vec_id",
         "label",
         to_double_vec("embedding").alias("v"),
-    )
-    emb = emb.withColumn("nrm", l2_norm(F.col("v")))
+    ).withColumn("nrm", l2_norm(F.col("v")))
     a, b = emb.alias("a"), emb.alias("b")
-    return (
+    block = (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("id1"),
@@ -376,4 +440,21 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cos_sim"), "id1", "id2")
         .limit(20)
+        .select(F.lit("block").alias("method"), "id1", "id2", "cos_sim")
+    )
+    # localCheckpoint: the pair table (tiny) feeds both labels below
+    semp = semantic_dedup_pairs(
+        prepare_vectors(emb_raw), threshold=_SEM_THRESHOLD, n_cells=_SEM_CELLS
+    ).localCheckpoint()
+    sem_pair = semp.select(
+        F.lit("sem_pair").alias("method"), "id1", "id2", "cos_sim"
+    )
+    sem_drop = semantic_drop_ids(semp).select(
+        F.lit("sem_drop").alias("method"),
+        F.col("vid").alias("id1"),
+        F.col("dup_of").alias("id2"),
+        F.lit(None).cast("double").alias("cos_sim"),
+    )
+    return block.unionByName(sem_pair).unionByName(sem_drop).orderBy(
+        "method", "id1", "id2"
     )

@@ -143,3 +143,62 @@ def test_repeated_span_texts_reports_passage(spark):
     # fingerprints agree with the fp-only operator (same anchors/windows)
     fps = {r.fp for r in repeated_spans(docs, window=30, stride=4).collect()}
     assert {r.fp for r in texts} == fps
+
+
+# ---------------------------------------------------------------------------
+# SemDedup (operators/similarity.semantic_dedup*): cluster-then-compare
+# embedding dedup — planted-duplicate recall, greedy min-id drop
+# semantics, and partition-layout independence.
+# ---------------------------------------------------------------------------
+
+
+def _sem_corpus(spark, sf_dir, n_dups=5):
+    """sf0.01 embeddings + exact copies of the first n_dups vectors
+    under shifted ids (vec_id + 10000)."""
+    from lakeflush_spark.io import load_table
+    from lakeflush_spark.operators.similarity import prepare_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dups = (
+        emb.where(F.col("vec_id") < n_dups)
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    )
+    return prepare_vectors(emb.unionByName(dups))
+
+
+def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
+    from lakeflush_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+        semantic_drop_ids,
+    )
+
+    corpus = _sem_corpus(spark, sf_dir)
+    pairs = semantic_dedup_pairs(corpus, threshold=0.4, n_cells=16)
+    got = {(r.id1, r.id2): r.cos_sim for r in pairs.collect()}
+    # every exact copy collides with its original (same cell — identical
+    # vectors share the deterministic argmax cell) at cosine 1.0
+    for i in range(5):
+        assert got.get((i, i + 10000)) == 1.0
+    drops = {r.vid: r.dup_of for r in semantic_drop_ids(pairs).collect()}
+    for i in range(5):
+        assert i + 10000 in drops
+        # the kept neighbor is the SMALLEST above-threshold partner
+        assert drops[i + 10000] <= i
+    survivors = {r.vid for r in semantic_dedup(corpus, threshold=0.4).collect()}
+    assert not any(i + 10000 in survivors for i in range(5))
+    # greedy rule: exactly the ids with a smaller above-threshold
+    # neighbor are gone
+    expected_dropped = {b for (_, b) in got}
+    assert survivors == {r.vid for r in corpus.collect()} - expected_dropped
+
+
+def test_semantic_dedup_layout_independent(spark, sf_dir):
+    from lakeflush_spark.operators.similarity import semantic_dedup_pairs
+
+    corpus = _sem_corpus(spark, sf_dir)
+    base = {(r.id1, r.id2, r.cos_sim) for r in
+            semantic_dedup_pairs(corpus, threshold=0.4).collect()}
+    shuffled = {(r.id1, r.id2, r.cos_sim) for r in
+                semantic_dedup_pairs(corpus.repartition(13), threshold=0.4).collect()}
+    assert base == shuffled and base

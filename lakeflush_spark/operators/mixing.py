@@ -84,7 +84,21 @@ def mix_sources(
     """
     bucket = F.conv(F.substring(shuffle_key(id_col, seed), 1, 8), 16, 10).cast("bigint")
     if isinstance(weights, Column):
-        thresh = (weights * F.lit(float(1 << 32))).cast("bigint")
+        # same fail-fast contract as the dict path: an out-of-range
+        # weight FORMULA (e.g. off-by-one giving 1.3) must raise, not
+        # silently keep/drop everything. raise_error evaluates lazily
+        # inside the CASE, so valid rows never pay for it.
+        checked = F.when(
+            weights.isNull() | ((weights >= 0.0) & (weights <= 1.0)), weights
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("mix_sources: weight out of [0, 1]: "),
+                    weights.cast("string"),
+                )
+            )
+        )
+        thresh = (checked * F.lit(float(1 << 32))).cast("bigint")
         return df.where(thresh.isNotNull() & (bucket < thresh))
     for s, w in weights.items():
         if not 0.0 <= w <= 1.0:

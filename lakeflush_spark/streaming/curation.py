@@ -128,19 +128,25 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        n_in = batch_df.count()
+        # pin the batch input: every later stage derives from it, and
+        # n_in/n_filtered come from ONE aggregation over the cached
+        # batch instead of two extra source re-scans
+        src = batch_df.persist()
 
         # 1. quality filters (map-only) — cheapest reduction first
-        kept = batch_df
+        cond = F.lit(True)
         if cfg.min_tokens is not None or cfg.max_tokens is not None:
             nt = token_count(cfg.text_col)
-            cond = F.lit(True)
             if cfg.min_tokens is not None:
                 cond = cond & (nt >= cfg.min_tokens)
             if cfg.max_tokens is not None:
                 cond = cond & (nt <= cfg.max_tokens)
-            kept = batch_df.where(cond)
-        n_filtered_in = kept.count()
+        counts = src.agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.count(F.when(cond, 1)).alias("n_kept"),
+        ).first()
+        n_in, n_filtered_in = int(counts.n_in), int(counts.n_kept)
+        kept = src.where(cond)
 
         # 2. exact dedup: within batch, then vs the digest store (the
         # same content_digest key builder as batch exact_dedup_by_hash)
@@ -181,8 +187,11 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             )
             sigged = sigged.join(F.broadcast(contaminated), cfg.id_col, "left_anti")
 
+        # `_sh` (the shingle array, roughly body-sized) is read by no
+        # downstream consumer — drop it before pinning
         out = (
-            sigged.withColumn("run", F.lit(run))
+            sigged.drop("_sh")
+            .withColumn("run", F.lit(run))
             .withColumn("batch", F.lit(int(batch_id)))
             .persist()
         )
@@ -219,10 +228,40 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             out.unpersist()
             nd_dropped.unpersist()
             fresh.unpersist()
+            src.unpersist()
 
-    return (
+    query = (
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", cfg.checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    if eval_grams is not None:
+        # tie the pinned eval-gram frame's lifetime to THIS query:
+        # release it (and the listener) when the query terminates, so
+        # repeated curate_stream launches in a long-lived session
+        # (the AvailableNow catch-up pattern) never accumulate cached
+        # relations
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        grams, qid = eval_grams, query.id
+
+        class _ReleaseEvalGrams(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                if str(event.id) == str(qid):
+                    try:
+                        grams.unpersist()
+                    finally:
+                        spark.streams.removeListener(self)
+
+        spark.streams.addListener(_ReleaseEvalGrams())
+    return query

@@ -86,8 +86,20 @@ def _run_tag(checkpoint_dir: str) -> str:
     1's ``batch=0`` partition as if it were its own replay (silently
     ignoring real history), and its dynamic overwrite of ``batch=0``
     would REPLACE generation 1's rows. Stores therefore partition by
-    ``(run, batch)`` and exclusion matches both."""
-    return hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+    ``(run, batch)`` and exclusion matches both.
+
+    URI locations (``s3a://…``, ``hdfs://…``) hash AS GIVEN —
+    ``os.path.abspath`` would prepend the driver's cwd to them, so a
+    restart from a different workdir (new container) would mint a new
+    tag for the SAME checkpoint and break replay exclusion. Only
+    scheme-less local paths are cwd-normalized (for those, resolving
+    against cwd is what the filesystem itself does)."""
+    p = (
+        checkpoint_dir
+        if "://" in checkpoint_dir
+        else os.path.abspath(checkpoint_dir)
+    )
+    return hashlib.md5(p.encode()).hexdigest()[:12]
 
 
 def _read_store(
@@ -387,8 +399,12 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
             cfg.hot_bucket_mode,
             cfg.id_col,
         )
+        # drop the shingle array before persisting: neither the body
+        # write nor the sig-store write reads `_sh`, and it is roughly
+        # body-sized per doc — dead cache weight otherwise
         out = (
             keyed.join(F.broadcast(dropped), cfg.id_col, "left_anti")
+            .drop("_sh")
             .withColumn("run", F.lit(run))
             .withColumn("batch", F.lit(int(batch_id)))
             .persist()

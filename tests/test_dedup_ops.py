@@ -265,7 +265,8 @@ def test_exact_dedup_by_hash_min_id_winner(spark):
     }
     assert got2 == set(got)
     # multi-column keys treat column boundaries exactly (no "ab"+"c"
-    # vs "a"+"bc" concat collision thanks to the NUL separator)
+    # vs "a"+"bc" concat collision thanks to the length-prefixed
+    # encoding)
     df2 = spark.createDataFrame(
         [(1, "ab", "c"), (2, "a", "bc")], "doc_id long, x string, y string"
     )

@@ -221,3 +221,20 @@ def test_sharded_prefix_sum_values_match_window(spark):
     a = {r.doc_id: r.pre for r in got.collect()}
     b = {r.doc_id: r.pre for r in want.collect()}
     assert a == b
+
+
+def test_mix_sources_column_weight_out_of_range_raises(spark):
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string"
+    )
+    # a buggy weight FORMULA (> 1) must fail fast like the dict path,
+    # not silently keep 100% of every source
+    bad = mix_sources(df, F.lit(1.3))
+    with pytest.raises(Exception) as ei:
+        bad.collect()
+    assert "weight out of [0, 1]" in str(ei.value)
+    # NULL weights still mean "drop", no error
+    assert mix_sources(df, F.lit(None).cast("double")).count() == 0

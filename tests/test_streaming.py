@@ -648,3 +648,23 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert rows.get("2024-01-01 10:00:00") == (2, 3.0), rows
     # 12:00 window finalized once the 14:00 event pushed the watermark
     assert rows.get("2024-01-01 12:00:00") == (1, 4.0), rows
+
+
+def test_run_tag_uri_paths_are_cwd_independent():
+    from lakeflush_spark.streaming.dedup import _run_tag
+
+    # URI checkpoint locations must hash as-given: abspath() would
+    # fold the driver's cwd into s3a:// paths, minting a NEW run tag
+    # after a restart from a different workdir and breaking replay
+    # exclusion against the store
+    import os
+
+    tag = _run_tag("s3a://bucket/ckpt")
+    cwd = os.getcwd()
+    os.chdir("/tmp")
+    try:
+        assert _run_tag("s3a://bucket/ckpt") == tag
+    finally:
+        os.chdir(cwd)
+    # local scheme-less paths still normalize (relative == absolute)
+    assert _run_tag("/tmp/x/ck") == _run_tag("/tmp/x/../x/ck")

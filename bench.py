@@ -50,7 +50,9 @@ q08/q29 the grouped-top-k trade above, q42 gained the sharded global
 row_number label. Same-shape entries (q01–q07, q18, q61, q62,
 compaction) are flat-to-faster in isolated warm runs (q61 1.5 s,
 q62 0.9 s measured isolated; suite-mode outliers on this box are
-contention, see the variance note).
+contention, see the variance note). q28 entered the suite late in r5
+when it grew the SemDedup labels (IVF-cell cluster-then-compare
+pairs + greedy drops beside the original label-blocked top-20).
 """
 
 from __future__ import annotations
@@ -86,6 +88,7 @@ HEADLINE = [
     "q24_neardup_pairs",
     "q61_decontaminate",
     "q62_repeated_passage",
+    "q28_embedding_neardup",
     "q29_ann_topk",
     "q34_session_window",
     "q42_window_analytics",

@@ -1,7 +1,11 @@
 from lakeflush_spark.operators.compaction import (
+    AuditCursor,
     CompactionConfig,
     CompactionResult,
+    IncrementResult,
+    audit_table,
     compact,
+    read_increment,
 )
 from lakeflush_spark.operators.decontaminate import (
     DecontamResult,
@@ -47,10 +51,14 @@ from lakeflush_spark.operators.substring_dedup import (
 )
 
 __all__ = [
+    "AuditCursor",
     "CompactionConfig",
     "CompactionResult",
     "DecontamResult",
+    "IncrementResult",
+    "audit_table",
     "compact",
+    "read_increment",
     "contamination_pairs",
     "decontaminate",
     "deterministic_shuffle",

@@ -688,6 +688,98 @@ def _write_audit(spark: SparkSession, cfg: CompactionConfig, bundles, source_fp:
     return audit_path
 
 
+def audit_table(spark: SparkSession, dest_dir: str) -> DataFrame:
+    """The dest's queryable audit table (one row per delivered bundle:
+    run_id, bundle_path, bytes, source, format, compressed, source_fp,
+    flushed_at) — the O15 sidecar upgrade. Raises if no compaction has
+    audited into ``dest_dir`` yet."""
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{dest_dir.rstrip('/')}/{_AUDIT_DIRNAME}"
+    )
+
+
+@dataclass(frozen=True)
+class AuditCursor:
+    """Exact consumption high-watermark over the audit table.
+
+    ``ts`` is the max ``flushed_at`` consumed; ``run_ids`` the runs
+    already consumed AT that exact timestamp (``flushed_at`` is one
+    ``current_timestamp()`` per run, so two near-simultaneous runs can
+    share it — the id set disambiguates instead of silently skipping
+    or double-reading a tied run)."""
+
+    ts: object
+    run_ids: tuple = ()
+
+
+@dataclass
+class IncrementResult:
+    #: rows of the newly delivered bundles (empty frame when none)
+    df: DataFrame
+    #: pass back as ``cursor`` on the next call
+    cursor: AuditCursor | None
+    #: bundle files this increment covers
+    bundle_paths: list
+
+
+def read_increment(
+    spark: SparkSession,
+    dest_dir: str,
+    fmt: str = "json",
+    cursor: AuditCursor | None = None,
+    schema=None,
+) -> IncrementResult:
+    """Incremental (CDC-style) consumption of a compacted lake: rows of
+    bundles delivered AFTER ``cursor``, plus the new cursor.
+
+    Downstream jobs (training-data refresh, index builds) should not
+    re-list or re-read the whole dest per cycle — re-listing is the
+    exact small-file tax compaction exists to remove. The audit table
+    is the commit log: this reads it (tiny — one row per bundle),
+    selects runs beyond the cursor, and reads ONLY those bundle files
+    by explicit path (no directory scan of the dest). At 100 TB the
+    per-cycle cost is proportional to NEW data, independent of corpus
+    size. ``cursor=None`` consumes from the beginning. The reference
+    has no consumer-side analog at all (its `.flushed` sidecars are
+    write-only breadcrumbs, utils/file/store.py:10-21).
+    """
+    audit = audit_table(spark, dest_dir)
+    if cursor is not None:
+        newer = F.col("flushed_at") > F.lit(cursor.ts)
+        if cursor.run_ids:
+            newer = newer | (
+                (F.col("flushed_at") == F.lit(cursor.ts))
+                & ~F.col("run_id").isin(list(cursor.run_ids))
+            )
+        audit = audit.where(newer)
+    # bundle count is run-sized (the audit exists because files are FEW
+    # after compaction) — driver-side collect is the point, not a smell
+    rows = audit.select("bundle_path", "run_id", "flushed_at").collect()
+    if not rows:
+        empty = spark.createDataFrame([], schema=schema or "bundle_path string")
+        return IncrementResult(df=empty, cursor=cursor, bundle_paths=[])
+    max_ts = max(r.flushed_at for r in rows)
+    at_ts = tuple(sorted({r.run_id for r in rows if r.flushed_at == max_ts}))
+    prev = (
+        cursor.run_ids
+        if cursor is not None and cursor.ts == max_ts
+        else ()
+    )
+    new_cursor = AuditCursor(ts=max_ts, run_ids=tuple(sorted({*prev, *at_ts})))
+    paths = sorted({r.bundle_path for r in rows})
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "json":
+        for k, v in JSON_TS_OPTIONS.items():
+            reader = reader.option(k, v)
+    elif fmt == "csv":
+        reader = reader.option("header", "true")
+    fmt_name = fmt if fmt in ("json", "csv", "parquet", "orc") else "text"
+    df = reader.format(fmt_name).load(paths)
+    return IncrementResult(df=df, cursor=new_cursor, bundle_paths=paths)
+
+
 def read_bundles(spark: SparkSession, dest_dir: str, fmt: str = "json", schema=None) -> DataFrame:
     """Read compacted bundles back as parsed rows (for round-trip checks)."""
     reader = spark.read.option("recursiveFileLookup", "true")

@@ -229,3 +229,48 @@ def test_partition_columns_parse():
         partition_columns("nodateformat")
     with pytest.raises(ValueError):
         partition_columns("x=%Q")
+
+
+def test_read_increment_consumes_only_new_runs(spark, sf_dir, tmp_path):
+    """CDC-style consumption: a cursor-holding consumer sees each
+    compaction run's rows exactly once, reading only the new bundle
+    files by path (never re-listing the dest)."""
+    from lakeflush_spark.operators.compaction import read_increment
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    first = orders.where(F.col("o_orderkey") % 2 == 0)
+    second = orders.where(F.col("o_orderkey") % 2 == 1)
+    lake1, lake2 = str(tmp_path / "l1"), str(tmp_path / "l2")
+    first.repartition(5).write.parquet(lake1)
+    second.repartition(5).write.parquet(lake2)
+    dest = str(tmp_path / "out")
+
+    cfg = dict(dest_dir=dest, file_format="parquet", max_size_mb=16,
+               write_mode="append")
+    compact(spark, CompactionConfig(source_dir=lake1, **cfg))
+
+    inc1 = read_increment(spark, dest, fmt="parquet", cursor=None)
+    assert inc1.cursor is not None and inc1.bundle_paths
+    assert inc1.df.count() == first.count()
+
+    # nothing new yet: empty increment, cursor unchanged
+    idle = read_increment(spark, dest, fmt="parquet", cursor=inc1.cursor)
+    assert idle.bundle_paths == [] and idle.df.count() == 0
+    assert idle.cursor == inc1.cursor
+
+    compact(spark, CompactionConfig(source_dir=lake2, **cfg))
+    inc2 = read_increment(spark, dest, fmt="parquet", cursor=inc1.cursor)
+    assert inc2.df.count() == second.count()
+    # the increment covers ONLY run-2 bundles
+    assert not (set(inc2.bundle_paths) & set(inc1.bundle_paths))
+    # multiset equality: first ∪ second == everything delivered
+    got = inc1.df.unionByName(inc2.df)
+    assert got.count() == orders.count()
+    assert got.exceptAll(orders).count() == 0
+
+    # audit_table is directly queryable and covers both runs
+    from lakeflush_spark.operators.compaction import audit_table
+
+    assert audit_table(spark, dest).select("run_id").distinct().count() == 2

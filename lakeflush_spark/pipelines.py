@@ -10,6 +10,8 @@ standard LLM-corpus preparation flow:
       -> near-dup removal (MinHash+LSH candidate pairs; greedy,
          iterative chain-preserving, or one-per-cluster resolution;
          optional hot-bucket cap)
+      -> optional SemDedup (embedding-space near-dup, IVF-cell
+         cluster-then-compare — catches semantic rephrasings)
       -> optional repeated-passage (boilerplate) removal
       -> optional eval-set decontamination (broadcast n-gram probe)
       -> curated corpus + per-stage stats
@@ -92,6 +94,16 @@ class CurationConfig:
     drop_repeated_passage_window: int | None = None
     #: anchor stride for the repeated-passage probe (see substring_dedup)
     repeated_passage_stride: int = 8
+    #: optional SemDedup stage (operators/similarity.semantic_dedup*):
+    #: name of an array<float> embedding column on the input frame —
+    #: docs whose embeddings near-coincide (within-IVF-cell cosine ≥
+    #: sem_threshold) are deduped to the min id, catching semantic
+    #: rephrasings text-level shingles miss. None disables the stage.
+    embedding_col: str | None = None
+    sem_threshold: float = 0.9
+    #: IVF cell count for the SemDedup quantizer; grow with the corpus
+    #: so within-cell comparison (Σ|cell|²) stays bounded
+    sem_n_cells: int = 16
     #: word-n-gram width for the optional eval-set decontamination
     #: stage (only used when ``curate_documents`` receives eval_docs)
     decontam_n: int = 13
@@ -230,6 +242,22 @@ def curate_documents(
     ).first()
     n_exact = exact.count()
     n_near = curated.count()
+
+    if cfg.embedding_col is not None:
+        from lakeflush_spark.operators.similarity import (
+            prepare_vectors,
+            semantic_dedup_pairs,
+            semantic_drop_ids,
+        )
+
+        vecs = prepare_vectors(
+            curated, id_col=cfg.id_col, vec_col=cfg.embedding_col
+        )
+        sem_drops = semantic_drop_ids(
+            semantic_dedup_pairs(vecs, cfg.sem_threshold, cfg.sem_n_cells)
+        ).select(F.col("vid").alias(cfg.id_col))
+        # drop set is pair-table-sized — the anti-join broadcasts
+        curated = curated.join(sem_drops, cfg.id_col, "left_anti")
 
     if cfg.drop_repeated_passage_window is not None:
         from lakeflush_spark.operators.substring_dedup import docs_with_repeated_spans

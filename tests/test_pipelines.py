@@ -186,3 +186,33 @@ def test_iterative_near_dup_keeps_chain_tail(spark):
     )
     assert sorted(r.doc_id for r in iterative.collect()) == [1, 3]
     assert stats.after_near_dedup == 2
+
+
+def test_semdedup_stage_drops_semantic_rephrasings(spark):
+    # two docs with DIFFERENT texts (no shingle overlap — text dedup
+    # keeps both) but near-identical embeddings: the SemDedup stage
+    # dedups them to the min id; a third, orthogonal doc survives
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    near = [x + rng.uniform(-1e-4, 1e-4) for x in base]
+    ortho = [rng.uniform(-1, 1) for _ in range(16)]
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", base),
+            (2, "one two three four five six seven", near),
+            (3, "red green blue cyan magenta yellow", ortho),
+        ],
+        "doc_id LONG, text STRING, embedding ARRAY<DOUBLE>",
+    )
+    off, _ = curate_documents(
+        spark, docs, CurationConfig(min_tokens=1)
+    )
+    assert sorted(r.doc_id for r in off.collect()) == [1, 2, 3]
+    on, _ = curate_documents(
+        spark, docs,
+        CurationConfig(min_tokens=1, embedding_col="embedding",
+                       sem_threshold=0.95, sem_n_cells=2),
+    )
+    assert sorted(r.doc_id for r in on.collect()) == [1, 3]

@@ -25,11 +25,12 @@ Scale stance: the batch's digests are explicitly BROADCAST into a
 semi-probe of the history scan (then the tiny hit set anti-joins the
 batch) — history is only ever scanned, never shuffled and never
 broadcast, and per-batch cost is one history scan + broadcast-sized
-joins; document bodies never shuffle. At 100 TB of history,
-partition-prune the store by digest prefix (write
-``prefix=substr(digest,1,2)`` partitions and join per-prefix) or
-front it with a Bloom filter — the store schema (digest, batch)
-already supports both upgrades without rewriting history.
+joins; document bodies never shuffle. At 100 TB of history, enable
+``digest_prefix_partitions``: the store gains 256 ``_dp=xx`` digest-
+prefix partitions and each batch PARTITION-PRUNES its history scan to
+the prefixes it touches (a trickle batch reads ~1/256th of the
+store). A Bloom-filter front remains a further upgrade the (digest,
+batch) schema supports without rewriting history.
 
 Store existence/history reads go through the Spark reader itself
 (missing-store analysis errors caught), so the same code works on
@@ -67,6 +68,16 @@ class StreamDedupConfig:
     checkpoint_dir: str
     id_col: str = "doc_id"
     text_col: str = "text"
+    #: True = additionally partition the digest store by the first two
+    #: hex chars of the digest (256 ``_dp=xx`` partitions under each
+    #: (run, batch)); each micro-batch then PARTITION-PRUNES its
+    #: history scan to the prefixes it actually touches. At 1e10 docs
+    #: the store is ~hundreds of GB — a trickle batch touching a few
+    #: prefixes reads a couple of GB instead of all of it, and a huge
+    #: batch (all 256 prefixes) degrades gracefully to the full scan.
+    #: Must be constant over a store's lifetime (the layout is on
+    #: disk): turn it on when creating the store.
+    digest_prefix_partitions: bool = False
     max_files_per_trigger: int | None = None
 
 
@@ -169,6 +180,18 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
         keyed = _batch_digests(batch_df, cfg)
         fresh = within_batch_exact(keyed, cfg.id_col)
         seen = _read_store(sp, cfg.digest_dir, batch_id, run)
+        if seen is not None and cfg.digest_prefix_partitions and "_dp" in seen.columns:
+            # partition-prune the history scan to the prefixes this
+            # batch touches (≤256 values — one tiny map-only job over
+            # the batch). _dp is a partition column, so the isin filter
+            # prunes directories, not just rows.
+            prefixes = [
+                r._dp
+                for r in keyed.select(
+                    F.substring("_digest", 1, 2).alias("_dp")
+                ).distinct().collect()
+            ]
+            seen = seen.where(F.col("_dp").isin(prefixes))
         fresh = against_history_exact(fresh, seen)
         # persist: consumed by BOTH writes, and the digest write must
         # see a snapshot computed BEFORE it starts replacing files
@@ -178,6 +201,11 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
             .withColumn("batch", F.lit(int(batch_id)))
             .persist()
         )
+        store_parts = ["run", "batch"]
+        store = out.select("_digest", "run", "batch")
+        if cfg.digest_prefix_partitions:
+            store = store.withColumn("_dp", F.substring("_digest", 1, 2))
+            store_parts = ["run", "batch", "_dp"]
         try:
             (
                 out.drop("_digest")
@@ -187,10 +215,9 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
                 .parquet(cfg.dest_dir)
             )
             (
-                out.select("_digest", "run", "batch")
-                .write.mode("overwrite")
+                store.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("run", "batch")
+                .partitionBy(*store_parts)
                 .parquet(cfg.digest_dir)
             )
         finally:

@@ -668,3 +668,46 @@ def test_run_tag_uri_paths_are_cwd_independent():
         os.chdir(cwd)
     # local scheme-less paths still normalize (relative == absolute)
     assert _run_tag("/tmp/x/ck") == _run_tag("/tmp/x/../x/ck")
+
+
+def test_stream_dedup_digest_prefix_partitions(spark, tmp_path):
+    """digest_prefix_partitions=True: the store gains _dp=xx digest-
+    prefix partitions, cross-batch dedup still works through the
+    pruned history read, and the dest corpus layout is unchanged."""
+    import glob as _glob
+    import shutil
+
+    from lakeflush_spark.streaming.dedup import StreamDedupConfig, dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamDedupConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        digest_prefix_partitions=True,
+    )
+
+    def write_batchfile(name, rows):
+        stage = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    write_batchfile("b1", [(1, "alpha"), (2, "beta")])
+    dedup_stream(spark, cfg).awaitTermination(180)
+    # the store is physically prefix-partitioned
+    assert _glob.glob(str(tmp_path / "digests" / "run=*" / "batch=*" / "_dp=*"))
+
+    # cross-batch dup must be dropped via the PRUNED history read
+    write_batchfile("b2", [(10, "beta"), (11, "gamma")])
+    dedup_stream(spark, cfg).awaitTermination(180)
+    got = {r.doc_id: r.text for r in spark.read.parquet(cfg.dest_dir).collect()}
+    assert got == {1: "alpha", 2: "beta", 11: "gamma"}
+    # prefixes in the store match the digests they shelter
+    store = spark.read.option("basePath", cfg.digest_dir).parquet(cfg.digest_dir)
+    bad = store.where(F.substring("_digest", 1, 2) != F.col("_dp")).count()
+    assert bad == 0

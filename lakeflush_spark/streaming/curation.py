@@ -85,6 +85,9 @@ class CurationStreamConfig:
     #: ANY eval doc are dropped (operators/decontaminate semantics)
     eval_dir: str | None = None
     decontam_min_common: int = 1
+    #: prefix-partition the digest store and partition-prune each
+    #: batch's history scan (see StreamDedupConfig.digest_prefix_partitions)
+    digest_prefix_partitions: bool = False
     max_files_per_trigger: int | None = None
 
 
@@ -118,11 +121,11 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
         )
         eval_grams.count()
 
-    def _writer(df: DataFrame, dest: str):
+    def _writer(df: DataFrame, dest: str, parts: tuple = ("run", "batch")):
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("run", "batch")
+            .partitionBy(*parts)
             .parquet(dest)
         )
 
@@ -153,6 +156,14 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
         keyed = kept.withColumn("_digest", content_digest([cfg.text_col]))
         fresh = within_batch_exact(keyed, cfg.id_col)
         seen = _read_store(sp, cfg.digest_dir, batch_id, run)
+        if seen is not None and cfg.digest_prefix_partitions and "_dp" in seen.columns:
+            prefixes = [
+                r._dp
+                for r in keyed.select(
+                    F.substring("_digest", 1, 2).alias("_dp")
+                ).distinct().collect()
+            ]
+            seen = seen.where(F.col("_dp").isin(prefixes))
         fresh = against_history_exact(fresh, seen).persist()
         n_exact = fresh.count()
 
@@ -199,7 +210,16 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             n_out = out.count()
             body_cols = [c for c in batch_df.columns] + ["run", "batch"]
             _writer(out.select(*body_cols), cfg.dest_dir)
-            _writer(out.select("_digest", "run", "batch"), cfg.digest_dir)
+            if cfg.digest_prefix_partitions:
+                _writer(
+                    out.select("_digest", "run", "batch").withColumn(
+                        "_dp", F.substring("_digest", 1, 2)
+                    ),
+                    cfg.digest_dir,
+                    parts=("run", "batch", "_dp"),
+                )
+            else:
+                _writer(out.select("_digest", "run", "batch"), cfg.digest_dir)
             _writer(
                 _bands_long(out, cfg.id_col)
                 .withColumn("run", F.lit(run))

@@ -711,3 +711,46 @@ def test_stream_dedup_digest_prefix_partitions(spark, tmp_path):
     store = spark.read.option("basePath", cfg.digest_dir).parquet(cfg.digest_dir)
     bad = store.where(F.substring("_digest", 1, 2) != F.col("_dp")).count()
     assert bad == 0
+
+
+def test_curate_stream_digest_prefix_partitions(spark, tmp_path):
+    """curate_stream with digest_prefix_partitions: prefix-partitioned
+    digest store + pruned history read, exact cross-batch dedup intact."""
+    import glob as _glob
+    import shutil
+
+    from lakeflush_spark.streaming.curation import CurationStreamConfig, curate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        digest_prefix_partitions=True,
+    )
+
+    def write_batchfile(name, rows):
+        stage = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    d1 = "alpha beta gamma delta epsilon zeta eta theta"
+    d2 = "one two three four five six seven eight nine"
+    write_batchfile("b1", [(1, d1), (2, d2)])
+    curate_stream(spark, cfg).awaitTermination(180)
+    assert _glob.glob(str(tmp_path / "digests" / "run=*" / "batch=*" / "_dp=*"))
+
+    # batch 2 repeats d2 exactly — must be dropped via the pruned read
+    write_batchfile("b2", [(10, d2)])
+    curate_stream(spark, cfg).awaitTermination(180)
+    got = sorted(r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect())
+    assert got == [1, 2]
+    stats = spark.read.parquet(cfg.stats_dir).orderBy("batch").collect()
+    assert stats[-1].n_exact_dup == 1 and stats[-1].n_out == 0

@@ -41,18 +41,19 @@ window task, the classic low-cardinality-partition scale killer; the
 salted local-top-k keeps values bit-identical while bounding every
 task at group/shards rows.
 
-r5 suite-total delta vs BENCH_r04 (20.0 s): ~25 s, entirely new
-paid-for work and scale-shape upgrades, not regressions — q24 +~2 s
+r5 suite-total delta vs BENCH_r04 (20.0 s): ~27 s, entirely new
+paid-for work and scale-shape upgrades, not regressions — q24 +~1.3 s
 (new 'cluster' label: full connected-components resolution with
-pointer jumping), q58 +~0.7 s (sharded prefix sum replacing the
-single-task-per-language window), q60 entered the suite (+~1 s),
-q08/q29 the grouped-top-k trade above, q42 gained the sharded global
-row_number label. Same-shape entries (q01–q07, q18, q61, q62,
-compaction) are flat-to-faster in isolated warm runs (q61 1.5 s,
-q62 0.9 s measured isolated; suite-mode outliers on this box are
-contention, see the variance note). q28 entered the suite late in r5
-when it grew the SemDedup labels (IVF-cell cluster-then-compare
-pairs + greedy drops beside the original label-blocked top-20).
+pointer jumping; folding CC round 1 into the label init late in r5
+cut the label's cost roughly in half — warm suite q24 8.7 s → 3.8 s),
+q58 +~0.7 s (sharded prefix sum replacing the single-task-per-language
+window), q60 entered the suite (+~0.7 s), q08/q29 the grouped-top-k
+trade above, q42 gained the sharded global row_number label, and q28
+entered the suite (+~1.8 s) when it grew the SemDedup labels
+(IVF-cell cluster-then-compare pairs + greedy drops beside the
+original label-blocked top-20). Same-shape entries (q01–q07, q18,
+q61, q62, compaction) are flat-to-faster (last full run: csv 38.8
+MB/s, json 19.0k files/s, suite 27.4 s with all additions).
 """
 
 from __future__ import annotations

@@ -27,6 +27,7 @@ from lakeflush_spark.operators.mixing import (
     sharded_prefix_sum,
     take_token_budget,
 )
+from lakeflush_spark.operators.report import corpus_report
 from lakeflush_spark.operators.similarity import (
     semantic_dedup,
     semantic_dedup_pairs,
@@ -58,6 +59,7 @@ __all__ = [
     "IncrementResult",
     "audit_table",
     "compact",
+    "corpus_report",
     "read_increment",
     "contamination_pairs",
     "decontaminate",

@@ -1,0 +1,107 @@
+"""Corpus data-card report: the per-source summary a training-data
+release ships with (counts, token-budget contribution, length
+quantiles, language mix, quality/dup-risk signals).
+
+The reference has no analog (its records are opaque strings); every
+published LLM-data pipeline ends in exactly this table — the "data
+card" row per source that mixing weights (``operators/mixing.py``)
+are negotiated against.
+
+Scale stance: metrics are map-only JVM Column expressions from
+``functions/text.py`` (no Python), feeding two map-side-combined
+aggregation scans — groupBy(source) for the numeric card and
+groupBy(source, lang) for the language mode (``percentile_approx``
+sketches cannot be re-merged from a finer grouping in the DataFrame
+API, hence two scans rather than one). Neither shuffles the corpus:
+both exchanges carry |sources|(×|langs|) aggregate rows. Quantiles
+use ``percentile_approx`` — the single-pass sketch built for this —
+so the report never sorts the corpus. Nothing is collected
+driver-side; the result is a DataFrame the caller writes next to the
+corpus.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from lakeflush_spark.functions.text import (
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+
+
+def corpus_report(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    quantile_accuracy: int = 10_000,
+) -> DataFrame:
+    """One row per source: doc/token counts, token-length quantiles
+    (p10/p50/p90/p99 via ``percentile_approx``), corpus share, language
+    mix (top language + its share), and quality aggregates.
+
+    ``quantile_accuracy`` is ``percentile_approx``'s 1/eps knob
+    (10_000 ⇒ ~0.01% rank error — sketch memory is O(accuracy), not
+    O(corpus)). Deterministic given the input (no sampling).
+    """
+    tc = F.col("_nt")
+    annotated = docs.select(
+        F.col(source_col).alias("source"),
+        token_count(text_col).alias("_nt"),
+        stopword_ratio(text_col).alias("_sw"),
+        quality_score(text_col).alias("_q"),
+        lang_id(text_col).alias("_lang"),
+    )
+    per_source = annotated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).cast("bigint").alias("n_tokens"),
+        F.percentile_approx(tc, [0.1, 0.5, 0.9, 0.99], quantile_accuracy).alias(
+            "_tq"
+        ),
+        F.round(F.avg("_sw"), 4).alias("avg_stopword_ratio"),
+        F.round(F.avg("_q"), 4).alias("avg_quality"),
+    )
+    # language mode: a per-(source, lang) pre-aggregation (map-side
+    # combined over the corpus) then max_by over |sources| × |langs|
+    # rows — a second shuffle, but of a TINY frame, never the corpus.
+    # Ties break deterministically toward the lexicographically larger
+    # language of the tied count (max_by on the (count, lang) struct).
+    lang_counts = (
+        annotated.groupBy("source", "_lang")
+        .agg(F.count(F.lit(1)).alias("_lc"))
+        .groupBy("source")
+        .agg(
+            F.max_by(
+                F.struct(F.col("_lc"), F.col("_lang")), F.struct(F.col("_lc"), F.col("_lang"))
+            ).alias("_top"),
+            F.sum("_lc").alias("_tot"),
+        )
+        .select(
+            "source",
+            F.col("_top._lang").alias("top_lang"),
+            F.round(F.col("_top._lc") / F.col("_tot"), 4).alias("top_lang_share"),
+        )
+    )
+    total = per_source.select(F.sum("n_tokens").alias("_all"))
+    return (
+        per_source.join(lang_counts, "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_all"), 4).alias("token_share"),
+            F.col("_tq")[0].cast("bigint").alias("tokens_p10"),
+            F.col("_tq")[1].cast("bigint").alias("tokens_p50"),
+            F.col("_tq")[2].cast("bigint").alias("tokens_p90"),
+            F.col("_tq")[3].cast("bigint").alias("tokens_p99"),
+            "avg_stopword_ratio",
+            "avg_quality",
+            "top_lang",
+            "top_lang_share",
+        )
+        .orderBy("source")
+    )

@@ -341,6 +341,49 @@ def near_dup_dropped_ids(
     )
 
 
+def list_runs(spark: SparkSession, store_dir: str) -> list[str]:
+    """Distinct stream-generation tags present in a ``(run, batch)``-
+    partitioned store (sorted). Empty/missing store → []."""
+    df = _read_store(spark, store_dir, batch_id=-1, run="")
+    if df is None:
+        return []
+    return sorted(r.run for r in df.select("run").distinct().collect())
+
+
+def vacuum_runs(spark: SparkSession, store_dir: str, keep_runs: list[str]) -> list[str]:
+    """Delete the ``run=<tag>`` partition trees of stream GENERATIONS
+    not in ``keep_runs``; returns the deleted tags.
+
+    Superseded generations (old checkpoints, abandoned experiments)
+    otherwise accumulate forever in the run-scoped stores. Keep the
+    tag of every generation still streaming or still being read —
+    :func:`_run_tag` of its checkpoint dir, or :func:`list_runs` to
+    inspect. Deletion goes through the Hadoop FileSystem API, so it
+    works wherever the stream can write (local, ``s3a://``, HDFS);
+    that JVM surface is unavailable under Spark Connect — there, drop
+    the partitions with storage-native tooling instead.
+
+    ``keep_runs`` must be non-empty: vacuuming EVERY generation of a
+    store is indistinguishable from a typo'd keep list — delete the
+    store directory itself for that.
+    """
+    if not keep_runs:
+        raise ValueError("keep_runs must name at least one generation to keep")
+    keep = set(keep_runs)
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    deleted = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("run=") and name[len("run="):] not in keep:
+            fs.delete(status.getPath(), True)
+            deleted.append(name[len("run="):])
+    return sorted(deleted)
+
+
 def compact_store(
     spark: SparkSession,
     store_dir: str,

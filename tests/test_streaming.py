@@ -754,3 +754,29 @@ def test_curate_stream_digest_prefix_partitions(spark, tmp_path):
     assert got == [1, 2]
     stats = spark.read.parquet(cfg.stats_dir).orderBy("batch").collect()
     assert stats[-1].n_exact_dup == 1 and stats[-1].n_out == 0
+
+
+def test_vacuum_runs_removes_only_superseded_generations(spark, tmp_path):
+    from lakeflush_spark.streaming.dedup import list_runs, vacuum_runs
+
+    store = str(tmp_path / "store")
+    for run, batch, digest in [
+        ("gen1", 0, "aa"), ("gen1", 1, "bb"), ("gen2", 0, "cc")
+    ]:
+        (
+            spark.createDataFrame([(digest, run, batch)], "_digest string, run string, batch long")
+            .write.mode("append").partitionBy("run", "batch").parquet(store)
+        )
+    assert list_runs(spark, store) == ["gen1", "gen2"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        vacuum_runs(spark, store, [])
+
+    assert vacuum_runs(spark, store, ["gen2"]) == ["gen1"]
+    assert list_runs(spark, store) == ["gen2"]
+    left = spark.read.option("basePath", store).parquet(store).collect()
+    assert [r._digest for r in left] == ["cc"]
+    # idempotent
+    assert vacuum_runs(spark, store, ["gen2"]) == []

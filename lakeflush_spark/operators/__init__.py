@@ -27,6 +27,10 @@ from lakeflush_spark.operators.mixing import (
     sharded_prefix_sum,
     take_token_budget,
 )
+from lakeflush_spark.operators.lm_filter import (
+    lm_logprob_scores,
+    train_bigram_lm,
+)
 from lakeflush_spark.operators.report import corpus_report
 from lakeflush_spark.operators.similarity import (
     semantic_dedup,
@@ -70,10 +74,12 @@ __all__ = [
     "extract_features",
     "global_ntile",
     "global_row_number",
+    "lm_logprob_scores",
     "grouped_top_k",
     "mix_sources",
     "sample_fraction",
     "take_token_budget",
+    "train_bigram_lm",
     "media_metadata",
     "minhash_near_dups",
     "near_dup_clusters",

@@ -22,7 +22,9 @@ from lakeflush_spark.streaming.dedup import (  # noqa: F401
     StreamNearDupConfig,
     compact_store,
     dedup_stream,
+    list_runs,
     near_dup_stream,
+    vacuum_runs,
 )
 from lakeflush_spark.streaming.events import (  # noqa: F401
     dedup_within_watermark,

@@ -10,6 +10,8 @@ standard LLM-corpus preparation flow:
       -> near-dup removal (MinHash+LSH candidate pairs; greedy,
          iterative chain-preserving, or one-per-cluster resolution;
          optional hot-bucket cap)
+      -> optional LM-perplexity gate (self-trained bigram LM,
+         quantile cut — drops the gibberish/boilerplate tail)
       -> optional SemDedup (embedding-space near-dup, IVF-cell
          cluster-then-compare — catches semantic rephrasings)
       -> optional repeated-passage (boilerplate) removal
@@ -104,6 +106,15 @@ class CurationConfig:
     #: IVF cell count for the SemDedup quantizer; grow with the corpus
     #: so within-cell comparison (Σ|cell|²) stays bounded
     sem_n_cells: int = 16
+    #: optional LM-perplexity gate (operators/lm_filter.py, the CCNet
+    #: recipe with an in-engine bigram LM): after dedup, train the LM
+    #: on the surviving corpus, score every doc, and drop the bottom
+    #: ``lm_filter_quantile`` fraction by mean bigram log-probability
+    #: (the gibberish/boilerplate tail). None disables. 0.05 drops the
+    #: worst 5%.
+    lm_filter_quantile: float | None = None
+    #: hash-bucket count for the LM vocabulary (bounds all LM state)
+    lm_buckets: int = 1 << 20
     #: word-n-gram width for the optional eval-set decontamination
     #: stage (only used when ``curate_documents`` receives eval_docs)
     decontam_n: int = 13
@@ -242,6 +253,37 @@ def curate_documents(
     ).first()
     n_exact = exact.count()
     n_near = curated.count()
+
+    if cfg.lm_filter_quantile is not None:
+        if not 0.0 < cfg.lm_filter_quantile < 1.0:
+            raise ValueError("lm_filter_quantile must be in (0, 1)")
+        from lakeflush_spark.operators.lm_filter import (
+            lm_logprob_scores,
+            train_bigram_lm,
+        )
+
+        # self-trained gate: the corpus IS the in-domain sample, so the
+        # degenerate tail (gibberish, token soup) lands at the smoothed
+        # floor and falls below the quantile cut. LM state is bounded
+        # by lm_buckets; the cut is one percentile_approx sketch over
+        # the score column (never a sort).
+        lm = train_bigram_lm(
+            curated, id_col=cfg.id_col, text_col=tc, buckets=cfg.lm_buckets
+        )
+        scored = lm_logprob_scores(
+            lm, curated, id_col=cfg.id_col, text_col=tc, buckets=cfg.lm_buckets
+        )
+        cut = scored.agg(
+            F.percentile_approx(
+                "avg_logprob", cfg.lm_filter_quantile, 10_000
+            ).alias("c")
+        ).first()["c"]
+        if cut is not None:
+            # NULL scores (< 2 tokens) pass the gate — length policy
+            # belongs to min_tokens, not the LM
+            curated = scored.where(
+                F.col("avg_logprob").isNull() | (F.col("avg_logprob") >= cut)
+            ).drop("avg_logprob")
 
     if cfg.embedding_col is not None:
         from lakeflush_spark.operators.similarity import (

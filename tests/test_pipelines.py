@@ -216,3 +216,25 @@ def test_semdedup_stage_drops_semantic_rephrasings(spark):
                        sem_threshold=0.95, sem_n_cells=2),
     )
     assert sorted(r.doc_id for r in on.collect()) == [1, 3]
+
+
+def test_lm_filter_stage_drops_gibberish_tail(spark):
+    # 20 copies of fluent prose (distinct ids/texts via suffix tokens
+    # so dedup keeps them) + 2 token-soup docs: the 10% LM quantile
+    # gate removes exactly the gibberish
+    sent = "the cat sat on the mat and the dog sat on the rug near the door"
+    rows = [(i, f"{sent} tail{i} end{i}") for i in range(20)]
+    rows += [(100, "zq xv wk jj qqq lpx mnb ooo ppp rrr sss ttt uuu"),
+             (101, "aaa bbb ccc ddd eee fff ggg hhh iii jjj kkk lll")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    base_cfg = CurationConfig(min_tokens=1, near_dup_threshold=0.99)
+    off, _ = curate_documents(spark, docs, base_cfg)
+    assert off.count() == 22
+    on, _ = curate_documents(
+        spark, docs,
+        CurationConfig(min_tokens=1, near_dup_threshold=0.99,
+                       lm_filter_quantile=0.1, lm_buckets=1 << 16),
+    )
+    kept = sorted(r.doc_id for r in on.collect())
+    assert 100 not in kept and 101 not in kept
+    assert len(kept) >= 18

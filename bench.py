@@ -280,6 +280,42 @@ def bench_stream_dedup(spark) -> dict[str, float]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_curation_ops(spark) -> dict[str, float]:
+    """The r5 LLM-curation additions on the trend line: corpus_report
+    (data card, two agg scans), bigram-LM train+score (CCNet-style
+    quality gate), and SemDedup pair generation — each timed to a full
+    materialization over the sf documents/embeddings tables."""
+    from lakeflush_spark.io import load_table
+    from lakeflush_spark.operators.lm_filter import (
+        lm_logprob_scores,
+        train_bigram_lm,
+    )
+    from lakeflush_spark.operators.report import corpus_report
+    from lakeflush_spark.operators.similarity import (
+        prepare_vectors,
+        semantic_dedup_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out: dict[str, float] = {}
+    t0 = time.time()
+    corpus_report(docs).collect()
+    out["report_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    lm = train_bigram_lm(docs, buckets=1 << 20).localCheckpoint()
+    out["lm_train_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    scored = lm_logprob_scores(lm, docs, buckets=1 << 20)
+    scored.agg({"avg_logprob": "avg"}).collect()
+    out["lm_score_sec"] = round(time.time() - t0, 3)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    t0 = time.time()
+    n = semantic_dedup_pairs(prepare_vectors(emb), threshold=0.4).count()
+    out["semdedup_sec"] = round(time.time() - t0, 3)
+    out["semdedup_pairs"] = n
+    return out
+
+
 def main() -> int:
     t_all = time.time()
     from lakeflush_spark import get_spark
@@ -298,6 +334,7 @@ def main() -> int:
     queries = bench_queries(spark)
     compaction = bench_compaction(spark)
     streaming = bench_stream_dedup(spark)
+    curation = bench_curation_ops(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -308,6 +345,7 @@ def main() -> int:
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
         "compaction": compaction,
         "streaming": streaming,
+        "curation": curation,
         "wall_sec": round(time.time() - t_all, 1),
     }
     print(json.dumps(result))

@@ -682,6 +682,10 @@ def _write_audit(spark: SparkSession, cfg: CompactionConfig, bundles, source_fp:
                 f"SELECT *, current_timestamp() AS flushed_at FROM (VALUES {values}) AS "
                 "t(run_id, bundle_path, bytes, source, format, compressed, source_fp)"
             )
+            # ONE part file per run: the run's audit rows become visible
+            # atomically (file rename), so an incremental consumer
+            # (read_increment) can never observe half a run's bundles
+            .coalesce(1)
             .write.mode("append")
             .parquet(audit_path)
         )
@@ -700,13 +704,18 @@ def audit_table(spark: SparkSession, dest_dir: str) -> DataFrame:
 
 @dataclass(frozen=True)
 class AuditCursor:
-    """Exact consumption high-watermark over the audit table.
+    """Exact consumption state over the audit table: the SET of run_ids
+    already consumed (``run_ids``), plus the max ``flushed_at`` seen
+    (``ts``, informational).
 
-    ``ts`` is the max ``flushed_at`` consumed; ``run_ids`` the runs
-    already consumed AT that exact timestamp (``flushed_at`` is one
-    ``current_timestamp()`` per run, so two near-simultaneous runs can
-    share it — the id set disambiguates instead of silently skipping
-    or double-reading a tied run)."""
+    Set-based exclusion is deliberately NOT a timestamp high-watermark:
+    with concurrent compactions, a run's audit rows can become visible
+    AFTER a later-stamped run's rows (commit order ≠ timestamp order),
+    and a ts cut-off would skip the late-visible run forever. Excluding
+    by consumed run_id is order-independent — a run is delivered
+    exactly once whenever its audit row appears. The set grows by one
+    entry per compaction run (a run is one scheduled job — thousands
+    of entries over a store's life, trivially driver-sized)."""
 
     ts: object
     run_ids: tuple = ()
@@ -744,14 +753,8 @@ def read_increment(
     write-only breadcrumbs, utils/file/store.py:10-21).
     """
     audit = audit_table(spark, dest_dir)
-    if cursor is not None:
-        newer = F.col("flushed_at") > F.lit(cursor.ts)
-        if cursor.run_ids:
-            newer = newer | (
-                (F.col("flushed_at") == F.lit(cursor.ts))
-                & ~F.col("run_id").isin(list(cursor.run_ids))
-            )
-        audit = audit.where(newer)
+    if cursor is not None and cursor.run_ids:
+        audit = audit.where(~F.col("run_id").isin(list(cursor.run_ids)))
     # bundle count is run-sized (the audit exists because files are FEW
     # after compaction) — driver-side collect is the point, not a smell
     rows = audit.select("bundle_path", "run_id", "flushed_at").collect()
@@ -759,13 +762,11 @@ def read_increment(
         empty = spark.createDataFrame([], schema=schema or "bundle_path string")
         return IncrementResult(df=empty, cursor=cursor, bundle_paths=[])
     max_ts = max(r.flushed_at for r in rows)
-    at_ts = tuple(sorted({r.run_id for r in rows if r.flushed_at == max_ts}))
-    prev = (
-        cursor.run_ids
-        if cursor is not None and cursor.ts == max_ts
-        else ()
+    prev = cursor.run_ids if cursor is not None else ()
+    new_cursor = AuditCursor(
+        ts=max_ts,
+        run_ids=tuple(sorted({*prev, *(r.run_id for r in rows)})),
     )
-    new_cursor = AuditCursor(ts=max_ts, run_ids=tuple(sorted({*prev, *at_ts})))
     paths = sorted({r.bundle_path for r in rows})
     reader = spark.read
     if schema is not None:

@@ -86,8 +86,14 @@ def corpus_report(
         )
     )
     total = per_source.select(F.sum("n_tokens").alias("_all"))
+    # eqNullSafe: a NULL source is a real group in both aggregations
+    # (groupBy keeps it) — a plain equi-join would silently drop it
+    # from the card while its tokens still inflate the share divisor
+    lc = lang_counts.withColumnRenamed("source", "_lc_source")
     return (
-        per_source.join(lang_counts, "source")
+        per_source.join(
+            lc, per_source["source"].eqNullSafe(lc["_lc_source"])
+        ).drop("_lc_source")
         .crossJoin(F.broadcast(total))
         .select(
             "source",

@@ -238,6 +238,12 @@ def semantic_dedup_pairs(
     ``n_cells``, and AQE skew-join splits residual hot cells.
     """
     cents = ivf_centroids(corpus, n_cells, kmeans_iters)
+    if not cents:
+        # empty corpus: no cells, no pairs — an empty frame, not a
+        # ParseException from a zero-tuple VALUES relation
+        return corpus.sparkSession.createDataFrame(
+            [], "id1 bigint, id2 bigint, cell_id bigint, cos_sim double"
+        )
     cells_1row = _cells_as_one_row(corpus.sparkSession, cents)
     indexed = _nearest_cells(corpus, cells_1row, 1)
     a, b = indexed.alias("a"), indexed.alias("b")
@@ -307,6 +313,10 @@ def ivf_topk(
     AQE skew-join splitting oversized cells at runtime.
     """
     cent_rows = ivf_centroids(corpus, n_cells, kmeans_iters)
+    if not cent_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cos_sim double, rank bigint"
+        )
     cells_1row = _cells_as_one_row(corpus.sparkSession, cent_rows)
     indexed = _nearest_cells(corpus, cells_1row, 1)
     probes = _nearest_cells(queries, cells_1row, nprobe).select(

@@ -252,6 +252,14 @@ def curate_documents(
         F.sum(keep.cast("long")).alias("n_filt"),
     ).first()
     n_exact = exact.count()
+    # the LM and SemDedup stages each traverse `curated` several times
+    # (LM train + score + quantile cut; centroid draw + assignment +
+    # pair join) — truncate the dedup lineage ONCE so those passes and
+    # the final count don't each replay the corpus-scale joins above.
+    # localCheckpoint, like the near-dup cluster loop (dedup.py): its
+    # blocks are executor-resident and freed on GC.
+    if cfg.lm_filter_quantile is not None or cfg.embedding_col is not None:
+        curated = curated.localCheckpoint()
     n_near = curated.count()
 
     if cfg.lm_filter_quantile is not None:
@@ -267,9 +275,11 @@ def curate_documents(
         # floor and falls below the quantile cut. LM state is bounded
         # by lm_buckets; the cut is one percentile_approx sketch over
         # the score column (never a sort).
+        # materialized once: the scoring join consumes the LM twice
+        # (pair counts + context counts)
         lm = train_bigram_lm(
             curated, id_col=cfg.id_col, text_col=tc, buckets=cfg.lm_buckets
-        )
+        ).localCheckpoint()
         scored = lm_logprob_scores(
             lm, curated, id_col=cfg.id_col, text_col=tc, buckets=cfg.lm_buckets
         )

@@ -262,9 +262,12 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
         # repeated curate_stream launches in a long-lived session
         # (the AvailableNow catch-up pattern) never accumulate cached
         # relations
+        import threading
+
         from pyspark.sql.streaming import StreamingQueryListener
 
         grams, qid = eval_grams, query.id
+        released = threading.Lock()  # acquired once: first releaser wins
 
         class _ReleaseEvalGrams(StreamingQueryListener):
             def onQueryStarted(self, event):
@@ -276,12 +279,27 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             def onQueryIdle(self, event):
                 pass
 
-            def onQueryTerminated(self, event):
-                if str(event.id) == str(qid):
+            def _release(self):
+                if released.acquire(blocking=False):
                     try:
                         grams.unpersist()
                     finally:
-                        spark.streams.removeListener(self)
+                        try:
+                            spark.streams.removeListener(self)
+                        except Exception:  # noqa: BLE001 - already removed
+                            pass
 
-        spark.streams.addListener(_ReleaseEvalGrams())
+            def onQueryTerminated(self, event):
+                if str(event.id) == str(qid):
+                    self._release()
+
+        listener = _ReleaseEvalGrams()
+        spark.streams.addListener(listener)
+        # the query can terminate (AvailableNow with nothing to do)
+        # BEFORE the listener registers — its terminated event would
+        # then never fire for us. Check after registering: either the
+        # event will arrive (registered in time) or we release here;
+        # the once-lock makes the two paths race-safe.
+        if not query.isActive:
+            listener._release()
     return query

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -99,7 +100,8 @@ def _run_tag(checkpoint_dir: str) -> str:
     would REPLACE generation 1's rows. Stores therefore partition by
     ``(run, batch)`` and exclusion matches both.
 
-    URI locations (``s3a://…``, ``hdfs://…``) hash AS GIVEN —
+    URI locations (``s3a://…``, and the single-slash forms Hadoop's
+    ``Path.toString`` emits, e.g. ``file:/tmp/ck``) hash AS GIVEN —
     ``os.path.abspath`` would prepend the driver's cwd to them, so a
     restart from a different workdir (new container) would mint a new
     tag for the SAME checkpoint and break replay exclusion. Only
@@ -107,7 +109,7 @@ def _run_tag(checkpoint_dir: str) -> str:
     against cwd is what the filesystem itself does)."""
     p = (
         checkpoint_dir
-        if "://" in checkpoint_dir
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", checkpoint_dir)
         else os.path.abspath(checkpoint_dir)
     )
     return hashlib.md5(p.encode()).hexdigest()[:12]
@@ -178,21 +180,36 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         keyed = _batch_digests(batch_df, cfg)
-        fresh = within_batch_exact(keyed, cfg.id_col)
-        seen = _read_store(sp, cfg.digest_dir, batch_id, run)
-        if seen is not None and cfg.digest_prefix_partitions and "_dp" in seen.columns:
-            # partition-prune the history scan to the prefixes this
-            # batch touches (≤256 values — one tiny map-only job over
-            # the batch). _dp is a partition column, so the isin filter
-            # prunes directories, not just rows.
-            prefixes = [
-                r._dp
-                for r in keyed.select(
-                    F.substring("_digest", 1, 2).alias("_dp")
-                ).distinct().collect()
-            ]
-            seen = seen.where(F.col("_dp").isin(prefixes))
-        fresh = against_history_exact(fresh, seen)
+        if cfg.digest_prefix_partitions:
+            # the prefix collect below is an extra action over keyed —
+            # pin it so the batch's bodies are digested once, not twice
+            keyed = keyed.persist()
+        try:
+            fresh = within_batch_exact(keyed, cfg.id_col)
+            seen = _read_store(sp, cfg.digest_dir, batch_id, run)
+            if (
+                seen is not None
+                and cfg.digest_prefix_partitions
+                and "_dp" in seen.columns
+            ):
+                # partition-prune the history scan to the prefixes this
+                # batch touches (≤256 values — one tiny job over the
+                # pinned batch). _dp is a partition column, so the isin
+                # filter prunes directories, not just rows.
+                prefixes = [
+                    r._dp
+                    for r in keyed.select(
+                        F.substring("_digest", 1, 2).alias("_dp")
+                    ).distinct().collect()
+                ]
+                seen = seen.where(F.col("_dp").isin(prefixes))
+            fresh = against_history_exact(fresh, seen)
+            _write_outputs(fresh, batch_id)
+        finally:
+            if cfg.digest_prefix_partitions:
+                keyed.unpersist()
+
+    def _write_outputs(fresh: DataFrame, batch_id: int) -> None:
         # persist: consumed by BOTH writes, and the digest write must
         # see a snapshot computed BEFORE it starts replacing files
         # under the digest dir it was derived from

@@ -53,6 +53,7 @@ from lakeflush_spark.operators.substring_dedup import (
     docs_with_repeated_spans,
     repeated_span_texts,
     repeated_spans,
+    strip_repeated_spans,
 )
 
 __all__ = [
@@ -93,5 +94,6 @@ __all__ = [
     "semantic_drop_ids",
     "sharded_prefix_sum",
     "simhash_near_dups",
+    "strip_repeated_spans",
     "zorder_write",
 ]

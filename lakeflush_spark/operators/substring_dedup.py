@@ -133,6 +133,102 @@ def repeated_span_texts(
     )
 
 
+def strip_repeated_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    stride: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """REWRITE documents with their cross-doc repeated passages removed
+    (``docs_with_repeated_spans`` drops whole documents; this keeps the
+    document and strips the boilerplate — the right call when the
+    shared block is a header/footer/license wrapped around unique
+    content).
+
+    A token is removed iff some anchored window covering it has a
+    fingerprint repeated in >= ``min_docs`` documents. Coverage is the
+    union of FULLY-shared windows, so up to ~``stride`` leading and
+    trailing tokens of a shared passage can survive (windows must
+    start at a content anchor and lie wholly inside the shared run) —
+    the standard winnowing edge-effect trade. Output text is rebuilt
+    by joining kept tokens with single spaces (whitespace normalizes);
+    an ``n_stripped`` column counts removed tokens.
+
+    Scale: the probe is :func:`repeated_spans` (one fp shuffle); the
+    covered-anchor pass groups (doc, start) pairs by doc (ids only);
+    the rewrite joins that tiny starts frame back to the corpus on id
+    — bodies move through exactly one join, and the per-token coverage
+    test is a JVM ``exists`` over the doc's (few) covered starts.
+    """
+    hot = repeated_spans(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        window=window,
+        stride=stride,
+        min_docs=min_docs,
+    ).select("fp")
+
+    def anchored_fp_structs(tk: Column) -> Column:
+        n = F.size(tk)
+        starts = F.when(
+            n >= window, F.sequence(F.lit(1), n - (window - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        anchors = F.filter(
+            starts, lambda i: token_hash(F.element_at(tk, i)) % stride == 0
+        )
+        return F.transform(
+            anchors,
+            lambda i: F.struct(
+                i.alias("s"),
+                F.md5(F.concat_ws(TOKEN_SEP, F.slice(tk, i, window))).alias("fp"),
+            ),
+        )
+
+    covered_starts = (
+        docs.select(
+            F.col(id_col).alias("_sid"),
+            F.explode(bind(tokens(text_col), anchored_fp_structs)).alias("_a"),
+        )
+        .select("_sid", F.col("_a.s").alias("_s"), F.col("_a.fp").alias("fp"))
+        .join(hot, "fp", "left_semi")
+        .groupBy("_sid")
+        .agg(F.collect_set("_s").alias("_starts"))
+    )
+    joined = docs.join(
+        covered_starts, docs[id_col] == covered_starts["_sid"], "left"
+    ).drop("_sid")
+    starts = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+
+    def rebuild(tk: Column) -> Column:
+        kept = F.filter(
+            F.transform(
+                tk,
+                lambda t, idx: F.when(
+                    ~F.exists(
+                        starts, lambda s: (s <= idx + 1) & (idx + 1 < s + window)
+                    ),
+                    t,
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return F.struct(
+            F.concat_ws(" ", kept).alias("txt"),
+            (F.size(tk) - F.size(kept)).cast("bigint").alias("n_stripped"),
+        )
+
+    out_cols = [c for c in docs.columns if c != text_col]
+    return joined.withColumn("_rb", bind(tokens(text_col), rebuild)).select(
+        *out_cols,
+        F.col("_rb.txt").alias(text_col),
+        F.col("_rb.n_stripped").alias("n_stripped"),
+    )
+
+
 def docs_with_repeated_spans(
     docs: DataFrame,
     *,

@@ -89,13 +89,19 @@ class CurationConfig:
     #: partial recall on legitimately hot keys at the same ≤cap² pair
     #: bound.
     near_dup_hot_bucket_mode: str = "drop"
-    #: drop documents containing a cross-document repeated passage
+    #: act on documents containing a cross-document repeated passage
     #: (operators/substring_dedup.py) of at least this many tokens;
     #: None disables the stage. Catches boilerplate/license blocks that
     #: whole-doc similarity misses when surrounding text differs.
     drop_repeated_passage_window: int | None = None
     #: anchor stride for the repeated-passage probe (see substring_dedup)
     repeated_passage_stride: int = 8
+    #: "drop" removes flagged documents entirely; "strip" keeps them
+    #: but REWRITES the text with the repeated passage removed
+    #: (strip_repeated_spans — right when the boilerplate wraps unique
+    #: content; adds an n_stripped column, and note the earlier
+    #: n_tokens/quality metrics describe the PRE-strip text)
+    repeated_passage_action: str = "drop"
     #: optional SemDedup stage (operators/similarity.semantic_dedup*):
     #: name of an array<float> embedding column on the input frame —
     #: docs whose embeddings near-coincide (within-IVF-cell cosine ≥
@@ -312,20 +318,40 @@ def curate_documents(
         curated = curated.join(sem_drops, cfg.id_col, "left_anti")
 
     if cfg.drop_repeated_passage_window is not None:
-        from lakeflush_spark.operators.substring_dedup import docs_with_repeated_spans
+        if cfg.repeated_passage_action not in ("drop", "strip"):
+            raise ValueError(
+                "repeated_passage_action must be 'drop' or 'strip', "
+                f"got {cfg.repeated_passage_action!r}"
+            )
+        if cfg.repeated_passage_action == "strip":
+            from lakeflush_spark.operators.substring_dedup import (
+                strip_repeated_spans,
+            )
 
-        boiler = docs_with_repeated_spans(
-            curated,
-            id_col=cfg.id_col,
-            text_col=cfg.text_col,
-            window=cfg.drop_repeated_passage_window,
-            stride=cfg.repeated_passage_stride,
-        )
-        # no broadcast hint: unlike the decontamination hit set (bounded
-        # by the small eval suite), boilerplate-heavy corpora can flag a
-        # large fraction of docs — let AQE pick broadcast vs shuffle
-        # from the actual flagged-set size.
-        curated = curated.join(boiler, cfg.id_col, "left_anti")
+            curated = strip_repeated_spans(
+                curated,
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                window=cfg.drop_repeated_passage_window,
+                stride=cfg.repeated_passage_stride,
+            )
+        else:
+            from lakeflush_spark.operators.substring_dedup import (
+                docs_with_repeated_spans,
+            )
+
+            boiler = docs_with_repeated_spans(
+                curated,
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                window=cfg.drop_repeated_passage_window,
+                stride=cfg.repeated_passage_stride,
+            )
+            # no broadcast hint: unlike the decontamination hit set
+            # (bounded by the small eval suite), boilerplate-heavy
+            # corpora can flag a large fraction of docs — let AQE pick
+            # broadcast vs shuffle from the actual flagged-set size.
+            curated = curated.join(boiler, cfg.id_col, "left_anti")
 
     if eval_docs is not None:
         res = decontaminate(

@@ -238,3 +238,28 @@ def test_lm_filter_stage_drops_gibberish_tail(spark):
     kept = sorted(r.doc_id for r in on.collect())
     assert 100 not in kept and 101 not in kept
     assert len(kept) >= 18
+
+
+def test_repeated_passage_strip_action_keeps_docs(spark):
+    import random
+
+    rng = random.Random(31)
+    vocab = [f"v{i:03d}" for i in range(300)]
+    passage = " ".join(rng.choice(vocab) for _ in range(60))
+    rows = []
+    for i in range(4):
+        filler = " ".join(rng.choice(vocab) for _ in range(40))
+        rows.append((i, f"{filler} {passage}"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    common = dict(min_tokens=1, near_dup_threshold=0.99,
+                  drop_repeated_passage_window=30,
+                  repeated_passage_stride=4)
+    dropped, _ = curate_documents(spark, docs, CurationConfig(**common))
+    assert dropped.count() == 0  # drop mode removes every flagged doc
+    stripped, _ = curate_documents(
+        spark, docs,
+        CurationConfig(**common, repeated_passage_action="strip"),
+    )
+    rows_out = {r.doc_id: r for r in stripped.collect()}
+    assert sorted(rows_out) == [0, 1, 2, 3]  # strip mode keeps them all
+    assert all(r.n_stripped > 0 for r in rows_out.values())

@@ -202,3 +202,40 @@ def test_semantic_dedup_layout_independent(spark, sf_dir):
     shuffled = {(r.id1, r.id2, r.cos_sim) for r in
                 semantic_dedup_pairs(corpus.repartition(13), threshold=0.4).collect()}
     assert base == shuffled and base
+
+
+def test_strip_repeated_spans_removes_boilerplate_keeps_content(spark):
+    from lakeflush_spark.operators.substring_dedup import (
+        repeated_spans,
+        strip_repeated_spans,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    passage = " ".join(rng.choice(vocab) for _ in range(80))
+    rows, fillers = [], []
+    for i in range(5):
+        filler = " ".join(rng.choice(vocab) for _ in range(50))
+        fillers.append(filler)
+        # 4 docs wrap the SAME license block around unique content
+        rows.append((i, f"{filler} {passage}" if i < 4 else filler))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stripped = strip_repeated_spans(docs, window=30, stride=4)
+    got = {r.doc_id: r for r in stripped.collect()}
+
+    # the clean doc is untouched (modulo nothing: single-space input)
+    assert got[4].text == fillers[4] and got[4].n_stripped == 0
+    mid = passage.split()[40]  # a mid-passage token, covered for sure
+    for i in range(4):
+        assert got[i].n_stripped > 0
+        # unique content survives
+        for tok in fillers[i].split():
+            assert tok in got[i].text.split() or tok in passage.split()
+        # the shared block's interior is gone (edge tokens may survive
+        # by the documented winnowing edge effect)
+        core = passage.split()[10:70]
+        remaining = [t for t in core if t in set(got[i].text.split()) - set(fillers[i].split())]
+        assert len(remaining) < len(core) // 4
+
+    # after stripping, no cross-doc repeated span remains
+    assert repeated_spans(stripped, window=30, stride=4).count() == 0

@@ -1,13 +1,23 @@
 """External source connectors (SURVEY §2.B scans row).
 
 parquet / orc / json / csv / text / binaryFile ship inside Spark and
-are used throughout the engine. The three connectors here need jars
-that are deploy-time choices on a real cluster and are absent in the
-offline test container, so each wraps its reader with a actionable
-error instead of Spark's raw ClassNotFound chain:
+are used throughout the engine.
+
+**JDBC is fully functional here**: the JDBC datasource is core Spark,
+and Spark bundles Apache Derby's embedded driver (for the Hive
+metastore), so :func:`read_jdbc`/:func:`write_jdbc` round-trip for
+REAL against ``jdbc:derby:`` databases in this offline container —
+including the partitioned parallel read
+(partitionColumn/lowerBound/upperBound/numPartitions), the shape that
+matters at scale (``tests/test_sources.py``). Against
+Postgres/MySQL/etc. the identical code path needs only that
+database's driver jar (``--jars``).
+
+Avro and Kafka need datasource jars that are deploy-time choices on a
+real cluster and are absent here, so each wraps its reader with an
+actionable error instead of Spark's raw ClassNotFound chain:
 
 - **Avro**: ``--packages org.apache.spark:spark-avro_2.13:<spark-ver>``
-- **JDBC**: the database's driver jar on the executor classpath
 - **Kafka**: ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-ver>``
 
 Each builder returns the fully-configured DataFrame/reader so cluster
@@ -76,6 +86,28 @@ def read_jdbc(
         df = reader.load()
         df.schema
         return df
+
+    return _wrap(go, _JDBC_HINT)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "error",
+    options: dict | None = None,
+) -> None:
+    """JDBC table write (the lake → operational-store handoff).
+
+    Executors open one connection per partition — ``df.coalesce(n)``
+    first to bound connection count against a small database. Same
+    driver-jar contract as :func:`read_jdbc`."""
+
+    def go():
+        writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+        for k, v in (options or {}).items():
+            writer = writer.option(k, str(v))
+        writer.mode(mode).save()
 
     return _wrap(go, _JDBC_HINT)
 

@@ -28,3 +28,29 @@ def test_jdbc_gated_with_hint(spark):
     with pytest.raises(Exception) as ei:
         read_jdbc(spark, "jdbc:postgresql://nohost/db", "t")
     assert "driver" in str(ei.value).lower()
+
+
+def test_jdbc_real_roundtrip_embedded_derby(spark, tmp_path):
+    """REAL JDBC against the Derby driver Spark bundles: write a
+    table, read it back whole, then read it back as a PARTITIONED
+    parallel scan (the at-scale shape) — values identical."""
+    from lakeflush_spark.sources import write_jdbc
+
+    db = tmp_path / "derbydb"
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+    src = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    write_jdbc(src.coalesce(1), url, "t_round", mode="overwrite", options=props)
+
+    back = read_jdbc(spark, url, "t_round", predicates=props)
+    assert back.count() == 100
+    assert back.agg({"v": "sum"}).first()[0] == sum(2 * i for i in range(100))
+
+    par = read_jdbc(
+        spark, url, "t_round",
+        predicates={**props, "partitionColumn": "k", "lowerBound": 0,
+                    "upperBound": 100, "numPartitions": 4},
+    )
+    assert par.rdd.getNumPartitions() == 4
+    assert sorted(r.k for r in par.collect()) == list(range(100))

@@ -38,10 +38,28 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from lakeflush_spark.functions.text import tokens
+from lakeflush_spark.functions.text import token_hash, tokens
 
 
-def _hashed_bigrams(docs: DataFrame, id_col: str, text_col: str, buckets: int) -> DataFrame:
+def _tok_hash(t: Column, buckets: int, hash_fn: str) -> Column:
+    """Token → [0, buckets) bucket id. ``"xxhash64"`` (default) is the
+    fast JVM path; ``"md5"`` uses the engine-wide
+    ``conv(substring(md5, 1, 8), 16, 10)`` trick so DuckDB can rebuild
+    identical bucket ids (the q41 oracle twin)."""
+    if hash_fn == "md5":
+        return F.pmod(token_hash(t), F.lit(buckets))
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(t), F.lit(buckets))
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
+def _hashed_bigrams(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """(id, h1, h2) rows — one per adjacent token pair. Docs with < 2
     tokens contribute nothing (their score is NULL downstream).
 
@@ -56,8 +74,8 @@ def _hashed_bigrams(docs: DataFrame, id_col: str, text_col: str, buckets: int) -
     pairs = F.transform(
         heads,
         lambda t, i: F.struct(
-            F.pmod(F.xxhash64(t), F.lit(buckets)).alias("h1"),
-            F.pmod(F.xxhash64(F.get(tk, i + 1)), F.lit(buckets)).alias("h2"),
+            _tok_hash(t, buckets, hash_fn).alias("h1"),
+            _tok_hash(F.get(tk, i + 1), buckets, hash_fn).alias("h2"),
         ),
     )
     return docs.select(F.col(id_col).alias("_id"), F.explode(pairs).alias("_bg")).select(
@@ -70,6 +88,7 @@ def train_bigram_lm(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 1 << 20,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Bigram count table ``(h1, h2, c12, c1)`` over hashed tokens.
 
@@ -79,7 +98,7 @@ def train_bigram_lm(
     once). Persist/write the result for reuse across scoring runs.
     """
     counts = (
-        _hashed_bigrams(train_docs, id_col, text_col, buckets)
+        _hashed_bigrams(train_docs, id_col, text_col, buckets, hash_fn)
         .groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("c12"))
     )
@@ -102,17 +121,18 @@ def lm_logprob_scores(
     text_col: str = "text",
     buckets: int = 1 << 20,
     alpha: float = 0.1,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Attach ``avg_logprob`` (mean per-bigram log P, 4 dp) to every
     doc: the LM-quality score — higher = more fluent under the
     training corpus; ``exp(-avg_logprob)`` is the perplexity.
 
-    ``buckets`` MUST match the value the LM was trained with (hashes
-    must agree). Unseen bigrams get the smoothed floor
+    ``buckets`` and ``hash_fn`` MUST match the values the LM was
+    trained with (hashes must agree). Unseen bigrams get the smoothed floor
     ``alpha / (c1 + alpha·B)`` (or the uniform ``1/B`` for unseen
     contexts), so no score is -inf. Docs with < 2 tokens get NULL.
     """
-    bg = _hashed_bigrams(docs, id_col, text_col, buckets)
+    bg = _hashed_bigrams(docs, id_col, text_col, buckets, hash_fn)
     # left-join pair counts, then context counts for pairs unseen in
     # training (both LM-sized frames, one row per key)
     pair_lp = bg.join(lm.select("h1", "h2", "c12", "c1"), ["h1", "h2"], "left")

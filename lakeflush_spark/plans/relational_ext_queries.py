@@ -177,31 +177,138 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q41 — lateral explode (UNNEST analog): corpus word count, top 100.
-# explode() is Spark's Generate operator — runs inside whole-stage codegen,
-# then a partial (map-side) count collapses the token stream before the
-# single shuffle. Top-k via takeOrdered semantics: each partition keeps a
-# local top-100.
+# Q41 — lateral explode (UNNEST analog): corpus word count, top 100 —
+# since r5 a labeled suite that also hash-verifies the bigram LM
+# quality filter (operators/lm_filter.py). explode() is Spark's
+# Generate operator — runs inside whole-stage codegen, then a partial
+# (map-side) count collapses the token stream before the single
+# shuffle; the LM labels add one bigram groupBy + two LM-sized joins.
+# The LM runs in md5 hash mode here (token_hash — the engine-wide
+# cross-engine trick); the operator's default xxhash64 mode is the
+# faster production path with identical join/count structure.
+# All exposed values are EXACT INTEGERS: the log-smoothing layer on
+# top is row-local math, deliberately kept out of the hash contract
+# (ln() last-ulp differences across engines; see the 4dp-knife-edge
+# note in text_queries.py) and covered by unit tests instead.
 # ---------------------------------------------------------------------------
+_LM_BUCKETS = 1 << 16
+_LM_DOC_LIMIT = 100
+
+
 @declare(
     "q41_wordcount_topk",
-    """
-    SELECT token, COUNT(*) AS cnt
-    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-    GROUP BY token
-    ORDER BY cnt DESC, token
-    LIMIT 100
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bgl AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)), i -> struct_pack(
+                       h1 := ('0x' || substring(md5(toks[i]), 1, 8))::BIGINT % {_LM_BUCKETS},
+                       h2 := ('0x' || substring(md5(toks[i + 1]), 1, 8))::BIGINT % {_LM_BUCKETS}))
+               ELSE [] END) AS p
+        FROM t),
+    bg AS (SELECT doc_id, p.h1 AS h1, p.h2 AS h2 FROM bgl),
+    counts AS (SELECT h1, h2, COUNT(*)::BIGINT AS c12 FROM bg GROUP BY h1, h2),
+    ctx AS (SELECT h1, SUM(c12)::BIGINT AS c1 FROM counts GROUP BY h1)
+    SELECT method, k1, k2, n1, n2, n3 FROM (
+        SELECT 'word' AS method, token AS k1, '' AS k2,
+               cnt AS n1, NULL::BIGINT AS n2, NULL::BIGINT AS n3
+        FROM (
+            SELECT token, COUNT(*)::BIGINT AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token
+            ORDER BY cnt DESC, token
+            LIMIT 100
+        )
+        UNION ALL
+        SELECT 'lm', h1::VARCHAR, h2::VARCHAR, c12, c1, NULL::BIGINT FROM (
+            SELECT counts.h1, counts.h2, c12, c1
+            FROM counts JOIN ctx ON counts.h1 = ctx.h1
+            ORDER BY c12 DESC, counts.h1, counts.h2
+            LIMIT 50
+        )
+        UNION ALL
+        SELECT 'doc', bg.doc_id::VARCHAR, '',
+               COUNT(*)::BIGINT,
+               SUM(COALESCE(c.c12, 0))::BIGINT,
+               SUM(COALESCE(x.c1, 0))::BIGINT
+        FROM bg
+        LEFT JOIN counts c ON bg.h1 = c.h1 AND bg.h2 = c.h2
+        LEFT JOIN ctx x ON bg.h1 = x.h1
+        WHERE bg.doc_id < {_LM_DOC_LIMIT}
+        GROUP BY bg.doc_id
+    )
+    ORDER BY method, k1, k2
     """,
-    "explode/UNNEST word count with deterministic top-100 (cnt DESC, token).",
+    "Corpus counting suite, three labels in one frame: 'word' = "
+    "explode/UNNEST word count with deterministic top-100 (cnt DESC, "
+    "token); 'lm' = the top-50 rows of the in-engine bigram language "
+    "model (operators/lm_filter.train_bigram_lm over md5-bucket-hashed "
+    "tokens — the CCNet-style quality filter's count table, exact "
+    "integers); 'doc' = per-doc scoring-join witnesses for doc_id < "
+    f"{100} (bigram count, Σ matched pair counts, Σ context totals — "
+    "the exact-integer core of lm_logprob_scores; the log-smoothing on "
+    "top is pure row-local math, unit-tested). The oracle rebuilds the "
+    "full LM train + scoring joins. (r5: merged the LM filter into "
+    "q41's slot.)",
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("token"))
+    from lakeflush_spark.operators.lm_filter import _hashed_bigrams, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    word = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), "token")
         .limit(100)
+        .select(
+            F.lit("word").alias("method"),
+            F.col("token").alias("k1"),
+            F.lit("").alias("k2"),
+            F.col("cnt").alias("n1"),
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("bigint").alias("n3"),
+        )
+    )
+    # localCheckpoint: the LM feeds both the 'lm' label and the two
+    # 'doc' scoring joins
+    lm = train_bigram_lm(docs, buckets=_LM_BUCKETS, hash_fn="md5").localCheckpoint()
+    lm_label = (
+        lm.orderBy(F.desc("c12"), "h1", "h2")
+        .limit(50)
+        .select(
+            F.lit("lm").alias("method"),
+            F.col("h1").cast("string").alias("k1"),
+            F.col("h2").cast("string").alias("k2"),
+            F.col("c12").alias("n1"),
+            F.col("c1").alias("n2"),
+            F.lit(None).cast("bigint").alias("n3"),
+        )
+    )
+    bg = _hashed_bigrams(
+        docs.where(F.col("doc_id") < _LM_DOC_LIMIT), "doc_id", "text",
+        _LM_BUCKETS, hash_fn="md5",
+    )
+    ctx = lm.select("h1", F.col("c1").alias("_xc1")).dropDuplicates(["h1"])
+    doc_label = (
+        bg.join(lm.select("h1", "h2", "c12"), ["h1", "h2"], "left")
+        .join(ctx, "h1", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum(F.coalesce(F.col("c12"), F.lit(0))).cast("bigint").alias("n2"),
+            F.sum(F.coalesce(F.col("_xc1"), F.lit(0))).cast("bigint").alias("n3"),
+        )
+        .select(
+            F.lit("doc").alias("method"),
+            F.col("_id").cast("string").alias("k1"),
+            F.lit("").alias("k2"),
+            "n1", "n2", "n3",
+        )
+    )
+    return word.unionByName(lm_label).unionByName(doc_label).orderBy(
+        "method", "k1", "k2"
     )
 
 

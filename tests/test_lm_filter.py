@@ -74,3 +74,28 @@ def test_scores_layout_independent(spark, fluent_corpus):
     assert a == b
     # identical docs score identically
     assert len(set(a.values())) == 1
+
+
+def test_md5_hash_mode_matches_duckdb_twin(spark):
+    """hash_fn='md5' (the q41 oracle mode) produces bucket ids DuckDB
+    reproduces exactly."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b c b c")], "doc_id long, text string"
+    )
+    lm = {(r.h1, r.h2, r.c12, r.c1)
+          for r in train_bigram_lm(docs, buckets=B, hash_fn="md5").collect()}
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    oracle = set(con.sql(f"""
+        WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM docs),
+        bgl AS (SELECT unnest(list_transform(range(1, len(toks)), i -> struct_pack(
+            h1 := ('0x'||substring(md5(toks[i]),1,8))::BIGINT % {B},
+            h2 := ('0x'||substring(md5(toks[i+1]),1,8))::BIGINT % {B}))) AS p FROM t),
+        bg AS (SELECT p.h1 AS h1, p.h2 AS h2 FROM bgl),
+        counts AS (SELECT h1,h2,COUNT(*)::BIGINT c12 FROM bg GROUP BY 1,2),
+        ctx AS (SELECT h1, SUM(c12)::BIGINT c1 FROM counts GROUP BY 1)
+        SELECT counts.h1, counts.h2, c12, c1 FROM counts JOIN ctx ON counts.h1=ctx.h1
+    """).fetchall())
+    assert lm == oracle and lm

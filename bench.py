@@ -90,6 +90,7 @@ HEADLINE = [
     "q61_decontaminate",
     "q62_repeated_passage",
     "q28_embedding_neardup",
+    "q41_wordcount_topk",
     "q29_ann_topk",
     "q34_session_window",
     "q42_window_analytics",

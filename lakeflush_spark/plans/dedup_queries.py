@@ -299,41 +299,92 @@ _Q62_STRIDE = 2
     "q62_repeated_passage",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    s AS (SELECT doc_id,
-                 list_distinct(list_transform(
-                     list_filter(
-                         CASE WHEN len(toks) >= {_Q62_WINDOW}
-                              THEN range(1, len(toks) - {_Q62_WINDOW} + 2)
-                              ELSE [] END,
-                         i -> ('0x' || substring(md5(toks[i]), 1, 8))::BIGINT
-                              % {_Q62_STRIDE} = 0
-                     ),
-                     i -> md5(array_to_string(
-                              list_slice(toks, i, i + {_Q62_WINDOW} - 1), ' '))
-                 )) AS fps
-          FROM t),
-    e AS (SELECT doc_id, unnest(fps) AS fp FROM s)
-    SELECT fp,
-           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           MIN(doc_id) AS min_doc,
-           MAX(doc_id) AS max_doc
-    FROM e GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
-    ORDER BY fp
+    ap AS (SELECT doc_id, toks,
+                  list_filter(
+                      CASE WHEN len(toks) >= {_Q62_WINDOW}
+                           THEN range(1, len(toks) - {_Q62_WINDOW} + 2)
+                           ELSE [] END,
+                      i -> ('0x' || substring(md5(toks[i]), 1, 8))::BIGINT
+                           % {_Q62_STRIDE} = 0
+                  ) AS anchors
+           FROM t),
+    pos AS (SELECT doc_id,
+                   unnest(list_transform(anchors, i -> struct_pack(
+                       i := i,
+                       fp := md5(array_to_string(
+                           list_slice(toks, i, i + {_Q62_WINDOW} - 1), ' '))
+                   ))) AS a
+            FROM ap),
+    e AS (SELECT doc_id, a.i AS i, a.fp AS fp FROM pos),
+    hot AS (SELECT fp,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   MIN(doc_id) AS min_doc,
+                   MAX(doc_id) AS max_doc
+            FROM e GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (SELECT e.doc_id, list(DISTINCT e.i) AS starts
+            FROM e JOIN hot USING (fp) GROUP BY e.doc_id),
+    strip AS (
+        SELECT ap.doc_id, len(ap.toks)::BIGINT AS full_len,
+               list_transform(
+                   list_filter(range(1, len(ap.toks) + 1),
+                       j -> NOT COALESCE(
+                           len(list_filter(cov.starts,
+                               s -> s <= j AND j < s + {_Q62_WINDOW})) > 0,
+                           FALSE)),
+                   j -> ap.toks[j]) AS kept
+        FROM ap LEFT JOIN cov USING (doc_id))
+    SELECT method, k1, n1, n2, n3 FROM (
+        SELECT 'span' AS method, fp AS k1, n_docs AS n1,
+               min_doc AS n2, max_doc AS n3
+        FROM hot
+        UNION ALL
+        -- COALESCE: DuckDB's array_to_string([]) is NULL, but a fully
+        -- stripped doc's text is '' (Spark concat_ws semantics)
+        SELECT 'strip' AS method, md5(COALESCE(array_to_string(kept, ' '), '')) AS k1,
+               doc_id AS n1, (full_len - len(kept))::BIGINT AS n2,
+               NULL::BIGINT AS n3
+        FROM strip
+    )
+    ORDER BY method, k1, n1
     """,
-    "Cross-document repeated passages (boilerplate/license-block "
-    "detection) via content-anchored window fingerprints: map-only "
-    "anchor+md5 per doc, ONE shuffle on 16-byte fingerprints — the "
-    "exact-dedup shape, no pairwise work. The substring-level dup "
-    "class whole-doc Jaccard/SimHash miss. (new in r4: promoted from "
-    "test-only to hash-checked contract entry.)",
+    "Cross-document repeated passages, two labels in one frame: 'span' "
+    "= boilerplate/license-block detection via content-anchored window "
+    "fingerprints (map-only anchor+md5 per doc, ONE shuffle on 16-byte "
+    "fingerprints — the exact-dedup shape, no pairwise work; the "
+    "substring-level dup class whole-doc Jaccard/SimHash miss); "
+    "'strip' = operators/substring_dedup.strip_repeated_spans "
+    "hash-verified end to end — every doc's REWRITTEN text (repeated "
+    "passage removed by the union-of-covered-windows token filter) "
+    "md5-matched against the oracle's full rebuild, plus the exact "
+    "stripped-token count. (r4: promoted to hash-checked; r5: added "
+    "the strip label.)",
 )
 def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakeflush_spark.operators.substring_dedup import repeated_spans
+    from lakeflush_spark.operators.substring_dedup import (
+        repeated_spans,
+        strip_repeated_spans,
+    )
 
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
-    return repeated_spans(
+    span = repeated_spans(
         docs, window=_Q62_WINDOW, stride=_Q62_STRIDE, min_docs=2
-    ).orderBy("fp")
+    ).select(
+        F.lit("span").alias("method"),
+        F.col("fp").alias("k1"),
+        F.col("n_docs").alias("n1"),
+        F.col("min_doc").alias("n2"),
+        F.col("max_doc").alias("n3"),
+    )
+    strip = strip_repeated_spans(
+        docs, window=_Q62_WINDOW, stride=_Q62_STRIDE, min_docs=2
+    ).select(
+        F.lit("strip").alias("method"),
+        F.md5("text").alias("k1"),
+        F.col("doc_id").alias("n1"),
+        F.col("n_stripped").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+    )
+    return span.unionByName(strip).orderBy("method", "k1", "n1")
 
 
 # SemDedup constants shared by the q28 builder and its oracle twin.

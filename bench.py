@@ -52,8 +52,11 @@ trade above, q42 gained the sharded global row_number label, and q28
 entered the suite (+~1.8 s) when it grew the SemDedup labels
 (IVF-cell cluster-then-compare pairs + greedy drops beside the
 original label-blocked top-20). Same-shape entries (q01–q07, q18,
-q61, q62, compaction) are flat-to-faster (last full run: csv 38.8
-MB/s, json 19.0k files/s, suite 27.4 s with all additions).
+q61, q62, compaction) are flat-to-faster. Late-r5 label growth: q41
++~1.9 s (bigram-LM train + scoring-witness labels), q62 +~0.6 s (the
+strip label's full rewrite verification). Last full run: csv 38.3
+MB/s, json 21.0k files/s, suite 27.0 s with every addition (q24 3.99,
+q41 2.20, q62 1.89, q28 1.33).
 """
 
 from __future__ import annotations

@@ -44,7 +44,7 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from lakeflush_spark.functions.text import token_count
+from lakeflush_spark.functions.text import lang_id, stopword_ratio, token_count
 from lakeflush_spark.operators.decontaminate import ngram_hash_set
 from lakeflush_spark.operators.dedup import content_digest, with_minhash
 from lakeflush_spark.streaming.dedup import (
@@ -72,10 +72,13 @@ class CurationStreamConfig:
     checkpoint_dir: str
     id_col: str = "doc_id"
     text_col: str = "text"
-    #: quality gate: keep docs with token count in [min, max] (None =
-    #: unbounded on that side)
+    #: quality gates (parity with the batch CurationConfig): token
+    #: count in [min, max], stopword-ratio ceiling, allowed language
+    #: predictions — all map-only, None disables each
     min_tokens: int | None = None
     max_tokens: int | None = None
+    max_stopword_ratio: float | None = None
+    allowed_langs: tuple[str, ...] | None = None
     #: near-dup gate: estimated-Jaccard threshold (see StreamNearDupConfig)
     near_dup_threshold: float = 0.7
     near_dup_max_bucket: int | None = None
@@ -144,6 +147,12 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 cond = cond & (nt >= cfg.min_tokens)
             if cfg.max_tokens is not None:
                 cond = cond & (nt <= cfg.max_tokens)
+        if cfg.max_stopword_ratio is not None:
+            cond = cond & (
+                stopword_ratio(cfg.text_col) <= cfg.max_stopword_ratio
+            )
+        if cfg.allowed_langs:
+            cond = cond & lang_id(cfg.text_col).isin(*cfg.allowed_langs)
         counts = src.agg(
             F.count(F.lit(1)).alias("n_in"),
             F.count(F.when(cond, 1)).alias("n_kept"),

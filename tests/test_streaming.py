@@ -780,3 +780,42 @@ def test_vacuum_runs_removes_only_superseded_generations(spark, tmp_path):
     assert [r._digest for r in left] == ["cc"]
     # idempotent
     assert vacuum_runs(spark, store, ["gen2"]) == []
+
+
+def test_curate_stream_quality_gate_parity(spark, tmp_path):
+    """Streaming quality gates match the batch CurationConfig surface:
+    stopword-ratio ceiling and language allow-list act per batch."""
+    import glob as _glob
+    import shutil
+
+    from lakeflush_spark.streaming.curation import CurationStreamConfig, curate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        min_tokens=3,
+        max_stopword_ratio=0.5,
+        allowed_langs=("en",),
+    )
+
+    stage = tmp_path / "_stage"
+    rows = [
+        (1, "the quick brown fox jumps over lazy dogs daily"),  # en, ok
+        (2, "the a of and the a of and"),                        # stopword soup
+        (3, "el rapido zorro marron salta sobre el perro"),      # not en
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    shutil.copy(_glob.glob(str(stage / "part-*.parquet"))[0], str(src / "b1.parquet"))
+    curate_stream(spark, cfg).awaitTermination(180)
+    got = sorted(r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect())
+    assert got == [1]
+    stats = spark.read.parquet(cfg.stats_dir).collect()[0]
+    assert stats.n_in == 3 and stats.n_filtered == 2 and stats.n_out == 1

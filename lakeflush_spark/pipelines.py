@@ -131,6 +131,32 @@ class CurationConfig:
     text_col: str = "text"
 
 
+def quality_keep_condition(
+    n_tokens: "F.Column",
+    stop_ratio: "F.Column",
+    lang_pred: "F.Column",
+    min_tokens: int | None,
+    max_tokens: int | None,
+    max_stopword_ratio: float | None,
+    allowed_langs: tuple[str, ...] | None,
+) -> "F.Column":
+    """THE quality-gate predicate, shared by the batch pipeline and
+    ``streaming/curation.py`` so the two can never drift. Callers pass
+    the metric COLUMNS (precomputed annotation columns in batch; inline
+    expressions in streaming) and each gate's knob (None disables it).
+    """
+    keep = F.lit(True)
+    if min_tokens is not None:
+        keep = keep & (n_tokens >= min_tokens)
+    if max_tokens is not None:
+        keep = keep & (n_tokens <= max_tokens)
+    if max_stopword_ratio is not None:
+        keep = keep & (stop_ratio <= max_stopword_ratio)
+    if allowed_langs:
+        keep = keep & lang_pred.isin(*allowed_langs)
+    return keep
+
+
 @dataclass
 class CurationStats:
     input_docs: int
@@ -207,14 +233,15 @@ def curate_documents(
         lang_id(tc).alias("lang_pred"),
     )
 
-    keep = (
-        (F.col("n_tokens") >= cfg.min_tokens)
-        & (F.col("n_tokens") <= cfg.max_tokens)
-        & (F.col("stop_ratio") <= cfg.max_stopword_ratio)
+    keep = quality_keep_condition(
+        F.col("n_tokens"),
+        F.col("stop_ratio"),
+        F.col("lang_pred"),
+        cfg.min_tokens,
+        cfg.max_tokens,
+        cfg.max_stopword_ratio,
+        cfg.allowed_langs,
     )
-    if cfg.allowed_langs:
-        keep = keep & F.col("lang_pred").isin(*cfg.allowed_langs)
-
     filtered = annotated.where(keep)
 
     # Exact dedup: digests-only shuffle with a deterministic min-id

@@ -72,9 +72,13 @@ class CurationStreamConfig:
     checkpoint_dir: str
     id_col: str = "doc_id"
     text_col: str = "text"
-    #: quality gates (parity with the batch CurationConfig): token
-    #: count in [min, max], stopword-ratio ceiling, allowed language
-    #: predictions — all map-only, None disables each
+    #: quality gates — the SAME predicate as the batch CurationConfig
+    #: (pipelines.quality_keep_condition builds both): token count in
+    #: [min, max], stopword-ratio ceiling, allowed language
+    #: predictions. All map-only. NOTE the defaults differ on purpose:
+    #: batch gates are ON by default (min_tokens=5 etc. — an explicit
+    #: curation run); a STREAM defaults to pass-through (None/None)
+    #: because an ingest pipeline must opt into dropping data.
     min_tokens: int | None = None
     max_tokens: int | None = None
     max_stopword_ratio: float | None = None
@@ -134,31 +138,32 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        # pin the batch input: every later stage derives from it, and
-        # n_in/n_filtered come from ONE aggregation over the cached
-        # batch instead of two extra source re-scans
-        src = batch_df.persist()
+        # 1. quality filters (map-only) — THE shared predicate from the
+        # batch pipeline (pipelines.quality_keep_condition), evaluated
+        # ONCE per row into a pinned flag column: the gate's HOF
+        # expressions (stopword filter, lang profiles) each re-split
+        # the text and sit outside codegen, so the stats agg and the
+        # filter below must read the flag, not re-run the expressions
+        from lakeflush_spark.pipelines import quality_keep_condition
 
-        # 1. quality filters (map-only) — cheapest reduction first
-        cond = F.lit(True)
-        if cfg.min_tokens is not None or cfg.max_tokens is not None:
-            nt = token_count(cfg.text_col)
-            if cfg.min_tokens is not None:
-                cond = cond & (nt >= cfg.min_tokens)
-            if cfg.max_tokens is not None:
-                cond = cond & (nt <= cfg.max_tokens)
-        if cfg.max_stopword_ratio is not None:
-            cond = cond & (
-                stopword_ratio(cfg.text_col) <= cfg.max_stopword_ratio
-            )
-        if cfg.allowed_langs:
-            cond = cond & lang_id(cfg.text_col).isin(*cfg.allowed_langs)
+        cond = quality_keep_condition(
+            token_count(cfg.text_col),
+            stopword_ratio(cfg.text_col),
+            lang_id(cfg.text_col),
+            cfg.min_tokens,
+            cfg.max_tokens,
+            cfg.max_stopword_ratio,
+            cfg.allowed_langs,
+        )
+        # pin the flagged batch: every later stage derives from it, and
+        # n_in/n_filtered come from ONE aggregation over the cache
+        src = batch_df.withColumn("_q_keep", cond).persist()
         counts = src.agg(
             F.count(F.lit(1)).alias("n_in"),
-            F.count(F.when(cond, 1)).alias("n_kept"),
+            F.count(F.when(F.col("_q_keep"), 1)).alias("n_kept"),
         ).first()
         n_in, n_filtered_in = int(counts.n_in), int(counts.n_kept)
-        kept = src.where(cond)
+        kept = src.where(F.col("_q_keep")).drop("_q_keep")
 
         # 2. exact dedup: within batch, then vs the digest store (the
         # same content_digest key builder as batch exact_dedup_by_hash)

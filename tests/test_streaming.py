@@ -23,6 +23,22 @@ from lakeflush_spark.streaming import (
 )
 
 
+
+def _add_parquet_file(spark, tmp_path, src, name, rows,
+                      schema="doc_id long, text string"):
+    """Stage a ONE-file parquet batch and drop it whole into the
+    stream source dir (writing directly into src would expose Spark's
+    temporary files to the streaming file source)."""
+    import glob
+    import shutil
+
+    stage = tmp_path / f"_stage_{name}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    shutil.copy(glob.glob(str(stage / "part-*.parquet"))[0],
+                str(src / f"{name}.parquet"))
+
 @pytest.fixture(scope="module")
 def small_lake(spark, sf_dir, tmp_path_factory):
     """Events exploded into many small NDJSON files (the reference's
@@ -175,15 +191,7 @@ def test_stream_dedup_incremental_against_history(spark, tmp_path):
     )
 
     def write_batchfile(name, rows):
-        import glob as _glob
-        import shutil
-
-        stage = tmp_path / f"_stage_{name}"
-        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(stage))
-        part = _glob.glob(str(stage / "part-*.parquet"))[0]
-        shutil.copy(part, str(src / f"{name}.parquet"))
+        _add_parquet_file(spark, tmp_path, src, name, rows)
 
     # batch 1: one within-file dup (ids 3 and 1 share text)
     write_batchfile("b1", [(3, "alpha"), (1, "alpha"), (2, "beta")])
@@ -220,15 +228,7 @@ def test_stream_dedup_store_reuse_across_checkpoint_generations(spark, tmp_path)
     src.mkdir()
 
     def write_batchfile(name, rows):
-        import glob as _glob
-        import shutil
-
-        stage = tmp_path / f"_gen_stage_{name}"
-        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(stage))
-        part = _glob.glob(str(stage / "part-*.parquet"))[0]
-        shutil.copy(part, str(src / f"{name}.parquet"))
+        _add_parquet_file(spark, tmp_path, src, name, rows)
 
     common = dict(
         source_dir=str(src),
@@ -292,15 +292,7 @@ def test_stream_neardup_incremental_against_history(spark, tmp_path):
     )
 
     def write_batchfile(name, rows):
-        import glob as _glob
-        import shutil
-
-        stage = tmp_path / f"_nd_stage_{name}"
-        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(stage))
-        part = _glob.glob(str(stage / "part-*.parquet"))[0]
-        shutil.copy(part, str(src / f"{name}.parquet"))
+        _add_parquet_file(spark, tmp_path, src, name, rows)
 
     # batch 1: ids 1/3 are near-dups (one-word edit) -> min id 1 wins
     write_batchfile("b1", [(3, edit1), (1, base), (2, other)])
@@ -357,15 +349,7 @@ def test_curate_stream_full_pipeline_with_history(spark, tmp_path):
     src.mkdir()
 
     def write_batchfile(name, rows):
-        import glob as _glob
-        import shutil
-
-        stage = tmp_path / f"_cur_stage_{name}"
-        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(stage))
-        part = _glob.glob(str(stage / "part-*.parquet"))[0]
-        shutil.copy(part, str(src / f"{name}.parquet"))
+        _add_parquet_file(spark, tmp_path, src, name, rows)
 
     cfg = CurationStreamConfig(
         source_dir=str(src),
@@ -441,15 +425,7 @@ def test_compact_store_bounds_buckets_and_preserves_detection(spark, tmp_path):
     src.mkdir()
 
     def write_batchfile(name, rows):
-        import glob as _glob
-        import shutil
-
-        stage = tmp_path / f"_cs_stage_{name}"
-        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(stage))
-        part = _glob.glob(str(stage / "part-*.parquet"))[0]
-        shutil.copy(part, str(src / f"{name}.parquet"))
+        _add_parquet_file(spark, tmp_path, src, name, rows)
 
     cfg = StreamNearDupConfig(
         source_dir=str(src),
@@ -690,12 +666,7 @@ def test_stream_dedup_digest_prefix_partitions(spark, tmp_path):
     )
 
     def write_batchfile(name, rows):
-        stage = tmp_path / f"_stage_{name}"
-        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(stage))
-        part = _glob.glob(str(stage / "part-*.parquet"))[0]
-        shutil.copy(part, str(src / f"{name}.parquet"))
+        _add_parquet_file(spark, tmp_path, src, name, rows)
 
     write_batchfile("b1", [(1, "alpha"), (2, "beta")])
     dedup_stream(spark, cfg).awaitTermination(180)
@@ -734,12 +705,7 @@ def test_curate_stream_digest_prefix_partitions(spark, tmp_path):
     )
 
     def write_batchfile(name, rows):
-        stage = tmp_path / f"_stage_{name}"
-        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(stage))
-        part = _glob.glob(str(stage / "part-*.parquet"))[0]
-        shutil.copy(part, str(src / f"{name}.parquet"))
+        _add_parquet_file(spark, tmp_path, src, name, rows)
 
     d1 = "alpha beta gamma delta epsilon zeta eta theta"
     d2 = "one two three four five six seven eight nine"
@@ -785,9 +751,6 @@ def test_vacuum_runs_removes_only_superseded_generations(spark, tmp_path):
 def test_curate_stream_quality_gate_parity(spark, tmp_path):
     """Streaming quality gates match the batch CurationConfig surface:
     stopword-ratio ceiling and language allow-list act per batch."""
-    import glob as _glob
-    import shutil
-
     from lakeflush_spark.streaming.curation import CurationStreamConfig, curate_stream
 
     src = tmp_path / "src"
@@ -804,16 +767,12 @@ def test_curate_stream_quality_gate_parity(spark, tmp_path):
         allowed_langs=("en",),
     )
 
-    stage = tmp_path / "_stage"
     rows = [
         (1, "the quick brown fox jumps over lazy dogs daily"),  # en, ok
         (2, "the a of and the a of and"),                        # stopword soup
         (3, "el rapido zorro marron salta sobre el perro"),      # not en
     ]
-    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(str(stage))
-    shutil.copy(_glob.glob(str(stage / "part-*.parquet"))[0], str(src / "b1.parquet"))
+    _add_parquet_file(spark, tmp_path, src, "b1", rows)
     curate_stream(spark, cfg).awaitTermination(180)
     got = sorted(r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect())
     assert got == [1]

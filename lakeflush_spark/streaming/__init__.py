@@ -26,6 +26,10 @@ from lakeflush_spark.streaming.dedup import (  # noqa: F401
     near_dup_stream,
     vacuum_runs,
 )
+from lakeflush_spark.streaming.semdedup import (  # noqa: F401
+    StreamSemDedupConfig,
+    semdedup_stream,
+)
 from lakeflush_spark.streaming.events import (  # noqa: F401
     dedup_within_watermark,
     sessionize,

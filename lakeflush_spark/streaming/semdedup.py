@@ -1,0 +1,188 @@
+"""Incremental SemDedup: embedding-space near-dup ON ARRIVAL.
+
+Completes the dedup-on-arrival trio (``streaming/dedup.py``: exact
+digests, lexical LSH) with the semantic modality: a vector arriving
+today must not re-enter the corpus if an embedding-near-duplicate was
+admitted last week. Batch-mode SemDedup is
+``operators/similarity.semantic_dedup*`` (cluster-then-compare,
+arXiv:2303.09540); this is its streaming face, on the same
+``(run, batch)`` exactly-once store recipe as the other two streams.
+
+Per micro-batch:
+
+1. **Stable quantizer.** The IVF coarse quantizer is trained ONCE, on
+   the first batch this generation sees (deterministic md5-bucket
+   seeds — a replay of batch 0 rebuilds identical centroids), and
+   persisted beside the vector store; later batches just load the
+   n_cells rows. Cell ids therefore MEAN the same thing across the
+   stream's whole life — the invariant incremental assignment needs.
+2. **Assignment** is the batch operator's broadcast map-only pass.
+3. **History pruning**: the vector store is scanned, never shuffled —
+   a broadcast semi-join on the batch's touched cell ids prunes it
+   (cells are the unit of comparison, so untouched cells cannot
+   matter); at scale, partitioning the store by ``cell`` upgrades the
+   prune to partition elimination (same upgrade path as the digest
+   store's ``_dp`` prefixes).
+4. **One cell equi-join** covers batch-vs-history and batch-vs-
+   lower-id-batchmate pairs; the 4dp-rounded cosine ≥ threshold drops
+   the arriving vector (greedy min-id, the batch semantics).
+5. Survivors append (vid, cell_id, v, nrm) to the store and full rows
+   to the dest, both under ``run=<tag>/batch=<id>`` dynamic-overwrite
+   partitions — replays replace their own output exactly-once.
+
+Store size: one row per admitted vector — dims×8 bytes each; for
+billion-vector stores, quantize with ``functions/vectors.
+quantize_int8`` (4× smaller, >0.999 cosine fidelity) before writing
+and dequantize in the verify join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+
+from lakeflush_spark.functions.vectors import dot_product
+from lakeflush_spark.operators.similarity import (
+    _cells_as_one_row,
+    _nearest_cells,
+    ivf_centroids,
+    prepare_vectors,
+)
+from lakeflush_spark.streaming.dedup import _read_store, _run_tag
+
+
+@dataclass
+class StreamSemDedupConfig:
+    #: streaming source directory of parquet files with (id, embedding)
+    source_dir: str
+    #: semantically-deduped destination (parquet, run/batch partitioned)
+    dest_dir: str
+    #: vector store directory (vid, cell_id, v, nrm; run/batch partitioned)
+    vec_dir: str
+    #: centroid sidecar directory (written once per generation)
+    cent_dir: str
+    checkpoint_dir: str
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    #: drop threshold on the 4dp-rounded cosine (the batch operator's
+    #: decision rule)
+    threshold: float = 0.95
+    n_cells: int = 16
+    max_files_per_trigger: int | None = None
+
+
+def _load_or_init_centroids(
+    sp: SparkSession, cfg: StreamSemDedupConfig, batch_vecs: DataFrame, run: str
+) -> list:
+    """The generation's centroid list — read if present, else trained
+    deterministically on this (first) batch and persisted."""
+    try:
+        rows = (
+            sp.read.parquet(cfg.cent_dir)
+            .where(F.col("run") == run)
+            .orderBy("cell_id")
+            .collect()
+        )
+        if rows:
+            return [(int(r.cell_id), list(r.cv), float(r.cnrm)) for r in rows]
+    except AnalysisException:
+        pass
+    cents = ivf_centroids(batch_vecs, cfg.n_cells)
+    if cents:
+        sp.createDataFrame(
+            [(cid, cv, cn, run) for cid, cv, cn in cents],
+            "cell_id long, cv array<double>, cnrm double, run string",
+        ).coalesce(1).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("run").parquet(cfg.cent_dir)
+    return cents
+
+
+def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None):
+    """Start the incremental SemDedup stream (``Trigger.AvailableNow``).
+    Returns the StreamingQuery; ``awaitTermination()`` it."""
+    if schema is None:
+        schema = spark.read.parquet(cfg.source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if cfg.max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+    stream = reader.parquet(cfg.source_dir)
+    run = _run_tag(cfg.checkpoint_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        vecs = prepare_vectors(batch_df, id_col=cfg.id_col, vec_col=cfg.vec_col)
+        cents = _load_or_init_centroids(sp, cfg, vecs, run)
+        if not cents:  # empty first batch: nothing to admit or store
+            return
+        cells_1row = _cells_as_one_row(sp, cents)
+        indexed = _nearest_cells(vecs, cells_1row, 1).persist()
+        try:
+            hist = _read_store(sp, cfg.vec_dir, batch_id, run)
+            new_tag = indexed.select(
+                F.col("vid"), F.col("v"), F.col("nrm"), F.col("cell_id")
+            ).withColumn("hist", F.lit(False))
+            others = new_tag
+            if hist is not None:
+                touched = indexed.select("cell_id").distinct()
+                hist_cells = (
+                    hist.select("vid", "v", "nrm", "cell_id")
+                    .join(F.broadcast(touched), "cell_id", "semi")
+                    .withColumn("hist", F.lit(True))
+                )
+                others = new_tag.unionByName(hist_cells)
+            n, o = F.broadcast(new_tag).alias("n"), others.alias("o")
+            dropped = (
+                n.join(
+                    o,
+                    (F.col("n.cell_id") == F.col("o.cell_id"))
+                    & (F.col("o.hist") | (F.col("o.vid") < F.col("n.vid"))),
+                )
+                .where(
+                    F.round(
+                        dot_product(F.col("n.v"), F.col("o.v"))
+                        / (F.col("n.nrm") * F.col("o.nrm")),
+                        4,
+                    )
+                    >= cfg.threshold
+                )
+                .select(F.col("n.vid").alias("vid"))
+                .distinct()
+            )
+            out = (
+                indexed.join(F.broadcast(dropped), "vid", "left_anti")
+                .withColumn("run", F.lit(run))
+                .withColumn("batch", F.lit(int(batch_id)))
+            )
+            (
+                out.select("vid", "cell_id", "v", "nrm", "run", "batch")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run", "batch")
+                .parquet(cfg.vec_dir)
+            )
+            survivors = batch_df.join(
+                F.broadcast(dropped.withColumnRenamed("vid", cfg.id_col)),
+                cfg.id_col,
+                "left_anti",
+            )
+            (
+                survivors.withColumn("run", F.lit(run))
+                .withColumn("batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run", "batch")
+                .parquet(cfg.dest_dir)
+            )
+        finally:
+            indexed.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

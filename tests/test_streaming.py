@@ -778,3 +778,64 @@ def test_curate_stream_quality_gate_parity(spark, tmp_path):
     assert got == [1]
     stats = spark.read.parquet(cfg.stats_dir).collect()[0]
     assert stats.n_in == 3 and stats.n_filtered == 2 and stats.n_out == 1
+
+
+def test_semdedup_stream_incremental_against_history(spark, tmp_path):
+    """Embedding-space dedup on arrival: a near-identical vector is
+    dropped against a lower-id batchmate AND against history; the
+    quantizer is trained once and reused; restart ingests nothing."""
+    import random
+
+    from lakeflush_spark.streaming.semdedup import (
+        StreamSemDedupConfig,
+        semdedup_stream,
+    )
+
+    rng = random.Random(41)
+
+    def vec(seed=None, base=None):
+        if base is not None:
+            return [x + rng.uniform(-1e-5, 1e-5) for x in base]
+        r = random.Random(seed)
+        return [r.uniform(-1, 1) for _ in range(16)]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamSemDedupConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        vec_dir=str(tmp_path / "vecs"),
+        cent_dir=str(tmp_path / "cents"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.95,
+        n_cells=4,
+    )
+    schema = "vec_id long, embedding array<double>"
+    a, b, c = vec(seed=1), vec(seed=2), vec(seed=3)
+
+    # batch 1: id 3 ~ id 1 (near-identical) -> min id 1 wins
+    _add_parquet_file(spark, tmp_path, src, "b1",
+                      [(1, a), (3, vec(base=a)), (2, b)], schema)
+    semdedup_stream(spark, cfg).awaitTermination(180)
+    got = sorted(r.vec_id for r in spark.read.parquet(cfg.dest_dir).collect())
+    assert got == [1, 2]
+
+    # batch 2: id 10 ~ history id 2 -> dropped; id 11 is new
+    _add_parquet_file(spark, tmp_path, src, "b2",
+                      [(10, vec(base=b)), (11, c)], schema)
+    semdedup_stream(spark, cfg).awaitTermination(180)
+    got = sorted(r.vec_id for r in spark.read.parquet(cfg.dest_dir).collect())
+    assert got == [1, 2, 11]
+
+    # centroids were written once and reused (single run partition)
+    cents = spark.read.parquet(cfg.cent_dir)
+    assert cents.select("run").distinct().count() == 1
+    assert cents.count() <= 4
+
+    # restart with the same checkpoint: no change
+    semdedup_stream(spark, cfg).awaitTermination(180)
+    assert spark.read.parquet(cfg.dest_dir).count() == 3
+    # vector store holds exactly the admitted vectors
+    assert sorted(
+        r.vid for r in spark.read.parquet(cfg.vec_dir).collect()
+    ) == [1, 2, 11]

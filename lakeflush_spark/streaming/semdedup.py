@@ -71,6 +71,14 @@ class StreamSemDedupConfig:
     #: decision rule)
     threshold: float = 0.95
     n_cells: int = 16
+    #: bound comparison-side rows per cell (operators/dedup.
+    #: _cap_hot_buckets over cell_id): a generation-fixed quantizer
+    #: means cells grow with the corpus — the cap bounds each batch's
+    #: verify join at |batch|×cap per cell. Default mode "sample"
+    #: keeps a deterministic md5(vid) sample (same rationale as the
+    #: LSH stream: "drop" would permanently disable a cell).
+    max_cell: int | None = None
+    hot_cell_mode: str = "sample"
     max_files_per_trigger: int | None = None
 
 
@@ -134,6 +142,13 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
                     .withColumn("hist", F.lit(True))
                 )
                 others = new_tag.unionByName(hist_cells)
+            if cfg.max_cell is not None:
+                from lakeflush_spark.operators.dedup import _cap_hot_buckets
+
+                others = _cap_hot_buckets(
+                    others, ["cell_id"], cfg.max_cell,
+                    mode=cfg.hot_cell_mode, doc_col="vid",
+                )
             n, o = F.broadcast(new_tag).alias("n"), others.alias("o")
             dropped = (
                 n.join(

@@ -317,6 +317,34 @@ def bench_curation_ops(spark) -> dict[str, float]:
     n = semantic_dedup_pairs(prepare_vectors(emb), threshold=0.4).count()
     out["semdedup_sec"] = round(time.time() - t0, 3)
     out["semdedup_pairs"] = n
+
+    # streaming SemDedup: the sf embeddings arrive as one AvailableNow
+    # micro-batch against an empty vector store — vectors/s end to end
+    from lakeflush_spark.streaming.semdedup import (
+        StreamSemDedupConfig,
+        semdedup_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="lakeflush_bench_semdd_")
+    try:
+        nvec = emb.count()
+        src = os.path.join(work, "src")
+        emb.select("vec_id", "embedding").repartition(4).write.parquet(src)
+        cfg = StreamSemDedupConfig(
+            source_dir=src,
+            dest_dir=os.path.join(work, "dest"),
+            vec_dir=os.path.join(work, "vecs"),
+            cent_dir=os.path.join(work, "cents"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            threshold=0.95,
+        )
+        t0 = time.time()
+        semdedup_stream(spark, cfg).awaitTermination()
+        dt = time.time() - t0
+        out["semdd_stream_vecs_s"] = round(nvec / dt, 1)
+        out["semdd_stream_sec"] = round(dt, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return out
 
 

@@ -33,22 +33,32 @@ from pyspark.sql import Column, DataFrame
 from lakeflush_spark.functions.text import TOKEN_SEP, bind, token_hash, tokens
 
 
+def _anchor_starts(tk: Column, window: int, stride: int) -> Column:
+    """1-based start positions of content-anchored windows — THE anchor
+    rule, shared by the probe (:func:`anchored_span_fps`), the report
+    (:func:`repeated_span_texts`), and the rewrite
+    (:func:`strip_repeated_spans`): a single definition, because the
+    strip operator's covered-starts MUST agree with the probe's hot
+    fingerprints position-for-position."""
+    n = F.size(tk)
+    starts = F.when(
+        n >= window, F.sequence(F.lit(1), n - (window - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.filter(
+        starts, lambda i: token_hash(F.element_at(tk, i)) % stride == 0
+    )
+
+
 def anchored_span_fps(
     text: Column | str, window: int = 50, stride: int = 8
 ) -> Column:
     """Distinct md5 fingerprints of content-anchored token windows."""
 
     def build(tk: Column) -> Column:
-        n = F.size(tk)
-        starts = F.when(
-            n >= window, F.sequence(F.lit(1), n - (window - 1))
-        ).otherwise(F.array().cast("array<int>"))
-        anchors = F.filter(
-            starts, lambda i: token_hash(F.element_at(tk, i)) % stride == 0
-        )
         return F.array_distinct(
             F.transform(
-                anchors, lambda i: F.md5(F.concat_ws(TOKEN_SEP, F.slice(tk, i, window)))
+                _anchor_starts(tk, window, stride),
+                lambda i: F.md5(F.concat_ws(TOKEN_SEP, F.slice(tk, i, window))),
             )
         )
 
@@ -107,15 +117,9 @@ def repeated_span_texts(
     """
 
     def build(tk: Column) -> Column:
-        n = F.size(tk)
-        starts = F.when(
-            n >= window, F.sequence(F.lit(1), n - (window - 1))
-        ).otherwise(F.array().cast("array<int>"))
-        anchors = F.filter(
-            starts, lambda i: token_hash(F.element_at(tk, i)) % stride == 0
-        )
         spans_txt = F.transform(
-            anchors, lambda i: F.concat_ws(TOKEN_SEP, F.slice(tk, i, window))
+            _anchor_starts(tk, window, stride),
+            lambda i: F.concat_ws(TOKEN_SEP, F.slice(tk, i, window)),
         )
         return F.array_distinct(spans_txt)
 
@@ -173,15 +177,8 @@ def strip_repeated_spans(
     ).select("fp")
 
     def anchored_fp_structs(tk: Column) -> Column:
-        n = F.size(tk)
-        starts = F.when(
-            n >= window, F.sequence(F.lit(1), n - (window - 1))
-        ).otherwise(F.array().cast("array<int>"))
-        anchors = F.filter(
-            starts, lambda i: token_hash(F.element_at(tk, i)) % stride == 0
-        )
         return F.transform(
-            anchors,
+            _anchor_starts(tk, window, stride),
             lambda i: F.struct(
                 i.alias("s"),
                 F.md5(F.concat_ws(TOKEN_SEP, F.slice(tk, i, window))).alias("fp"),

@@ -246,7 +246,7 @@ _LM_DOC_LIMIT = 100
     "model (operators/lm_filter.train_bigram_lm over md5-bucket-hashed "
     "tokens — the CCNet-style quality filter's count table, exact "
     "integers); 'doc' = per-doc scoring-join witnesses for doc_id < "
-    f"{100} (bigram count, Σ matched pair counts, Σ context totals — "
+    f"{_LM_DOC_LIMIT} (bigram count, Σ matched pair counts, Σ context totals — "
     "the exact-integer core of lm_logprob_scores; the log-smoothing on "
     "top is pure row-local math, unit-tested). The oracle rebuilds the "
     "full LM train + scoring joins. (r5: merged the LM filter into "

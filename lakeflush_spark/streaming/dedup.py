@@ -107,9 +107,13 @@ def _run_tag(checkpoint_dir: str) -> str:
     tag for the SAME checkpoint and break replay exclusion. Only
     scheme-less local paths are cwd-normalized (for those, resolving
     against cwd is what the filesystem itself does)."""
+    # URI iff <scheme>:/… — the '/' after the colon is required, so a
+    # colon-containing RELATIVE path ("ckpt:v2/ck", legal on Linux)
+    # still normalizes through abspath instead of minting a
+    # cwd-independent tag for two different directories
     p = (
         checkpoint_dir
-        if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", checkpoint_dir)
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:/", checkpoint_dir)
         else os.path.abspath(checkpoint_dir)
     )
     return hashlib.md5(p.encode()).hexdigest()[:12]

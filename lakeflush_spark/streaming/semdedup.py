@@ -11,11 +11,13 @@ arXiv:2303.09540); this is its streaming face, on the same
 Per micro-batch:
 
 1. **Stable quantizer.** The IVF coarse quantizer is trained ONCE, on
-   the first batch this generation sees (deterministic md5-bucket
-   seeds — a replay of batch 0 rebuilds identical centroids), and
-   persisted beside the vector store; later batches just load the
-   n_cells rows. Cell ids therefore MEAN the same thing across the
-   stream's whole life — the invariant incremental assignment needs.
+   the first batch this STORE ever sees (deterministic md5-bucket
+   seeds — a replay of that batch rebuilds identical centroids), and
+   persisted beside the vector store; every later batch — including
+   batches of LATER stream generations reusing the store across a
+   checkpoint swap — loads the same n_cells rows. Cell ids therefore
+   MEAN the same thing for the store's whole life — the invariant
+   incremental assignment needs.
 2. **Assignment** is the batch operator's broadcast map-only pass.
 3. **History pruning**: the vector store is scanned, never shuffled —
    a broadcast semi-join on the batch's touched cell ids prunes it
@@ -83,17 +85,23 @@ class StreamSemDedupConfig:
 
 
 def _load_or_init_centroids(
-    sp: SparkSession, cfg: StreamSemDedupConfig, batch_vecs: DataFrame, run: str
+    sp: SparkSession, cfg: StreamSemDedupConfig, batch_vecs: DataFrame
 ) -> list:
-    """The generation's centroid list — read if present, else trained
-    deterministically on this (first) batch and persisted."""
+    """The STORE's centroid list — read if present, else trained
+    deterministically on this (first) batch and persisted.
+
+    Centroids are scoped to the VECTOR STORE, not the stream
+    generation: the store's cell_id column means "a region of centroid
+    space", so every stream that ever compares against this store must
+    use the same quantizer. (Run-scoped centroids would silently break
+    store reuse across checkpoint swaps: a fresh generation would
+    retrain, assign arrivals to incompatible cell ids, and never pair
+    them with history — re-admitting the very duplicates the stream
+    exists to drop.) A replay of the training batch rewrites
+    byte-identical centroids (deterministic md5-bucket seeds), so the
+    overwrite is idempotent."""
     try:
-        rows = (
-            sp.read.parquet(cfg.cent_dir)
-            .where(F.col("run") == run)
-            .orderBy("cell_id")
-            .collect()
-        )
+        rows = sp.read.parquet(cfg.cent_dir).orderBy("cell_id").collect()
         if rows:
             return [(int(r.cell_id), list(r.cv), float(r.cnrm)) for r in rows]
     except AnalysisException:
@@ -101,11 +109,9 @@ def _load_or_init_centroids(
     cents = ivf_centroids(batch_vecs, cfg.n_cells)
     if cents:
         sp.createDataFrame(
-            [(cid, cv, cn, run) for cid, cv, cn in cents],
-            "cell_id long, cv array<double>, cnrm double, run string",
-        ).coalesce(1).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("run").parquet(cfg.cent_dir)
+            [(cid, cv, cn) for cid, cv, cn in cents],
+            "cell_id long, cv array<double>, cnrm double",
+        ).coalesce(1).write.mode("overwrite").parquet(cfg.cent_dir)
     return cents
 
 
@@ -123,11 +129,12 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         vecs = prepare_vectors(batch_df, id_col=cfg.id_col, vec_col=cfg.vec_col)
-        cents = _load_or_init_centroids(sp, cfg, vecs, run)
+        cents = _load_or_init_centroids(sp, cfg, vecs)
         if not cents:  # empty first batch: nothing to admit or store
             return
         cells_1row = _cells_as_one_row(sp, cents)
         indexed = _nearest_cells(vecs, cells_1row, 1).persist()
+        dropped = None
         try:
             hist = _read_store(sp, cfg.vec_dir, batch_id, run)
             new_tag = indexed.select(
@@ -166,6 +173,10 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
                 )
                 .select(F.col("n.vid").alias("vid"))
                 .distinct()
+                # persisted: consumed by BOTH writes below — without
+                # this, each write re-runs the history scan and the
+                # cosine verify join (the dominant per-batch cost)
+                .persist()
             )
             out = (
                 indexed.join(F.broadcast(dropped), "vid", "left_anti")
@@ -194,6 +205,8 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
             )
         finally:
             indexed.unpersist()
+            if dropped is not None:
+                dropped.unpersist()
 
     return (
         stream.writeStream.foreachBatch(write_batch)

@@ -827,9 +827,10 @@ def test_semdedup_stream_incremental_against_history(spark, tmp_path):
     got = sorted(r.vec_id for r in spark.read.parquet(cfg.dest_dir).collect())
     assert got == [1, 2, 11]
 
-    # centroids were written once and reused (single run partition)
+    # centroids were written once (store-scoped, no run column — they
+    # must survive checkpoint swaps so cell ids keep their meaning)
     cents = spark.read.parquet(cfg.cent_dir)
-    assert cents.select("run").distinct().count() == 1
+    assert "run" not in cents.columns
     assert cents.count() <= 4
 
     # restart with the same checkpoint: no change
@@ -839,3 +840,16 @@ def test_semdedup_stream_incremental_against_history(spark, tmp_path):
     assert sorted(
         r.vid for r in spark.read.parquet(cfg.vec_dir).collect()
     ) == [1, 2, 11]
+
+    # GENERATION SWAP: a fresh checkpoint over the SAME stores must
+    # still drop near-dups of generation-1 history — the persisted
+    # quantizer is store-scoped, so cell ids keep their meaning
+    # (run-scoped centroids would retrain here and silently re-admit)
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, checkpoint_dir=str(tmp_path / "ckpt2"))
+    _add_parquet_file(spark, tmp_path, src, "b3",
+                      [(20, vec(base=c)), (21, vec(seed=9))], schema)
+    semdedup_stream(spark, cfg2).awaitTermination(180)
+    got = sorted(r.vec_id for r in spark.read.parquet(cfg.dest_dir).collect())
+    assert got == [1, 2, 11, 21]  # 20 dropped against history id 11

@@ -748,9 +748,15 @@ def read_increment(
     selects runs beyond the cursor, and reads ONLY those bundle files
     by explicit path (no directory scan of the dest). At 100 TB the
     per-cycle cost is proportional to NEW data, independent of corpus
-    size. ``cursor=None`` consumes from the beginning. The reference
-    has no consumer-side analog at all (its `.flushed` sidecars are
-    write-only breadcrumbs, utils/file/store.py:10-21).
+    size. ``cursor=None`` consumes from the beginning. The ``run_ids``
+    SET is the entire cursor state — always persist and pass back the
+    returned cursor object; a hand-built cursor with an empty set
+    means "nothing consumed" and replays every run (``ts`` is
+    informational only, never used for filtering — see
+    :class:`AuditCursor` for why a ts high-watermark would lose
+    late-visible runs). The reference has no consumer-side analog at
+    all (its `.flushed` sidecars are write-only breadcrumbs,
+    utils/file/store.py:10-21).
     """
     audit = audit_table(spark, dest_dir)
     if cursor is not None and cursor.run_ids:

@@ -274,3 +274,25 @@ def test_read_increment_consumes_only_new_runs(spark, sf_dir, tmp_path):
     from lakeflush_spark.operators.compaction import audit_table
 
     assert audit_table(spark, dest).select("run_id").distinct().count() == 2
+
+
+def test_compact_schema_drift_union(spark, tmp_path):
+    """Schema evolution across source eras: a column appearing in later
+    files union-infers; earlier rows carry NULL — no row is dropped and
+    no reader sees a torn schema (parsed-mode json inference covers the
+    whole listing in one pass)."""
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    (lake / "era1.json").write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    (lake / "era2.json").write_text('{"a": 3, "b": "z", "c": 9.5}\n')
+    dest = str(tmp_path / "out")
+    compact(
+        spark,
+        CompactionConfig(
+            source_dir=str(lake), dest_dir=dest, file_format="json", max_size_mb=16
+        ),
+    )
+    back = read_bundles(spark, dest, "json")
+    assert set(back.columns) == {"a", "b", "c"}
+    rows = {r.a: (r.b, r.c) for r in back.collect()}
+    assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", 9.5)}

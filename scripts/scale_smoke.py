@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Scale smoke: run the engine's dedup/selection hot paths on an
+N×-replicated corpus to verify the claimed scaling BEHAVIOR (not just
+sf0.1 speed): near-linear cost growth, no single-task stages, no OOM.
+
+The sf0.1 documents table (5k docs) is replicated ``N`` times with
+id-offset copies and per-copy token salting (so replicas are NOT
+near-dups of each other except for a planted fraction — otherwise the
+pair count would grow quadratically by construction and measure
+nothing). Defaults to N=20 → 100k docs / ~20× the contract corpus.
+
+Usage: python scripts/scale_smoke.py [N] [sf_dir]
+Prints one JSON line per stage with rows in/out and wall seconds.
+Not part of the test suite (minutes, not seconds); results are
+recorded in bench.py's notes when re-measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+
+def main() -> int:
+    import pyspark.sql.functions as F
+
+    from lakeflush_spark import get_spark
+    from lakeflush_spark.io import load_table
+
+    spark = get_spark("lakeflush-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    base_n = docs.count()
+    # replicate with id offsets and TOKEN-level copy salting: every
+    # token of copy k>0 gets a _k suffix, so cross-copy Jaccard is 0
+    # (a doc-level salt token would leave same-doc copies near-dups of
+    # each other and grow the pair count quadratically in N — by
+    # construction, measuring nothing) while each copy's PLANTED
+    # near-dup pairs survive intact — pair count scales ~linearly in N
+    copies = spark.range(N).withColumnRenamed("id", "_copy")
+    salted = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.concat(t, F.lit("_"), F.col("_copy").cast("string")),
+        ),
+    )
+    big = (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("_copy") * 10_000_000).alias("doc_id"),
+            "source",
+            F.when(F.col("_copy") == 0, F.col("text")).otherwise(salted).alias("text"),
+        )
+        .repartition(64)
+        .localCheckpoint()  # measure operators, not the generator
+    )
+    n_docs = big.count()
+    print(json.dumps({"stage": "corpus", "rows": n_docs, "base": base_n, "N": N}))
+
+    def timed(stage, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        print(json.dumps({"stage": stage, "rows": out, "sec": round(dt, 2)}))
+        return dt
+
+    from lakeflush_spark.operators.dedup import (
+        exact_dedup_by_hash,
+        minhash_near_dups,
+        near_dup_clusters,
+        unpersist_pair_cache,
+    )
+    from lakeflush_spark.operators.mixing import take_token_budget
+    from lakeflush_spark.operators.substring_dedup import repeated_spans
+    from lakeflush_spark.functions.text import token_count
+
+    timed("exact_dedup", lambda: exact_dedup_by_hash(big, ["text"]).count())
+
+    pairs = minhash_near_dups(big, threshold=0.5)
+    timed("minhash_near_dups", lambda: pairs.count())
+    pairs_ck = pairs.localCheckpoint()
+    # the CC loop runs eagerly at build time — construct INSIDE the lambda
+    timed("near_dup_clusters", lambda: near_dup_clusters(pairs_ck).count())
+    unpersist_pair_cache()
+
+    timed(
+        "repeated_spans",
+        lambda: repeated_spans(big, window=8, stride=2, min_docs=2).count(),
+    )
+
+    with_tokens = big.withColumn("n_tokens", token_count("text"))
+    timed(
+        "take_token_budget_sharded",
+        lambda: take_token_budget(
+            with_tokens, F.lit(50_000), token_col="n_tokens", shards=64
+        ).count(),
+    )
+
+    from lakeflush_spark.operators.lm_filter import lm_logprob_scores, train_bigram_lm
+
+    lm = train_bigram_lm(big).localCheckpoint()
+    timed("lm_train", lambda: lm.count())
+    timed(
+        "lm_score",
+        lambda: lm_logprob_scores(lm, big).where(F.col("avg_logprob").isNotNull()).count(),
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,3 +1,8 @@
+from lakeflush_spark.operators.bpe import (
+    bpe_encode,
+    train_bpe,
+    word_histogram,
+)
 from lakeflush_spark.operators.compaction import (
     AuditCursor,
     CompactionConfig,
@@ -58,6 +63,7 @@ from lakeflush_spark.operators.substring_dedup import (
 
 __all__ = [
     "AuditCursor",
+    "bpe_encode",
     "CompactionConfig",
     "CompactionResult",
     "DecontamResult",
@@ -81,6 +87,8 @@ __all__ = [
     "sample_fraction",
     "take_token_budget",
     "train_bigram_lm",
+    "train_bpe",
+    "word_histogram",
     "media_metadata",
     "minhash_near_dups",
     "near_dup_clusters",

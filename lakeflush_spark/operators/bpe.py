@@ -20,8 +20,10 @@ splits it:
 - **Encoding** applies the learned merge ranks per word inside an
   Arrow-batched ``mapInPandas`` (the declared Python-UDF surface):
   merges broadcast with the closure, no shuffle, output partitioning
-  == input partitioning. A word-level LRU memoizes repeated words
-  inside each batch — Zipf makes that hit rate high.
+  == input partitioning. A size-bounded per-partition word cache
+  memoizes repeated words — Zipf makes the hit rate high, and the
+  bound keeps high-cardinality "words" (URLs, ids) from growing
+  executor memory.
 
 Determinism: ties in pair frequency break lexicographically, so the
 same corpus always learns the same merge table on any cluster layout.
@@ -41,9 +43,21 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from lakeflush_spark.functions.text import TOKEN_SEP, tokens
+
 #: end-of-word marker (the classic </w>) — keeps merges from crossing
-#: word boundaries while letting suffixes ("ing</w>") become tokens
+#: word boundaries while letting suffixes ("ing</w>") become tokens.
+#: NB the standard-convention marker is a TEXT string: a corpus whose
+#: words literally contain "</w>" (raw TEI/XML word tags) makes
+#: ``"".join(tokens)`` ambiguous to DECODE. This engine only encodes
+#: (token counting/packing); pre-escape the marker in such corpora if
+#: detokenization matters.
 EOW = "</w>"
+
+#: bpe_encode's per-partition word-cache bound: Zipf means the hot
+#: words fit long before this; high-cardinality "words" (URLs, ids)
+#: must not grow executor memory without bound
+_ENCODE_CACHE_MAX = 100_000
 
 
 def word_histogram(
@@ -56,7 +70,7 @@ def word_histogram(
     from lakeflush_spark.operators.topk import grouped_top_k
 
     counts = (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        docs.select(F.explode(tokens(text_col)).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -130,13 +144,14 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return sym
 
 
-_ENCODE_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("bpe_tokens", ArrayType(StringType())),
-        StructField("n_bpe", LongType()),
-    ]
-)
+def _encode_schema(id_col: str) -> StructType:
+    return StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("bpe_tokens", ArrayType(StringType())),
+            StructField("n_bpe", LongType()),
+        ]
+    )
 
 
 def bpe_encode(
@@ -145,11 +160,14 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, bpe_tokens, n_bpe) — the corpus encoded with the
+    """(<id_col>, bpe_tokens, n_bpe) — the corpus encoded with the
     learned merge table. Arrow-batched ``mapInPandas``; the merge
-    ranks ride the closure (broadcast, tiny), a per-batch word cache
-    exploits Zipf. Map-only: no shuffle, partitioning preserved."""
+    ranks ride the closure (broadcast, tiny), a size-bounded
+    per-partition word cache exploits Zipf. Map-only: no shuffle,
+    partitioning preserved. Word splitting follows the engine-wide
+    ``TOKEN_SEP`` convention (functions/text.py)."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    schema = _encode_schema(id_col)
 
     def encode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -159,6 +177,8 @@ def bpe_encode(
         def enc_word(w: str) -> list[str]:
             hit = cache.get(w)
             if hit is None:
+                if len(cache) >= _ENCODE_CACHE_MAX:
+                    cache.clear()  # Zipf: the hot set repopulates fast
                 hit = cache[w] = _encode_word(w, ranks)
             return hit
 
@@ -166,12 +186,10 @@ def bpe_encode(
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 toks: list[str] = []
-                for w in (text or "").split(" "):
+                for w in (text or "").split(TOKEN_SEP):
                     if w:
                         toks.extend(enc_word(w))
                 rows.append((int(did), toks, len(toks)))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in _ENCODE_SCHEMA.fields]
-            )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return docs.select(id_col, text_col).mapInPandas(encode, _ENCODE_SCHEMA)
+    return docs.select(id_col, text_col).mapInPandas(encode, schema)

@@ -64,7 +64,9 @@ class StreamSemDedupConfig:
     dest_dir: str
     #: vector store directory (vid, cell_id, v, nrm; run/batch partitioned)
     vec_dir: str
-    #: centroid sidecar directory (written once per generation)
+    #: centroid sidecar directory — written ONCE for the store's whole
+    #: life (store-scoped, not per-generation: cell ids must keep their
+    #: meaning across checkpoint swaps; never vacuum this with old runs)
     cent_dir: str
     checkpoint_dir: str
     id_col: str = "vec_id"
@@ -101,7 +103,17 @@ def _load_or_init_centroids(
     byte-identical centroids (deterministic md5-bucket seeds), so the
     overwrite is idempotent."""
     try:
-        rows = sp.read.parquet(cfg.cent_dir).orderBy("cell_id").collect()
+        df = sp.read.parquet(cfg.cent_dir)
+        if "run" in df.columns:
+            # a run-partitioned centroid layout mixes incompatible
+            # quantizers (duplicate cell_ids) — fail fast rather than
+            # silently assign against the union
+            raise ValueError(
+                f"{cfg.cent_dir} holds run-partitioned centroids; keep "
+                "exactly ONE generation's rows (drop the run column) — "
+                "cell ids must mean one quantizer for the store's life"
+            )
+        rows = df.orderBy("cell_id").collect()
         if rows:
             return [(int(r.cell_id), list(r.cv), float(r.cnrm)) for r in rows]
     except AnalysisException:

@@ -276,11 +276,13 @@ def test_read_increment_consumes_only_new_runs(spark, sf_dir, tmp_path):
     assert audit_table(spark, dest).select("run_id").distinct().count() == 2
 
 
-def test_compact_schema_drift_union(spark, tmp_path):
+@pytest.mark.parametrize("parsed", [False, True])
+def test_compact_schema_drift_union(spark, tmp_path, parsed):
     """Schema evolution across source eras: a column appearing in later
-    files union-infers; earlier rows carry NULL — no row is dropped and
-    no reader sees a torn schema (parsed-mode json inference covers the
-    whole listing in one pass)."""
+    files union-infers; earlier rows carry NULL — no row dropped, no
+    torn schema. Both modes covered: opaque (raw lines concatenated,
+    schema inferred at read-back) AND parsed (json inference spans the
+    whole listing during compaction itself)."""
     lake = tmp_path / "lake"
     lake.mkdir()
     (lake / "era1.json").write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
@@ -289,7 +291,8 @@ def test_compact_schema_drift_union(spark, tmp_path):
     compact(
         spark,
         CompactionConfig(
-            source_dir=str(lake), dest_dir=dest, file_format="json", max_size_mb=16
+            source_dir=str(lake), dest_dir=dest, file_format="json",
+            max_size_mb=16, parsed=parsed,
         ),
     )
     back = read_bundles(spark, dest, "json")

@@ -87,6 +87,17 @@ class CurationStreamConfig:
     near_dup_threshold: float = 0.7
     near_dup_max_bucket: int | None = None
     near_dup_hot_bucket_mode: str = "sample"
+    #: optional PRE-TRAINED bigram LM (operators/lm_filter.
+    #: train_bigram_lm output written as parquet): arriving docs with
+    #: mean bigram log-probability below ``lm_min_logprob`` are
+    #: dropped. The threshold is ABSOLUTE (a streaming batch cannot
+    #: see corpus quantiles) — derive it offline from a batch quantile
+    #: over a reference corpus, e.g. percentile_approx(avg_logprob,
+    #: 0.05). ``lm_buckets``/``lm_hash_fn`` must match training.
+    lm_dir: str | None = None
+    lm_min_logprob: float | None = None
+    lm_buckets: int = 1 << 20
+    lm_hash_fn: str = "xxhash64"
     #: optional parquet directory of eval documents — when set, corpus
     #: docs sharing >= decontam_min_common distinct word n-grams with
     #: ANY eval doc are dropped (operators/decontaminate semantics)
@@ -128,6 +139,14 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
         )
         eval_grams.count()
 
+    # likewise static: the pre-trained LM count table, pinned once
+    lm = None
+    if cfg.lm_dir is not None:
+        if cfg.lm_min_logprob is None:
+            raise ValueError("lm_dir requires lm_min_logprob (absolute threshold)")
+        lm = spark.read.parquet(cfg.lm_dir).persist()
+        lm.count()
+
     def _writer(df: DataFrame, dest: str, parts: tuple = ("run", "batch")):
         (
             df.write.mode("overwrite")
@@ -164,6 +183,27 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
         ).first()
         n_in, n_filtered_in = int(counts.n_in), int(counts.n_kept)
         kept = src.where(F.col("_q_keep")).drop("_q_keep")
+
+        # 1b. optional static-LM quality gate (counts into n_filtered):
+        # the pinned LM joins each batch exactly like the batch
+        # pipeline's gate, but against a PRE-TRAINED model with an
+        # absolute threshold (see CurationStreamConfig.lm_dir)
+        if lm is not None:
+            from lakeflush_spark.operators.lm_filter import lm_logprob_scores
+
+            kept = (
+                lm_logprob_scores(
+                    lm, kept, id_col=cfg.id_col, text_col=cfg.text_col,
+                    buckets=cfg.lm_buckets, hash_fn=cfg.lm_hash_fn,
+                )
+                .where(
+                    F.col("avg_logprob").isNull()
+                    | (F.col("avg_logprob") >= cfg.lm_min_logprob)
+                )
+                .drop("avg_logprob")
+                .persist()
+            )
+            n_filtered_in = kept.count()
 
         # 2. exact dedup: within batch, then vs the digest store (the
         # same content_digest key builder as batch exact_dedup_by_hash)
@@ -262,6 +302,8 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             out.unpersist()
             nd_dropped.unpersist()
             fresh.unpersist()
+            if lm is not None:
+                kept.unpersist()  # the lm-gated frame pinned in 1b
             src.unpersist()
 
     query = (
@@ -270,20 +312,21 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
         .trigger(availableNow=True)
         .start()
     )
-    if eval_grams is not None:
-        # tie the pinned eval-gram frame's lifetime to THIS query:
-        # release it (and the listener) when the query terminates, so
-        # repeated curate_stream launches in a long-lived session
-        # (the AvailableNow catch-up pattern) never accumulate cached
-        # relations
+    pinned = [f for f in (eval_grams, lm) if f is not None]
+    if pinned:
+        # tie the pinned static frames' (eval grams, LM) lifetime to
+        # THIS query: release them (and the listener) when the query
+        # terminates, so repeated curate_stream launches in a
+        # long-lived session (the AvailableNow catch-up pattern) never
+        # accumulate cached relations
         import threading
 
         from pyspark.sql.streaming import StreamingQueryListener
 
-        grams, qid = eval_grams, query.id
+        qid = query.id
         released = threading.Lock()  # acquired once: first releaser wins
 
-        class _ReleaseEvalGrams(StreamingQueryListener):
+        class _ReleaseStaticFrames(StreamingQueryListener):
             def onQueryStarted(self, event):
                 pass
 
@@ -296,7 +339,8 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             def _release(self):
                 if released.acquire(blocking=False):
                     try:
-                        grams.unpersist()
+                        for f in pinned:
+                            f.unpersist()
                     finally:
                         try:
                             spark.streams.removeListener(self)
@@ -307,7 +351,7 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 if str(event.id) == str(qid):
                     self._release()
 
-        listener = _ReleaseEvalGrams()
+        listener = _ReleaseStaticFrames()
         spark.streams.addListener(listener)
         # the query can terminate (AvailableNow with nothing to do)
         # BEFORE the listener registers — its terminated event would

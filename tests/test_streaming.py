@@ -853,3 +853,50 @@ def test_semdedup_stream_incremental_against_history(spark, tmp_path):
     semdedup_stream(spark, cfg2).awaitTermination(180)
     got = sorted(r.vec_id for r in spark.read.parquet(cfg.dest_dir).collect())
     assert got == [1, 2, 11, 21]  # 20 dropped against history id 11
+
+
+def test_curate_stream_static_lm_gate(spark, tmp_path):
+    """curate_stream with a PRE-TRAINED LM: in-domain docs pass, token
+    soup falls below the absolute threshold; drops count as filtered."""
+    from lakeflush_spark.operators.lm_filter import train_bigram_lm
+    from lakeflush_spark.streaming.curation import CurationStreamConfig, curate_stream
+
+    sent = "the cat sat on the mat and the dog sat on the rug near the door"
+    ref = spark.createDataFrame(
+        [(i, sent) for i in range(20)], "doc_id long, text string"
+    )
+    B = 1 << 16
+    lm_dir = str(tmp_path / "lm")
+    train_bigram_lm(ref, buckets=B).write.parquet(lm_dir)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lm_dir=lm_dir,
+        lm_min_logprob=-9.0,  # between in-domain (~-5.5) and floor (~-11)
+        lm_buckets=B,
+    )
+    _add_parquet_file(spark, tmp_path, src, "b1", [
+        (1, "the cat sat on the rug"),
+        (2, "zq xv wk jj qqq lpx mnb"),
+    ])
+    curate_stream(spark, cfg).awaitTermination(180)
+    got = sorted(r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect())
+    assert got == [1]
+    stats = spark.read.parquet(cfg.stats_dir).collect()[0]
+    assert stats.n_filtered == 1 and stats.n_out == 1
+
+    # misconfiguration fails fast
+    import dataclasses
+    import pytest
+
+    bad = dataclasses.replace(cfg, lm_min_logprob=None,
+                              checkpoint_dir=str(tmp_path / "ckpt2"))
+    with pytest.raises(ValueError, match="lm_min_logprob"):
+        curate_stream(spark, bad)

@@ -214,8 +214,10 @@ def curate_documents(
     docs: DataFrame,
     cfg: CurationConfig = CurationConfig(),
     eval_docs: DataFrame | None = None,
-) -> tuple[DataFrame, CurationStats]:
-    """Run the full curation flow; returns (curated_df, stats).
+    return_provenance: bool = False,
+):
+    """Run the full curation flow; returns (curated_df, stats), or
+    (curated_df, stats, provenance_df) with ``return_provenance``.
 
     The returned frame keeps the input columns plus the computed
     metric columns (n_tokens, stop_ratio, lang_pred) for downstream
@@ -224,6 +226,14 @@ def curate_documents(
     sharing >= cfg.decontam_min_common distinct lowercased
     cfg.decontam_n-grams with the eval set (broadcast probe — the
     corpus never shuffles; see operators/decontaminate.py).
+
+    ``provenance`` is a LAZY ``(id_col, stage)`` frame naming the
+    stage that removed each dropped document — 'quality',
+    'exact_dup', 'near_dup', 'lm_quality', 'semantic_dup',
+    'repeated_passage' (drop mode only; strip rewrites instead of
+    dropping), 'decontaminated' — the per-doc audit trail a corpus
+    release ships beside the stats. Materializing it re-executes the
+    drop-set lineages; write it in the same job as the curated corpus.
     """
     tc = cfg.text_col
     annotated = docs.select(
@@ -244,12 +254,25 @@ def curate_documents(
     )
     filtered = annotated.where(keep)
 
+    prov: list[DataFrame] = []
+
+    def _mark(ids: DataFrame, stage: str) -> None:
+        prov.append(
+            ids.select(F.col(cfg.id_col), F.lit(stage).alias("stage"))
+        )
+
+    # NULL keep (e.g. NULL text) is dropped by where(keep) — mark it
+    _mark(
+        annotated.where(~F.coalesce(keep, F.lit(False))), "quality"
+    )
+
     # Exact dedup: digests-only shuffle with a deterministic min-id
     # winner (operators/dedup.exact_dedup_by_hash) — document bodies
     # never move on the content-hash key, and the winners semi-join
     # leaves the corpus id-partitioned, the layout the near-dup
     # anti-join below shuffles on anyway.
     exact = exact_dedup_by_hash(filtered, [tc], cfg.id_col)
+    _mark(filtered.join(exact.select(cfg.id_col), cfg.id_col, "left_anti"), "exact_dup")
 
     # Near-dup: LSH candidates above threshold. Resolution is either the
     # single-pass greedy (drop every id2 — cheapest, may over-delete
@@ -276,6 +299,7 @@ def curate_documents(
         losers = _iterative_near_dup_losers(pairs, cfg.cc_iterations, cfg.id_col)
     else:
         losers = pairs.select(F.col("id2").alias(cfg.id_col)).distinct()
+    _mark(losers, "near_dup")
     curated = exact.join(losers, cfg.id_col, "left_anti")
 
     # Stage counts: input/filter/exact from ONE aggregation pass over
@@ -324,9 +348,9 @@ def curate_documents(
         if cut is not None:
             # NULL scores (< 2 tokens) pass the gate — length policy
             # belongs to min_tokens, not the LM
-            curated = scored.where(
-                F.col("avg_logprob").isNull() | (F.col("avg_logprob") >= cut)
-            ).drop("avg_logprob")
+            lm_pass = F.col("avg_logprob").isNull() | (F.col("avg_logprob") >= cut)
+            _mark(scored.where(~lm_pass), "lm_quality")
+            curated = scored.where(lm_pass).drop("avg_logprob")
 
     if cfg.embedding_col is not None:
         from lakeflush_spark.operators.similarity import (
@@ -341,6 +365,7 @@ def curate_documents(
         sem_drops = semantic_drop_ids(
             semantic_dedup_pairs(vecs, cfg.sem_threshold, cfg.sem_n_cells)
         ).select(F.col("vid").alias(cfg.id_col))
+        _mark(sem_drops, "semantic_dup")
         # drop set is pair-table-sized — the anti-join broadcasts
         curated = curated.join(sem_drops, cfg.id_col, "left_anti")
 
@@ -374,6 +399,7 @@ def curate_documents(
                 window=cfg.drop_repeated_passage_window,
                 stride=cfg.repeated_passage_stride,
             )
+            _mark(boiler, "repeated_passage")
             # no broadcast hint: unlike the decontamination hit set
             # (bounded by the small eval suite), boilerplate-heavy
             # corpora can flag a large fraction of docs — let AQE pick
@@ -390,7 +416,13 @@ def curate_documents(
             min_common=cfg.decontam_min_common,
             materialize=False,  # consumed once (the anti-join below)
         )
+        _mark(res.contaminated, "decontaminated")
         curated = res.clean
     n_final = curated.count()
     stats = CurationStats(int(agg.n_in), int(agg.n_filt), n_exact, n_near, n_final)
-    return curated, stats
+    if not return_provenance:
+        return curated, stats
+    provenance = prov[0]
+    for p in prov[1:]:
+        provenance = provenance.unionByName(p)
+    return curated, stats, provenance

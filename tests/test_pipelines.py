@@ -263,3 +263,40 @@ def test_repeated_passage_strip_action_keeps_docs(spark):
     rows_out = {r.doc_id: r for r in stripped.collect()}
     assert sorted(rows_out) == [0, 1, 2, 3]  # strip mode keeps them all
     assert all(r.n_stripped > 0 for r in rows_out.values())
+
+
+def test_curation_provenance_names_the_dropping_stage(spark):
+    leak = ("which ancient empire built the longest continuous defensive "
+            "wall across northern mountain ranges over centuries")
+    toks = [f"tok{i:02d}" for i in range(1, 41)]
+    near_a = " ".join(toks)            # near-dup pair (1 keeps, 2 drops)
+    near_b = " ".join(toks[1:] + ["zz"])
+    docs = spark.createDataFrame(
+        [
+            (1, near_a),
+            (2, near_b),
+            (3, "exact duplicate text body here"),
+            (4, "exact duplicate text body here"),   # exact dup of 3
+            (5, "tiny"),                              # fails min_tokens
+            (6, leak),                                # eval contamination
+            (7, "completely unrelated standalone clean document body"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    eval_docs = spark.createDataFrame([(100, leak)], "doc_id LONG, text STRING")
+    curated, stats, prov = curate_documents(
+        spark, docs,
+        CurationConfig(min_tokens=5, near_dup_threshold=0.7),
+        eval_docs=eval_docs,
+        return_provenance=True,
+    )
+    kept = sorted(r.doc_id for r in curated.collect())
+    got = {r.doc_id: r.stage for r in prov.collect()}
+    assert got == {
+        2: "near_dup",
+        4: "exact_dup",
+        5: "quality",
+        6: "decontaminated",
+    }
+    # provenance and survivors partition the input exactly
+    assert sorted(kept + list(got)) == [1, 2, 3, 4, 5, 6, 7]

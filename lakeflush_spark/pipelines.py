@@ -131,6 +131,13 @@ class CurationConfig:
     text_col: str = "text"
 
 
+def lm_keep_condition(avg_logprob: "F.Column", threshold: float) -> "F.Column":
+    """THE LM-gate predicate, shared by the batch quantile gate and the
+    stream's absolute-threshold gate: NULL scores (< 2 tokens) PASS —
+    length policy belongs to min_tokens, not the LM."""
+    return avg_logprob.isNull() | (avg_logprob >= threshold)
+
+
 def quality_keep_condition(
     n_tokens: "F.Column",
     stop_ratio: "F.Column",
@@ -346,9 +353,7 @@ def curate_documents(
             ).alias("c")
         ).first()["c"]
         if cut is not None:
-            # NULL scores (< 2 tokens) pass the gate — length policy
-            # belongs to min_tokens, not the LM
-            lm_pass = F.col("avg_logprob").isNull() | (F.col("avg_logprob") >= cut)
+            lm_pass = lm_keep_condition(F.col("avg_logprob"), float(cut))
             _mark(scored.where(~lm_pass), "lm_quality")
             curated = scored.where(lm_pass).drop("avg_logprob")
 
@@ -414,7 +419,13 @@ def curate_documents(
             text_col=cfg.text_col,
             n=cfg.decontam_n,
             min_common=cfg.decontam_min_common,
-            materialize=False,  # consumed once (the anti-join below)
+            # NOT materialized: with return_provenance the contaminated
+            # set is consumed twice (anti-join + provenance write) and
+            # re-runs the broadcast probe — the documented lazy-
+            # provenance trade; callers needing one-pass decontam
+            # provenance should call decontaminate(materialize=True)
+            # directly and manage DecontamResult.unpersist()
+            materialize=False,
         )
         _mark(res.contaminated, "decontaminated")
         curated = res.clean

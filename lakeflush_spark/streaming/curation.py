@@ -29,7 +29,7 @@ being content-deterministic — rejected the same way, without the
 stores accumulating rows for documents that never entered the corpus.
 
 Auditability: every batch appends one stats row
-(n_in / n_filtered / n_exact_dup / n_near_dup / n_contaminated /
+(n_in / n_filtered / n_lm_filtered / n_exact_dup / n_near_dup / n_contaminated /
 n_out) to a queryable parquet stats store under the same (run, batch)
 exactly-once layout — the streaming twin of the batch pipeline's
 per-stage stats frame. Stage counts are computed from the persisted
@@ -116,6 +116,15 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
     curated corpus from ``cfg.dest_dir`` and the per-batch audit from
     ``cfg.stats_dir``.
     """
+    # validate config BEFORE pinning anything — a late ValueError must
+    # not leak a persisted frame with no release listener registered
+    if cfg.lm_dir is not None and cfg.lm_min_logprob is None:
+        raise ValueError("lm_dir requires lm_min_logprob (absolute threshold)")
+    if cfg.lm_min_logprob is not None and cfg.lm_dir is None:
+        raise ValueError(
+            "lm_min_logprob set without lm_dir — the LM gate would be "
+            "silently OFF; point lm_dir at a train_bigram_lm output"
+        )
     if schema is None:
         schema = spark.read.parquet(cfg.source_dir).schema
     reader = spark.readStream.schema(schema)
@@ -142,8 +151,6 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
     # likewise static: the pre-trained LM count table, pinned once
     lm = None
     if cfg.lm_dir is not None:
-        if cfg.lm_min_logprob is None:
-            raise ValueError("lm_dir requires lm_min_logprob (absolute threshold)")
         lm = spark.read.parquet(cfg.lm_dir).persist()
         lm.count()
 
@@ -174,93 +181,114 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             cfg.max_stopword_ratio,
             cfg.allowed_langs,
         )
-        # pin the flagged batch: every later stage derives from it, and
-        # n_in/n_filtered come from ONE aggregation over the cache
-        src = batch_df.withColumn("_q_keep", cond).persist()
-        counts = src.agg(
-            F.count(F.lit(1)).alias("n_in"),
-            F.count(F.when(F.col("_q_keep"), 1)).alias("n_kept"),
-        ).first()
-        n_in, n_filtered_in = int(counts.n_in), int(counts.n_kept)
-        kept = src.where(F.col("_q_keep")).drop("_q_keep")
+        # every per-batch persist registers here; the outer finally
+        # releases them even when a MID-BATCH action fails (a corrupt
+        # file / executor loss must not pin batch-sized frames for the
+        # stream's life)
+        pins: list[DataFrame] = []
 
-        # 1b. optional static-LM quality gate (counts into n_filtered):
-        # the pinned LM joins each batch exactly like the batch
-        # pipeline's gate, but against a PRE-TRAINED model with an
-        # absolute threshold (see CurationStreamConfig.lm_dir)
-        if lm is not None:
-            from lakeflush_spark.operators.lm_filter import lm_logprob_scores
+        def _pin(df: DataFrame) -> DataFrame:
+            pins.append(df.persist())
+            return pins[-1]
 
-            kept = (
-                lm_logprob_scores(
-                    lm, kept, id_col=cfg.id_col, text_col=cfg.text_col,
-                    buckets=cfg.lm_buckets, hash_fn=cfg.lm_hash_fn,
-                )
-                .where(
-                    F.col("avg_logprob").isNull()
-                    | (F.col("avg_logprob") >= cfg.lm_min_logprob)
-                )
-                .drop("avg_logprob")
-                .persist()
-            )
-            n_filtered_in = kept.count()
-
-        # 2. exact dedup: within batch, then vs the digest store (the
-        # same content_digest key builder as batch exact_dedup_by_hash)
-        keyed = kept.withColumn("_digest", content_digest([cfg.text_col]))
-        fresh = within_batch_exact(keyed, cfg.id_col)
-        seen = _read_store(sp, cfg.digest_dir, batch_id, run)
-        if seen is not None and cfg.digest_prefix_partitions and "_dp" in seen.columns:
-            prefixes = [
-                r._dp
-                for r in keyed.select(
-                    F.substring("_digest", 1, 2).alias("_dp")
-                ).distinct().collect()
-            ]
-            seen = seen.where(F.col("_dp").isin(prefixes))
-        fresh = against_history_exact(fresh, seen).persist()
-        n_exact = fresh.count()
-
-        # 3. near-dup vs the band/signature store
-        sigged = with_minhash(fresh, text_col=cfg.text_col)
-        hist = _read_store(sp, cfg.sig_dir, batch_id, run)
-        # persisted: consumed by the anti-join AND the stats count —
-        # an id-only frame bounded by the batch size
-        nd_dropped = near_dup_dropped_ids(
-            _bands_long(sigged, cfg.id_col),
-            hist,
-            cfg.near_dup_threshold,
-            cfg.near_dup_max_bucket,
-            cfg.near_dup_hot_bucket_mode,
-            cfg.id_col,
-        ).persist()
-        nd_count = nd_dropped.count()
-        sigged = sigged.join(F.broadcast(nd_dropped), cfg.id_col, "left_anti")
-
-        # 4. decontamination vs the static broadcast eval grams
-        if eval_grams is not None:
-            doc_grams = sigged.select(
-                F.col(cfg.id_col),
-                F.explode(ngram_hash_set(F.col(cfg.text_col))).alias("_g"),
-            )
-            contaminated = (
-                doc_grams.join(F.broadcast(eval_grams), "_g")
-                .groupBy(cfg.id_col)
-                .agg(F.countDistinct("_g").alias("_ng"))
-                .where(F.col("_ng") >= cfg.decontam_min_common)
-                .select(cfg.id_col)
-            )
-            sigged = sigged.join(F.broadcast(contaminated), cfg.id_col, "left_anti")
-
-        # `_sh` (the shingle array, roughly body-sized) is read by no
-        # downstream consumer — drop it before pinning
-        out = (
-            sigged.drop("_sh")
-            .withColumn("run", F.lit(run))
-            .withColumn("batch", F.lit(int(batch_id)))
-            .persist()
-        )
         try:
+            # pin the flagged batch: every later stage derives from it,
+            # and n_in/n_kept come from ONE aggregation over the cache
+            src = _pin(batch_df.withColumn("_q_keep", cond))
+            counts = src.agg(
+                F.count(F.lit(1)).alias("n_in"),
+                F.count(F.when(F.col("_q_keep"), 1)).alias("n_kept"),
+            ).first()
+            n_in, n_q_kept = int(counts.n_in), int(counts.n_kept)
+            n_filtered_in = n_q_kept
+            kept = src.where(F.col("_q_keep")).drop("_q_keep")
+
+            # 1b. optional static-LM quality gate — the pinned LM joins
+            # each batch with the SAME pass predicate as the batch
+            # pipeline (pipelines.lm_keep_condition), but against a
+            # PRE-TRAINED model with an absolute threshold
+            n_lm_filtered = 0
+            if lm is not None:
+                from lakeflush_spark.operators.lm_filter import lm_logprob_scores
+                from lakeflush_spark.pipelines import lm_keep_condition
+
+                kept = _pin(
+                    lm_logprob_scores(
+                        lm, kept, id_col=cfg.id_col, text_col=cfg.text_col,
+                        buckets=cfg.lm_buckets, hash_fn=cfg.lm_hash_fn,
+                    )
+                    .where(
+                        lm_keep_condition(
+                            F.col("avg_logprob"), cfg.lm_min_logprob
+                        )
+                    )
+                    .drop("avg_logprob")
+                )
+                n_filtered_in = kept.count()
+                n_lm_filtered = n_q_kept - n_filtered_in
+
+            # 2. exact dedup: within batch, then vs the digest store
+            # (the same content_digest key builder as batch
+            # exact_dedup_by_hash)
+            keyed = kept.withColumn("_digest", content_digest([cfg.text_col]))
+            fresh = within_batch_exact(keyed, cfg.id_col)
+            seen = _read_store(sp, cfg.digest_dir, batch_id, run)
+            if (
+                seen is not None
+                and cfg.digest_prefix_partitions
+                and "_dp" in seen.columns
+            ):
+                prefixes = [
+                    r._dp
+                    for r in keyed.select(
+                        F.substring("_digest", 1, 2).alias("_dp")
+                    ).distinct().collect()
+                ]
+                seen = seen.where(F.col("_dp").isin(prefixes))
+            fresh = _pin(against_history_exact(fresh, seen))
+            n_exact = fresh.count()
+
+            # 3. near-dup vs the band/signature store; the id-only drop
+            # set (bounded by batch size) feeds the anti-join AND stats
+            sigged = with_minhash(fresh, text_col=cfg.text_col)
+            hist = _read_store(sp, cfg.sig_dir, batch_id, run)
+            nd_dropped = _pin(
+                near_dup_dropped_ids(
+                    _bands_long(sigged, cfg.id_col),
+                    hist,
+                    cfg.near_dup_threshold,
+                    cfg.near_dup_max_bucket,
+                    cfg.near_dup_hot_bucket_mode,
+                    cfg.id_col,
+                )
+            )
+            nd_count = nd_dropped.count()
+            sigged = sigged.join(F.broadcast(nd_dropped), cfg.id_col, "left_anti")
+
+            # 4. decontamination vs the static broadcast eval grams
+            if eval_grams is not None:
+                doc_grams = sigged.select(
+                    F.col(cfg.id_col),
+                    F.explode(ngram_hash_set(F.col(cfg.text_col))).alias("_g"),
+                )
+                contaminated = (
+                    doc_grams.join(F.broadcast(eval_grams), "_g")
+                    .groupBy(cfg.id_col)
+                    .agg(F.countDistinct("_g").alias("_ng"))
+                    .where(F.col("_ng") >= cfg.decontam_min_common)
+                    .select(cfg.id_col)
+                )
+                sigged = sigged.join(
+                    F.broadcast(contaminated), cfg.id_col, "left_anti"
+                )
+
+            # `_sh` (the shingle array, roughly body-sized) is read by
+            # no downstream consumer — drop it before pinning
+            out = _pin(
+                sigged.drop("_sh")
+                .withColumn("run", F.lit(run))
+                .withColumn("batch", F.lit(int(batch_id)))
+            )
             n_out = out.count()
             body_cols = [c for c in batch_df.columns] + ["run", "batch"]
             _writer(out.select(*body_cols), cfg.dest_dir)
@@ -286,7 +314,8 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                         run,
                         int(batch_id),
                         n_in,
-                        n_in - n_filtered_in,
+                        n_in - n_q_kept,
+                        n_lm_filtered,
                         n_filtered_in - n_exact,
                         nd_count,
                         n_exact - n_out - nd_count,
@@ -294,17 +323,13 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     )
                 ],
                 "run string, batch long, n_in long, n_filtered long, "
-                "n_exact_dup long, n_near_dup long, n_contaminated long, "
-                "n_out long",
+                "n_lm_filtered long, n_exact_dup long, n_near_dup long, "
+                "n_contaminated long, n_out long",
             )
             _writer(stats, cfg.stats_dir)
         finally:
-            out.unpersist()
-            nd_dropped.unpersist()
-            fresh.unpersist()
-            if lm is not None:
-                kept.unpersist()  # the lm-gated frame pinned in 1b
-            src.unpersist()
+            for p in reversed(pins):
+                p.unpersist()
 
     query = (
         stream.writeStream.foreachBatch(write_batch)

@@ -890,9 +890,11 @@ def test_curate_stream_static_lm_gate(spark, tmp_path):
     got = sorted(r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect())
     assert got == [1]
     stats = spark.read.parquet(cfg.stats_dir).collect()[0]
-    assert stats.n_filtered == 1 and stats.n_out == 1
+    # the audit distinguishes quality-gate drops from LM drops
+    assert stats.n_filtered == 0 and stats.n_lm_filtered == 1
+    assert stats.n_out == 1
 
-    # misconfiguration fails fast
+    # both misconfiguration directions fail fast (before any persist)
     import dataclasses
     import pytest
 
@@ -900,3 +902,7 @@ def test_curate_stream_static_lm_gate(spark, tmp_path):
                               checkpoint_dir=str(tmp_path / "ckpt2"))
     with pytest.raises(ValueError, match="lm_min_logprob"):
         curate_stream(spark, bad)
+    bad2 = dataclasses.replace(cfg, lm_dir=None,
+                               checkpoint_dir=str(tmp_path / "ckpt3"))
+    with pytest.raises(ValueError, match="lm_dir"):
+        curate_stream(spark, bad2)

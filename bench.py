@@ -58,6 +58,13 @@ strip label's full rewrite verification). Last full run: csv 38.3
 MB/s, json 21.0k files/s, suite 27.0 s with every addition (q24 3.99,
 q41 2.20, q62 1.89, q28 1.33).
 
+Isolated warm re-measure of the late-r5 label growth (two back-to-back
+collects each, second = warm): q24 4.5 s (first run pays the cold
+scan), q41 2.6 s, q62 1.8 s, q28 1.5 s — consistent with their
+suite-mode numbers; the deltas are the new labels' paid-for work
+(cluster CC, LM train+witnesses, strip rewrite verify, SemDedup), not
+plan regressions (PLANS.md shapes unchanged since the regen).
+
 Scale-smoke (scripts/scale_smoke.py, r5): the dedup/selection hot
 paths on a 20×-replicated corpus (100k docs, token-salted so pair
 counts stay ~linear) vs the same run at 4× (20k docs) — exact dedup

@@ -299,3 +299,43 @@ def test_compact_schema_drift_union(spark, tmp_path, parsed):
     assert set(back.columns) == {"a", "b", "c"}
     rows = {r.a: (r.b, r.c) for r in back.collect()}
     assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", 9.5)}
+
+
+def test_read_increment_delivers_late_visible_runs(spark, sf_dir, tmp_path):
+    """Visibility-order independence: a run whose audit rows appear
+    AFTER a later-stamped run's rows must still be delivered exactly
+    once — the run-set cursor excludes by identity, never by a
+    timestamp high-watermark."""
+    from lakeflush_spark.operators.compaction import read_increment
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    first = orders.where(F.col("o_orderkey") % 2 == 0)
+    second = orders.where(F.col("o_orderkey") % 2 == 1)
+    lake1, lake2 = str(tmp_path / "l1"), str(tmp_path / "l2")
+    first.write.parquet(lake1)
+    second.write.parquet(lake2)
+    dest = str(tmp_path / "out")
+    cfg = dict(dest_dir=dest, file_format="parquet", max_size_mb=16,
+               write_mode="append")
+    compact(spark, CompactionConfig(source_dir=lake1, **cfg))
+    compact(spark, CompactionConfig(source_dir=lake2, **cfg))
+
+    from lakeflush_spark.operators.compaction import AuditCursor, audit_table
+
+    runs = sorted(
+        (r.flushed_at, r.run_id)
+        for r in audit_table(spark, dest).select("run_id", "flushed_at")
+        .distinct().collect()
+    )
+    assert len(runs) == 2
+    later_ts, later_run = runs[-1]
+    # simulate: consumer saw ONLY the later-stamped run (the earlier
+    # run's audit rows were not yet visible when it read)
+    cursor = AuditCursor(ts=later_ts, run_ids=(later_run,))
+    inc = read_increment(spark, dest, fmt="parquet", cursor=cursor)
+    # the earlier run is still delivered despite its older timestamp
+    assert inc.df.count() == first.count()
+    assert set(inc.cursor.run_ids) == {r for _, r in runs}
+    # and now everything is consumed
+    idle = read_increment(spark, dest, fmt="parquet", cursor=inc.cursor)
+    assert idle.bundle_paths == []

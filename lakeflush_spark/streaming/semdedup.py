@@ -83,6 +83,14 @@ class StreamSemDedupConfig:
     #: LSH stream: "drop" would permanently disable a cell).
     max_cell: int | None = None
     hot_cell_mode: str = "sample"
+    #: store int8-quantized vectors (functions/vectors.quantize_int8:
+    #: struct<scale, q tinyint[]> — ~4× smaller store and history
+    #: scan). History vectors dequantize inside the verify join;
+    #: reconstruction keeps cosine fidelity > 0.999 (tested), so
+    #: near-threshold decisions can differ from the float store by at
+    #: most the last ~1e-3 of cosine — the standard storage trade.
+    #: Must be constant over a store's lifetime.
+    quantize_store: bool = False
     max_files_per_trigger: int | None = None
 
 
@@ -155,6 +163,17 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
             others = new_tag
             if hist is not None:
                 touched = indexed.select("cell_id").distinct()
+                if "qv" in hist.columns:
+                    # quantized store: dequantize AFTER the cell prune
+                    # (the semi-join sees only 1-byte lanes)
+                    from lakeflush_spark.functions.vectors import dequantize_int8
+
+                    hist = hist.select(
+                        "vid",
+                        dequantize_int8(F.col("qv")).alias("v"),
+                        "nrm",
+                        "cell_id",
+                    )
                 hist_cells = (
                     hist.select("vid", "v", "nrm", "cell_id")
                     .join(F.broadcast(touched), "cell_id", "semi")
@@ -195,9 +214,21 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
                 .withColumn("run", F.lit(run))
                 .withColumn("batch", F.lit(int(batch_id)))
             )
+            if cfg.quantize_store:
+                from lakeflush_spark.functions.vectors import quantize_int8
+
+                store = out.select(
+                    "vid",
+                    "cell_id",
+                    quantize_int8(F.col("v")).alias("qv"),
+                    "nrm",
+                    "run",
+                    "batch",
+                )
+            else:
+                store = out.select("vid", "cell_id", "v", "nrm", "run", "batch")
             (
-                out.select("vid", "cell_id", "v", "nrm", "run", "batch")
-                .write.mode("overwrite")
+                store.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("run", "batch")
                 .parquet(cfg.vec_dir)

@@ -906,3 +906,45 @@ def test_curate_stream_static_lm_gate(spark, tmp_path):
                                checkpoint_dir=str(tmp_path / "ckpt3"))
     with pytest.raises(ValueError, match="lm_dir"):
         curate_stream(spark, bad2)
+
+
+def test_semdedup_stream_quantized_store(spark, tmp_path):
+    """quantize_store=True: the vector store carries int8 lanes (~4x
+    smaller), and cross-batch semantic dedup still works through the
+    dequantizing verify join."""
+    import random
+
+    from lakeflush_spark.streaming.semdedup import (
+        StreamSemDedupConfig,
+        semdedup_stream,
+    )
+
+    rng = random.Random(43)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    other = [rng.uniform(-1, 1) for _ in range(16)]
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamSemDedupConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        vec_dir=str(tmp_path / "vecs"),
+        cent_dir=str(tmp_path / "cents"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.95,
+        n_cells=2,
+        quantize_store=True,
+    )
+    schema = "vec_id long, embedding array<double>"
+    _add_parquet_file(spark, tmp_path, src, "b1", [(1, base), (2, other)], schema)
+    semdedup_stream(spark, cfg).awaitTermination(180)
+    store = spark.read.parquet(cfg.vec_dir)
+    assert "qv" in store.columns and "v" not in store.columns
+    assert store.schema["qv"].dataType.simpleString() == \
+        "struct<scale:double,q:array<tinyint>>"
+
+    # a near-copy of history id 1 must drop through the quantized read
+    near = [x + rng.uniform(-1e-4, 1e-4) for x in base]
+    _add_parquet_file(spark, tmp_path, src, "b2", [(10, near)], schema)
+    semdedup_stream(spark, cfg).awaitTermination(180)
+    got = sorted(r.vec_id for r in spark.read.parquet(cfg.dest_dir).collect())
+    assert got == [1, 2]

@@ -163,6 +163,17 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
             others = new_tag
             if hist is not None:
                 touched = indexed.select("cell_id").distinct()
+                if "qv" in hist.columns and "v" in hist.columns:
+                    # quantize_store was FLIPPED mid-life: old and new
+                    # partitions carry different vector columns, and a
+                    # merged read would silently NULL one side's
+                    # cosines (history ignored). Fail fast instead.
+                    raise ValueError(
+                        f"{cfg.vec_dir} mixes quantized (qv) and float "
+                        "(v) partitions — quantize_store must stay "
+                        "constant for a store's life; rebuild the store "
+                        "in one layout"
+                    )
                 if "qv" in hist.columns:
                     # quantized store: dequantize AFTER the cell prune
                     # (the semi-join sees only 1-byte lanes)

@@ -28,7 +28,7 @@ once per row, map-side.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from lakeflush_spark.functions.vectors import (
     dot_product,
@@ -119,8 +119,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ivf_centroids(corpus: DataFrame, n_cells: int = 16, kmeans_iters: int = 0) -> list:
-    """Deterministic coarse quantizer seeds: an **md5-bucket sample**.
+def centroid_frame(
+    corpus: DataFrame, n_cells: int = 16, kmeans_iters: int = 0
+) -> DataFrame:
+    """Deterministic coarse-quantizer centroids as a DISTRIBUTED
+    ``(cell_id, cv, cnrm)`` frame — never a driver-side list.
 
     Seeds are the ``n_cells`` vectors with the lexicographically
     smallest ``md5(vid)`` — a content-independent pseudorandom draw
@@ -129,44 +132,71 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16, kmeans_iters: int = 0) -
     (crawl order, source grouping). No RNG: retried tasks, repeated
     runs, and the SQL oracle all pick the identical seed set.
     ``orderBy+limit`` plans a distributed partial top-k (per-partition
-    heaps; no global sort materializes).
+    heaps; no global sort materializes); ``cell_id`` is the rank in
+    the md5 order — a ``collect_list → array_sort → posexplode``
+    round-trip on the already-limited n_cells rows, so no global
+    Window is ever planned.
+
+    The frame never round-trips through the driver: packing for the
+    map-only assignment pass is a ``collect_list`` aggregation
+    (:func:`_pack_cells`), so ``n_cells`` can grow with the corpus —
+    the engine's SemDedup scale story — without the O(n_cells × dims)
+    SQL-literal build/parse cost the pre-r6 plumbing paid.
 
     ``kmeans_iters`` > 0 runs that many Lloyd refinement passes:
     assign every vector to its nearest cell (broadcast centroids,
-    map-only), average per cell (64 partial aggregates, 16 output
-    rows), re-normalize driver-side. Cells that lose all members keep
-    their previous seed. Refinement adds one scan per iteration and
-    keeps centroids driver-side tiny; note parallel float summation
-    makes refined centroids deterministic only to the last ulp, so the
-    hash-checked contract query runs with ``kmeans_iters=0``.
-
-    Returns [(cell_id, vector, norm)] driver-side — n_cells tiny rows,
-    destined for a broadcast literal anyway."""
-    import math
-
-    rows = (
-        corpus.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+    map-only), average per cell (map-side-combined partial aggregates,
+    n_cells output rows), re-normalize — all as DataFrame ops. Cells
+    that lose all members keep their previous seed (full-outer join +
+    coalesce). Refinement adds one scan per iteration; note parallel
+    float summation makes refined centroids deterministic only to the
+    last ulp, so the hash-checked contract query runs with
+    ``kmeans_iters=0``."""
+    key = F.md5(F.col("vid").cast("string"))
+    packed = (
+        corpus.orderBy(key, "vid")
         .limit(n_cells)
-        .select("v", "nrm")
-        .collect()
+        .select(key.alias("_k"), "vid", "v", "nrm")
+        .agg(F.array_sort(F.collect_list(F.struct("_k", "vid", "v", "nrm"))).alias("_s"))
     )
-    cents = [(i, list(r.v), float(r.nrm)) for i, r in enumerate(rows)]
-    dims = len(cents[0][1]) if cents else 0
-    for _ in range(kmeans_iters):
-        cells_1row = _cells_as_one_row(corpus.sparkSession, cents)
-        assigned = _nearest_cells(corpus, cells_1row, 1)
-        agg = assigned.groupBy("cell_id").agg(
-            *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dims)]
-        ).collect()
-        new = []
-        for r in agg:
-            vec = [float(r[f"c{i}"]) for i in range(dims)]
-            nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
-            new.append((int(r.cell_id), vec, nrm))
-        kept = {cid for cid, _, _ in new}
-        new.extend(c for c in cents if c[0] not in kept)
-        cents = sorted(new)
-    return cents
+    seeds = packed.select(F.posexplode("_s")).select(
+        F.col("pos").cast("long").alias("cell_id"),
+        F.col("col.v").alias("cv"),
+        F.col("col.nrm").alias("cnrm"),
+    )
+    if kmeans_iters > 0:
+        first = corpus.select(F.size("v").alias("d")).first()
+        dims = int(first.d) if first is not None else 0
+        for _ in range(kmeans_iters):
+            assigned = _nearest_cells(corpus, _pack_cells(seeds), 1)
+            agg = assigned.groupBy("cell_id").agg(
+                *[F.avg(F.col("v")[i]).alias(f"_c{i}") for i in range(dims)]
+            )
+            cv = F.array(*[F.col(f"_c{i}") for i in range(dims)])
+            refined = agg.select("cell_id", cv.alias("cv")).withColumn(
+                "cnrm",
+                F.when(l2_norm(F.col("cv")) > 0, l2_norm(F.col("cv"))).otherwise(
+                    F.lit(1.0)
+                ),
+            )
+            prev = seeds.select(
+                "cell_id", F.col("cv").alias("pcv"), F.col("cnrm").alias("pcn")
+            )
+            seeds = refined.join(prev, "cell_id", "full").select(
+                "cell_id",
+                F.coalesce("cv", "pcv").alias("cv"),
+                F.coalesce("cnrm", "pcn").alias("cnrm"),
+            )
+    return seeds
+
+
+def ivf_centroids(corpus: DataFrame, n_cells: int = 16, kmeans_iters: int = 0) -> list:
+    """Driver-side ``[(cell_id, vector, norm)]`` view of
+    :func:`centroid_frame` — kept for callers that genuinely need the
+    list (test fixtures, small sidecar writes). The engine's own
+    operators consume the frame directly; prefer that at scale."""
+    rows = centroid_frame(corpus, n_cells, kmeans_iters).orderBy("cell_id").collect()
+    return [(int(r.cell_id), list(r.cv), float(r.cnrm)) for r in rows]
 
 
 def _nearest_cells(vectors: DataFrame, cells_1row: DataFrame, n: int) -> DataFrame:
@@ -199,17 +229,34 @@ def _nearest_cells(vectors: DataFrame, cells_1row: DataFrame, n: int) -> DataFra
     )
 
 
+def _pack_cells(cent_df: DataFrame) -> DataFrame:
+    """All centroids packed into ONE ``array<struct>`` row for the
+    broadcast-cross-join assignment pass — a distributed
+    ``collect_list`` aggregation (``array_sort`` for a deterministic
+    cell order; cell ids are unique so the sort never compares
+    vectors). r6: this replaces the inline SQL VALUES literal — at
+    n_cells ≥ ~10⁴ × 768 dims the literal was tens of MB of SQL text
+    to build and parse on the driver; the aggregation ships the same
+    bytes as an ordinary broadcast with zero driver parse cost, so
+    assignment overhead stays flat in n_cells. An empty centroid frame
+    packs to one row holding an empty array (downstream explode then
+    yields the empty result naturally)."""
+    return cent_df.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell_id"), F.col("cv"), F.col("cnrm")))
+        ).alias("_cells")
+    )
+
+
 def _cells_as_one_row(spark, cent_rows: list) -> DataFrame:
-    """(cell_id, cv, cnrm)[] packed into a single-row array<struct>
-    frame via a VALUES relation (JVM-only, no Python-worker hop)."""
-    vals = ",".join(
-        f"({int(cid)}, array({','.join(repr(float(x)) + 'D' for x in cv)}), {float(cn)!r}D)"
-        for cid, cv, cn in cent_rows
+    """Compat shim for driver-side list-form centroids (test fixtures,
+    tiny sidecars): distribute via ``createDataFrame`` + ``_pack_cells``
+    — NOT a SQL literal (r6)."""
+    cent = spark.createDataFrame(
+        [(int(c), [float(x) for x in v], float(n)) for c, v, n in cent_rows],
+        "cell_id long, cv array<double>, cnrm double",
     )
-    return spark.sql(
-        f"SELECT array_agg(struct(cell_id, cv, cnrm)) AS _cells "
-        f"FROM (VALUES {vals}) AS t(cell_id, cv, cnrm)"
-    )
+    return _pack_cells(cent)
 
 
 def semantic_dedup_pairs(
@@ -237,13 +284,13 @@ def semantic_dedup_pairs(
     testdata-sized q55 index). Oversized cells are the skew knob: raise
     ``n_cells``, and AQE skew-join splits residual hot cells.
     """
+    # r6 centroid plumbing: ONE distributed top-k builds the seeds, the
+    # bounded n_cells-row collect is reused by every consumer (the same
+    # bytes any broadcast mechanism must hold), and distribution is
+    # createDataFrame + collect_list packing — zero SQL-literal
+    # build/parse cost, so n_cells can grow with the corpus. An empty
+    # corpus flows through as an empty packed array → empty pair frame.
     cents = ivf_centroids(corpus, n_cells, kmeans_iters)
-    if not cents:
-        # empty corpus: no cells, no pairs — an empty frame, not a
-        # ParseException from a zero-tuple VALUES relation
-        return corpus.sparkSession.createDataFrame(
-            [], "id1 bigint, id2 bigint, cell_id bigint, cos_sim double"
-        )
     cells_1row = _cells_as_one_row(corpus.sparkSession, cents)
     indexed = _nearest_cells(corpus, cells_1row, 1)
     a, b = indexed.alias("a"), indexed.alias("b")
@@ -312,12 +359,12 @@ def ivf_topk(
     IVF failure mode, mitigated by raising n_cells (finer cells) and
     AQE skew-join splitting oversized cells at runtime.
     """
-    cent_rows = ivf_centroids(corpus, n_cells, kmeans_iters)
-    if not cent_rows:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, cos_sim double, rank bigint"
-        )
-    cells_1row = _cells_as_one_row(corpus.sparkSession, cent_rows)
+    # same r6 centroid plumbing as semantic_dedup_pairs: one seed
+    # top-k, list reused across BOTH _nearest_cells passes below (a
+    # frame-lineage formulation would re-run the corpus seed scan per
+    # consumer), createDataFrame distribution, no SQL literal.
+    cents = ivf_centroids(corpus, n_cells, kmeans_iters)
+    cells_1row = _cells_as_one_row(corpus.sparkSession, cents)
     indexed = _nearest_cells(corpus, cells_1row, 1)
     probes = _nearest_cells(queries, cells_1row, nprobe).select(
         F.col("vid").alias("qid"), F.col("v").alias("qv"),

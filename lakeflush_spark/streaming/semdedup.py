@@ -48,9 +48,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lakeflush_spark.functions.vectors import dot_product
 from lakeflush_spark.operators.similarity import (
-    _cells_as_one_row,
     _nearest_cells,
-    ivf_centroids,
+    _pack_cells,
+    centroid_frame,
     prepare_vectors,
 )
 from lakeflush_spark.streaming.dedup import _read_store, _run_tag
@@ -96,9 +96,13 @@ class StreamSemDedupConfig:
 
 def _load_or_init_centroids(
     sp: SparkSession, cfg: StreamSemDedupConfig, batch_vecs: DataFrame
-) -> list:
-    """The STORE's centroid list — read if present, else trained
-    deterministically on this (first) batch and persisted.
+) -> DataFrame | None:
+    """The STORE's centroid FRAME (cell_id, cv, cnrm) — read if
+    present, else trained deterministically on this (first) batch and
+    persisted. Returns ``None`` only when the training batch is empty.
+    r6: centroids never round-trip through the driver — the sidecar
+    parquet is both the persistence and the distribution mechanism, so
+    ``n_cells`` can grow with the store without a driver-side list.
 
     Centroids are scoped to the VECTOR STORE, not the stream
     generation: the store's cell_id column means "a region of centroid
@@ -121,18 +125,17 @@ def _load_or_init_centroids(
                 "exactly ONE generation's rows (drop the run column) — "
                 "cell ids must mean one quantizer for the store's life"
             )
-        rows = df.orderBy("cell_id").collect()
-        if rows:
-            return [(int(r.cell_id), list(r.cv), float(r.cnrm)) for r in rows]
+        if df.limit(1).count() > 0:
+            return df.select("cell_id", "cv", "cnrm")
     except AnalysisException:
         pass
-    cents = ivf_centroids(batch_vecs, cfg.n_cells)
-    if cents:
-        sp.createDataFrame(
-            [(cid, cv, cn) for cid, cv, cn in cents],
-            "cell_id long, cv array<double>, cnrm double",
-        ).coalesce(1).write.mode("overwrite").parquet(cfg.cent_dir)
-    return cents
+    cents = centroid_frame(batch_vecs, cfg.n_cells)
+    if cents.limit(1).count() == 0:
+        return None  # empty first batch: train on the first nonempty one
+    cents.coalesce(1).write.mode("overwrite").parquet(cfg.cent_dir)
+    # re-read so every later use is storage-backed (stable, no lineage
+    # recompute of the training top-k)
+    return sp.read.parquet(cfg.cent_dir).select("cell_id", "cv", "cnrm")
 
 
 def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None):
@@ -150,10 +153,9 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
         sp = batch_df.sparkSession
         vecs = prepare_vectors(batch_df, id_col=cfg.id_col, vec_col=cfg.vec_col)
         cents = _load_or_init_centroids(sp, cfg, vecs)
-        if not cents:  # empty first batch: nothing to admit or store
+        if cents is None:  # empty first batch: nothing to admit or store
             return
-        cells_1row = _cells_as_one_row(sp, cents)
-        indexed = _nearest_cells(vecs, cells_1row, 1).persist()
+        indexed = _nearest_cells(vecs, _pack_cells(cents), 1).persist()
         dropped = None
         try:
             hist = _read_store(sp, cfg.vec_dir, batch_id, run)
@@ -173,6 +175,20 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
                         "(v) partitions — quantize_store must stay "
                         "constant for a store's life; rebuild the store "
                         "in one layout"
+                    )
+                if ("qv" in hist.columns) != cfg.quantize_store:
+                    # write-side guard (r6): a flipped quantize_store
+                    # would APPEND the incompatible layout this batch,
+                    # corrupting the store so the NEXT batch fails —
+                    # refuse before any write happens
+                    have = "qv" if "qv" in hist.columns else "v"
+                    want = "qv" if cfg.quantize_store else "v"
+                    raise ValueError(
+                        f"{cfg.vec_dir} holds '{have}' vectors but "
+                        f"quantize_store={cfg.quantize_store} would write "
+                        f"'{want}' — quantize_store must stay constant "
+                        "for a store's life; flip the config back or "
+                        "rebuild the store in the new layout"
                     )
                 if "qv" in hist.columns:
                     # quantized store: dequantize AFTER the cell prune

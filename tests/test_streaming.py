@@ -948,3 +948,52 @@ def test_semdedup_stream_quantized_store(spark, tmp_path):
     semdedup_stream(spark, cfg).awaitTermination(180)
     got = sorted(r.vec_id for r in spark.read.parquet(cfg.dest_dir).collect())
     assert got == [1, 2]
+
+
+def test_semdedup_stream_refuses_flipped_quantize_store(spark, tmp_path):
+    """r6 write-side layout guard: a generation running with a FLIPPED
+    quantize_store against an existing store must fail BEFORE writing —
+    the store keeps its single layout (no mixed qv/v partitions to
+    manually rebuild)."""
+    import dataclasses
+    import random
+
+    from lakeflush_spark.streaming.semdedup import (
+        StreamSemDedupConfig,
+        semdedup_stream,
+    )
+
+    rng = random.Random(7)
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamSemDedupConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        vec_dir=str(tmp_path / "vecs"),
+        cent_dir=str(tmp_path / "cents"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.95,
+        n_cells=2,
+        quantize_store=True,
+    )
+    schema = "vec_id long, embedding array<double>"
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(3)]
+    _add_parquet_file(spark, tmp_path, src, "b1", vecs, schema)
+    semdedup_stream(spark, cfg).awaitTermination(180)
+    assert "qv" in spark.read.parquet(cfg.vec_dir).columns
+
+    flipped = dataclasses.replace(
+        cfg, quantize_store=False, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    _add_parquet_file(
+        spark, tmp_path, src, "b2",
+        [(10, [rng.uniform(-1, 1) for _ in range(16)])], schema,
+    )
+    q = semdedup_stream(spark, flipped)
+    with pytest.raises(Exception, match="quantize_store"):
+        q.awaitTermination(180)
+        raise AssertionError("stream should have failed")  # pragma: no cover
+    store = spark.read.parquet(cfg.vec_dir)
+    # the guard fired before any write: layout unchanged, no id-10 row
+    assert "v" not in store.columns
+    assert sorted(r.vid for r in store.collect()) == [0, 1, 2]

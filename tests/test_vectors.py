@@ -239,3 +239,67 @@ def test_strip_repeated_spans_removes_boilerplate_keeps_content(spark):
 
     # after stripping, no cross-doc repeated span remains
     assert repeated_spans(stripped, window=30, stride=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r6 centroid plumbing: distributed packing (createDataFrame +
+# collect_list), no SQL-literal build — must hold at n_cells >= 1024
+# (the "n_cells grows with the corpus" SemDedup scale story).
+# ---------------------------------------------------------------------------
+
+
+def _synth_corpus(spark, n=1500, dims=8):
+    """Deterministic synthetic vectors (> 1024 rows; the testdata
+    embeddings tables are 500-2000 rows, too small to also leave room
+    above n_cells=1024 at the tests' sf)."""
+    from lakeflush_spark.operators.similarity import prepare_vectors
+
+    rows = [
+        (i, [((i * 37 + j * 11) % 97) / 97.0 - 0.5 for j in range(dims)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return prepare_vectors(df)
+
+
+def test_centroid_plumbing_n_cells_1024(spark):
+    from lakeflush_spark.operators.similarity import (
+        _cells_as_one_row,
+        _nearest_cells,
+        centroid_frame,
+        ivf_centroids,
+    )
+
+    corpus = _synth_corpus(spark)
+    n_cells = 1024
+    cents = ivf_centroids(corpus, n_cells)
+    assert len(cents) == n_cells
+    assert [c[0] for c in cents] == list(range(n_cells))
+    # the frame view and the list view are the same quantizer
+    frame = {
+        (r.cell_id, tuple(r.cv), r.cnrm)
+        for r in centroid_frame(corpus, n_cells).collect()
+    }
+    assert frame == {(cid, tuple(cv), nrm) for cid, cv, nrm in cents}
+    # seed draw is layout-independent (md5 order, not partition order)
+    assert ivf_centroids(corpus.repartition(13), n_cells) == cents
+    # every vector lands in exactly one cell
+    assigned = _nearest_cells(corpus, _cells_as_one_row(spark, cents), 1)
+    assert assigned.count() == 1500
+    assert assigned.select("vid").distinct().count() == 1500
+    assert assigned.groupBy("vid").count().where(F.col("count") != 1).count() == 0
+
+
+def test_semantic_dedup_and_ivf_on_empty_corpus(spark):
+    """An empty corpus flows through the packed-empty-array path: no
+    ParseException, no special-case schema — just empty results."""
+    from lakeflush_spark.operators.similarity import (
+        ivf_topk,
+        prepare_vectors,
+        semantic_dedup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    corpus = prepare_vectors(empty)
+    assert semantic_dedup_pairs(corpus).count() == 0
+    assert ivf_topk(corpus, corpus).count() == 0

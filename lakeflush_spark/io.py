@@ -84,3 +84,39 @@ def spread_for_compute(df: DataFrame, spark: SparkSession) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def hadoop_fs(spark: SparkSession, path_str: str):
+    """``(jvm, fs, path)`` via the py4j Hadoop FileSystem bridge, or
+    ``None`` when that private surface is unavailable (Spark Connect
+    sessions have no ``_jvm``). Callers must degrade to a
+    metadata-only DataFrame job (``scan_manifest``) or plain Python IO
+    for ``file:`` paths — never assume the bridge exists (r6 guard;
+    the q52 ``_jdf → inputFiles → count`` chain is the same pattern).
+    """
+    try:
+        jvm, jsc = spark._jvm, spark._jsc
+        if jvm is None or jsc is None:
+            return None
+        p = jvm.org.apache.hadoop.fs.Path(path_str)
+        return jvm, p.getFileSystem(jsc.hadoopConfiguration()), p
+    except Exception:
+        return None
+
+
+def local_path(path_str: str) -> str | None:
+    """Local-filesystem form of ``path_str`` (scheme-less or ``file:``),
+    else ``None`` — the test for "can plain Python IO touch this"."""
+    import re
+
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):", path_str)
+    if m is None:
+        return path_str
+    if m.group(1).lower() != "file":
+        return None
+    rest = path_str[m.end():]
+    if rest.startswith("//"):
+        rest = rest[2:]
+        if not rest.startswith("/"):
+            return None  # non-empty authority: not this machine
+    return rest or "/"

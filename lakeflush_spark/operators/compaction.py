@@ -44,8 +44,10 @@ import uuid
 from dataclasses import dataclass, field, replace
 
 import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
+from lakeflush_spark.io import hadoop_fs, local_path
 from lakeflush_spark.operators.manifest import scan_manifest
 
 _AUDIT_DIRNAME = "_lakeflush_audit"
@@ -191,10 +193,23 @@ def _sample_source_head(spark: SparkSession, first_file: str, max_bytes: int = 2
     propagate Java-side mutation of the buffer back to Python, so the
     sample silently comes back as zeros. A bounded IOUtils.toByteArray
     returns a real byte[] (-> Python bytes).
+
+    Spark Connect (no JVM bridge): plain Python IO for local paths;
+    remote schemes fall back to a one-file ``binaryFile`` read — that
+    reads the WHOLE file into one row (bounded by small-file-lake
+    sizes), so the bridge path stays preferred where it exists.
     """
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(first_file)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    h = hadoop_fs(spark, first_file)
+    if h is None:
+        lp = local_path(first_file)
+        if lp is not None:
+            with open(lp, "rb") as f:
+                return f.read(max_bytes)
+        row = (
+            spark.read.format("binaryFile").load(first_file).select("content").head()
+        )
+        return bytes(row.content)[:max_bytes] if row is not None else b""
+    jvm, fs, path = h
     size = min(int(fs.getFileStatus(path).getLen()), max_bytes)
     stream = fs.open(path)
     try:
@@ -230,10 +245,22 @@ def _as_text(df: DataFrame, fmt: str) -> DataFrame:
 
 def _first_source_file(spark: SparkSession, cfg: CompactionConfig) -> str | None:
     """First non-hidden, non-empty file under the source root (lazy
-    listFiles walk — stops at the first hit)."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(cfg.source_dir)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    listFiles walk — stops at the first hit). Spark Connect: a
+    metadata-only manifest aggregate instead (Spark's file index prunes
+    hidden ``_``/``.`` names itself, matching the walk's filter)."""
+    h = hadoop_fs(spark, cfg.source_dir)
+    if h is None:
+        try:
+            row = (
+                scan_manifest(spark, cfg.source_dir)
+                .where(F.col("size") > 0)
+                .agg(F.min("file_path"))
+                .collect()[0]
+            )
+        except AnalysisException:
+            return None  # missing root
+        return row[0]
+    jvm, fs, root = h
     if not fs.exists(root):
         return None
     it = fs.listFiles(root, True)
@@ -253,36 +280,40 @@ def _source_stats(spark: SparkSession, cfg: CompactionConfig, need_first: bool =
     and no per-file round trips. The first-file walk costs a second
     listing pass on huge flat dirs, so callers that don't need a head
     sample (binaryFile mode, uncompressed) pass ``need_first=False``.
-    With patterns we fall back to the manifest aggregate (a
-    metadata-only Spark job, still never reads file bytes).
+    With patterns — or under Spark Connect, where the JVM bridge is
+    absent — we fall back to the manifest aggregate (a metadata-only
+    Spark job, still never reads file bytes).
     """
     patterns = [p for p in cfg.match_patterns if p]
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(cfg.source_dir)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return 0, 0, None
-    if not patterns:
-        summary = fs.getContentSummary(root)
-        n_files, total = int(summary.getFileCount()), int(summary.getLength())
-        if n_files == 0 or total == 0:
+    h = hadoop_fs(spark, cfg.source_dir)
+    if h is not None:
+        jvm, fs, root = h
+        if not fs.exists(root):
             return 0, 0, None
-        if not need_first:
-            return n_files, total, None
-        first_file = _first_source_file(spark, cfg)
-        if first_file is None:
-            return 0, 0, None
-        return n_files, total, first_file
-    stats = (
-        scan_manifest(spark, cfg.source_dir, patterns)
-        .where(F.col("size") > 0)
-        .agg(
-            F.count(F.lit(1)).alias("files"),
-            F.coalesce(F.sum("size"), F.lit(0)).alias("bytes"),
-            F.min("file_path").alias("first_file"),
+        if not patterns:
+            summary = fs.getContentSummary(root)
+            n_files, total = int(summary.getFileCount()), int(summary.getLength())
+            if n_files == 0 or total == 0:
+                return 0, 0, None
+            if not need_first:
+                return n_files, total, None
+            first_file = _first_source_file(spark, cfg)
+            if first_file is None:
+                return 0, 0, None
+            return n_files, total, first_file
+    try:
+        stats = (
+            scan_manifest(spark, cfg.source_dir, patterns)
+            .where(F.col("size") > 0)
+            .agg(
+                F.count(F.lit(1)).alias("files"),
+                F.coalesce(F.sum("size"), F.lit(0)).alias("bytes"),
+                F.min("file_path").alias("first_file"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
+    except AnalysisException:
+        return 0, 0, None  # missing root (Connect path has no exists())
     return int(stats["files"]), int(stats["bytes"]), stats["first_file"]
 
 
@@ -558,12 +589,30 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
 
 def _list_bundles(spark: SparkSession, dest: str) -> list[tuple[str, int, int]]:
     """(path, size, mtime_ms) for every bundle under dest, via the Hadoop
-    FS API so the same code works for file:/hdfs:/s3a: destinations."""
-    jvm = spark._jvm
-    jsc = spark._jsc
-    conf = jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(dest)
-    fs = path.getFileSystem(conf)
+    FS API so the same code works for file:/hdfs:/s3a: destinations.
+    Spark Connect: a metadata-only manifest job instead (Spark's file
+    index prunes hidden names, so the ``_``-prefixed audit dir and
+    temp files drop out the same way)."""
+    h = hadoop_fs(spark, dest)
+    if h is None:
+        try:
+            rows = (
+                scan_manifest(spark, dest)
+                .select(
+                    "file_path",
+                    "size",
+                    (F.col("mtime").cast("double") * 1000).cast("long").alias("ms"),
+                )
+                .collect()
+            )
+        except AnalysisException:
+            return []
+        return sorted(
+            (r.file_path, int(r.size), int(r.ms))
+            for r in rows
+            if f"/{_AUDIT_DIRNAME}/" not in r.file_path
+        )
+    jvm, fs, path = h
     out: list[tuple[str, int, int]] = []
     if not fs.exists(path):
         return out

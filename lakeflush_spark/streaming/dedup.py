@@ -381,8 +381,9 @@ def vacuum_runs(spark: SparkSession, store_dir: str, keep_runs: list[str]) -> li
     :func:`_run_tag` of its checkpoint dir, or :func:`list_runs` to
     inspect. Deletion goes through the Hadoop FileSystem API, so it
     works wherever the stream can write (local, ``s3a://``, HDFS);
-    that JVM surface is unavailable under Spark Connect — there, drop
-    the partitions with storage-native tooling instead.
+    under Spark Connect (no JVM bridge) local ``file:`` stores are
+    vacuumed with plain Python, and remote schemes fail fast with a
+    pointer to storage-native tooling (r6 guard).
 
     ``keep_runs`` must be non-empty: vacuuming EVERY generation of a
     store is indistinguishable from a typo'd keep list — delete the
@@ -391,9 +392,29 @@ def vacuum_runs(spark: SparkSession, store_dir: str, keep_runs: list[str]) -> li
     if not keep_runs:
         raise ValueError("keep_runs must name at least one generation to keep")
     keep = set(keep_runs)
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(store_dir)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    from lakeflush_spark.io import hadoop_fs, local_path
+
+    h = hadoop_fs(spark, store_dir)
+    if h is None:
+        lp = local_path(store_dir)
+        if lp is None:
+            raise RuntimeError(
+                "vacuum_runs needs the JVM Hadoop FileSystem bridge for "
+                f"remote stores, and this session has none (Spark Connect); "
+                f"drop the run=<tag> partitions of {store_dir} with "
+                "storage-native tooling instead"
+            )
+        import shutil
+
+        if not os.path.isdir(lp):
+            return []
+        deleted = []
+        for name in os.listdir(lp):
+            if name.startswith("run=") and name[len("run="):] not in keep:
+                shutil.rmtree(os.path.join(lp, name))
+                deleted.append(name[len("run="):])
+        return sorted(deleted)
+    jvm, fs, root = h
     if not fs.exists(root):
         return []
     deleted = []

@@ -144,10 +144,13 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return sym
 
 
-def _encode_schema(id_col: str) -> StructType:
+def _encode_schema(id_field: StructField) -> StructType:
+    # the id column keeps its INPUT type (string ids, ints, uuids all
+    # pass through unconverted) — hardcoding LongType failed at runtime
+    # inside executors for non-long ids
     return StructType(
         [
-            StructField(id_col, LongType()),
+            id_field,
             StructField("bpe_tokens", ArrayType(StringType())),
             StructField("n_bpe", LongType()),
         ]
@@ -167,7 +170,7 @@ def bpe_encode(
     partitioning preserved. Word splitting follows the engine-wide
     ``TOKEN_SEP`` convention (functions/text.py)."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
-    schema = _encode_schema(id_col)
+    schema = _encode_schema(docs.schema[id_col])
 
     def encode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -189,7 +192,7 @@ def bpe_encode(
                 for w in (text or "").split(TOKEN_SEP):
                     if w:
                         toks.extend(enc_word(w))
-                rows.append((int(did), toks, len(toks)))
+                rows.append((did, toks, len(toks)))
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return docs.select(id_col, text_col).mapInPandas(encode, schema)

@@ -807,6 +807,12 @@ def read_increment(
     all (its `.flushed` sidecars are write-only breadcrumbs,
     utils/file/store.py:10-21).
     """
+    if fmt not in ("json", "csv", "parquet", "orc", "text"):
+        # fail-fast convention (mix_sources, hot_bucket_mode): a typo'd
+        # fmt must not silently come back as raw text lines
+        raise ValueError(
+            f"unsupported fmt {fmt!r}; expected one of json/csv/parquet/orc/text"
+        )
     audit = audit_table(spark, dest_dir)
     if cursor is not None and cursor.run_ids:
         audit = audit.where(~F.col("run_id").isin(list(cursor.run_ids)))
@@ -831,13 +837,16 @@ def read_increment(
             reader = reader.option(k, v)
     elif fmt == "csv":
         reader = reader.option("header", "true")
-    fmt_name = fmt if fmt in ("json", "csv", "parquet", "orc") else "text"
-    df = reader.format(fmt_name).load(paths)
+    df = reader.format(fmt).load(paths)
     return IncrementResult(df=df, cursor=new_cursor, bundle_paths=paths)
 
 
 def read_bundles(spark: SparkSession, dest_dir: str, fmt: str = "json", schema=None) -> DataFrame:
     """Read compacted bundles back as parsed rows (for round-trip checks)."""
+    if fmt not in ("json", "csv", "parquet", "orc", "text"):
+        raise ValueError(
+            f"unsupported fmt {fmt!r}; expected one of json/csv/parquet/orc/text"
+        )
     reader = spark.read.option("recursiveFileLookup", "true")
     if schema is not None:
         reader = reader.schema(schema)

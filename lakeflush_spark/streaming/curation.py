@@ -137,22 +137,31 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
     # start, not per batch — one distinct gram set, broadcast into
     # every batch's probe
     eval_grams = None
-    if cfg.eval_dir is not None:
-        eval_grams = (
-            spark.read.parquet(cfg.eval_dir)
-            .select(
-                F.explode(ngram_hash_set(F.col(cfg.text_col))).alias("_g")
-            )
-            .distinct()
-            .persist()
-        )
-        eval_grams.count()
-
-    # likewise static: the pre-trained LM count table, pinned once
     lm = None
-    if cfg.lm_dir is not None:
-        lm = spark.read.parquet(cfg.lm_dir).persist()
-        lm.count()
+    try:
+        if cfg.eval_dir is not None:
+            eval_grams = (
+                spark.read.parquet(cfg.eval_dir)
+                .select(
+                    F.explode(ngram_hash_set(F.col(cfg.text_col))).alias("_g")
+                )
+                .distinct()
+                .persist()
+            )
+            eval_grams.count()
+
+        # likewise static: the pre-trained LM count table, pinned once
+        if cfg.lm_dir is not None:
+            lm = spark.read.parquet(cfg.lm_dir).persist()
+            lm.count()
+    except Exception:
+        # a bad eval_dir/lm_dir path must not leak an already-pinned
+        # frame for the session — the release listener is only
+        # registered once the stream starts, below
+        for frame in (eval_grams, lm):
+            if frame is not None:
+                frame.unpersist()
+        raise
 
     def _writer(df: DataFrame, dest: str, parts: tuple = ("run", "batch")):
         (

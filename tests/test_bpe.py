@@ -57,3 +57,17 @@ def test_word_histogram_top_k_and_counts(spark):
     assert hist == {"a": 4, "b": 3, "c": 1}
     top2 = dict(word_histogram(docs, max_words=2))
     assert top2 == {"a": 4, "b": 3}
+
+
+def test_bpe_encode_preserves_string_ids(spark):
+    """r6: the id column keeps its input type — string doc ids encode
+    without the old executor-side int() crash."""
+    docs = spark.createDataFrame(
+        [("doc-a", "low low lower"), ("doc-b", "lowest low")],
+        "doc_id string, text string",
+    )
+    merges = train_bpe(docs, n_merges=4)
+    out = bpe_encode(docs, merges)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r.doc_id: r.n_bpe for r in out.collect()}
+    assert set(got) == {"doc-a", "doc-b"} and all(n > 0 for n in got.values())

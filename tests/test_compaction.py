@@ -339,3 +339,16 @@ def test_read_increment_delivers_late_visible_runs(spark, sf_dir, tmp_path):
     # and now everything is consumed
     idle = read_increment(spark, dest, fmt="parquet", cursor=inc.cursor)
     assert idle.bundle_paths == []
+
+
+def test_read_increment_rejects_unknown_fmt(spark, tmp_path):
+    """r6 (ADVICE): a typo'd fmt fails fast instead of silently
+    falling back to raw text lines."""
+    import pytest
+
+    from lakeflush_spark.operators.compaction import read_bundles, read_increment
+
+    with pytest.raises(ValueError, match="unsupported fmt"):
+        read_increment(spark, str(tmp_path / "nope"), fmt="jsn")
+    with pytest.raises(ValueError, match="unsupported fmt"):
+        read_bundles(spark, str(tmp_path / "nope"), fmt="jsn")

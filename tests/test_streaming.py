@@ -997,3 +997,33 @@ def test_semdedup_stream_refuses_flipped_quantize_store(spark, tmp_path):
     # the guard fired before any write: layout unchanged, no id-10 row
     assert "v" not in store.columns
     assert sorted(r.vid for r in store.collect()) == [0, 1, 2]
+
+
+def test_curate_stream_releases_pinned_frames_on_bad_lm_dir(spark, tmp_path):
+    """r6 (ADVICE): a bad lm_dir must not leak the already-persisted
+    eval-gram frame for the session — setup unpins before re-raising."""
+    from lakeflush_spark.streaming.curation import CurationStreamConfig, curate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _add_parquet_file(spark, tmp_path, src, "b1", [(1, "hello world")])
+    spark.createDataFrame(
+        [(100, "eval doc text here")], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "eval"))
+
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        eval_dir=str(tmp_path / "eval"),
+        lm_dir=str(tmp_path / "no_such_lm"),
+        lm_min_logprob=-10.0,
+    )
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    with pytest.raises(Exception):
+        curate_stream(spark, cfg)
+    n_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_after == n_before

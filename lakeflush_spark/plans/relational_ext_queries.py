@@ -194,6 +194,71 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_BUCKETS = 1 << 16
 _LM_DOC_LIMIT = 100
 
+# 'bpe' label (r6): the BPE trainer's merge table, replayed move-for-
+# move by DuckDB. The oracle unrolls the merge loop as MATERIALIZED
+# CTE pairs (pair-count -> argmax -> rewrite): each word rides as a
+# '|hex(sym)|'-wrapped sequence string, and one SQL replace() per
+# iteration performs the greedy LEFT-TO-RIGHT NON-OVERLAPPING merge
+# (replace's own semantics; the shared '|' would break consecutive
+# merges, hence the double separator). Hex-encoding makes separators
+# collision-free for arbitrary token bytes while preserving
+# lexicographic tie-break order (bytewise == hex-string order).
+_BPE_MERGES = 12
+_BPE_MAX_WORDS = 2000
+_BPE_EOW_HEX = "</w>".encode().hex().upper()
+
+
+def _bpe_replay_ctes(n_merges: int, max_words: int) -> tuple[str, str]:
+    """(CTE text, UNION-branch SQL) for the DuckDB merge-loop replay.
+    MATERIALIZED is load-bearing: each state CTE is referenced twice
+    (pair count + next rewrite), and inlining would re-evaluate the
+    whole chain exponentially."""
+    ctes = [
+        f"""bpeh AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w != '' GROUP BY w ORDER BY cnt DESC, w LIMIT {max_words})""",
+        f"""bst0 AS MATERIALIZED (
+        SELECT seq, string_split(trim(seq, '|'), '||') AS syms, cnt FROM (
+            SELECT array_to_string(
+                       list_transform(range(1, length(w) + 1),
+                                      i -> '|' || hex(w[i]) || '|'), '')
+                   || '|{_BPE_EOW_HEX}|' AS seq, cnt
+            FROM bpeh))""",
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"""bp{i} AS MATERIALIZED (
+        SELECT p.l AS l, p.r AS r, SUM(cnt) AS pc FROM (
+            SELECT unnest(list_transform(range(1, len(syms)),
+                       j -> struct_pack(l := syms[j], r := syms[j + 1]))) AS p, cnt
+            FROM bst{i})
+        GROUP BY p.l, p.r)"""
+        )
+        ctes.append(
+            f"bb{i} AS MATERIALIZED (SELECT l, r FROM bp{i} "
+            "WHERE pc >= 2 ORDER BY pc DESC, l, r LIMIT 1)"
+        )
+        if i + 1 < n_merges:
+            ctes.append(
+                f"""bst{i + 1} AS MATERIALIZED (
+        SELECT seq, string_split(trim(seq, '|'), '||') AS syms, cnt FROM (
+            SELECT replace(s.seq, '|' || b.l || '||' || b.r || '|',
+                           '|' || b.l || b.r || '|') AS seq, s.cnt
+            FROM bst{i} s CROSS JOIN bb{i} b))"""
+            )
+    ranks = "\n        UNION ALL ".join(
+        f"SELECT {i} AS rk, l, r FROM bb{i}" for i in range(n_merges)
+    )
+    branch = f"""
+        SELECT 'bpe', decode(unhex(l)), decode(unhex(r)),
+               CAST(rk AS BIGINT), NULL::BIGINT, NULL::BIGINT
+        FROM ({ranks})"""
+    return ",\n    ".join(ctes), branch
+
+
+_BPE_CTES, _BPE_BRANCH = _bpe_replay_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
+
 
 @declare(
     "q41_wordcount_topk",
@@ -209,7 +274,8 @@ _LM_DOC_LIMIT = 100
         FROM t),
     bg AS (SELECT doc_id, p.h1 AS h1, p.h2 AS h2 FROM bgl),
     counts AS (SELECT h1, h2, COUNT(*)::BIGINT AS c12 FROM bg GROUP BY h1, h2),
-    ctx AS (SELECT h1, SUM(c12)::BIGINT AS c1 FROM counts GROUP BY h1)
+    ctx AS (SELECT h1, SUM(c12)::BIGINT AS c1 FROM counts GROUP BY h1),
+    {_BPE_CTES}
     SELECT method, k1, k2, n1, n2, n3 FROM (
         SELECT 'word' AS method, token AS k1, '' AS k2,
                cnt AS n1, NULL::BIGINT AS n2, NULL::BIGINT AS n3
@@ -237,8 +303,10 @@ _LM_DOC_LIMIT = 100
         LEFT JOIN ctx x ON bg.h1 = x.h1
         WHERE bg.doc_id < {_LM_DOC_LIMIT}
         GROUP BY bg.doc_id
+        UNION ALL
+        {_BPE_BRANCH}
     )
-    ORDER BY method, k1, k2
+    ORDER BY method, k1, k2, n1
     """,
     "Corpus counting suite, three labels in one frame: 'word' = "
     "explode/UNNEST word count with deterministic top-100 (cnt DESC, "
@@ -250,7 +318,11 @@ _LM_DOC_LIMIT = 100
     "the exact-integer core of lm_logprob_scores; the log-smoothing on "
     "top is pure row-local math, unit-tested). The oracle rebuilds the "
     "full LM train + scoring joins. (r5: merged the LM filter into "
-    "q41's slot.)",
+    "q41's slot.) r6 adds 'bpe': operators/bpe.train_bpe's ordered "
+    f"merge table ({_BPE_MERGES} merges over the {_BPE_MAX_WORDS}-word "
+    "capped histogram), with the oracle replaying the complete merge "
+    "loop in unrolled MATERIALIZED CTEs — hex-wrapped symbol strings "
+    "where SQL replace() IS the greedy left-to-right merge.",
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.lm_filter import _hashed_bigrams, train_bigram_lm
@@ -307,8 +379,31 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1", "n2", "n3",
         )
     )
-    return word.unionByName(lm_label).unionByName(doc_label).orderBy(
-        "method", "k1", "k2"
+    # 'bpe' (r6): the REAL trainer (Spark histogram + driver merge loop
+    # on the bounded state) — the merge table is the artifact being
+    # hash-verified; the oracle replays the whole loop in SQL
+    from lakeflush_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(docs, n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS)
+    bpe_label = spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rk long, l string, r string",
+    ).select(
+        F.lit("bpe").alias("method"),
+        F.col("l").alias("k1"),
+        F.col("r").alias("k2"),
+        F.col("rk").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+    )
+    # n1 tie-break: the same (left, right) pair can legally be merged
+    # at two ranks (a later merge can recreate the adjacency), and the
+    # suite order must stay total
+    return (
+        word.unionByName(lm_label)
+        .unionByName(doc_label)
+        .unionByName(bpe_label)
+        .orderBy("method", "k1", "k2", "n1")
     )
 
 

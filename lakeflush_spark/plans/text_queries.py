@@ -368,7 +368,22 @@ _SAMPLE_PCT = 10
                ('0x' || substring(md5('0:' || doc_id::VARCHAR), 1, 8))::BIGINT AS mixb,
                md5('0:' || doc_id::VARCHAR) AS skey,
                CAST(substring(source, 4) AS INT) AS sidx
-        FROM documents)
+        FROM documents),
+    srctok AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+        FROM d GROUP BY source),
+    alltok AS (SELECT SUM(src_tokens) AS all_tokens FROM srctok),
+    langpred AS (SELECT source, {_sql_lang_case()} AS lp FROM documents),
+    lmode AS (
+        SELECT source, lp, cnt, tot FROM (
+            SELECT source, lp, COUNT(*) AS cnt,
+                   SUM(COUNT(*)) OVER (PARTITION BY source) AS tot,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY COUNT(*) DESC, lp DESC
+                   ) AS rn
+            FROM langpred GROUP BY source, lp)
+        WHERE rn = 1)
     SELECT kind, key, n_docs, sum_tokens FROM (
         SELECT 'stratified' AS kind, lang AS key,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -387,6 +402,14 @@ _SAMPLE_PCT = 10
             FROM d)
         WHERE prec < 300 + (CAST(substring(source, 4) AS INT) % 5) * 150
         GROUP BY source
+        UNION ALL
+        SELECT 'card', source, n_docs, src_tokens FROM srctok
+        UNION ALL
+        SELECT 'card_top', source || ':' || lp,
+               CAST(ROUND(ROUND(cnt::DOUBLE / tot, 4) * 10000, 0) AS BIGINT),
+               CAST(ROUND(ROUND(src_tokens::DOUBLE / all_tokens, 4) * 10000, 0)
+                    AS BIGINT)
+        FROM lmode JOIN srctok USING (source) CROSS JOIN alltok
     ) ORDER BY kind, key
     """,
     "Deterministic sampling & training-mix suite, three strategies "
@@ -398,7 +421,13 @@ _SAMPLE_PCT = 10
     "running-sum window over the seeded shuffle order). All three are "
     "map-only or one-window plans keyed on md5(seed:id), so partition "
     "layout, retries and re-runs cannot change the selection. "
-    "(r4: merged mixing into the sampling entry.)",
+    "(r4: merged mixing into the sampling entry.) r6 adds the "
+    "'card'/'card_top' labels: the EXACT columns of operators/report."
+    "corpus_report (per-source doc/token counts, and the language mode "
+    "+ its share and the token share as x10000 integers) — the oracle "
+    "rebuilds the whole card incl. the lang_id mode via the SQL lang "
+    "CASE twin. The sketch quantiles and float-summation averages stay "
+    "outside the hash (unit-tested instead; see report.py).",
 )
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.mixing import mix_sources, take_token_budget
@@ -431,4 +460,30 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         "budget",
         "source",
     )
-    return strat.unionByName(mixed).unionByName(budget).orderBy("kind", "key")
+    # 'card'/'card_top' (r6): the REAL corpus_report operator feeds the
+    # hash — its exact columns re-shaped into this suite's
+    # (kind, key, bigint, bigint) frame; shares ride as x10000 ints
+    # (integral up to float eps after the 4dp round, so the final
+    # 0-dp round is engine-safe).
+    from lakeflush_spark.operators.report import corpus_report
+
+    rep = corpus_report(load_table(spark, sf_dir, "documents"))
+    card = rep.select(
+        F.lit("card").alias("kind"),
+        F.col("source").alias("key"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").alias("sum_tokens"),
+    )
+    card_top = rep.select(
+        F.lit("card_top").alias("kind"),
+        F.concat_ws(":", "source", "top_lang").alias("key"),
+        F.round(F.col("top_lang_share") * 10000).cast("bigint").alias("n_docs"),
+        F.round(F.col("token_share") * 10000).cast("bigint").alias("sum_tokens"),
+    )
+    return (
+        strat.unionByName(mixed)
+        .unionByName(budget)
+        .unionByName(card)
+        .unionByName(card_top)
+        .orderBy("kind", "key")
+    )

@@ -173,6 +173,15 @@ class CurationStats:
     #: final count after the optional repeated-passage and
     #: decontamination stages; equals after_near_dedup when both are off
     after_decontam: int | None = None
+    #: hot-bucket cap observability (r6): buckets over
+    #: ``near_dup_max_bucket`` and the rows the cap trimmed from them
+    #: ('drop' removes whole hot buckets — rows_in_hot; 'sample' trims
+    #: rows_over_cap). None when no cap is configured. A capped run
+    #: that looks "done" while silently skipping 10% of its buckets is
+    #: the failure mode these numbers make visible.
+    near_dup_hot_buckets: int | None = None
+    near_dup_hot_rows_in: int | None = None
+    near_dup_rows_over_cap: int | None = None
 
 
 def _iterative_near_dup_losers(pairs: DataFrame, iters: int, id_col: str) -> DataFrame:
@@ -430,7 +439,33 @@ def curate_documents(
         _mark(res.contaminated, "decontaminated")
         curated = res.clean
     n_final = curated.count()
-    stats = CurationStats(int(agg.n_in), int(agg.n_filt), n_exact, n_near, n_final)
+    hot_b = hot_in = hot_over = None
+    if cfg.near_dup_max_bucket is not None:
+        # cap observability (r6): one extra map-only minhash pass +
+        # tiny-band groupBy, paid ONLY when a cap is configured — the
+        # numbers say how much recall the cap traded away this run
+        from lakeflush_spark.operators.dedup import (
+            band_table,
+            hot_bucket_stats,
+            with_minhash,
+        )
+
+        hb = hot_bucket_stats(
+            band_table(with_minhash(exact, tc), cfg.id_col),
+            ["band_idx", "bh"],
+            cfg.near_dup_max_bucket,
+        ).first()
+        hot_b, hot_in, hot_over = (
+            int(hb.n_hot_buckets),
+            int(hb.n_rows_in_hot),
+            int(hb.n_rows_over_cap),
+        )
+    stats = CurationStats(
+        int(agg.n_in), int(agg.n_filt), n_exact, n_near, n_final,
+        near_dup_hot_buckets=hot_b,
+        near_dup_hot_rows_in=hot_in,
+        near_dup_rows_over_cap=hot_over,
+    )
     if not return_provenance:
         return curated, stats
     provenance = prov[0]

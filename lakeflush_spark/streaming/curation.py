@@ -30,7 +30,9 @@ stores accumulating rows for documents that never entered the corpus.
 
 Auditability: every batch appends one stats row
 (n_in / n_filtered / n_lm_filtered / n_exact_dup / n_near_dup / n_contaminated /
-n_out) to a queryable parquet stats store under the same (run, batch)
+n_out, plus n_hot_buckets / n_hot_rows_trimmed — the hot-bucket cap's
+per-batch recall trade, NULL when no cap is configured) to a
+queryable parquet stats store under the same (run, batch)
 exactly-once layout — the streaming twin of the batch pipeline's
 per-stage stats frame. Stage counts are computed from the persisted
 per-stage frames of ONE pass (count jobs over already-materialized or
@@ -261,9 +263,10 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             # set (bounded by batch size) feeds the anti-join AND stats
             sigged = with_minhash(fresh, text_col=cfg.text_col)
             hist = _read_store(sp, cfg.sig_dir, batch_id, run)
+            batch_bands = _bands_long(sigged, cfg.id_col)
             nd_dropped = _pin(
                 near_dup_dropped_ids(
-                    _bands_long(sigged, cfg.id_col),
+                    batch_bands,
                     hist,
                     cfg.near_dup_threshold,
                     cfg.near_dup_max_bucket,
@@ -272,6 +275,23 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 )
             )
             nd_count = nd_dropped.count()
+            # cap observability (r6): what the hot-bucket cap trimmed
+            # THIS batch (None columns when no cap is configured)
+            n_hot = n_hot_over = None
+            if cfg.near_dup_max_bucket is not None:
+                from lakeflush_spark.streaming.dedup import (
+                    near_dup_hot_bucket_stats,
+                )
+
+                hb = near_dup_hot_bucket_stats(
+                    batch_bands, hist, cfg.near_dup_max_bucket
+                ).first()
+                n_hot = int(hb.n_hot_buckets)
+                n_hot_over = int(
+                    hb.n_rows_in_hot
+                    if cfg.near_dup_hot_bucket_mode == "drop"
+                    else hb.n_rows_over_cap
+                )
             sigged = sigged.join(F.broadcast(nd_dropped), cfg.id_col, "left_anti")
 
             # 4. decontamination vs the static broadcast eval grams
@@ -329,11 +349,14 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                         nd_count,
                         n_exact - n_out - nd_count,
                         n_out,
+                        n_hot,
+                        n_hot_over,
                     )
                 ],
                 "run string, batch long, n_in long, n_filtered long, "
                 "n_lm_filtered long, n_exact_dup long, n_near_dup long, "
-                "n_contaminated long, n_out long",
+                "n_contaminated long, n_out long, "
+                "n_hot_buckets long, n_hot_rows_trimmed long",
             )
             _writer(stats, cfg.stats_dir)
         finally:

@@ -362,6 +362,26 @@ def near_dup_dropped_ids(
     )
 
 
+def near_dup_hot_bucket_stats(
+    new_bands: DataFrame, hist: DataFrame | None, max_bucket: int
+) -> DataFrame:
+    """ONE-row hot-bucket counts over EXACTLY the frame
+    :func:`near_dup_dropped_ids` caps (batch bands ∪ touched history
+    bands) — the streaming face of ``operators.dedup.
+    hot_bucket_stats`` (r6 cap observability; see that docstring)."""
+    from lakeflush_spark.operators.dedup import hot_bucket_stats
+
+    all_bands = new_bands.select("doc", "band_idx", "bh")
+    if hist is not None:
+        touched = new_bands.select("band_idx", "bh").distinct()
+        all_bands = all_bands.unionByName(
+            hist.select("doc", "band_idx", "bh").join(
+                F.broadcast(touched), ["band_idx", "bh"], "semi"
+            )
+        )
+    return hot_bucket_stats(all_bands, ["band_idx", "bh"], max_bucket)
+
+
 def list_runs(spark: SparkSession, store_dir: str) -> list[str]:
     """Distinct stream-generation tags present in a ``(run, batch)``-
     partitioned store (sorted). Empty/missing store → []."""

@@ -300,3 +300,27 @@ def test_curation_provenance_names_the_dropping_stage(spark):
     }
     # provenance and survivors partition the input exactly
     assert sorted(kept + list(got)) == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_curation_hot_bucket_cap_observability(spark):
+    """r6: a configured near-dup cap reports how much it trimmed; no
+    cap reports None. Planted hot bucket: many near-identical docs
+    share band hashes, so a cap of 2 must flag >= 1 hot bucket."""
+    common = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, f"{common} tail{i}", "en") for i in range(20)]
+    rows += [(100 + i, f"totally unrelated document number {i} with words {i * 7}", "en")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    capped_cfg = CurationConfig(
+        min_tokens=1, near_dup_threshold=0.9,
+        near_dup_max_bucket=2, near_dup_hot_bucket_mode="sample",
+    )
+    _, stats = curate_documents(spark, docs, capped_cfg)
+    assert stats.near_dup_hot_buckets and stats.near_dup_hot_buckets > 0
+    assert stats.near_dup_rows_over_cap > 0
+    assert stats.near_dup_hot_rows_in > stats.near_dup_rows_over_cap
+
+    _, stats_nocap = curate_documents(spark, docs, CurationConfig(min_tokens=1))
+    assert stats_nocap.near_dup_hot_buckets is None
+    assert stats_nocap.near_dup_rows_over_cap is None

@@ -1027,3 +1027,42 @@ def test_curate_stream_releases_pinned_frames_on_bad_lm_dir(spark, tmp_path):
         curate_stream(spark, cfg)
     n_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert n_after == n_before
+
+
+def test_curate_stream_hot_bucket_cap_in_stats(spark, tmp_path):
+    """r6: the per-batch audit row carries the hot-bucket cap's recall
+    trade (n_hot_buckets / n_hot_rows_trimmed); NULL when uncapped."""
+    from lakeflush_spark.streaming.curation import CurationStreamConfig, curate_stream
+
+    common = "the quick brown fox jumps over the lazy dog again and again today"
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(i, f"{common} tail{i}") for i in range(20)]
+    _add_parquet_file(spark, tmp_path, src, "b1", rows)
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        near_dup_threshold=0.95,
+        near_dup_max_bucket=2,
+        near_dup_hot_bucket_mode="sample",
+    )
+    curate_stream(spark, cfg).awaitTermination(180)
+    row = spark.read.parquet(cfg.stats_dir).orderBy("batch").collect()[-1]
+    assert row.n_hot_buckets > 0 and row.n_hot_rows_trimmed > 0
+
+    # uncapped stream: columns present but NULL
+    cfg2 = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest2"),
+        digest_dir=str(tmp_path / "digests2"),
+        sig_dir=str(tmp_path / "sigs2"),
+        stats_dir=str(tmp_path / "stats2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    curate_stream(spark, cfg2).awaitTermination(180)
+    row2 = spark.read.parquet(cfg2.stats_dir).collect()[0]
+    assert row2.n_hot_buckets is None and row2.n_hot_rows_trimmed is None

@@ -65,6 +65,31 @@ suite-mode numbers; the deltas are the new labels' paid-for work
 (cluster CC, LM train+witnesses, strip rewrite verify, SemDedup), not
 plan regressions (PLANS.md shapes unchanged since the regen).
 
+Steady-state semdedup_stream (scripts/semdd_steady.py, r6 — per
+round-5 VERDICT item 3): the suite's `semdd_stream_vecs_s` (289 in
+r5) is a COLD number — one 2k-vector batch against an empty store,
+fixed-cost-dominated. Warm multi-batch measurement at 10x the data
+(20k vectors, five 4k-vector batches, one stream, store populated
+after batch 0): warm batches ~11.7 s each ≈ 342 vecs/s at the default
+n_cells=16. Per-batch phase split (replaying a batch through the
+stream's own ops against the final store): centroid load 0.13 s,
+history read+prune 0.27 s, store overwrite 0.33 s, verify join
+5.6 s — so the steady state is NOT fixed-cost-bound; the
+within-cell cosine verify dominates, exactly the knob the SemDedup
+design names. Proof the knob works end-to-end with the r6 broadcast
+centroid plumbing: the same run at n_cells=64 → verify join 2.1 s,
+warm 655 vecs/s (5.7-6.1 s/batch). Throughput scales with cell
+granularity, not with tuning tricks — size n_cells to the corpus as
+SURVEY §2.C prescribes.
+
+Scale-smoke ivf_assign (r6): quantizer BUILD cost is flat in n_cells
+(0.37 s at 16 vs 0.39 s at 1024 cells on a 40k-vector corpus) now
+that centroids distribute via createDataFrame + collect_list packing
+instead of a parsed SQL VALUES literal; assignment grows only with
+the per-row centroid scan (3.9 s -> 17.3 s for 64x the cells — the
+unavoidable JVM compute, amortized by the finer cells' smaller
+verify joins downstream).
+
 Scale-smoke (scripts/scale_smoke.py, r5): the dedup/selection hot
 paths on a 20×-replicated corpus (100k docs, token-salted so pair
 counts stay ~linear) vs the same run at 4× (20k docs) — exact dedup

@@ -65,6 +65,19 @@ suite-mode numbers; the deltas are the new labels' paid-for work
 (cluster CC, LM train+witnesses, strip rewrite verify, SemDedup), not
 plan regressions (PLANS.md shapes unchanged since the regen).
 
+r6 isolated warm re-measures (three back-to-back noop-sink runs,
+first = cold) after the r6 plan moves: q60 [9.0, 2.7, 2.4] s — the
++~1.6 s over r5's 0.87 is the new 'card'/'card_top' labels
+(corpus_report's two aggregation scans + lang-ID pass, now
+hash-verified); q41 [6.5, 4.2, 4.0] s — +~1.5 s is the new 'bpe'
+label (word-histogram top-k + driver merge loop, now hash-verified);
+q55 [2.9, 1.9, 1.7] s and q28 [2.2, 2.1, 1.8] s — the centroid
+plumbing swap (createDataFrame + collect_list packing replacing the
+SQL VALUES literal) is shape-neutral per PLANS.md (q28 row
+unchanged, q55 +1 WSC span) and within variance at sf0.1; its win
+is the removed O(n_cells x dims) driver parse cost (see the
+ivf_assign scale-smoke note below).
+
 Steady-state semdedup_stream (scripts/semdd_steady.py, r6 — per
 round-5 VERDICT item 3): the suite's `semdd_stream_vecs_s` (289 in
 r5) is a COLD number — one 2k-vector batch against an empty store,
@@ -81,6 +94,17 @@ centroid plumbing: the same run at n_cells=64 → verify join 2.1 s,
 warm 655 vecs/s (5.7-6.1 s/batch). Throughput scales with cell
 granularity, not with tuning tricks — size n_cells to the corpus as
 SURVEY §2.C prescribes.
+
+Two-level assignment (r6, opt-in `coarse_cells`/`assign_coarse_
+cells`): at n_cells=1024 x 64 dims over 20k vectors, flat assignment
+scans every centroid per row — 39.9 s; the coarse->fine scan (32
+super-cells) does the same job in 5.8 s (6.9x) with 100% cell
+agreement and 100% IVF top-10 overlap on the synthetic corpus
+(agreement is corpus-dependent near coarse boundaries — the
+documented approximation; raise coarse_probe to recover). This is
+the knob that keeps assignment viable when n_cells grows with the
+corpus (the SemDedup paper's 50k-cluster regime: ~450 scored
+centroids per row instead of 50k).
 
 Scale-smoke ivf_assign (r6): quantizer BUILD cost is flat in n_cells
 (0.37 s at 16 vs 0.39 s at 1024 cells on a 40k-vector corpus) now

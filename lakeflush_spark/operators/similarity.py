@@ -259,11 +259,89 @@ def _cells_as_one_row(spark, cent_rows: list) -> DataFrame:
     return _pack_cells(cent)
 
 
+# ---------------------------------------------------------------------------
+# Two-level (coarse -> fine) assignment — the opt-in scale path for
+# corpus-proportional n_cells. Flat assignment scans every centroid
+# per row: O(n_cells × dims) — fine at 10²-10³ cells, prohibitive at
+# the SemDedup paper's 50k. The two-level variant groups the fine
+# centroids under ~sqrt(n_cells) coarse super-cells (built with the
+# SAME deterministic md5-seed recipe, over the centroids themselves),
+# and each row scans coarse + one coarse group's fine members:
+# O((sqrt(n) + n/sqrt(n)) × dims) ≈ 450 vs 50k scored centroids at
+# n_cells=50k. APPROXIMATE: a vector near a coarse boundary may land
+# in a near- rather than nearest fine cell (raise ``coarse_probe`` to
+# recover recall) — so the hash-verified contract paths keep flat
+# assignment, and callers opt in via the ``coarse_cells`` knobs.
+# Deterministic given the corpus (no RNG anywhere).
+# ---------------------------------------------------------------------------
+
+
+def _pack_cells_two_level(cent_df: DataFrame, n_coarse: int) -> DataFrame:
+    """ONE-row frame ``(_coarse: array<struct>, _fine: map<coarse_id,
+    array<struct>>)``: the coarse quantizer over the centroids
+    themselves, plus each coarse group's fine members — everything a
+    map-only two-level assignment pass needs, broadcast once."""
+    as_corpus = cent_df.select(
+        F.col("cell_id").alias("vid"), F.col("cv").alias("v"), F.col("cnrm").alias("nrm")
+    )
+    coarse = centroid_frame(as_corpus, n_coarse)
+    grouped = _nearest_cells(as_corpus, _pack_cells(coarse), 1).select(
+        F.col("cell_id").alias("coarse_id"),
+        F.struct(
+            F.col("vid").alias("cell_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        ).alias("m"),
+    )
+    fine_map = (
+        grouped.groupBy("coarse_id")
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("coarse_id", "ms")))
+            ).alias("_fine")
+        )
+    )
+    return _pack_cells(coarse).crossJoin(fine_map)
+
+
+def _nearest_cells_two_level(
+    vectors: DataFrame, packed2: DataFrame, n: int, coarse_probe: int = 1
+) -> DataFrame:
+    """Two-level :func:`_nearest_cells`: per row, rank the coarse
+    array, take the ``coarse_probe`` best groups, score ONLY their
+    fine members, keep the top ``n`` — still a pure map stage over a
+    broadcast one-row frame, no shuffle of the vector side."""
+    score = lambda c: F.struct(  # noqa: E731
+        (-F.round(
+            dot_product(F.col("v"), c.getField("cv"))
+            / (F.col("nrm") * c.getField("cnrm")),
+            6,
+        )).alias("neg"),
+        c.getField("cell_id").alias("cell_id"),
+    )
+    coarse_top = F.slice(
+        F.array_sort(F.transform(F.col("_cells"), score)), 1, coarse_probe
+    )
+    cand = F.flatten(
+        F.transform(coarse_top, lambda c: F.element_at(F.col("_fine"), c["cell_id"]))
+    )
+    top = F.slice(F.array_sort(F.transform(cand, score)), 1, n)
+    return (
+        vectors.crossJoin(F.broadcast(packed2))
+        .withColumn("_cell", F.explode(top))
+        .withColumn("cell_id", F.col("_cell.cell_id"))
+        .drop("_cell", "_cells", "_fine")
+    )
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
     n_cells: int = 16,
     kmeans_iters: int = 0,
+    coarse_cells: int | None = None,
+    coarse_probe: int = 1,
 ) -> DataFrame:
     """SemDedup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     near-dup pairs via cluster-then-compare — cluster the corpus with
@@ -290,9 +368,21 @@ def semantic_dedup_pairs(
     # createDataFrame + collect_list packing — zero SQL-literal
     # build/parse cost, so n_cells can grow with the corpus. An empty
     # corpus flows through as an empty packed array → empty pair frame.
+    # ``coarse_cells`` opts into the two-level assignment (see the
+    # section comment above): same pairing/drop semantics, assignment
+    # approximate at coarse boundaries — the documented recall trade
+    # once n_cells reaches the 10⁴-10⁵ corpus-proportional regime.
     cents = ivf_centroids(corpus, n_cells, kmeans_iters)
     cells_1row = _cells_as_one_row(corpus.sparkSession, cents)
-    indexed = _nearest_cells(corpus, cells_1row, 1)
+    if coarse_cells is not None:
+        cent_df = corpus.sparkSession.createDataFrame(
+            [(int(c), [float(x) for x in v], float(nn)) for c, v, nn in cents],
+            "cell_id long, cv array<double>, cnrm double",
+        )
+        packed2 = _pack_cells_two_level(cent_df, coarse_cells)
+        indexed = _nearest_cells_two_level(corpus, packed2, 1, coarse_probe)
+    else:
+        indexed = _nearest_cells(corpus, cells_1row, 1)
     a, b = indexed.alias("a"), indexed.alias("b")
     return (
         a.join(
@@ -349,6 +439,8 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     kmeans_iters: int = 0,
+    coarse_cells: int | None = None,
+    coarse_probe: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their 1 nearest
     cell; each query probes its ``nprobe`` nearest cells; scoring is
@@ -363,10 +455,23 @@ def ivf_topk(
     # top-k, list reused across BOTH _nearest_cells passes below (a
     # frame-lineage formulation would re-run the corpus seed scan per
     # consumer), createDataFrame distribution, no SQL literal.
+    # ``coarse_cells`` opts both passes into two-level assignment
+    # (queries default to coarse_probe=2: probing a second coarse
+    # group recovers most boundary recall for ~2x the bounded scan).
     cents = ivf_centroids(corpus, n_cells, kmeans_iters)
     cells_1row = _cells_as_one_row(corpus.sparkSession, cents)
-    indexed = _nearest_cells(corpus, cells_1row, 1)
-    probes = _nearest_cells(queries, cells_1row, nprobe).select(
+    if coarse_cells is not None:
+        cent_df = corpus.sparkSession.createDataFrame(
+            [(int(c), [float(x) for x in v], float(nn)) for c, v, nn in cents],
+            "cell_id long, cv array<double>, cnrm double",
+        )
+        packed2 = _pack_cells_two_level(cent_df, coarse_cells)
+        indexed = _nearest_cells_two_level(corpus, packed2, 1, 1)
+        probe_src = _nearest_cells_two_level(queries, packed2, nprobe, coarse_probe)
+    else:
+        indexed = _nearest_cells(corpus, cells_1row, 1)
+        probe_src = _nearest_cells(queries, cells_1row, nprobe)
+    probes = probe_src.select(
         F.col("vid").alias("qid"), F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"), F.col("cell_id").alias("qcell"),
     )

@@ -22,9 +22,10 @@ Per micro-batch:
 3. **History pruning**: the vector store is scanned, never shuffled —
    a broadcast semi-join on the batch's touched cell ids prunes it
    (cells are the unit of comparison, so untouched cells cannot
-   matter); at scale, partitioning the store by ``cell`` upgrades the
-   prune to partition elimination (same upgrade path as the digest
-   store's ``_dp`` prefixes).
+   matter); with ``cell_partitions=True`` (r6) the store is
+   partitioned by ``_cp = cell_id % 256`` and the prune upgrades to
+   partition ELIMINATION — directories of untouched cells are never
+   even listed (the digest store's ``_dp`` upgrade path, delivered).
 4. **One cell equi-join** covers batch-vs-history and batch-vs-
    lower-id-batchmate pairs; the 4dp-rounded cosine ≥ threshold drops
    the arriving vector (greedy min-id, the batch semantics).
@@ -91,6 +92,24 @@ class StreamSemDedupConfig:
     #: most the last ~1e-3 of cosine — the standard storage trade.
     #: Must be constant over a store's lifetime.
     quantize_store: bool = False
+    #: partition the vector store by ``_cp = cell_id % 256`` under
+    #: each (run, batch) — the named upgrade path from the digest
+    #: store's ``_dp`` prefixes: a batch that touches k cells then
+    #: READS ~k/256 of history via partition ELIMINATION (directory
+    #: pruning) before the broadcast semi-join refines to exact cells.
+    #: Worth it once history dwarfs batches; like ``quantize_store``,
+    #: must stay constant for a store's life (layout-guarded).
+    cell_partitions: bool = False
+    #: opt into two-level (coarse -> fine) assignment with this many
+    #: coarse super-cells (operators/similarity section comment):
+    #: bounds the per-vector centroid scan at
+    #: O(coarse + n_cells/coarse) — the knob for corpus-proportional
+    #: n_cells. Approximate at coarse boundaries, and like the other
+    #: layout knobs it must stay CONSTANT for a store's life (mixed
+    #: flat/two-level generations could assign a near-boundary
+    #: duplicate to different cells and miss the pair).
+    assign_coarse_cells: int | None = None
+    assign_coarse_probe: int = 1
     max_files_per_trigger: int | None = None
 
 
@@ -155,7 +174,18 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
         cents = _load_or_init_centroids(sp, cfg, vecs)
         if cents is None:  # empty first batch: nothing to admit or store
             return
-        indexed = _nearest_cells(vecs, _pack_cells(cents), 1).persist()
+        if cfg.assign_coarse_cells is not None:
+            from lakeflush_spark.operators.similarity import (
+                _nearest_cells_two_level,
+                _pack_cells_two_level,
+            )
+
+            packed2 = _pack_cells_two_level(cents, cfg.assign_coarse_cells)
+            indexed = _nearest_cells_two_level(
+                vecs, packed2, 1, cfg.assign_coarse_probe
+            ).persist()
+        else:
+            indexed = _nearest_cells(vecs, _pack_cells(cents), 1).persist()
         dropped = None
         try:
             hist = _read_store(sp, cfg.vec_dir, batch_id, run)
@@ -164,7 +194,29 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
             ).withColumn("hist", F.lit(False))
             others = new_tag
             if hist is not None:
+                if ("_cp" in hist.columns) != cfg.cell_partitions:
+                    have = "cell-partitioned" if "_cp" in hist.columns else "flat"
+                    raise ValueError(
+                        f"{cfg.vec_dir} is a {have} store but "
+                        f"cell_partitions={cfg.cell_partitions} — the "
+                        "layout must stay constant for a store's life; "
+                        "flip the config back or rebuild the store"
+                    )
                 touched = indexed.select("cell_id").distinct()
+                if cfg.cell_partitions and "_cp" in hist.columns:
+                    # partition ELIMINATION first: _cp is a partition
+                    # column, so the isin prunes whole directories of
+                    # history before any row is read (bounded collect:
+                    # <= 256 values from the pinned batch)
+                    cps = [
+                        r._cp
+                        for r in indexed.select(
+                            F.pmod(F.col("cell_id"), F.lit(256)).alias("_cp")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    hist = hist.where(F.col("_cp").isin(cps))
                 if "qv" in hist.columns and "v" in hist.columns:
                     # quantize_store was FLIPPED mid-life: old and new
                     # partitions carry different vector columns, and a
@@ -254,10 +306,16 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
                 )
             else:
                 store = out.select("vid", "cell_id", "v", "nrm", "run", "batch")
+            store_parts = ["run", "batch"]
+            if cfg.cell_partitions:
+                store = store.withColumn(
+                    "_cp", F.pmod(F.col("cell_id"), F.lit(256))
+                )
+                store_parts = ["run", "batch", "_cp"]
             (
                 store.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("run", "batch")
+                .partitionBy(*store_parts)
                 .parquet(cfg.vec_dir)
             )
             survivors = batch_df.join(

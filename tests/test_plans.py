@@ -35,6 +35,10 @@ NLJ_ALLOWED = {
     "q48_correlated_exists",
     "q49_cross_join",
     "q58_sequence_packing",
+    # r6: the 'card' labels ride corpus_report, whose token_share
+    # divisor is a ONE-row broadcast total crossed into the per-source
+    # frame (same bounded 1-row pattern as q58's doc_id-bounds frame)
+    "q60_stratified_sample",
 }
 
 # queries that run driver-side actions or streaming at build time —

@@ -1066,3 +1066,102 @@ def test_curate_stream_hot_bucket_cap_in_stats(spark, tmp_path):
     curate_stream(spark, cfg2).awaitTermination(180)
     row2 = spark.read.parquet(cfg2.stats_dir).collect()[0]
     assert row2.n_hot_buckets is None and row2.n_hot_rows_trimmed is None
+
+
+def test_semdedup_stream_cell_partitioned_store(spark, tmp_path):
+    """r6: cell_partitions=True lays the store out as
+    run/batch/_cp=<cell_id%256> so history pruning is partition
+    elimination; cross-batch dedup still works, and a flipped layout
+    config fails fast."""
+    import dataclasses
+    import os as _os
+    import random
+
+    from lakeflush_spark.streaming.semdedup import (
+        StreamSemDedupConfig,
+        semdedup_stream,
+    )
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    other = [rng.uniform(-1, 1) for _ in range(16)]
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamSemDedupConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        vec_dir=str(tmp_path / "vecs"),
+        cent_dir=str(tmp_path / "cents"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.95,
+        n_cells=2,
+        cell_partitions=True,
+    )
+    schema = "vec_id long, embedding array<double>"
+    _add_parquet_file(spark, tmp_path, src, "b1", [(1, base), (2, other)], schema)
+    semdedup_stream(spark, cfg).awaitTermination(180)
+    # layout: run=.../batch=.../_cp=N directories
+    run_dir = next(p for p in _os.listdir(cfg.vec_dir) if p.startswith("run="))
+    batch_dir = next(
+        p
+        for p in _os.listdir(_os.path.join(cfg.vec_dir, run_dir))
+        if p.startswith("batch=")
+    )
+    leaves = _os.listdir(_os.path.join(cfg.vec_dir, run_dir, batch_dir))
+    assert any(p.startswith("_cp=") for p in leaves)
+
+    # a later batch still drops the near-copy of admitted history
+    near = [x + rng.uniform(-1e-4, 1e-4) for x in base]
+    _add_parquet_file(spark, tmp_path, src, "b2", [(10, near)], schema)
+    semdedup_stream(spark, cfg).awaitTermination(180)
+    got = sorted(r.vec_id for r in spark.read.parquet(cfg.dest_dir).collect())
+    assert got == [1, 2]
+
+    # layout guard: a flat-config generation against this store refuses
+    flat = dataclasses.replace(
+        cfg, cell_partitions=False, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    _add_parquet_file(
+        spark, tmp_path, src, "b3",
+        [(20, [rng.uniform(-1, 1) for _ in range(16)])], schema,
+    )
+    q = semdedup_stream(spark, flat)
+    with pytest.raises(Exception, match="cell_partitions"):
+        q.awaitTermination(180)
+        raise AssertionError("stream should have failed")  # pragma: no cover
+
+
+def test_semdedup_stream_two_level_assignment(spark, tmp_path):
+    """r6: assign_coarse_cells runs the stream's assignment through
+    the bounded two-level scan; cross-batch dedup still works."""
+    import random
+
+    from lakeflush_spark.streaming.semdedup import (
+        StreamSemDedupConfig,
+        semdedup_stream,
+    )
+
+    rng = random.Random(23)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(8)]
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamSemDedupConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        vec_dir=str(tmp_path / "vecs"),
+        cent_dir=str(tmp_path / "cents"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.95,
+        n_cells=4,
+        assign_coarse_cells=2,
+    )
+    schema = "vec_id long, embedding array<double>"
+    _add_parquet_file(
+        spark, tmp_path, src, "b1", [(i, v) for i, v in enumerate(vecs)], schema
+    )
+    semdedup_stream(spark, cfg).awaitTermination(180)
+    # exact copy of admitted id 3 arrives later: dropped via history
+    _add_parquet_file(spark, tmp_path, src, "b2", [(30, list(vecs[3]))], schema)
+    semdedup_stream(spark, cfg).awaitTermination(180)
+    got = sorted(r.vec_id for r in spark.read.parquet(cfg.dest_dir).collect())
+    assert got == list(range(8))

@@ -303,3 +303,45 @@ def test_semantic_dedup_and_ivf_on_empty_corpus(spark):
     corpus = prepare_vectors(empty)
     assert semantic_dedup_pairs(corpus).count() == 0
     assert ivf_topk(corpus, corpus).count() == 0
+
+
+def test_two_level_assignment_valid_and_deterministic(spark):
+    """r6 two-level (coarse->fine) assignment: every vector lands in
+    exactly one valid fine cell, layout-independently — the bounded-
+    scan opt-in for corpus-proportional n_cells."""
+    from lakeflush_spark.operators.similarity import (
+        _nearest_cells_two_level,
+        _pack_cells_two_level,
+        centroid_frame,
+    )
+
+    corpus = _synth_corpus(spark, n=1500, dims=8)
+    cent_df = centroid_frame(corpus, 64)
+    packed2 = _pack_cells_two_level(cent_df, 8)
+    assigned = _nearest_cells_two_level(corpus, packed2, 1)
+    rows = {r.vid: r.cell_id for r in assigned.collect()}
+    assert len(rows) == 1500
+    assert assigned.count() == 1500  # exactly one cell per vector
+    assert all(0 <= c < 64 for c in rows.values())
+    again = {
+        r.vid: r.cell_id
+        for r in _nearest_cells_two_level(
+            corpus.repartition(13), packed2, 1
+        ).collect()
+    }
+    assert again == rows
+
+
+def test_semantic_dedup_two_level_finds_planted_copies(spark, sf_dir):
+    """Identical vectors score identically at every level, so exact
+    copies always share a fine cell — the planted-copy guarantee holds
+    under the approximate two-level assignment too."""
+    from lakeflush_spark.operators.similarity import semantic_dedup_pairs
+
+    corpus = _sem_corpus(spark, sf_dir)
+    pairs = semantic_dedup_pairs(
+        corpus, threshold=0.4, n_cells=16, coarse_cells=4
+    )
+    got = {(r.id1, r.id2): r.cos_sim for r in pairs.collect()}
+    for i in range(5):
+        assert got.get((i, i + 10000)) == 1.0

@@ -54,6 +54,7 @@ from lakeflush_spark.operators.multimodal import (
     resize_media,
     sample_frames,
 )
+from lakeflush_spark.operators.png_codec import decode_png, encode_png
 from lakeflush_spark.operators.substring_dedup import (
     docs_with_repeated_spans,
     repeated_span_texts,
@@ -73,9 +74,11 @@ __all__ = [
     "corpus_report",
     "read_increment",
     "contamination_pairs",
+    "decode_png",
     "decontaminate",
     "deterministic_shuffle",
     "docs_with_repeated_spans",
+    "encode_png",
     "exact_dedup",
     "exact_dedup_by_hash",
     "extract_features",

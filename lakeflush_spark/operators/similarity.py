@@ -249,9 +249,16 @@ def _pack_cells(cent_df: DataFrame) -> DataFrame:
 
 
 def _cells_as_one_row(spark, cent_rows: list) -> DataFrame:
-    """Compat shim for driver-side list-form centroids (test fixtures,
-    tiny sidecars): distribute via ``createDataFrame`` + ``_pack_cells``
-    — NOT a SQL literal (r6)."""
+    """Driver-side list-form centroids distributed via
+    ``createDataFrame`` (one plain row per centroid) + the
+    ``_pack_cells`` aggregation — NOT a SQL literal (the r5 driver
+    bottleneck), and deliberately NOT a pre-assembled one-row nested
+    LocalRelation either: A/B at sf0.1 showed the nested-literal
+    variant 2x SLOWER warm (2.1 s vs 1.0 s for semantic_dedup_pairs)
+    — a giant array<struct> literal rides the plan itself, while the
+    agg's tiny job produces an ordinary broadcast-able row. Empty
+    list → one row holding an empty array (downstream explode yields
+    the empty result)."""
     cent = spark.createDataFrame(
         [(int(c), [float(x) for x in v], float(n)) for c, v, n in cent_rows],
         "cell_id long, cv array<double>, cnrm double",

@@ -50,8 +50,10 @@ def _pil():
 def test_decode_guarded_when_pil_absent():
     if _pil():
         pytest.skip("PIL present: the guarded-absent path cannot fire")
+    # r6: PNG decodes library-free now; JPEG is the remaining
+    # genuinely codec-gated format
     with pytest.raises(NotImplementedError):
-        decode_media("image/png")
+        decode_media("image/jpeg")
 
 
 def test_resize_codec_guarded_when_pil_absent(media_df):
@@ -59,9 +61,9 @@ def test_resize_codec_guarded_when_pil_absent(media_df):
 
     if _pil():
         pytest.skip("PIL present: the guarded-absent path cannot fire")
-    # non-NetPBM payloads without PIL raise with a clear message
-    # (per-payload: NetPBM rows in the same frame still resize for
-    # real through the numpy codec — see the netpbm tests below)
+    # non-NetPBM/non-PNG payloads without PIL raise with a clear
+    # message (per-payload: NetPBM and PNG rows in the same frame
+    # still resize for real through the library-free codecs)
     with pytest.raises(Exception, match="needs PIL"):
         resize_media(media_df, codec=True).collect()
 
@@ -206,3 +208,140 @@ def test_netpbm_real_resize_without_pil(spark):
     assert (got == arr[::2, ::2]).all()
     assert row["orig_bytes"] == len(payload)
     assert row["resized_bytes"] == len(bytes(row["resized_payload"]))
+
+
+# ---------------------------------------------------------------------------
+# r6: pure-stdlib PNG codec (operators/png_codec.py) — round-trips,
+# every filter type, palette expansion, and the Spark resize path.
+# ---------------------------------------------------------------------------
+
+
+def _ref_image(h=13, w=17, ch=3):
+    import numpy as np
+
+    a = (np.arange(h * w * ch, dtype=np.int64) * 97 % 251).astype(np.uint8)
+    return a.reshape((h, w) if ch == 1 else (h, w, ch))
+
+
+def test_png_roundtrip_all_layouts():
+    import numpy as np
+
+    from lakeflush_spark.operators.png_codec import decode_png, encode_png
+
+    for ch in (1, 2, 3, 4):
+        img = _ref_image(ch=ch)
+        back = decode_png(encode_png(img))
+        assert back.shape == img.shape and np.array_equal(back, img)
+
+
+def test_png_decode_every_filter_type():
+    """Forward-apply each spec filter (none/sub/up/average/paeth) per
+    row when crafting the IDAT, then demand exact recovery — the
+    unfilter logic is the part a round-trip through our own filter-0
+    encoder would never exercise."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lakeflush_spark.operators.png_codec import _SIG, _chunk, _paeth, decode_png
+
+    img = _ref_image(h=10, w=7, ch=3)
+    h, w, ch = img.shape
+    stride = w * ch
+    body = img.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = y % 5
+        row, out = body[y], np.empty(stride, dtype=np.int64)
+        for i in range(stride):
+            left = row[i - ch] if i >= ch else 0
+            ul = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = prev[i]
+            elif ftype == 3:
+                pred = (left + prev[i]) >> 1
+            else:
+                pred = _paeth(int(left), int(prev[i]), int(ul))
+            out[i] = (row[i] - pred) % 256
+        raw.append(ftype)
+        raw.extend(int(x) for x in out)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = _SIG + _chunk(b"IHDR", ihdr) + _chunk(
+        b"IDAT", zlib.compress(bytes(raw))
+    ) + _chunk(b"IEND", b"")
+    assert np.array_equal(decode_png(png), img)
+
+
+def test_png_palette_and_errors():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lakeflush_spark.operators.png_codec import _SIG, _chunk, decode_png, encode_png
+
+    # palette image: 4 colors, 3x4 indices
+    palette = np.array(
+        [[250, 0, 0], [0, 250, 0], [0, 0, 250], [9, 9, 9]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 2, 2]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+    png = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), palette[idx])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"GIF89a not a png")
+    with pytest.raises(ValueError, match="shape"):
+        encode_png(np.zeros((2, 2, 5), dtype=np.uint8))
+
+
+def test_resize_media_codec_png_real(spark):
+    """resize_media(codec=True) on PNG payloads runs the library-free
+    decode -> strided resize -> re-encode for real."""
+    import numpy as np
+
+    from lakeflush_spark.operators.multimodal import resize_media
+    from lakeflush_spark.operators.png_codec import decode_png, encode_png
+
+    imgs = {i: _ref_image(h=12 + i, w=16, ch=3) for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_png(a))) for i, a in imgs.items()],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in resize_media(df, ratio=4, codec=True).collect()}
+    for i, a in imgs.items():
+        back = decode_png(bytes(got[i].resized_payload))
+        assert np.array_equal(back, a[::4, ::4])
+        assert got[i].resized_bytes == len(bytes(got[i].resized_payload))
+
+
+def test_decode_media_png_library_free():
+    import numpy as np
+
+    from lakeflush_spark.operators import multimodal as mm
+
+    if mm._image_codec() is not None:  # pragma: no cover - PIL present
+        import pytest
+
+        pytest.skip("PIL importable here; the library-free branch is for codec-less envs")
+    img = _ref_image(ch=4)
+    from lakeflush_spark.operators.png_codec import encode_png
+
+    fn = mm.decode_media("image/png")
+    assert np.array_equal(fn(encode_png(img)), img)

@@ -78,6 +78,13 @@ unchanged, q55 +1 WSC span) and within variance at sf0.1; its win
 is the removed O(n_cells x dims) driver parse cost (see the
 ivf_assign scale-smoke note below).
 
+r6 suite-mode `semdd_stream_vecs_s` came in at ~780-840 across local
+runs (r5: 289) — the cold single-batch number improved with the r6
+centroid path (storage-backed sidecar frame + aggregation packing in
+place of the per-batch literal build); it is still a cold bootstrap
+measurement, so treat the warm multi-batch numbers below as the
+trend line.
+
 Steady-state semdedup_stream (scripts/semdd_steady.py, r6 — per
 round-5 VERDICT item 3): the suite's `semdd_stream_vecs_s` (289 in
 r5) is a COLD number — one 2k-vector batch against an empty store,

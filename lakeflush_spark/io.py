@@ -80,8 +80,15 @@ def spread_for_compute(df: DataFrame, spark: SparkSession) -> DataFrame:
     so no 100 TB shuffle is ever introduced; at bench scale the shuffle
     moves a few MB to unlock an N-core compute stage.
     """
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        target = spark.sparkContext.defaultParallelism
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect exposes neither sparkContext nor df.rdd; skip
+        # the under-parallelized-scan fixup there (AQE's coalesce and
+        # the scan's own split sizing still apply)
+        return df
+    if n_parts < target:
         return df.repartition(target)
     return df
 

@@ -116,3 +116,22 @@ def test_vacuum_runs_fallback(spark, tmp_path, monkeypatch):
     # remote store without the bridge: documented fail-fast
     with pytest.raises(RuntimeError, match="storage-native"):
         vacuum_runs(spark, "s3a://bucket/store", ["gen1"])
+
+
+def test_spread_for_compute_degrades_without_rdd_surface(spark):
+    """Connect sessions expose no sparkContext/df.rdd — the scan
+    fixup must pass the frame through untouched, not crash."""
+    from lakeflush_spark.io import spread_for_compute
+
+    df = spark.range(10)
+
+    class FakeConnectSession:
+        @property
+        def sparkContext(self):
+            raise AttributeError("sparkContext is not supported in Spark Connect")
+
+    out = spread_for_compute(df, FakeConnectSession())
+    assert out is df
+    # classic path still spreads an under-parallelized frame
+    spread = spread_for_compute(df.coalesce(1), spark)
+    assert spread.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism

@@ -61,20 +61,27 @@ _ENCODE_CACHE_MAX = 100_000
 
 
 def word_histogram(
-    docs: DataFrame, text_col: str = "text", max_words: int = 100_000
+    docs: DataFrame,
+    text_col: str = "text",
+    max_words: int = 100_000,
+    counts: DataFrame | None = None,
 ) -> list[tuple[str, int]]:
     """(word, count) for the ``max_words`` most frequent corpus words —
     the bounded state the driver-side merge loop runs on. One explode +
     one groupBy; the cap is the two-phase grouped top-k (global group),
-    so no single task sorts the full vocabulary."""
+    so no single task sorts the full vocabulary. A caller that already
+    holds the corpus word-count frame (columns ``w``, ``cnt``) passes
+    it via ``counts`` and skips the second corpus scan (q41 shares one
+    count between its 'word' and 'bpe' labels this way)."""
     from lakeflush_spark.operators.topk import grouped_top_k
 
-    counts = (
-        docs.select(F.explode(tokens(text_col)).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    if counts is None:
+        counts = (
+            docs.select(F.explode(tokens(text_col)).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     top = grouped_top_k(
         counts.withColumn("_g", F.lit(1)),
         group_cols=["_g"],
@@ -90,15 +97,17 @@ def train_bpe(
     n_merges: int = 256,
     text_col: str = "text",
     max_words: int = 100_000,
+    counts: DataFrame | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from the corpus.
 
     Returns the ordered merge table ``[(left, right), ...]`` — rank =
     list position, the artifact to persist alongside the corpus.
-    Stops early when no pair occurs twice.
+    Stops early when no pair occurs twice. ``counts`` forwards to
+    :func:`word_histogram` (reuse a precomputed word-count frame).
     """
     vocab = {}
-    for w, c in word_histogram(docs, text_col, max_words):
+    for w, c in word_histogram(docs, text_col, max_words, counts=counts):
         vocab[tuple(list(w) + [EOW])] = c
 
     merges: list[tuple[str, str]] = []

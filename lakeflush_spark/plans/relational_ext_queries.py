@@ -328,11 +328,17 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.lm_filter import _hashed_bigrams, train_bigram_lm
 
     docs = _t(spark, sf_dir, "documents")
-    word = (
+    # ONE corpus explode+count, shared by the 'word' label and the
+    # 'bpe' histogram below (r6: was two corpus scans); tiny frame
+    # (|vocab| rows), localCheckpoint releases on GC
+    counts = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "token")
+        .localCheckpoint()
+    )
+    word = (
+        counts.orderBy(F.col("cnt").desc(), "token")
         .limit(100)
         .select(
             F.lit("word").alias("method"),
@@ -384,7 +390,14 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-verified; the oracle replays the whole loop in SQL
     from lakeflush_spark.operators.bpe import train_bpe
 
-    merges = train_bpe(docs, n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS)
+    merges = train_bpe(
+        docs,
+        n_merges=_BPE_MERGES,
+        max_words=_BPE_MAX_WORDS,
+        counts=counts.where(F.col("token") != "").select(
+            F.col("token").alias("w"), "cnt"
+        ),
+    )
     bpe_label = spark.createDataFrame(
         [(i, l, r) for i, (l, r) in enumerate(merges)],
         "rk long, l string, r string",

@@ -67,7 +67,11 @@ class CompactionConfig:
 
     source_dir: str
     dest_dir: str
-    file_format: str = "json"  # source format: json | csv | text | parquet | orc
+    #: source format: json | csv | text | parquet | orc | avro.
+    #: avro READS work even without the spark-avro jar (r6 pure-Python
+    #: container codec fallback, sources.read_avro); avro OUTPUT
+    #: (output_format="avro") still needs the connector jar.
+    file_format: str = "json"
     #: bundle format; None = same as source. parquet/orc bundles are the
     #: 100 TB training-data path (columnar, splittable, predicate-
     #: pushdown-able) — "compact small parquet files" is the canonical
@@ -329,7 +333,15 @@ def read_source(spark: SparkSession, cfg: CompactionConfig) -> DataFrame:
     patterns = [p for p in cfg.match_patterns if p]
     glob = patterns[0] if len(patterns) == 1 else None
 
-    if cfg.parsed or cfg.file_format in ("parquet", "orc"):
+    if cfg.parsed or cfg.file_format in ("parquet", "orc", "avro"):
+        if cfg.file_format == "avro":
+            # avro -> parquet/orc bundles: the canonical row-to-columnar
+            # compaction. Prefers the spark-avro connector; degrades to
+            # the r6 pure-Python container codec when the jar is absent
+            # (sources.read_avro fallback).
+            from lakeflush_spark.sources import read_avro
+
+            return read_avro(spark, cfg.source_dir, schema=cfg.schema)
         if cfg.file_format == "json":
             reader = spark.read.option("recursiveFileLookup", "true")
             for k, v in JSON_TS_OPTIONS.items():
@@ -437,7 +449,10 @@ def compact(spark: SparkSession, cfg: CompactionConfig) -> CompactionResult:
     (core/file_handler.py:52-57) — just vectorized and parallel.
     """
     target_bytes = int(cfg.max_size_mb * 1024 * 1024)
-    columnar_source = cfg.file_format in ("parquet", "orc")
+    # avro counts as columnar-ish: container files must be PARSED and
+    # re-encoded (their per-file headers/sync markers make byte-level
+    # opaque concatenation invalid)
+    columnar_source = cfg.file_format in ("parquet", "orc", "avro")
     out_fmt = cfg.output_format or cfg.file_format
     opaque = not cfg.parsed and not columnar_source and out_fmt == cfg.file_format
     empty = CompactionResult([], 0, 0, 0, f"{cfg.dest_dir.rstrip('/')}/{_AUDIT_DIRNAME}")

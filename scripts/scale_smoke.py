@@ -159,6 +159,31 @@ def main() -> int:
                 }
             )
         )
+    # the r6 two-level opt-in at the same n_cells=1024: per-row scan
+    # bounded at ~(coarse + n/coarse) centroids instead of n
+    from lakeflush_spark.operators.similarity import (
+        _nearest_cells_two_level,
+        _pack_cells_two_level,
+    )
+
+    cent_df = spark.createDataFrame(
+        [(c, v, nrm) for c, v, nrm in cents],
+        "cell_id long, cv array<double>, cnrm double",
+    )
+    packed2 = _pack_cells_two_level(cent_df, 32).localCheckpoint()
+    t0 = time.time()
+    out2 = _nearest_cells_two_level(vecs, packed2, 1).count()
+    print(
+        json.dumps(
+            {
+                "stage": "ivf_assign_two_level",
+                "n_cells": 1024,
+                "coarse": 32,
+                "rows": out2,
+                "assign_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
     return 0
 
 

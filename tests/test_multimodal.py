@@ -345,3 +345,72 @@ def test_decode_media_png_library_free():
 
     fn = mm.decode_media("image/png")
     assert np.array_equal(fn(encode_png(img)), img)
+
+
+# ---------------------------------------------------------------------------
+# r6: library-free WAV (PCM) codec — round-trips, decode_media, and
+# the real audio-downsample path through resize_media(codec=True).
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_all_dtypes():
+    import numpy as np
+
+    from lakeflush_spark.operators.multimodal import decode_wav, encode_wav
+
+    for dtype, mk in [
+        (np.uint8, lambda n: (np.arange(n) * 7 % 256).astype(np.uint8)),
+        (np.int16, lambda n: ((np.arange(n) * 131) % 30000 - 15000).astype(np.int16)),
+        (np.int32, lambda n: ((np.arange(n) * 131071) % 2_000_000 - 1_000_000).astype(np.int32)),
+        (np.float32, lambda n: np.sin(np.arange(n) / 7.0).astype(np.float32)),
+    ]:
+        mono = mk(240)
+        rate, ch, back = decode_wav(encode_wav(16000, mono))
+        assert (rate, ch) == (16000, 1) and np.array_equal(back, mono)
+        stereo = np.stack([mk(240), mk(240)[::-1]], axis=1)
+        rate, ch, back = decode_wav(encode_wav(8000, stereo))
+        assert (rate, ch) == (8000, 2) and np.array_equal(back, stereo)
+
+
+def test_wav_decode_media_and_resize(spark):
+    import numpy as np
+
+    from lakeflush_spark.operators.multimodal import (
+        decode_media,
+        decode_wav,
+        encode_wav,
+        resize_media,
+    )
+
+    samples = ((np.arange(4000) * 37) % 4096 - 2048).astype(np.int16)
+    payload = encode_wav(16000, samples)
+    assert np.array_equal(decode_media("audio/wav")(payload), samples)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = resize_media(df, ratio=4, codec=True).collect()[0]
+    rate, ch, back = decode_wav(bytes(row.resized_payload))
+    assert rate == 4000 and ch == 1
+    assert np.array_equal(back, samples[::4])
+
+
+def test_wav_error_paths():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from lakeflush_spark.operators.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope" * 4)
+    with pytest.raises(ValueError, match="dtype"):
+        encode_wav(8000, np.zeros(4, dtype=np.float64))
+    # compressed format tag (2 = ADPCM) names the tag
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 8)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    bad = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="format tag 2"):
+        decode_wav(bad)

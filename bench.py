@@ -114,12 +114,13 @@ corpus (the SemDedup paper's 50k-cluster regime: ~450 scored
 centroids per row instead of 50k).
 
 Scale-smoke ivf_assign (r6): quantizer BUILD cost is flat in n_cells
-(0.37 s at 16 vs 0.39 s at 1024 cells on a 40k-vector corpus) now
+(0.33 s at 16 vs 0.32 s at 1024 cells on a 40k-vector corpus) now
 that centroids distribute via createDataFrame + collect_list packing
-instead of a parsed SQL VALUES literal; assignment grows only with
-the per-row centroid scan (3.9 s -> 17.3 s for 64x the cells — the
-unavoidable JVM compute, amortized by the finer cells' smaller
-verify joins downstream).
+instead of a parsed SQL VALUES literal; flat assignment grows with
+the per-row centroid scan (2.3 s -> 15.0 s for 64x the cells), and
+the ivf_assign_two_level stage shows the r6 opt-in erasing that
+growth: 1.53 s at n_cells=1024/coarse=32 — 9.8x faster than flat at
+the same cell count and faster than flat at 16 cells.
 
 Scale-smoke (scripts/scale_smoke.py, r5): the dedup/selection hot
 paths on a 20×-replicated corpus (100k docs, token-salted so pair

@@ -16,6 +16,7 @@ from lakeflush_spark.operators.decontaminate import (
     DecontamResult,
     contamination_pairs,
     decontaminate,
+    eval_leak_report,
 )
 from lakeflush_spark.operators.dedup import (
     exact_dedup,
@@ -79,6 +80,7 @@ __all__ = [
     "deterministic_shuffle",
     "docs_with_repeated_spans",
     "encode_png",
+    "eval_leak_report",
     "exact_dedup",
     "exact_dedup_by_hash",
     "extract_features",

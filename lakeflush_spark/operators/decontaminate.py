@@ -163,6 +163,46 @@ def contamination_pairs(
     )
 
 
+def eval_leak_report(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DECONTAM_N,
+    min_common: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """EVAL-side view of contamination (r6): one row per leaked eval
+    item — ``(eval_id, n_corpus_hits, max_jaccard, top_corpus_id)``.
+
+    :func:`decontaminate` answers "which corpus docs must go";
+    this answers the release team's OTHER question: "which eval items
+    are compromised, how badly, and by what" — the artifact that
+    decides whether to drop corpus docs or retire the eval item (an
+    eval question leaked into thousands of corpus docs is effectively
+    public and should be retired, not chased). ``top_corpus_id`` is
+    the highest-jaccard offender (ties broken toward the larger id,
+    deterministically). Same broadcast-probe plan as the pair frame:
+    corpus never shuffles; the aggregation runs over pair-table-sized
+    rows."""
+    pairs = contamination_pairs(
+        corpus,
+        eval_docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        broadcast_eval=broadcast_eval,
+    ).where(F.col("n_common") >= min_common)
+    return pairs.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("n_corpus_hits"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.max_by(
+            F.col("corpus_id"), F.struct(F.col("jaccard"), F.col("corpus_id"))
+        ).alias("top_corpus_id"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_docs: DataFrame,

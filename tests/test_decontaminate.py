@@ -116,3 +116,31 @@ def test_materialize_roundtrip(spark, frames):
         assert res.clean.count() == 1
     finally:
         res.unpersist()
+
+
+def test_eval_leak_report(spark):
+    """r6: the eval-side contamination view — planted leaks surface
+    with hit counts and the worst offender; clean eval items don't."""
+    from lakeflush_spark.operators.decontaminate import eval_leak_report
+
+    leak = "the secret benchmark question about unusual marine biology topics"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro text then {leak} and a trailing sentence here"),
+            (2, f"another copy content {leak} wrapped differently today"),
+            (3, "completely unrelated corpus document about finance"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, leak), (200, "pristine eval item nothing shares these words")],
+        "doc_id long, text string",
+    )
+    rep = {r.eval_id: r for r in eval_leak_report(corpus, eval_docs, n=5).collect()}
+    assert set(rep) == {100}
+    assert rep[100].n_corpus_hits == 2
+    assert rep[100].top_corpus_id in (1, 2)
+    assert 0 < rep[100].max_jaccard <= 1.0
+    # deterministic top offender: max (jaccard, corpus_id)
+    again = eval_leak_report(corpus, eval_docs, n=5).collect()[0]
+    assert again.top_corpus_id == rep[100].top_corpus_id

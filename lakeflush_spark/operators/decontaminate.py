@@ -172,9 +172,13 @@ def eval_leak_report(
     n: int = DECONTAM_N,
     min_common: int = 1,
     broadcast_eval: bool = True,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """EVAL-side view of contamination (r6): one row per leaked eval
     item — ``(eval_id, n_corpus_hits, max_jaccard, top_corpus_id)``.
+    Pass an existing :func:`contamination_pairs` /
+    ``DecontamResult.pairs`` frame via ``pairs`` to reuse a probe the
+    caller already ran (q61 does) instead of re-scanning the corpus.
 
     :func:`decontaminate` answers "which corpus docs must go";
     this answers the release team's OTHER question: "which eval items
@@ -186,14 +190,16 @@ def eval_leak_report(
     deterministically). Same broadcast-probe plan as the pair frame:
     corpus never shuffles; the aggregation runs over pair-table-sized
     rows."""
-    pairs = contamination_pairs(
-        corpus,
-        eval_docs,
-        id_col=id_col,
-        text_col=text_col,
-        n=n,
-        broadcast_eval=broadcast_eval,
-    ).where(F.col("n_common") >= min_common)
+    if pairs is None:
+        pairs = contamination_pairs(
+            corpus,
+            eval_docs,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            broadcast_eval=broadcast_eval,
+        )
+    pairs = pairs.where(F.col("n_common") >= min_common)
     return pairs.groupBy("eval_id").agg(
         F.count(F.lit(1)).alias("n_corpus_hits"),
         F.max("jaccard").alias("max_jaccard"),

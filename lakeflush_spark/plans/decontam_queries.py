@@ -66,12 +66,20 @@ _HS = (
               FROM hits GROUP BY 1, 2, 3, 4),
     contam AS (SELECT corpus_id,
                       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_grams
-               FROM hits GROUP BY 1)
+               FROM hits GROUP BY 1),
+    pj AS (SELECT eval_id, corpus_id, n_common,
+                  n_common::DOUBLE / (esz + csz - n_common)::DOUBLE AS jac
+           FROM pairs),
+    evaltop AS (SELECT eval_id, corpus_id FROM (
+        SELECT eval_id, corpus_id,
+               row_number() OVER (
+                   PARTITION BY eval_id ORDER BY jac DESC, corpus_id DESC
+               ) AS rn
+        FROM pj) WHERE rn = 1)
     SELECT part, id_a, id_b, n, jac FROM (
       SELECT 'pair' AS part, eval_id AS id_a, corpus_id AS id_b,
-             n_common AS n,
-             n_common::DOUBLE / (esz + csz - n_common)::DOUBLE AS jac
-      FROM pairs
+             n_common AS n, jac
+      FROM pj
       UNION ALL
       SELECT 'doc', corpus_id, NULL::BIGINT, n_grams, NULL::DOUBLE
       FROM contam
@@ -80,6 +88,11 @@ _HS = (
              (SELECT COUNT(*) FROM t WHERE bucket >= {EVAL_PCT})
                - (SELECT COUNT(*) FROM contam),
              NULL::DOUBLE
+      UNION ALL
+      SELECT 'eval', pj.eval_id, evaltop.corpus_id,
+             CAST(COUNT(*) AS BIGINT), MAX(pj.jac)
+      FROM pj JOIN evaltop ON pj.eval_id = evaltop.eval_id
+      GROUP BY pj.eval_id, evaltop.corpus_id
     )
     ORDER BY part, id_a NULLS FIRST, id_b NULLS FIRST
     """,
@@ -87,9 +100,12 @@ _HS = (
     "(eval, corpus) overlap audit with exact n-gram-set Jaccard, 'doc' rows "
     "the flagged corpus docs with DISTINCT contaminated-gram counts "
     "(min_common semantics), 'clean' the corpus count after broadcast "
-    "anti-join removal. Corpus side never shuffles: map-only gram explode "
-    "into a BroadcastHashJoin against the (small) eval gram table; only "
-    "contaminated hits reach the aggregations.",
+    "anti-join removal, and 'eval' (r6) the eval-side leak report — "
+    "per leaked eval item: corpus hit count, max jaccard, and the "
+    "deterministic worst offender (operators/decontaminate."
+    "eval_leak_report). Corpus side never shuffles: map-only gram "
+    "explode into a BroadcastHashJoin against the (small) eval gram "
+    "table; only contaminated hits reach the aggregations.",
 )
 def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
@@ -130,9 +146,22 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         null_dbl.alias("jac"),
     )
+    # 'eval' (r6): the REAL eval_leak_report operator feeds the hash
+    from lakeflush_spark.operators.decontaminate import eval_leak_report
+
+    eval_rows = eval_leak_report(
+        corpus, eval_docs, n=CONTRACT_N, min_common=1, pairs=res.pairs
+    ).select(
+        F.lit("eval").alias("part"),
+        F.col("eval_id").cast("bigint").alias("id_a"),
+        F.col("top_corpus_id").cast("bigint").alias("id_b"),
+        F.col("n_corpus_hits").alias("n"),
+        F.col("max_jaccard").alias("jac"),
+    )
     return (
         pair_rows.unionAll(doc_rows)
         .unionAll(clean_rows)
+        .unionAll(eval_rows)
         .orderBy(
             F.col("part").asc(),
             F.col("id_a").asc_nulls_first(),

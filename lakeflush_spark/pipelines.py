@@ -112,6 +112,11 @@ class CurationConfig:
     #: IVF cell count for the SemDedup quantizer; grow with the corpus
     #: so within-cell comparison (Σ|cell|²) stays bounded
     sem_n_cells: int = 16
+    #: opt into two-level (coarse->fine) assignment once sem_n_cells
+    #: reaches the corpus-proportional regime (operators/similarity
+    #: section comment): bounds the per-vector centroid scan at
+    #: ~(coarse + n/coarse); approximate at coarse boundaries
+    sem_coarse_cells: int | None = None
     #: optional LM-perplexity gate (operators/lm_filter.py, the CCNet
     #: recipe with an in-engine bigram LM): after dedup, train the LM
     #: on the surviving corpus, score every doc, and drop the bottom
@@ -377,7 +382,12 @@ def curate_documents(
             curated, id_col=cfg.id_col, vec_col=cfg.embedding_col
         )
         sem_drops = semantic_drop_ids(
-            semantic_dedup_pairs(vecs, cfg.sem_threshold, cfg.sem_n_cells)
+            semantic_dedup_pairs(
+                vecs,
+                cfg.sem_threshold,
+                cfg.sem_n_cells,
+                coarse_cells=cfg.sem_coarse_cells,
+            )
         ).select(F.col("vid").alias(cfg.id_col))
         _mark(sem_drops, "semantic_dup")
         # drop set is pair-table-sized — the anti-join broadcasts

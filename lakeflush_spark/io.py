@@ -83,10 +83,12 @@ def spread_for_compute(df: DataFrame, spark: SparkSession) -> DataFrame:
     try:
         target = spark.sparkContext.defaultParallelism
         n_parts = df.rdd.getNumPartitions()
-    except Exception:
-        # Spark Connect exposes neither sparkContext nor df.rdd; skip
-        # the under-parallelized-scan fixup there (AQE's coalesce and
-        # the scan's own split sizing still apply)
+    except (AttributeError, NotImplementedError):
+        # Spark Connect exposes neither sparkContext nor df.rdd
+        # (PySparkAttributeError / PySparkNotImplementedError subclass
+        # these); skip the under-parallelized-scan fixup there (AQE's
+        # coalesce and the scan's own split sizing still apply). Other
+        # errors — real analysis/connection failures — propagate.
         return df
     if n_parts < target:
         return df.repartition(target)

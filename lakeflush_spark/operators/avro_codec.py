@@ -98,13 +98,22 @@ def _decode(schema, buf: io.BytesIO):
     if t == "null":
         return None
     if t == "boolean":
-        return buf.read(1) == b"\x01"
+        b = buf.read(1)
+        if not b:
+            raise ValueError("truncated Avro boolean")
+        return b == b"\x01"
     if t in ("int", "long"):
         return _read_long(buf)
     if t == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        data = buf.read(4)
+        if len(data) != 4:
+            raise ValueError("truncated Avro float")
+        return struct.unpack("<f", data)[0]
     if t == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        data = buf.read(8)
+        if len(data) != 8:
+            raise ValueError("truncated Avro double")
+        return struct.unpack("<d", data)[0]
     if t == "bytes":
         return _read_bytes(buf)
     if t == "string":
@@ -114,7 +123,10 @@ def _decode(schema, buf: io.BytesIO):
     if t == "enum":
         return schema["symbols"][_read_long(buf)]
     if t == "fixed":
-        return buf.read(schema["size"])
+        data = buf.read(schema["size"])
+        if len(data) != schema["size"]:
+            raise ValueError("truncated Avro fixed")
+        return data
     if t == "array":
         out = []
         while True:

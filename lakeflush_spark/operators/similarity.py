@@ -309,7 +309,18 @@ def _pack_cells_two_level(cent_df: DataFrame, n_coarse: int) -> DataFrame:
             ).alias("_fine")
         )
     )
-    return _pack_cells(coarse).crossJoin(fine_map)
+    # pack ONLY coarse cells that own at least one fine member: a
+    # memberless coarse cell (duplicate/6dp-tied centroids collapse
+    # toward the smaller coarse id) has no _fine key, and probing it
+    # would make element_at return NULL -> flatten NULL -> explode
+    # silently DROPS the vector. Empty groups carry no candidates, so
+    # restricting the probe set loses nothing.
+    coarse_used = coarse.join(
+        grouped.select(F.col("coarse_id").alias("cell_id")).distinct(),
+        "cell_id",
+        "semi",
+    )
+    return _pack_cells(coarse_used).crossJoin(fine_map)
 
 
 def _nearest_cells_two_level(
@@ -380,7 +391,6 @@ def semantic_dedup_pairs(
     # approximate at coarse boundaries — the documented recall trade
     # once n_cells reaches the 10⁴-10⁵ corpus-proportional regime.
     cents = ivf_centroids(corpus, n_cells, kmeans_iters)
-    cells_1row = _cells_as_one_row(corpus.sparkSession, cents)
     if coarse_cells is not None:
         cent_df = corpus.sparkSession.createDataFrame(
             [(int(c), [float(x) for x in v], float(nn)) for c, v, nn in cents],
@@ -389,7 +399,9 @@ def semantic_dedup_pairs(
         packed2 = _pack_cells_two_level(cent_df, coarse_cells)
         indexed = _nearest_cells_two_level(corpus, packed2, 1, coarse_probe)
     else:
-        indexed = _nearest_cells(corpus, cells_1row, 1)
+        indexed = _nearest_cells(
+            corpus, _cells_as_one_row(corpus.sparkSession, cents), 1
+        )
     a, b = indexed.alias("a"), indexed.alias("b")
     return (
         a.join(
@@ -466,7 +478,6 @@ def ivf_topk(
     # (queries default to coarse_probe=2: probing a second coarse
     # group recovers most boundary recall for ~2x the bounded scan).
     cents = ivf_centroids(corpus, n_cells, kmeans_iters)
-    cells_1row = _cells_as_one_row(corpus.sparkSession, cents)
     if coarse_cells is not None:
         cent_df = corpus.sparkSession.createDataFrame(
             [(int(c), [float(x) for x in v], float(nn)) for c, v, nn in cents],
@@ -476,6 +487,7 @@ def ivf_topk(
         indexed = _nearest_cells_two_level(corpus, packed2, 1, 1)
         probe_src = _nearest_cells_two_level(queries, packed2, nprobe, coarse_probe)
     else:
+        cells_1row = _cells_as_one_row(corpus.sparkSession, cents)
         indexed = _nearest_cells(corpus, cells_1row, 1)
         probe_src = _nearest_cells(queries, cells_1row, nprobe)
     probes = probe_src.select(

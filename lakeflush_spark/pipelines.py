@@ -293,6 +293,13 @@ def curate_documents(
     # leaves the corpus id-partitioned, the layout the near-dup
     # anti-join below shuffles on anyway.
     exact = exact_dedup_by_hash(filtered, [tc], cfg.id_col)
+    if cfg.near_dup_max_bucket is not None:
+        # cap observability (hot_bucket_stats below) is a second action
+        # over this lineage; without truncation it would replay the
+        # corpus scan + quality filter + exact-dedup shuffle at stats
+        # time. The checkpoint also serves the near-dup join and the
+        # final anti-join (three consumers, one materialization).
+        exact = exact.localCheckpoint()
     _mark(filtered.join(exact.select(cfg.id_col), cfg.id_col, "left_anti"), "exact_dup")
 
     # Near-dup: LSH candidates above threshold. Resolution is either the
@@ -451,8 +458,9 @@ def curate_documents(
     n_final = curated.count()
     hot_b = hot_in = hot_over = None
     if cfg.near_dup_max_bucket is not None:
-        # cap observability (r6): one extra map-only minhash pass +
-        # tiny-band groupBy, paid ONLY when a cap is configured — the
+        # cap observability (r6): one map-only minhash pass + tiny-band
+        # groupBy over the CHECKPOINTED exact frame (truncated above —
+        # no upstream replay), paid ONLY when a cap is configured; the
         # numbers say how much recall the cap traded away this run
         from lakeflush_spark.operators.dedup import (
             band_table,

@@ -67,7 +67,11 @@ def _wrap(fn, hint: str):
 
 
 def read_avro(
-    spark: SparkSession, path: str, schema=None, fallback: bool = True
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    fallback: bool = True,
+    glob: str | None = None,
 ) -> DataFrame:
     """Batch-read Avro files (columnar-compatible: compactable to
     parquet/orc via ``CompactionConfig(output_format=...)``).
@@ -80,6 +84,8 @@ def read_avro(
 
     def go():
         reader = spark.read.format("avro").option("recursiveFileLookup", "true")
+        if glob is not None:
+            reader = reader.option("pathGlobFilter", glob)
         if schema is not None:
             reader = reader.schema(schema)
         df = reader.load(path)
@@ -91,10 +97,12 @@ def read_avro(
     except MissingConnectorError:
         if not fallback:
             raise
-        return read_avro_python(spark, path, schema)
+        return read_avro_python(spark, path, schema, glob=glob)
 
 
-def read_avro_python(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_avro_python(
+    spark: SparkSession, path: str, schema=None, glob: str | None = None
+) -> DataFrame:
     """Library-free Avro batch read (r6): ``binaryFile`` whole-file
     scan + Arrow-batched ``mapInPandas`` running the pure-Python
     container codec (``operators/avro_codec.py``, spec-implemented and
@@ -104,8 +112,15 @@ def read_avro_python(spark: SparkSession, path: str, schema=None) -> DataFrame:
     shape: linear in bytes, parallel across files, no shuffle. The
     Spark schema comes from the first file's embedded writer schema
     (one bounded driver-side read) unless ``schema`` (DDL string or
-    StructType) is given. Prefer the connector where its jar exists;
-    this path is the no-jar fallback, not a column-pruning reader."""
+    StructType) is given; every file's records map into that schema's
+    columns BY NAME, so files whose writer schemas order the same
+    fields differently (schema evolution, mixed writers) decode
+    correctly rather than positionally transposed, and fields a file
+    lacks come back NULL. ``glob`` filters file names (the
+    connector's ``pathGlobFilter``); by default ALL visible files are
+    read, like the connector — a non-Avro file raises naming its
+    path. Prefer the connector where its jar exists; this path is the
+    no-jar fallback, not a column-pruning reader."""
     import pandas as pd  # noqa: F401 (executor-side import check)
 
     from lakeflush_spark.operators.avro_codec import (
@@ -113,17 +128,14 @@ def read_avro_python(spark: SparkSession, path: str, schema=None) -> DataFrame:
         read_container,
     )
 
-    files = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", "*.avro")
-        .load(path)
-        .select("content")
-    )
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
     if schema is None:
         first = files.limit(1).head()
         if first is None:
-            raise ValueError(f"no .avro files under {path} to infer a schema from")
+            raise ValueError(f"no files under {path} to infer an Avro schema from")
         avro_schema, _ = read_container(bytes(first.content))
         if avro_schema.get("type") != "record":
             raise ValueError("top-level Avro schema must be a record")
@@ -131,17 +143,21 @@ def read_avro_python(spark: SparkSession, path: str, schema=None) -> DataFrame:
             f"`{f['name']}` {avro_type_to_spark(f['type'])}"
             for f in avro_schema["fields"]
         )
+    # target column order fixed driver-side — decode maps by NAME
+    target_names = [f.name for f in spark.createDataFrame([], schema).schema.fields]
+
     def decode(batches):
         import pandas as pd
 
         for pdf in batches:
-            rows, cols = [], None
-            for payload in pdf["content"]:
-                sch, recs = read_container(bytes(payload))
-                cols = [f["name"] for f in sch["fields"]]
-                rows.extend(tuple(r.get(c) for c in cols) for r in recs)
-            if cols is not None:
-                yield pd.DataFrame(rows, columns=cols)
+            rows = []
+            for fpath, payload in zip(pdf["path"], pdf["content"]):
+                try:
+                    _, recs = read_container(bytes(payload))
+                except ValueError as ex:
+                    raise ValueError(f"{fpath}: {ex}") from ex
+                rows.extend(tuple(r.get(c) for c in target_names) for r in recs)
+            yield pd.DataFrame(rows, columns=target_names)
 
     return files.mapInPandas(decode, schema)
 

@@ -264,6 +264,13 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             sigged = with_minhash(fresh, text_col=cfg.text_col)
             hist = _read_store(sp, cfg.sig_dir, batch_id, run)
             batch_bands = _bands_long(sigged, cfg.id_col)
+            from lakeflush_spark.streaming.dedup import batch_history_bands
+
+            all_bands = batch_history_bands(batch_bands, hist)
+            if cfg.near_dup_max_bucket is not None:
+                # pinned: consumed by BOTH the drop join and the cap
+                # stats below — one history read+prune, not two
+                all_bands = _pin(all_bands)
             nd_dropped = _pin(
                 near_dup_dropped_ids(
                     batch_bands,
@@ -272,6 +279,7 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     cfg.near_dup_max_bucket,
                     cfg.near_dup_hot_bucket_mode,
                     cfg.id_col,
+                    all_bands=all_bands,
                 )
             )
             nd_count = nd_dropped.count()
@@ -284,7 +292,8 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 )
 
                 hb = near_dup_hot_bucket_stats(
-                    batch_bands, hist, cfg.near_dup_max_bucket
+                    batch_bands, hist, cfg.near_dup_max_bucket,
+                    all_bands=all_bands,
                 ).first()
                 n_hot = int(hb.n_hot_buckets)
                 n_hot_over = int(

@@ -319,6 +319,27 @@ def _bands_long(keyed: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def batch_history_bands(
+    new_bands: DataFrame, hist: DataFrame | None
+) -> DataFrame:
+    """Batch bands ∪ touched-history bands, hist-tagged — the UNCAPPED
+    comparison frame :func:`near_dup_dropped_ids` caps and joins.
+    Extracted (r6) so a caller that also wants cap observability can
+    pin ONE frame and feed both the drop join and the stats
+    aggregation, instead of re-reading and re-pruning the history
+    store per consumer."""
+    new_tag = new_bands.withColumn("hist", F.lit(False))
+    if hist is None:
+        return new_tag
+    touched = new_bands.select("band_idx", "bh").distinct()
+    hist_bands = (
+        hist.select("doc", "sig", "band_idx", "bh")
+        .join(F.broadcast(touched), ["band_idx", "bh"], "semi")
+        .withColumn("hist", F.lit(True))
+    )
+    return new_tag.unionByName(hist_bands)
+
+
 def near_dup_dropped_ids(
     new_bands: DataFrame,
     hist: DataFrame | None,
@@ -326,6 +347,7 @@ def near_dup_dropped_ids(
     max_bucket: int | None,
     hot_bucket_mode: str,
     id_col: str,
+    all_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Ids of batch docs that near-dup-match history or a lower-id
     batchmate (the per-batch core of :func:`near_dup_stream`).
@@ -334,17 +356,12 @@ def near_dup_dropped_ids(
     full store read (or None). History is pruned to batch-touched
     buckets by a broadcast semi-join — scanned, never shuffled; ONE
     band equi-join then covers within-batch and against-history
-    pairing, verified by signature agreement."""
+    pairing, verified by signature agreement. Pass a prebuilt (and
+    ideally pinned) :func:`batch_history_bands` frame via
+    ``all_bands`` to share the history scan with other consumers."""
     new_tag = new_bands.withColumn("hist", F.lit(False))
-    all_bands = new_tag
-    if hist is not None:
-        touched = new_bands.select("band_idx", "bh").distinct()
-        hist_bands = (
-            hist.select("doc", "sig", "band_idx", "bh")
-            .join(F.broadcast(touched), ["band_idx", "bh"], "semi")
-            .withColumn("hist", F.lit(True))
-        )
-        all_bands = new_tag.unionByName(hist_bands)
+    if all_bands is None:
+        all_bands = batch_history_bands(new_bands, hist)
     all_bands = _cap_hot_buckets(
         all_bands, ["band_idx", "bh"], max_bucket, mode=hot_bucket_mode, doc_col="doc"
     )
@@ -363,22 +380,22 @@ def near_dup_dropped_ids(
 
 
 def near_dup_hot_bucket_stats(
-    new_bands: DataFrame, hist: DataFrame | None, max_bucket: int
+    new_bands: DataFrame | None,
+    hist: DataFrame | None,
+    max_bucket: int,
+    all_bands: DataFrame | None = None,
 ) -> DataFrame:
     """ONE-row hot-bucket counts over EXACTLY the frame
     :func:`near_dup_dropped_ids` caps (batch bands ∪ touched history
     bands) — the streaming face of ``operators.dedup.
-    hot_bucket_stats`` (r6 cap observability; see that docstring)."""
+    hot_bucket_stats`` (r6 cap observability; see that docstring).
+    Pass the caller's pinned :func:`batch_history_bands` frame via
+    ``all_bands`` so the stats share the drop join's history scan
+    instead of re-reading the store."""
     from lakeflush_spark.operators.dedup import hot_bucket_stats
 
-    all_bands = new_bands.select("doc", "band_idx", "bh")
-    if hist is not None:
-        touched = new_bands.select("band_idx", "bh").distinct()
-        all_bands = all_bands.unionByName(
-            hist.select("doc", "band_idx", "bh").join(
-                F.broadcast(touched), ["band_idx", "bh"], "semi"
-            )
-        )
+    if all_bands is None:
+        all_bands = batch_history_bands(new_bands, hist)
     return hot_bucket_stats(all_bands, ["band_idx", "bh"], max_bucket)
 
 

@@ -203,3 +203,71 @@ def test_avro_source_compacts_to_parquet(spark, tmp_path):
     assert {tuple(r) for r in back.select("id", "score").collect()} == {
         tuple(r) for r in df.select("id", "score").collect()
     }
+
+
+def test_avro_python_maps_fields_by_name_across_files(spark, tmp_path):
+    """Regression (r6 review): files whose writer schemas order the
+    same fields differently must decode by NAME, not position — and a
+    field a file lacks comes back NULL."""
+    import os
+
+    from lakeflush_spark.operators.avro_codec import write_container
+    from lakeflush_spark.sources import read_avro_python
+
+    d = tmp_path / "mixed"
+    os.makedirs(d)
+    ab = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "long"}]}
+    ba = {"type": "record", "name": "r", "fields": [
+        {"name": "b", "type": "long"}, {"name": "a", "type": "long"}]}
+    b_only = {"type": "record", "name": "r", "fields": [
+        {"name": "b", "type": "long"}]}
+    (d / "f1.avro").write_bytes(write_container(ab, [{"a": 1, "b": 100}]))
+    (d / "f2.avro").write_bytes(write_container(ba, [{"a": 2, "b": 200}]))
+    (d / "f3.avro").write_bytes(write_container(b_only, [{"b": 300}]))
+    got = {r.b: r.a for r in read_avro_python(spark, str(d), schema="a long, b long").collect()}
+    assert got == {100: 1, 200: 2, 300: None}
+
+
+def test_avro_python_glob_and_non_avro_error(spark, tmp_path):
+    """Regression (r6 review): glob filters like the connector's
+    pathGlobFilter; by default all visible files are read and a
+    non-Avro file raises naming its path."""
+    import os
+
+    import pytest
+
+    from lakeflush_spark.operators.avro_codec import write_container
+    from lakeflush_spark.sources import read_avro_python
+
+    d = tmp_path / "lake"
+    os.makedirs(d)
+    sch = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    # extension-less container file (some writers): must be readable
+    (d / "part-00000").write_bytes(write_container(sch, [{"a": 1}]))
+    (d / "events.avro").write_bytes(write_container(sch, [{"a": 2}]))
+    assert {r.a for r in read_avro_python(spark, str(d)).collect()} == {1, 2}
+    assert {r.a for r in read_avro_python(spark, str(d), glob="*.avro").collect()} == {2}
+    (d / "junk.txt").write_bytes(b"not avro at all")
+    with pytest.raises(Exception, match="junk.txt"):
+        read_avro_python(spark, str(d), schema="a long").collect()
+
+
+def test_avro_truncated_values_raise():
+    """Regression (r6 review): truncation inside boolean/fixed/float
+    fields raises instead of emitting plausible wrong values."""
+    import io
+
+    import pytest
+
+    from lakeflush_spark.operators import avro_codec as ac
+
+    assert ac._decode("boolean", io.BytesIO(b"\x01")) is True
+    with pytest.raises(ValueError, match="truncated Avro boolean"):
+        ac._decode("boolean", io.BytesIO(b""))
+    with pytest.raises(ValueError, match="truncated Avro fixed"):
+        ac._decode({"type": "fixed", "name": "f", "size": 4}, io.BytesIO(b"ab"))
+    with pytest.raises(ValueError, match="truncated Avro float"):
+        ac._decode("float", io.BytesIO(b"\x00\x00"))
+    with pytest.raises(ValueError, match="truncated Avro double"):
+        ac._decode("double", io.BytesIO(b"\x00\x00\x00\x00"))

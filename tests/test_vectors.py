@@ -345,3 +345,39 @@ def test_semantic_dedup_two_level_finds_planted_copies(spark, sf_dir):
     got = {(r.id1, r.id2): r.cos_sim for r in pairs.collect()}
     for i in range(5):
         assert got.get((i, i + 10000)) == 1.0
+
+
+def test_two_level_never_drops_vectors_on_tied_centroids(spark):
+    """Regression (r6 review): duplicate/6dp-tied centroids collapse a
+    coarse group to zero members; probing it used to NULL the
+    candidate array and silently DROP the vector. Every vector must
+    come back, at any coarse_probe."""
+    from lakeflush_spark.operators.similarity import (
+        _nearest_cells_two_level,
+        _pack_cells_two_level,
+        prepare_vectors,
+    )
+
+    # three identical centroids (as corpus rows): the md5-seeded coarse
+    # quantizer puts all fine members under one coarse id, leaving the
+    # other coarse cells memberless
+    dup = [1.0, 0.0, 0.0, 0.0]
+    cent_corpus = prepare_vectors(
+        spark.createDataFrame(
+            [(i, dup) for i in range(3)], "vec_id long, embedding array<double>"
+        )
+    )
+    from lakeflush_spark.operators.similarity import centroid_frame
+
+    packed2 = _pack_cells_two_level(centroid_frame(cent_corpus, 3), 3)
+    vecs = prepare_vectors(
+        spark.createDataFrame(
+            [(10, dup), (11, [0.0, 1.0, 0.0, 0.0]), (12, [0.5, 0.5, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    for probe in (1, 2, 3):
+        got = sorted(
+            r.vid for r in _nearest_cells_two_level(vecs, packed2, 1, probe).collect()
+        )
+        assert got == [10, 11, 12], f"coarse_probe={probe} dropped vectors: {got}"

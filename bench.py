@@ -65,6 +65,20 @@ suite-mode numbers; the deltas are the new labels' paid-for work
 (cluster CC, LM train+witnesses, strip rewrite verify, SemDedup), not
 plan regressions (PLANS.md shapes unchanged since the regen).
 
+r6 closing run (clean box, after the full 278-test suite): suite
+34.1 s, csv 35.0 MB/s / gzip 11.3 / json 17.5k files/s (4.7x / 2.9x /
+1.7x the reference baseline), semdd stream 694 vecs/s. Delta vs r5's
+27.6 s is paid-for verification surface, not regression: q60 +~1.0 s
+('card'/'card_top' labels — corpus_report now hash-verified), q41
++~1.3 s ('bpe' label — the merge table now hash-verified), q28/q55
++~0.5/+0.3 s (the centroid-plumbing trade: bounded seed collect +
+aggregation packing replaces the SQL literal that did not survive
+large n_cells; isolated re-measures below), rest flat within
+variance. streaming.neardup_docs_s readings this round (1882 r5 ->
+1590/1412/1270 across r6 runs) move with box contention, not code:
+the per-batch plan is unchanged (batch_history_bands extracts the
+same union near_dup_dropped_ids always built).
+
 r6 isolated warm re-measures (three back-to-back noop-sink runs,
 first = cold) after the r6 plan moves: q60 [9.0, 2.7, 2.4] s — the
 +~1.6 s over r5's 0.87 is the new 'card'/'card_top' labels

@@ -121,7 +121,10 @@ def _decode(schema, buf: io.BytesIO):
     if t == "record":
         return {f["name"]: _decode(f["type"], buf) for f in schema["fields"]}
     if t == "enum":
-        return schema["symbols"][_read_long(buf)]
+        idx = _read_long(buf)
+        if not 0 <= idx < len(schema["symbols"]):
+            raise ValueError(f"Avro enum index {idx} out of range")
+        return schema["symbols"][idx]
     if t == "fixed":
         data = buf.read(schema["size"])
         if len(data) != schema["size"]:
@@ -218,7 +221,12 @@ def read_container(payload: bytes):
     if buf.read(4) != _MAGIC:
         raise ValueError("not an Avro container file (bad magic)")
     meta = _decode({"type": "map", "values": "bytes"}, buf)
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    if "avro.schema" not in meta:
+        raise ValueError("Avro container missing avro.schema metadata")
+    try:
+        schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as ex:
+        raise ValueError(f"corrupt Avro schema metadata: {ex}") from ex
     codec = meta.get("avro.codec", b"null").decode("ascii")
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported Avro codec {codec!r}")
@@ -232,7 +240,12 @@ def read_container(payload: bytes):
         n = _read_long(buf)
         data = _read_bytes(buf)
         if codec == "deflate":
-            data = zlib.decompress(data, -15)  # raw deflate per spec
+            try:
+                data = zlib.decompress(data, -15)  # raw deflate per spec
+            except zlib.error as ex:
+                # surface as ValueError so callers' corrupt-file
+                # handling (and path-naming) covers torn blocks too
+                raise ValueError(f"corrupt Avro deflate block: {ex}") from ex
         block = io.BytesIO(data)
         records.extend(_decode(schema, block) for _ in range(n))
         if buf.read(16) != sync:

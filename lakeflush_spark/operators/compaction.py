@@ -341,7 +341,13 @@ def read_source(spark: SparkSession, cfg: CompactionConfig) -> DataFrame:
             # (sources.read_avro fallback).
             from lakeflush_spark.sources import read_avro
 
-            return read_avro(spark, cfg.source_dir, schema=cfg.schema, glob=glob)
+            return read_avro(
+                spark,
+                cfg.source_dir,
+                schema=cfg.schema,
+                glob=glob,
+                skip_corrupt=cfg.ignore_corrupt_files,
+            )
         if cfg.file_format == "json":
             reader = spark.read.option("recursiveFileLookup", "true")
             for k, v in JSON_TS_OPTIONS.items():

@@ -314,13 +314,18 @@ def _pack_cells_two_level(cent_df: DataFrame, n_coarse: int) -> DataFrame:
     # toward the smaller coarse id) has no _fine key, and probing it
     # would make element_at return NULL -> flatten NULL -> explode
     # silently DROPS the vector. Empty groups carry no candidates, so
-    # restricting the probe set loses nothing.
-    coarse_used = coarse.join(
-        grouped.select(F.col("coarse_id").alias("cell_id")).distinct(),
-        "cell_id",
-        "semi",
+    # restricting the probe set loses nothing. The restriction is an
+    # EXPRESSION over the packed one-row frame (map_contains_key), not
+    # a semi-join back through `grouped` — that join would re-execute
+    # the whole fine-to-coarse assignment lineage a second time.
+    packed = _pack_cells(coarse).crossJoin(fine_map)
+    return packed.select(
+        F.filter(
+            F.col("_cells"),
+            lambda c: F.map_contains_key(F.col("_fine"), c["cell_id"]),
+        ).alias("_cells"),
+        F.col("_fine"),
     )
-    return _pack_cells(coarse_used).crossJoin(fine_map)
 
 
 def _nearest_cells_two_level(

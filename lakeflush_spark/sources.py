@@ -72,6 +72,7 @@ def read_avro(
     schema=None,
     fallback: bool = True,
     glob: str | None = None,
+    skip_corrupt: bool = False,
 ) -> DataFrame:
     """Batch-read Avro files (columnar-compatible: compactable to
     parquet/orc via ``CompactionConfig(output_format=...)``).
@@ -97,11 +98,17 @@ def read_avro(
     except MissingConnectorError:
         if not fallback:
             raise
-        return read_avro_python(spark, path, schema, glob=glob)
+        return read_avro_python(
+            spark, path, schema, glob=glob, skip_corrupt=skip_corrupt
+        )
 
 
 def read_avro_python(
-    spark: SparkSession, path: str, schema=None, glob: str | None = None
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    glob: str | None = None,
+    skip_corrupt: bool = False,
 ) -> DataFrame:
     """Library-free Avro batch read (r6): ``binaryFile`` whole-file
     scan + Arrow-batched ``mapInPandas`` running the pure-Python
@@ -118,9 +125,11 @@ def read_avro_python(
     correctly rather than positionally transposed, and fields a file
     lacks come back NULL. ``glob`` filters file names (the
     connector's ``pathGlobFilter``); by default ALL visible files are
-    read, like the connector — a non-Avro file raises naming its
-    path. Prefer the connector where its jar exists; this path is the
-    no-jar fallback, not a column-pruning reader."""
+    read, like the connector — a non-Avro or corrupt file raises
+    naming its path, and ``skip_corrupt=True`` (compaction's
+    ignore_corrupt_files semantics) skips such files instead. Prefer
+    the connector where its jar exists; this path is the no-jar
+    fallback, not a column-pruning reader."""
     import pandas as pd  # noqa: F401 (executor-side import check)
 
     from lakeflush_spark.operators.avro_codec import (
@@ -155,6 +164,8 @@ def read_avro_python(
                 try:
                     _, recs = read_container(bytes(payload))
                 except ValueError as ex:
+                    if skip_corrupt:
+                        continue
                     raise ValueError(f"{fpath}: {ex}") from ex
                 rows.extend(tuple(r.get(c) for c in target_names) for r in recs)
             yield pd.DataFrame(rows, columns=target_names)

@@ -54,7 +54,9 @@ from lakeflush_spark.streaming.dedup import (
     _read_store,
     _run_tag,
     against_history_exact,
+    batch_history_bands,
     near_dup_dropped_ids,
+    near_dup_hot_bucket_stats,
     within_batch_exact,
 )
 
@@ -264,8 +266,6 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             sigged = with_minhash(fresh, text_col=cfg.text_col)
             hist = _read_store(sp, cfg.sig_dir, batch_id, run)
             batch_bands = _bands_long(sigged, cfg.id_col)
-            from lakeflush_spark.streaming.dedup import batch_history_bands
-
             all_bands = batch_history_bands(batch_bands, hist)
             if cfg.near_dup_max_bucket is not None:
                 # pinned: consumed by BOTH the drop join and the cap
@@ -287,10 +287,6 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             # THIS batch (None columns when no cap is configured)
             n_hot = n_hot_over = None
             if cfg.near_dup_max_bucket is not None:
-                from lakeflush_spark.streaming.dedup import (
-                    near_dup_hot_bucket_stats,
-                )
-
                 hb = near_dup_hot_bucket_stats(
                     batch_bands, hist, cfg.near_dup_max_bucket,
                     all_bands=all_bands,

@@ -395,6 +395,11 @@ def near_dup_hot_bucket_stats(
     from lakeflush_spark.operators.dedup import hot_bucket_stats
 
     if all_bands is None:
+        if new_bands is None:
+            raise ValueError(
+                "near_dup_hot_bucket_stats needs either new_bands (+hist) "
+                "or a prebuilt all_bands frame"
+            )
         all_bands = batch_history_bands(new_bands, hist)
     return hot_bucket_stats(all_bands, ["band_idx", "bh"], max_bucket)
 

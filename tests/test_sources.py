@@ -271,3 +271,35 @@ def test_avro_truncated_values_raise():
         ac._decode("float", io.BytesIO(b"\x00\x00"))
     with pytest.raises(ValueError, match="truncated Avro double"):
         ac._decode("double", io.BytesIO(b"\x00\x00\x00\x00"))
+
+
+def test_avro_corrupt_handling_and_enum_bounds(spark, tmp_path):
+    """r6 hardening: corrupt deflate blocks / bad enum indexes raise
+    ValueError (path-named through the reader); skip_corrupt=True and
+    compaction's ignore_corrupt_files skip such files instead."""
+    import io
+    import os
+
+    import pytest
+
+    from lakeflush_spark.operators import avro_codec as ac
+    from lakeflush_spark.sources import read_avro_python
+
+    # enum decode validates its index (0x01 zigzag-decodes to -1)
+    enum_sch = {"type": "enum", "name": "e", "symbols": ["A", "B"]}
+    assert ac._decode(enum_sch, io.BytesIO(b"\x02")) == "B"
+    with pytest.raises(ValueError, match="enum index"):
+        ac._decode(enum_sch, io.BytesIO(b"\x01"))
+
+    d = tmp_path / "lake"
+    os.makedirs(d)
+    sch = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    good = ac.write_container(sch, [{"a": 1}], codec="deflate")
+    bad = bytearray(ac.write_container(sch, [{"a": 2}], codec="deflate"))
+    bad[-20] ^= 0xFF  # flip a bit inside the deflate block
+    (d / "good.avro").write_bytes(good)
+    (d / "bad.avro").write_bytes(bytes(bad))
+    with pytest.raises(Exception, match="bad.avro"):
+        read_avro_python(spark, str(d), schema="a long").collect()
+    got = read_avro_python(spark, str(d), schema="a long", skip_corrupt=True)
+    assert [r.a for r in got.collect()] == [1]

@@ -127,6 +127,20 @@ the knob that keeps assignment viable when n_cells grows with the
 corpus (the SemDedup paper's 50k-cluster regime: ~450 scored
 centroids per row instead of 50k).
 
+Knob-crossover check (r6, measured not guessed): the same warm
+multi-batch harness with BOTH streaming scale knobs on
+(cell_partitions=True + assign_coarse_cells=8 at n_cells=64) lands at
+339 vecs/s — SLOWER than plain n_cells=64 (655) at this toy scale,
+with exact dedup preserved (2000/2000 survivors). Cause: 64 _cp
+store partitions per batch amplify the write/listing cost while the
+history is still batch-sized, so partition elimination has nothing
+to eliminate; and an 8-coarse two-level scan saves little over a
+64-centroid flat scan. Both knobs are documented as
+crossover-gated — cell_partitions once history dwarfs batches,
+coarse cells once n_cells reaches the 10^3-10^5 regime (where
+two-level measured 6.9-9.8x) — and this run is the evidence the
+defaults stay off.
+
 Scale-smoke ivf_assign (r6): quantizer BUILD cost is flat in n_cells
 (0.33 s at 16 vs 0.32 s at 1024 cells on a 40k-vector corpus) now
 that centroids distribute via createDataFrame + collect_list packing

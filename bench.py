@@ -139,7 +139,12 @@ to eliminate; and an 8-coarse two-level scan saves little over a
 crossover-gated — cell_partitions once history dwarfs batches,
 coarse cells once n_cells reaches the 10^3-10^5 regime (where
 two-level measured 6.9-9.8x) — and this run is the evidence the
-defaults stay off.
+defaults stay off. The OTHER side of the cell_partitions crossover,
+measured in its claimed regime: a 200-vector trickle batch against a
+directly-preloaded 50k-vector store (n_cells=64) runs 3.82 s
+cell-partitioned vs 7.05 s flat (1.8x — partition elimination skips
+most of the history read), with every trickle vector correctly
+deduped against history in both layouts.
 
 Scale-smoke ivf_assign (r6): quantizer BUILD cost is flat in n_cells
 (0.33 s at 16 vs 0.32 s at 1024 cells on a 40k-vector corpus) now

@@ -55,6 +55,7 @@ from lakeflush_spark.operators.multimodal import (
     resize_media,
     sample_frames,
 )
+from lakeflush_spark.operators.jpeg_codec import decode_jpeg
 from lakeflush_spark.operators.png_codec import decode_png, encode_png
 from lakeflush_spark.operators.substring_dedup import (
     docs_with_repeated_spans,
@@ -75,6 +76,7 @@ __all__ = [
     "corpus_report",
     "read_increment",
     "contamination_pairs",
+    "decode_jpeg",
     "decode_png",
     "decontaminate",
     "deterministic_shuffle",

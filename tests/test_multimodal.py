@@ -50,10 +50,10 @@ def _pil():
 def test_decode_guarded_when_pil_absent():
     if _pil():
         pytest.skip("PIL present: the guarded-absent path cannot fire")
-    # r6: PNG decodes library-free now; JPEG is the remaining
-    # genuinely codec-gated format
+    # r6: PNG and baseline JPEG decode library-free now; MP3 is a
+    # remaining genuinely codec-gated format
     with pytest.raises(NotImplementedError):
-        decode_media("image/jpeg")
+        decode_media("audio/mp3")
 
 
 def test_resize_codec_guarded_when_pil_absent(media_df):
@@ -61,10 +61,12 @@ def test_resize_codec_guarded_when_pil_absent(media_df):
 
     if _pil():
         pytest.skip("PIL present: the guarded-absent path cannot fire")
-    # non-NetPBM/non-PNG payloads without PIL raise with a clear
-    # message (per-payload: NetPBM and PNG rows in the same frame
-    # still resize for real through the library-free codecs)
-    with pytest.raises(Exception, match="needs PIL"):
+    # unsupported payloads without PIL raise with a clear message;
+    # the truncated JPEG_MAGIC row fails inside the real JPEG decoder
+    # instead — either way codec=True on junk payloads fails loudly
+    # (per-payload: NetPBM/PNG/JPEG/WAV rows in the same frame resize
+    # for real through the library-free codecs)
+    with pytest.raises(Exception, match="needs PIL|JPEG"):
         resize_media(media_df, codec=True).collect()
 
 
@@ -414,3 +416,101 @@ def test_wav_error_paths():
     bad = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
     with pytest.raises(ValueError, match="format tag 2"):
         decode_wav(bad)
+
+
+# ---------------------------------------------------------------------------
+# r6: pure-numpy baseline JPEG decoder (operators/jpeg_codec.py) —
+# spec compliance cross-validated against the JVM's javax.imageio
+# (images IT encodes, WE decode; pixels must agree to IDCT rounding).
+# ---------------------------------------------------------------------------
+
+
+def _jvm_jpeg(spark, w, h, fn, gray=False):
+    jvm = spark._jvm
+    kind = (jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY if gray
+            else jvm.java.awt.image.BufferedImage.TYPE_INT_RGB)
+    bi = jvm.java.awt.image.BufferedImage(w, h, kind)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = fn(x, y)
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    import tempfile
+
+    f = jvm.java.io.File(tempfile.mktemp(suffix=".jpg"))
+    jvm.javax.imageio.ImageIO.write(bi, "jpg", f)
+    data = open(f.getAbsolutePath(), "rb").read()
+    bi2 = jvm.javax.imageio.ImageIO.read(f)
+    ref = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            p = bi2.getRGB(x, y)
+            ref[y, x] = [(p >> 16) & 255, (p >> 8) & 255, p & 255]
+    f.delete()
+    return data, ref
+
+
+def test_jpeg_decode_cross_validates_with_jvm(spark):
+    from lakeflush_spark.operators.jpeg_codec import decode_jpeg
+
+    if getattr(spark, "_jvm", None) is None:
+        pytest.skip("needs the py4j bridge for the JVM cross-check")
+    cases = [
+        (16, 8, lambda x, y: (x * 15, y * 30, 128)),
+        # odd size: MCU padding + crop
+        (17, 13, lambda x, y: ((x * 13 + y * 7) % 256, (x * x) % 256, (y * 19) % 256)),
+        (48, 32, lambda x, y: (int(127 + 127 * np.sin(x / 3)),
+                               int(127 + 127 * np.cos(y / 2)), (x * y) % 256)),
+    ]
+    for w, h, fn in cases:
+        data, ref = _jvm_jpeg(spark, w, h, fn)
+        got = decode_jpeg(data)
+        assert got.shape == ref.shape
+        diff = np.abs(got.astype(int) - ref.astype(int))
+        assert diff.max() <= 4, f"{w}x{h}: max diff {diff.max()}"
+        assert diff.mean() < 1.0
+
+
+def test_jpeg_grayscale_and_errors(spark):
+    from lakeflush_spark.operators.jpeg_codec import decode_jpeg
+
+    if getattr(spark, "_jvm", None) is None:
+        pytest.skip("needs the py4j bridge for the JVM cross-check")
+    data, _ = _jvm_jpeg(spark, 24, 16, lambda x, y: ((x * 9 + y * 5) % 256,) * 3,
+                          gray=True)
+    got = decode_jpeg(data)
+    assert got.shape == (16, 24)  # 1-component -> 2-D array
+    # reference via the RAW raster (getRGB on TYPE_BYTE_GRAY applies
+    # Java's linear-to-sRGB conversion, not a decode difference)
+    import io as _io
+    jvm = spark._jvm
+    bais = jvm.java.io.ByteArrayInputStream(data)
+    bi2 = jvm.javax.imageio.ImageIO.read(bais)
+    raster = bi2.getRaster()
+    ref_gray = np.array(
+        [[raster.getSample(x, y, 0) for x in range(24)] for y in range(16)]
+    )
+    diff = np.abs(got.astype(int) - ref_gray)
+    assert diff.max() <= 2
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # hand-build a progressive (SOF2) header: clear variant error
+    prog = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(prog)
+
+
+def test_resize_media_codec_jpeg_real(spark):
+    """resize_media(codec=True) on JPEG payloads runs the library-free
+    decode -> strided resize -> PNG re-encode when PIL is absent."""
+    from lakeflush_spark.operators.jpeg_codec import decode_jpeg
+    from lakeflush_spark.operators.multimodal import resize_media
+    from lakeflush_spark.operators.png_codec import decode_png
+
+    if _pil():
+        pytest.skip("PIL present: the library-free branch cannot fire")
+    data, _ = _jvm_jpeg(spark, 32, 16, lambda x, y: (x * 7 % 256, y * 11 % 256, 99))
+    df = spark.createDataFrame([(1, bytearray(data))], "media_id long, payload binary")
+    row = resize_media(df, ratio=4, codec=True).collect()[0]
+    back = decode_png(bytes(row.resized_payload))
+    assert np.array_equal(back, decode_jpeg(data)[::4, ::4])

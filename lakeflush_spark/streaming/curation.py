@@ -2,7 +2,8 @@
 (``pipelines.curate_documents``) re-expressed as dedup-on-arrival.
 
 Each micro-batch runs the same stage order as the batch pipeline —
-quality filters → exact dedup → LSH near-dup → eval-set
+quality filters → optional LM gate → exact dedup → LSH near-dup →
+optional semantic (SemDedup) near-dup → eval-set
 decontamination — but the dedup stages check arriving documents
 against PERSISTED history stores (16-byte digests; band hashes +
 minhash signatures), so a continuously-fed corpus stays curated
@@ -17,6 +18,10 @@ Composition, all reused from :mod:`lakeflush_spark.streaming.dedup`:
 - ``near_dup_dropped_ids`` — band store pruned to batch-touched
   buckets, one band equi-join for within-batch + against-history
   pairing, signature-agreement verify, hot-bucket cap;
+- the semantic stage — :mod:`lakeflush_spark.streaming.semdedup`'s
+  per-batch helpers (store-scoped centroid sidecar, broadcast
+  semi-join cell pruning, one cell equi-join verify) against a
+  vector store that, like the others, holds only ADMITTED docs;
 - ``operators/decontaminate.decontaminate`` — the STATIC eval-gram
   frame is built once at stream start and broadcast into every batch
   (the corpus side never shuffles);
@@ -29,8 +34,9 @@ being content-deterministic — rejected the same way, without the
 stores accumulating rows for documents that never entered the corpus.
 
 Auditability: every batch appends one stats row
-(n_in / n_filtered / n_lm_filtered / n_exact_dup / n_near_dup / n_contaminated /
-n_out, plus n_hot_buckets / n_hot_rows_trimmed — the hot-bucket cap's
+(n_in / n_filtered / n_lm_filtered / n_exact_dup / n_near_dup /
+n_sem_dup / n_contaminated / n_out — n_sem_dup NULL when the
+semantic stage is not configured — plus n_hot_buckets / n_hot_rows_trimmed — the hot-bucket cap's
 per-batch recall trade, NULL when no cap is configured) to a
 queryable parquet stats store under the same (run, batch)
 exactly-once layout — the streaming twin of the batch pipeline's
@@ -102,6 +108,34 @@ class CurationStreamConfig:
     lm_min_logprob: float | None = None
     lm_buckets: int = 1 << 20
     lm_hash_fn: str = "xxhash64"
+    #: optional SemDedup stage (the batch pipeline's
+    #: CurationConfig.embedding_col twin, streaming face at
+    #: streaming/semdedup.py): name of an array<float/double>
+    #: embedding column on the arriving documents — a doc whose
+    #: embedding near-coincides (within-IVF-cell 4dp-rounded cosine ≥
+    #: sem_threshold) with an ADMITTED doc (this batch's lower ids or
+    #: the persisted vector-store history) is dropped. Requires
+    #: ``sem_vec_dir`` + ``sem_cent_dir``. Runs after the lexical
+    #: near-dup stage, before decontamination — the batch pipeline's
+    #: stage order.
+    embedding_col: str | None = None
+    sem_threshold: float = 0.95
+    sem_n_cells: int = 16
+    #: vector store (vid, cell_id, v|qv, nrm; run/batch partitioned) —
+    #: holds only ADMITTED docs' embeddings (the corpus, per the
+    #: store principle above)
+    sem_vec_dir: str | None = None
+    #: centroid sidecar — written once for the store's whole life
+    #: (see streaming/semdedup.load_or_init_centroids)
+    sem_cent_dir: str | None = None
+    #: the StreamSemDedupConfig scale knobs, same semantics and same
+    #: must-stay-constant-per-store rules (layout-guarded)
+    sem_max_cell: int | None = None
+    sem_hot_cell_mode: str = "sample"
+    sem_quantize_store: bool = False
+    sem_cell_partitions: bool = False
+    sem_coarse_cells: int | None = None
+    sem_coarse_probe: int = 1
     #: optional parquet directory of eval documents — when set, corpus
     #: docs sharing >= decontam_min_common distinct word n-grams with
     #: ANY eval doc are dropped (operators/decontaminate semantics)
@@ -128,6 +162,21 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
         raise ValueError(
             "lm_min_logprob set without lm_dir — the LM gate would be "
             "silently OFF; point lm_dir at a train_bigram_lm output"
+        )
+    if cfg.embedding_col is not None and (
+        cfg.sem_vec_dir is None or cfg.sem_cent_dir is None
+    ):
+        raise ValueError(
+            "embedding_col requires sem_vec_dir AND sem_cent_dir — the "
+            "semantic stage needs a vector store and a centroid sidecar"
+        )
+    if cfg.embedding_col is None and (
+        cfg.sem_vec_dir is not None or cfg.sem_cent_dir is not None
+    ):
+        raise ValueError(
+            "sem_vec_dir/sem_cent_dir set without embedding_col — the "
+            "semantic stage would be silently OFF; name the embedding "
+            "column on the arriving documents"
         )
     if schema is None:
         schema = spark.read.parquet(cfg.source_dir).schema
@@ -299,6 +348,69 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 )
             sigged = sigged.join(F.broadcast(nd_dropped), cfg.id_col, "left_anti")
 
+            # 3b. semantic (SemDedup) near-dup vs the persisted vector
+            # store — the batch pipeline's stage order (after lexical
+            # near-dup, before decontamination), on the standalone
+            # stream's per-batch helpers and store recipe
+            # (streaming/semdedup.py): store-scoped centroid sidecar,
+            # broadcast semi-join cell pruning (partition elimination
+            # with sem_cell_partitions), one cell equi-join verify.
+            n_sem = None if cfg.embedding_col is None else 0
+            sem_indexed = None
+            if cfg.embedding_col is not None:
+                from lakeflush_spark.operators.similarity import prepare_vectors
+                from lakeflush_spark.streaming.semdedup import (
+                    assign_cells,
+                    load_or_init_centroids,
+                    pruned_history,
+                    sem_dropped_ids,
+                )
+
+                sem_vecs = prepare_vectors(
+                    sigged, id_col=cfg.id_col, vec_col=cfg.embedding_col
+                )
+                sem_cents = load_or_init_centroids(
+                    sp, cfg.sem_cent_dir, cfg.sem_n_cells, sem_vecs
+                )
+                if sem_cents is not None:
+                    sem_indexed = _pin(
+                        assign_cells(
+                            sem_vecs,
+                            sem_cents,
+                            cfg.sem_coarse_cells,
+                            cfg.sem_coarse_probe,
+                        )
+                    )
+                    sem_hist = _read_store(sp, cfg.sem_vec_dir, batch_id, run)
+                    sem_hist_cells = (
+                        pruned_history(
+                            sem_hist,
+                            sem_indexed,
+                            vec_dir=cfg.sem_vec_dir,
+                            quantize_store=cfg.sem_quantize_store,
+                            cell_partitions=cfg.sem_cell_partitions,
+                        )
+                        if sem_hist is not None
+                        else None
+                    )
+                    sem_dropped = _pin(
+                        sem_dropped_ids(
+                            sem_indexed,
+                            sem_hist_cells,
+                            cfg.sem_threshold,
+                            cfg.sem_max_cell,
+                            cfg.sem_hot_cell_mode,
+                        )
+                    )
+                    n_sem = sem_dropped.count()
+                    sigged = sigged.join(
+                        F.broadcast(
+                            sem_dropped.withColumnRenamed("vid", cfg.id_col)
+                        ),
+                        cfg.id_col,
+                        "left_anti",
+                    )
+
             # 4. decontamination vs the static broadcast eval grams
             if eval_grams is not None:
                 doc_grams = sigged.select(
@@ -342,6 +454,27 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 .withColumn("batch", F.lit(int(batch_id))),
                 cfg.sig_dir,
             )
+            if sem_indexed is not None:
+                # vector store rows for ADMITTED docs only (out — i.e.
+                # survivors of the semantic AND decontam stages): the
+                # stores-describe-the-corpus principle, so a future
+                # copy of a contaminated doc is not "deduped" against
+                # a row that never entered the corpus
+                from lakeflush_spark.streaming.semdedup import store_frame
+
+                admitted = sem_indexed.join(
+                    out.select(F.col(cfg.id_col).alias("vid")), "vid", "semi"
+                )
+                sem_store, sem_extra = store_frame(
+                    admitted, cfg.sem_quantize_store, cfg.sem_cell_partitions
+                )
+                _writer(
+                    sem_store.withColumn("run", F.lit(run)).withColumn(
+                        "batch", F.lit(int(batch_id))
+                    ),
+                    cfg.sem_vec_dir,
+                    parts=("run", "batch", *sem_extra),
+                )
             stats = sp.createDataFrame(
                 [
                     (
@@ -352,7 +485,8 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                         n_lm_filtered,
                         n_filtered_in - n_exact,
                         nd_count,
-                        n_exact - n_out - nd_count,
+                        n_sem,
+                        n_exact - n_out - nd_count - (n_sem or 0),
                         n_out,
                         n_hot,
                         n_hot_over,
@@ -360,7 +494,7 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 ],
                 "run string, batch long, n_in long, n_filtered long, "
                 "n_lm_filtered long, n_exact_dup long, n_near_dup long, "
-                "n_contaminated long, n_out long, "
+                "n_sem_dup long, n_contaminated long, n_out long, "
                 "n_hot_buckets long, n_hot_rows_trimmed long",
             )
             _writer(stats, cfg.stats_dir)

@@ -76,6 +76,25 @@ class StreamSemDedupConfig:
     #: decision rule)
     threshold: float = 0.95
     n_cells: int = 16
+    #: SIZING RULE (r7): the steady-state measurement showed per-batch
+    #: cost is verify-join-bound — O(|batch| x mean cell occupancy) —
+    #: so n_cells must track corpus size, but the quantizer is
+    #: trained once for the store's life. Set ``expected_corpus`` to
+    #: the store's anticipated vector count and training uses
+    #: ``max(n_cells, ceil(expected_corpus / target_cell_rows))``
+    #: cells (bounded by the training batch's size — feed a
+    #: representative first batch). Leaving it None keeps the static
+    #: ``n_cells``.
+    expected_corpus: int | None = None
+    target_cell_rows: int = 1024
+    #: occupancy guard: every ``occupancy_check_batches``-th batch,
+    #: count the store (parquet metadata count — footers only, no row
+    #: scan) and warn when mean rows-per-cell exceeds
+    #: ``occupancy_warn_factor x target_cell_rows`` — the signal that
+    #: the store outgrew its quantizer and needs a rebuild at higher
+    #: n_cells (or a ``max_cell`` cap as the stopgap). 0 disables.
+    occupancy_check_batches: int = 16
+    occupancy_warn_factor: float = 4.0
     #: bound comparison-side rows per cell (operators/dedup.
     #: _cap_hot_buckets over cell_id): a generation-fixed quantizer
     #: means cells grow with the corpus — the cap bounds each batch's
@@ -113,8 +132,8 @@ class StreamSemDedupConfig:
     max_files_per_trigger: int | None = None
 
 
-def _load_or_init_centroids(
-    sp: SparkSession, cfg: StreamSemDedupConfig, batch_vecs: DataFrame
+def load_or_init_centroids(
+    sp: SparkSession, cent_dir: str, n_cells: int, batch_vecs: DataFrame
 ) -> DataFrame | None:
     """The STORE's centroid FRAME (cell_id, cv, cnrm) — read if
     present, else trained deterministically on this (first) batch and
@@ -134,13 +153,13 @@ def _load_or_init_centroids(
     byte-identical centroids (deterministic md5-bucket seeds), so the
     overwrite is idempotent."""
     try:
-        df = sp.read.parquet(cfg.cent_dir)
+        df = sp.read.parquet(cent_dir)
         if "run" in df.columns:
             # a run-partitioned centroid layout mixes incompatible
             # quantizers (duplicate cell_ids) — fail fast rather than
             # silently assign against the union
             raise ValueError(
-                f"{cfg.cent_dir} holds run-partitioned centroids; keep "
+                f"{cent_dir} holds run-partitioned centroids; keep "
                 "exactly ONE generation's rows (drop the run column) — "
                 "cell ids must mean one quantizer for the store's life"
             )
@@ -148,13 +167,214 @@ def _load_or_init_centroids(
             return df.select("cell_id", "cv", "cnrm")
     except AnalysisException:
         pass
-    cents = centroid_frame(batch_vecs, cfg.n_cells)
+    cents = centroid_frame(batch_vecs, n_cells)
     if cents.limit(1).count() == 0:
         return None  # empty first batch: train on the first nonempty one
-    cents.coalesce(1).write.mode("overwrite").parquet(cfg.cent_dir)
+    cents.coalesce(1).write.mode("overwrite").parquet(cent_dir)
     # re-read so every later use is storage-backed (stable, no lineage
     # recompute of the training top-k)
-    return sp.read.parquet(cfg.cent_dir).select("cell_id", "cv", "cnrm")
+    return sp.read.parquet(cent_dir).select("cell_id", "cv", "cnrm")
+
+
+def assign_cells(
+    vecs: DataFrame,
+    cents: DataFrame,
+    coarse_cells: int | None = None,
+    coarse_probe: int = 1,
+) -> DataFrame:
+    """Map-only 1-nearest-cell assignment of a prepared-vectors batch
+    against the store's centroid frame — flat scan by default, the
+    bounded two-level coarse→fine scan when ``coarse_cells`` is set
+    (the corpus-proportional-n_cells knob; see operators/similarity)."""
+    if coarse_cells is not None:
+        from lakeflush_spark.operators.similarity import (
+            _nearest_cells_two_level,
+            _pack_cells_two_level,
+        )
+
+        packed2 = _pack_cells_two_level(cents, coarse_cells)
+        return _nearest_cells_two_level(vecs, packed2, 1, coarse_probe)
+    return _nearest_cells(vecs, _pack_cells(cents), 1)
+
+
+def pruned_history(
+    hist: DataFrame,
+    indexed: DataFrame,
+    *,
+    vec_dir: str,
+    quantize_store: bool,
+    cell_partitions: bool,
+) -> DataFrame:
+    """The vector store scanned — never shuffled — down to the cells
+    this batch touches: layout fail-fasts (flipped ``cell_partitions``
+    / ``quantize_store`` configs, mixed-layout stores), optional
+    ``_cp`` partition ELIMINATION, int8 dequantize after the prune,
+    then a broadcast semi-join on the batch's distinct cell ids.
+    Returns ``(vid, v, nrm, cell_id)``; caller tags/unions it.
+    ``indexed`` should be persisted by the caller (read twice: the
+    ``_cp`` collect and the semi-probe)."""
+    if ("_cp" in hist.columns) != cell_partitions:
+        have = "cell-partitioned" if "_cp" in hist.columns else "flat"
+        raise ValueError(
+            f"{vec_dir} is a {have} store but "
+            f"cell_partitions={cell_partitions} — the "
+            "layout must stay constant for a store's life; "
+            "flip the config back or rebuild the store"
+        )
+    touched = indexed.select("cell_id").distinct()
+    if cell_partitions and "_cp" in hist.columns:
+        # partition ELIMINATION first: _cp is a partition
+        # column, so the isin prunes whole directories of
+        # history before any row is read (bounded collect:
+        # <= 256 values from the pinned batch)
+        cps = [
+            r._cp
+            for r in indexed.select(
+                F.pmod(F.col("cell_id"), F.lit(256)).alias("_cp")
+            )
+            .distinct()
+            .collect()
+        ]
+        hist = hist.where(F.col("_cp").isin(cps))
+    if "qv" in hist.columns and "v" in hist.columns:
+        # quantize_store was FLIPPED mid-life: old and new
+        # partitions carry different vector columns, and a
+        # merged read would silently NULL one side's
+        # cosines (history ignored). Fail fast instead.
+        raise ValueError(
+            f"{vec_dir} mixes quantized (qv) and float "
+            "(v) partitions — quantize_store must stay "
+            "constant for a store's life; rebuild the store "
+            "in one layout"
+        )
+    if ("qv" in hist.columns) != quantize_store:
+        # write-side guard (r6): a flipped quantize_store
+        # would APPEND the incompatible layout this batch,
+        # corrupting the store so the NEXT batch fails —
+        # refuse before any write happens
+        have = "qv" if "qv" in hist.columns else "v"
+        want = "qv" if quantize_store else "v"
+        raise ValueError(
+            f"{vec_dir} holds '{have}' vectors but "
+            f"quantize_store={quantize_store} would write "
+            f"'{want}' — quantize_store must stay constant "
+            "for a store's life; flip the config back or "
+            "rebuild the store in the new layout"
+        )
+    if "qv" in hist.columns:
+        # quantized store: dequantize AFTER the cell prune
+        # (the semi-join sees only 1-byte lanes)
+        from lakeflush_spark.functions.vectors import dequantize_int8
+
+        hist = hist.select(
+            "vid",
+            dequantize_int8(F.col("qv")).alias("v"),
+            "nrm",
+            "cell_id",
+        )
+    return hist.select("vid", "v", "nrm", "cell_id").join(
+        F.broadcast(touched), "cell_id", "semi"
+    )
+
+
+def sem_dropped_ids(
+    indexed: DataFrame,
+    hist_cells: DataFrame | None,
+    threshold: float,
+    max_cell: int | None = None,
+    hot_cell_mode: str = "sample",
+) -> DataFrame:
+    """The batch ids dropped by the semantic verify join: one cell
+    equi-join covers batch-vs-history and batch-vs-lower-id-batchmate
+    pairs; the 4dp-rounded cosine ≥ ``threshold`` drops the arriving
+    vector (greedy min-id, the batch-operator semantics). Returns a
+    distinct ``(vid)`` frame — caller persists (it feeds ≥2 writes)."""
+    new_tag = indexed.select(
+        F.col("vid"), F.col("v"), F.col("nrm"), F.col("cell_id")
+    ).withColumn("hist", F.lit(False))
+    others = new_tag
+    if hist_cells is not None:
+        others = new_tag.unionByName(
+            hist_cells.select("vid", "v", "nrm", "cell_id").withColumn(
+                "hist", F.lit(True)
+            )
+        )
+    if max_cell is not None:
+        from lakeflush_spark.operators.dedup import _cap_hot_buckets
+
+        others = _cap_hot_buckets(
+            others, ["cell_id"], max_cell, mode=hot_cell_mode, doc_col="vid"
+        )
+    n, o = F.broadcast(new_tag).alias("n"), others.alias("o")
+    return (
+        n.join(
+            o,
+            (F.col("n.cell_id") == F.col("o.cell_id"))
+            & (F.col("o.hist") | (F.col("o.vid") < F.col("n.vid"))),
+        )
+        .where(
+            F.round(
+                dot_product(F.col("n.v"), F.col("o.v"))
+                / (F.col("n.nrm") * F.col("o.nrm")),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col("n.vid").alias("vid"))
+        .distinct()
+    )
+
+
+def store_frame(
+    admitted: DataFrame, quantize_store: bool, cell_partitions: bool
+) -> tuple[DataFrame, tuple[str, ...]]:
+    """The vector-store rows for this batch's admitted vectors —
+    ``(vid, cell_id, v|qv, nrm)`` plus ``_cp`` when cell-partitioned —
+    and the extra partition columns (beyond run/batch) to write with.
+    ``admitted`` must carry (vid, cell_id, v, nrm)."""
+    if quantize_store:
+        from lakeflush_spark.functions.vectors import quantize_int8
+
+        out = admitted.select(
+            "vid", "cell_id", quantize_int8(F.col("v")).alias("qv"), "nrm"
+        )
+    else:
+        out = admitted.select("vid", "cell_id", "v", "nrm")
+    extra: tuple[str, ...] = ()
+    if cell_partitions:
+        out = out.withColumn("_cp", F.pmod(F.col("cell_id"), F.lit(256)))
+        extra = ("_cp",)
+    return out, extra
+
+
+def _warn_if_cells_overfull(
+    sp: SparkSession, cfg: StreamSemDedupConfig, cents: DataFrame
+) -> None:
+    """The occupancy guard behind ``occupancy_check_batches``: parquet
+    metadata counts only (no row scan); a store that outgrew its
+    quantizer warns with the measured mean occupancy and the rebuild
+    knobs. Store-missing/empty is silently fine (first batches)."""
+    try:
+        store_rows = sp.read.parquet(cfg.vec_dir).count()
+    except AnalysisException:
+        return
+    cells = cents.count()
+    if not cells:
+        return
+    limit = cfg.occupancy_warn_factor * cfg.target_cell_rows
+    if store_rows / cells > limit:
+        import warnings
+
+        warnings.warn(
+            f"semdedup store {cfg.vec_dir} holds {store_rows} vectors in "
+            f"{cells} cells (mean {store_rows / cells:.0f}/cell > "
+            f"{limit:.0f}): the verify join now dominates batch cost — "
+            "rebuild the store with higher n_cells (or set "
+            "expected_corpus/target_cell_rows), or cap with max_cell as "
+            "a recall-trading stopgap",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None):
@@ -168,154 +388,68 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
     stream = reader.parquet(cfg.source_dir)
     run = _run_tag(cfg.checkpoint_dir)
 
+    # the documented sizing rule: corpus-proportional cells at train
+    # time (static n_cells as the floor)
+    n_cells = cfg.n_cells
+    if cfg.expected_corpus is not None:
+        import math
+
+        n_cells = max(
+            cfg.n_cells, math.ceil(cfg.expected_corpus / cfg.target_cell_rows)
+        )
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         vecs = prepare_vectors(batch_df, id_col=cfg.id_col, vec_col=cfg.vec_col)
-        cents = _load_or_init_centroids(sp, cfg, vecs)
+        cents = load_or_init_centroids(sp, cfg.cent_dir, n_cells, vecs)
         if cents is None:  # empty first batch: nothing to admit or store
             return
-        if cfg.assign_coarse_cells is not None:
-            from lakeflush_spark.operators.similarity import (
-                _nearest_cells_two_level,
-                _pack_cells_two_level,
-            )
-
-            packed2 = _pack_cells_two_level(cents, cfg.assign_coarse_cells)
-            indexed = _nearest_cells_two_level(
-                vecs, packed2, 1, cfg.assign_coarse_probe
-            ).persist()
-        else:
-            indexed = _nearest_cells(vecs, _pack_cells(cents), 1).persist()
+        if (
+            cfg.occupancy_check_batches
+            and batch_id % cfg.occupancy_check_batches == 0
+        ):
+            _warn_if_cells_overfull(sp, cfg, cents)
+        indexed = assign_cells(
+            vecs, cents, cfg.assign_coarse_cells, cfg.assign_coarse_probe
+        ).persist()
         dropped = None
         try:
             hist = _read_store(sp, cfg.vec_dir, batch_id, run)
-            new_tag = indexed.select(
-                F.col("vid"), F.col("v"), F.col("nrm"), F.col("cell_id")
-            ).withColumn("hist", F.lit(False))
-            others = new_tag
-            if hist is not None:
-                if ("_cp" in hist.columns) != cfg.cell_partitions:
-                    have = "cell-partitioned" if "_cp" in hist.columns else "flat"
-                    raise ValueError(
-                        f"{cfg.vec_dir} is a {have} store but "
-                        f"cell_partitions={cfg.cell_partitions} — the "
-                        "layout must stay constant for a store's life; "
-                        "flip the config back or rebuild the store"
-                    )
-                touched = indexed.select("cell_id").distinct()
-                if cfg.cell_partitions and "_cp" in hist.columns:
-                    # partition ELIMINATION first: _cp is a partition
-                    # column, so the isin prunes whole directories of
-                    # history before any row is read (bounded collect:
-                    # <= 256 values from the pinned batch)
-                    cps = [
-                        r._cp
-                        for r in indexed.select(
-                            F.pmod(F.col("cell_id"), F.lit(256)).alias("_cp")
-                        )
-                        .distinct()
-                        .collect()
-                    ]
-                    hist = hist.where(F.col("_cp").isin(cps))
-                if "qv" in hist.columns and "v" in hist.columns:
-                    # quantize_store was FLIPPED mid-life: old and new
-                    # partitions carry different vector columns, and a
-                    # merged read would silently NULL one side's
-                    # cosines (history ignored). Fail fast instead.
-                    raise ValueError(
-                        f"{cfg.vec_dir} mixes quantized (qv) and float "
-                        "(v) partitions — quantize_store must stay "
-                        "constant for a store's life; rebuild the store "
-                        "in one layout"
-                    )
-                if ("qv" in hist.columns) != cfg.quantize_store:
-                    # write-side guard (r6): a flipped quantize_store
-                    # would APPEND the incompatible layout this batch,
-                    # corrupting the store so the NEXT batch fails —
-                    # refuse before any write happens
-                    have = "qv" if "qv" in hist.columns else "v"
-                    want = "qv" if cfg.quantize_store else "v"
-                    raise ValueError(
-                        f"{cfg.vec_dir} holds '{have}' vectors but "
-                        f"quantize_store={cfg.quantize_store} would write "
-                        f"'{want}' — quantize_store must stay constant "
-                        "for a store's life; flip the config back or "
-                        "rebuild the store in the new layout"
-                    )
-                if "qv" in hist.columns:
-                    # quantized store: dequantize AFTER the cell prune
-                    # (the semi-join sees only 1-byte lanes)
-                    from lakeflush_spark.functions.vectors import dequantize_int8
-
-                    hist = hist.select(
-                        "vid",
-                        dequantize_int8(F.col("qv")).alias("v"),
-                        "nrm",
-                        "cell_id",
-                    )
-                hist_cells = (
-                    hist.select("vid", "v", "nrm", "cell_id")
-                    .join(F.broadcast(touched), "cell_id", "semi")
-                    .withColumn("hist", F.lit(True))
+            hist_cells = (
+                pruned_history(
+                    hist,
+                    indexed,
+                    vec_dir=cfg.vec_dir,
+                    quantize_store=cfg.quantize_store,
+                    cell_partitions=cfg.cell_partitions,
                 )
-                others = new_tag.unionByName(hist_cells)
-            if cfg.max_cell is not None:
-                from lakeflush_spark.operators.dedup import _cap_hot_buckets
-
-                others = _cap_hot_buckets(
-                    others, ["cell_id"], cfg.max_cell,
-                    mode=cfg.hot_cell_mode, doc_col="vid",
-                )
-            n, o = F.broadcast(new_tag).alias("n"), others.alias("o")
+                if hist is not None
+                else None
+            )
             dropped = (
-                n.join(
-                    o,
-                    (F.col("n.cell_id") == F.col("o.cell_id"))
-                    & (F.col("o.hist") | (F.col("o.vid") < F.col("n.vid"))),
+                sem_dropped_ids(
+                    indexed,
+                    hist_cells,
+                    cfg.threshold,
+                    cfg.max_cell,
+                    cfg.hot_cell_mode,
                 )
-                .where(
-                    F.round(
-                        dot_product(F.col("n.v"), F.col("o.v"))
-                        / (F.col("n.nrm") * F.col("o.nrm")),
-                        4,
-                    )
-                    >= cfg.threshold
-                )
-                .select(F.col("n.vid").alias("vid"))
-                .distinct()
                 # persisted: consumed by BOTH writes below — without
                 # this, each write re-runs the history scan and the
                 # cosine verify join (the dominant per-batch cost)
                 .persist()
             )
-            out = (
-                indexed.join(F.broadcast(dropped), "vid", "left_anti")
-                .withColumn("run", F.lit(run))
-                .withColumn("batch", F.lit(int(batch_id)))
+            out = indexed.join(F.broadcast(dropped), "vid", "left_anti")
+            store, extra_parts = store_frame(
+                out, cfg.quantize_store, cfg.cell_partitions
             )
-            if cfg.quantize_store:
-                from lakeflush_spark.functions.vectors import quantize_int8
-
-                store = out.select(
-                    "vid",
-                    "cell_id",
-                    quantize_int8(F.col("v")).alias("qv"),
-                    "nrm",
-                    "run",
-                    "batch",
-                )
-            else:
-                store = out.select("vid", "cell_id", "v", "nrm", "run", "batch")
-            store_parts = ["run", "batch"]
-            if cfg.cell_partitions:
-                store = store.withColumn(
-                    "_cp", F.pmod(F.col("cell_id"), F.lit(256))
-                )
-                store_parts = ["run", "batch", "_cp"]
+            store = store.withColumn("run", F.lit(run)).withColumn(
+                "batch", F.lit(int(batch_id))
+            )
             (
                 store.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*store_parts)
+                .partitionBy("run", "batch", *extra_parts)
                 .parquet(cfg.vec_dir)
             )
             survivors = batch_df.join(

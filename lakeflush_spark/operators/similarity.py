@@ -358,6 +358,117 @@ def _nearest_cells_two_level(
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted IVF index — build once, search many. The ANN serving
+# pattern the one-shot ivf_topk can't serve: a 100 TB corpus must not
+# re-train + re-assign per query batch. The layout is the streaming
+# vector store's (streaming/semdedup.py): a centroid sidecar parquet
+# (storage IS the distribution mechanism — centroids never round-trip
+# through driver Python objects) and the assigned corpus partitioned
+# by ``_cp = cell_id % 256``, so a search's history read is partition
+# ELIMINATION down to the probed cells before any row is scanned.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+    quantize: bool = False,
+) -> None:
+    """Materialize an IVF index for ``corpus`` (a
+    :func:`prepare_vectors` frame) under ``index_dir``:
+    ``centroids/`` (cell_id, cv, cnrm — one small file) and
+    ``vectors/`` (vid, cell_id, v|qv, nrm) partitioned by
+    ``_cp = cell_id % 256``. Build is one distributed seed top-k +
+    a broadcast map-only assignment pass — no shuffle of the corpus
+    beyond the partitioned write, no driver-side centroid list.
+    ``quantize`` stores int8 vectors (4x smaller; cosine fidelity
+    > 0.999 — searches dequantize after the cell prune)."""
+    base = index_dir.rstrip("/")
+    cents = centroid_frame(corpus, n_cells, kmeans_iters).persist()
+    cents.count()
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{base}/centroids")
+    indexed = _nearest_cells(corpus, _pack_cells(cents), 1)
+    if quantize:
+        from lakeflush_spark.functions.vectors import quantize_int8
+
+        rows = indexed.select(
+            "vid", "cell_id", quantize_int8(F.col("v")).alias("qv"), "nrm"
+        )
+    else:
+        rows = indexed.select("vid", "cell_id", "v", "nrm")
+    (
+        rows.withColumn("_cp", F.pmod(F.col("cell_id"), F.lit(256)))
+        .write.mode("overwrite")
+        .partitionBy("_cp")
+        .parquet(f"{base}/vectors")
+    )
+    cents.unpersist()
+
+
+def ivf_search(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k search against a :func:`build_ivf_index` directory.
+    Queries (a :func:`prepare_vectors` frame) assign to their
+    ``nprobe`` nearest cells map-only against the storage-backed
+    centroid sidecar; the corpus read is pruned to the probed cells'
+    ``_cp`` partitions (directory elimination — untouched cells are
+    never listed) before the cell equi-join scores candidates.
+    Returns ``(query_id, neighbor_id, cos_sim, rank)``. Per-search
+    cost is O(|Q| x corpus/n_cells x nprobe), independent of writes
+    since the build — the serving path a per-call ``ivf_topk``
+    (train + assign every time) cannot offer."""
+    base = index_dir.rstrip("/")
+    cents = spark.read.parquet(f"{base}/centroids")
+    probe_src = _nearest_cells(queries, _pack_cells(cents), nprobe)
+    probes = probe_src.select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"), F.col("cell_id").alias("qcell"),
+    ).persist()
+    # bounded collect (<= 256 partition values) drives the directory
+    # prune; the broadcast probe join then refines to exact cells
+    cps = [
+        r._cp
+        for r in probes.select(
+            F.pmod(F.col("qcell"), F.lit(256)).alias("_cp")
+        ).distinct().collect()
+    ]
+    vecs = spark.read.parquet(f"{base}/vectors").where(F.col("_cp").isin(cps))
+    if "qv" in vecs.columns:
+        from lakeflush_spark.functions.vectors import dequantize_int8
+
+        vecs = vecs.select(
+            "vid", "cell_id", dequantize_int8(F.col("qv")).alias("v"), "nrm"
+        )
+    scored = (
+        vecs.join(
+            F.broadcast(probes),
+            (F.col("cell_id") == F.col("qcell")) & (F.col("vid") != F.col("qid")),
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            F.round(
+                dot_product(F.col("qv"), F.col("v"))
+                / (F.col("qnrm") * F.col("nrm")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    # probes stays pinned for the caller's action (the cps collect
+    # already materialized it; unpersisting here would re-run the
+    # assignment at action time) — ContextCleaner drops the tiny
+    # cached frame when the result's lineage dies
+    return _topk(scored, k)
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -385,28 +496,27 @@ def semantic_dedup_pairs(
     testdata-sized q55 index). Oversized cells are the skew knob: raise
     ``n_cells``, and AQE skew-join splits residual hot cells.
     """
-    # r6 centroid plumbing: ONE distributed top-k builds the seeds, the
-    # bounded n_cells-row collect is reused by every consumer (the same
-    # bytes any broadcast mechanism must hold), and distribution is
-    # createDataFrame + collect_list packing — zero SQL-literal
-    # build/parse cost, so n_cells can grow with the corpus. An empty
+    # r7 centroid plumbing: the centroid FRAME is persisted and
+    # materialized ONCE (n_cells rows — the same bytes any broadcast
+    # must hold, but executor-side: never boxed Python floats on the
+    # driver, which at 50k cells × 768 dims cost ~GBs of driver heap),
+    # then collect_list-packed for the assignment pass — the streaming
+    # path's storage-backed-sidecar recipe applied to batch (the
+    # sidecar here is the block cache; ContextCleaner drops it when
+    # the consumer frames die). A lineage re-run would rescan the
+    # corpus for the seed top-k — the count() pins it first. An empty
     # corpus flows through as an empty packed array → empty pair frame.
     # ``coarse_cells`` opts into the two-level assignment (see the
     # section comment above): same pairing/drop semantics, assignment
     # approximate at coarse boundaries — the documented recall trade
     # once n_cells reaches the 10⁴-10⁵ corpus-proportional regime.
-    cents = ivf_centroids(corpus, n_cells, kmeans_iters)
+    cents = centroid_frame(corpus, n_cells, kmeans_iters).persist()
+    cents.count()
     if coarse_cells is not None:
-        cent_df = corpus.sparkSession.createDataFrame(
-            [(int(c), [float(x) for x in v], float(nn)) for c, v, nn in cents],
-            "cell_id long, cv array<double>, cnrm double",
-        )
-        packed2 = _pack_cells_two_level(cent_df, coarse_cells)
+        packed2 = _pack_cells_two_level(cents, coarse_cells)
         indexed = _nearest_cells_two_level(corpus, packed2, 1, coarse_probe)
     else:
-        indexed = _nearest_cells(
-            corpus, _cells_as_one_row(corpus.sparkSession, cents), 1
-        )
+        indexed = _nearest_cells(corpus, _pack_cells(cents), 1)
     a, b = indexed.alias("a"), indexed.alias("b")
     return (
         a.join(
@@ -475,24 +585,21 @@ def ivf_topk(
     IVF failure mode, mitigated by raising n_cells (finer cells) and
     AQE skew-join splitting oversized cells at runtime.
     """
-    # same r6 centroid plumbing as semantic_dedup_pairs: one seed
-    # top-k, list reused across BOTH _nearest_cells passes below (a
-    # frame-lineage formulation would re-run the corpus seed scan per
-    # consumer), createDataFrame distribution, no SQL literal.
+    # same r7 centroid plumbing as semantic_dedup_pairs: the frame is
+    # persisted + materialized once and packed for BOTH _nearest_cells
+    # passes below (an unpinned lineage would re-run the corpus seed
+    # scan per consumer) — no driver-side list, no SQL literal.
     # ``coarse_cells`` opts both passes into two-level assignment
     # (queries default to coarse_probe=2: probing a second coarse
     # group recovers most boundary recall for ~2x the bounded scan).
-    cents = ivf_centroids(corpus, n_cells, kmeans_iters)
+    cents = centroid_frame(corpus, n_cells, kmeans_iters).persist()
+    cents.count()
     if coarse_cells is not None:
-        cent_df = corpus.sparkSession.createDataFrame(
-            [(int(c), [float(x) for x in v], float(nn)) for c, v, nn in cents],
-            "cell_id long, cv array<double>, cnrm double",
-        )
-        packed2 = _pack_cells_two_level(cent_df, coarse_cells)
+        packed2 = _pack_cells_two_level(cents, coarse_cells)
         indexed = _nearest_cells_two_level(corpus, packed2, 1, 1)
         probe_src = _nearest_cells_two_level(queries, packed2, nprobe, coarse_probe)
     else:
-        cells_1row = _cells_as_one_row(corpus.sparkSession, cents)
+        cells_1row = _pack_cells(cents)
         indexed = _nearest_cells(corpus, cells_1row, 1)
         probe_src = _nearest_cells(queries, cells_1row, nprobe)
     probes = probe_src.select(

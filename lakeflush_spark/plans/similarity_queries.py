@@ -109,11 +109,32 @@ _IVF_CELLS = 16
 # corpus fewer probes suffice; the candidate-set reduction is still 2x
 # here and n_cells/nprobe-fold in general.
 _IVF_NPROBE = 8
+# the two-level (coarse -> fine) label: ~sqrt(n_cells) coarse
+# super-cells; queries probe their 2 best coarse groups
+_IVF_COARSE = 4
+_IVF_COARSE_PROBE = 2
+
+
+def _cscore(v: str, nrm: str, cv: str, cnrm: str) -> str:
+    """The 6dp-rounded assignment cosine (operators/similarity
+    ``_nearest_cells``' struct score) as DuckDB SQL."""
+    return (
+        f"round(list_sum(list_transform(range(1, 65), i -> {v}[i] * {cv}[i]))"
+        f" / ({nrm} * {cnrm}), 6)"
+    )
+
 
 # Full IVF twin in SQL: the md5-bucket centroid sample, the argmax cell
 # assignment (6dp-rounded scores, cell-id tie-break), nprobe probing,
 # and the final top-k are ALL recomputed by DuckDB — the driver
 # hash-checks the entire index build + search, not just row counts.
+# r7: the 'twolevel' label replays the OPT-IN two-level assignment
+# (operators/similarity._pack_cells_two_level / _nearest_cells_two_level)
+# end-to-end: coarse centroids are the md5-seed draw over the FINE
+# centroids themselves, fine cells group under their argmax coarse
+# cell, and every vector ranks only member-owning coarse cells, then
+# its chosen groups' fine members — the exact scan the engine bounds
+# at O(coarse + n_cells/coarse) per vector.
 _IVF_SQL = (
     _VEC_CTES
     + f""",
@@ -148,16 +169,79 @@ scored AS (
     JOIN cell1  ON n.vec_id = cell1.vec_id
     JOIN probes p ON p.cell_id = cell1.cell_id AND n.vec_id != p.qid
 ),
+ccent AS (
+    SELECT coarse_id, cv AS ccv, cnrm AS ccnrm FROM (
+        SELECT cell_id, cv, cnrm,
+               CAST(row_number() OVER (ORDER BY md5(cell_id::VARCHAR), cell_id) - 1
+                    AS BIGINT) AS coarse_id
+        FROM cent
+    ) WHERE coarse_id < {_IVF_COARSE}
+),
+fgrp AS (
+    SELECT cell_id, coarse_id FROM (
+        SELECT c.cell_id, cc.coarse_id,
+               row_number() OVER (PARTITION BY c.cell_id ORDER BY
+                   {_cscore("c.cv", "c.cnrm", "cc.ccv", "cc.ccnrm")} DESC,
+                   cc.coarse_id) AS rn
+        FROM cent c CROSS JOIN ccent cc
+    ) WHERE rn = 1
+),
+vcoarse AS (
+    SELECT n.vec_id, cc.coarse_id,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+               {_cscore("n.v", "n.nrm", "cc.ccv", "cc.ccnrm")} DESC,
+               cc.coarse_id) AS crn
+    FROM n CROSS JOIN ccent cc
+    WHERE cc.coarse_id IN (SELECT coarse_id FROM fgrp)
+),
+vfine AS (
+    SELECT nv.vec_id, f.cell_id,
+           row_number() OVER (PARTITION BY nv.vec_id ORDER BY
+               {_cscore("nv.v", "nv.nrm", "c.cv", "c.cnrm")} DESC,
+               f.cell_id) AS frn
+    FROM vcoarse vc
+    JOIN fgrp f ON f.coarse_id = vc.coarse_id AND vc.crn <= 1
+    JOIN cent c ON c.cell_id = f.cell_id
+    JOIN n nv ON nv.vec_id = vc.vec_id
+),
+cell1_2l AS (SELECT vec_id, cell_id FROM vfine WHERE frn = 1),
+qfine AS (
+    SELECT nv.vec_id, f.cell_id,
+           row_number() OVER (PARTITION BY nv.vec_id ORDER BY
+               {_cscore("nv.v", "nv.nrm", "c.cv", "c.cnrm")} DESC,
+               f.cell_id) AS frn
+    FROM vcoarse vc
+    JOIN fgrp f ON f.coarse_id = vc.coarse_id AND vc.crn <= {_IVF_COARSE_PROBE}
+    JOIN cent c ON c.cell_id = f.cell_id
+    JOIN n nv ON nv.vec_id = vc.vec_id
+),
+probes2 AS (
+    SELECT q.qid, q.qv, q.qnrm, t.cell_id
+    FROM qfine t JOIN q ON t.vec_id = q.qid
+    WHERE t.frn <= {_IVF_NPROBE}
+),
+scored2 AS (
+    SELECT p.qid AS query_id, n.vec_id AS neighbor_id, {_SQL_COS} AS cos_sim
+    FROM n
+    JOIN cell1_2l ON n.vec_id = cell1_2l.vec_id
+    JOIN probes2 p ON p.cell_id = cell1_2l.cell_id AND n.vec_id != p.qid
+),
 ranked AS (
-    SELECT query_id, neighbor_id, cos_sim,
+    SELECT 'flat' AS method, query_id, neighbor_id, cos_sim,
            CAST(row_number() OVER (
                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
            ) AS BIGINT) AS rank
     FROM scored
+    UNION ALL
+    SELECT 'twolevel' AS method, query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM scored2
 )
-SELECT query_id, neighbor_id, cos_sim, rank
+SELECT method, query_id, neighbor_id, cos_sim, rank
 FROM ranked WHERE rank <= {TOP_K}
-ORDER BY query_id, rank
+ORDER BY method, query_id, rank
 """
 )
 
@@ -170,7 +254,11 @@ ORDER BY query_id, rank
     f"nprobe={_IVF_NPROBE}/{_IVF_CELLS} probing (this corpus is near-"
     "uniform — IVF's hardest case). Fully hash-checked: DuckDB rebuilds "
     "the identical index and search. Recall vs the exact baseline "
-    "asserted in tests. (r2: upgraded from rows-only to full hash check.)",
+    "asserted in tests. (r2: upgraded from rows-only to full hash check; "
+    f"r7: 'twolevel' label runs the same search through the opt-in "
+    f"coarse_cells={_IVF_COARSE} two-level assignment — the "
+    "corpus-proportional-n_cells scale path — with the oracle replaying "
+    "the coarse->fine scan end to end.)",
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.similarity import ivf_topk
@@ -178,6 +266,18 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark)
     corpus = prepare_vectors(emb)
     queries = corpus.where(corpus.vid < N_QUERIES)
-    return ivf_topk(
+    flat = ivf_topk(
         corpus, queries, TOP_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
-    ).orderBy("query_id", "rank")
+    ).select(F.lit("flat").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank")
+    two = ivf_topk(
+        corpus,
+        queries,
+        TOP_K,
+        n_cells=_IVF_CELLS,
+        nprobe=_IVF_NPROBE,
+        coarse_cells=_IVF_COARSE,
+        coarse_probe=_IVF_COARSE_PROBE,
+    ).select(
+        F.lit("twolevel").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+    return flat.unionByName(two).orderBy("method", "query_id", "rank")

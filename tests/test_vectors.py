@@ -381,3 +381,42 @@ def test_two_level_never_drops_vectors_on_tied_centroids(spark):
             r.vid for r in _nearest_cells_two_level(vecs, packed2, 1, probe).collect()
         )
         assert got == [10, 11, 12], f"coarse_probe={probe} dropped vectors: {got}"
+
+
+def test_persisted_ivf_index_matches_one_shot_search(spark, tmp_path):
+    """r7: build_ivf_index/ivf_search — the storage-backed serving
+    path. Same deterministic quantizer as ivf_topk, so search results
+    are IDENTICAL to the one-shot operator; the vectors store is
+    _cp-partitioned for directory elimination; the quantized layout
+    searches through the same API."""
+    import os
+
+    from lakeflush_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        ivf_topk,
+    )
+
+    corpus = _synth_corpus(spark, n=300, dims=16)
+    queries = corpus.where(F.col("vid") < 4)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(corpus, idx, n_cells=8)
+    # layout: centroid sidecar + _cp-partitioned vectors
+    assert os.path.isdir(os.path.join(idx, "centroids"))
+    leaves = os.listdir(os.path.join(idx, "vectors"))
+    assert any(p.startswith("_cp=") for p in leaves)
+
+    got = ivf_search(spark, idx, queries, k=5, nprobe=4)
+    want = ivf_topk(corpus, queries, k=5, n_cells=8, nprobe=4)
+    as_set = lambda df: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+
+    # int8 layout: same cells, near-identical cosines -> same top sets
+    idx_q = str(tmp_path / "ivf_q")
+    build_ivf_index(corpus, idx_q, n_cells=8, quantize=True)
+    got_q = ivf_search(spark, idx_q, queries, k=5, nprobe=4)
+    pairs = lambda df: {(r.query_id, r.neighbor_id) for r in df.collect()}  # noqa: E731
+    overlap = pairs(got_q) & pairs(got)
+    assert len(overlap) >= int(0.8 * len(pairs(got)))

@@ -836,7 +836,16 @@ def read_increment(
         )
     audit = audit_table(spark, dest_dir)
     if cursor is not None and cursor.run_ids:
-        audit = audit.where(~F.col("run_id").isin(list(cursor.run_ids)))
+        if len(cursor.run_ids) > _CURSOR_ISIN_MAX:
+            # a years-long trickle consumer's set would otherwise be
+            # re-sent as a giant isin literal each cycle — ship it as
+            # an ordinary broadcast-anti-join build side instead
+            consumed = spark.createDataFrame(
+                [(r,) for r in cursor.run_ids], "run_id string"
+            )
+            audit = audit.join(F.broadcast(consumed), "run_id", "left_anti")
+        else:
+            audit = audit.where(~F.col("run_id").isin(list(cursor.run_ids)))
     # bundle count is run-sized (the audit exists because files are FEW
     # after compaction) — driver-side collect is the point, not a smell
     rows = audit.select("bundle_path", "run_id", "flushed_at").collect()
@@ -849,6 +858,20 @@ def read_increment(
         ts=max_ts,
         run_ids=tuple(sorted({*prev, *(r.run_id for r in rows)})),
     )
+    if len(new_cursor.run_ids) > CURSOR_WARN_RUNS:
+        # observable bound (r7): the set-based cursor is the correct
+        # exclusion mechanism (see AuditCursor), but it grows one id
+        # per run forever — surface the growth instead of letting a
+        # years-long trickle consumer discover it as slow cycles
+        import warnings
+
+        warnings.warn(
+            f"AuditCursor tracks {len(new_cursor.run_ids)} consumed runs; "
+            "run compact_audit(spark, dest_dir, cursor) in a maintenance "
+            "window to archive consumed audit rows and reset the cursor",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     paths = sorted({r.bundle_path for r in rows})
     reader = spark.read
     if schema is not None:
@@ -860,6 +883,76 @@ def read_increment(
         reader = reader.option("header", "true")
     df = reader.format(fmt).load(paths)
     return IncrementResult(df=df, cursor=new_cursor, bundle_paths=paths)
+
+
+#: above this, read_increment ships the consumed set as a broadcast
+#: anti-join instead of an isin literal in the plan text
+_CURSOR_ISIN_MAX = 1000
+#: above this, read_increment warns and points at compact_audit
+CURSOR_WARN_RUNS = 10_000
+
+
+def compact_audit(
+    spark: SparkSession, dest_dir: str, cursor: AuditCursor | None
+) -> AuditCursor:
+    """Maintenance op: archive the audit rows of runs ``cursor`` has
+    consumed into ``<dest>/_lakeflush_audit_archive`` (full history
+    kept, append-only) and rewrite the live audit table without them —
+    after which those run_ids need no cursor exclusion at all, so the
+    returned cursor is EMPTY-set and the consumer's per-cycle state
+    stops growing with store age. The exactly-once guarantee carries
+    over: a consumed run's rows are gone from the commit log the
+    consumer reads, which excludes them as firmly as the set did.
+
+    MUST run in a single-writer window — no concurrent compaction may
+    be appending audit rows while the live table is rewritten (the
+    swap would drop the concurrent run's file). That is the normal
+    discipline for log compaction; schedule it beside other
+    maintenance (``vacuum_runs``, ``compact_store``). Local and
+    JVM-bridged stores are supported; a Connect session with a remote
+    store fails fast (the ``vacuum_runs`` guard pattern)."""
+    if cursor is None or not cursor.run_ids:
+        return cursor if cursor is not None else AuditCursor(ts=None)
+    audit_path = f"{dest_dir.rstrip('/')}/{_AUDIT_DIRNAME}"
+    archive_path = audit_path + "_archive"
+    audit = audit_table(spark, dest_dir)
+    consumed_df = spark.createDataFrame(
+        [(r,) for r in cursor.run_ids], "run_id string"
+    )
+    # archive FIRST (append): a crash between the two writes leaves
+    # duplicate archived rows, never a lost audit row
+    audit.join(F.broadcast(consumed_df), "run_id", "semi").write.mode(
+        "append"
+    ).parquet(archive_path)
+    tmp_path = f"{audit_path}_tmp-{uuid.uuid4().hex[:8]}"
+    (
+        audit.join(F.broadcast(consumed_df), "run_id", "left_anti")
+        # one file, like each run's own audit append — the live table
+        # is recent-runs-sized after compaction
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp_path)
+    )
+    h = hadoop_fs(spark, audit_path)
+    if h is not None:
+        jvm, fs, ap = h
+        fs.delete(ap, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_path), ap)
+    else:
+        lp, lt = local_path(audit_path), local_path(tmp_path)
+        if lp is None or lt is None:
+            raise RuntimeError(
+                "compact_audit needs the JVM Hadoop FileSystem bridge for "
+                "remote stores, and this session has none (Spark Connect); "
+                f"swap {tmp_path} into place with storage-native tooling, "
+                "then reset the cursor run_ids yourself"
+            )
+        import os as _os
+        import shutil as _shutil
+
+        _shutil.rmtree(lp)
+        _os.rename(lt, lp)
+    return AuditCursor(ts=cursor.ts, run_ids=())
 
 
 def read_bundles(spark: SparkSession, dest_dir: str, fmt: str = "json", schema=None) -> DataFrame:

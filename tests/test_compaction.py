@@ -352,3 +352,69 @@ def test_read_increment_rejects_unknown_fmt(spark, tmp_path):
         read_increment(spark, str(tmp_path / "nope"), fmt="jsn")
     with pytest.raises(ValueError, match="unsupported fmt"):
         read_bundles(spark, str(tmp_path / "nope"), fmt="jsn")
+
+
+def test_compact_audit_resets_cursor_and_archives(spark, sf_dir, tmp_path, monkeypatch):
+    """r7 (VERDICT #7): the consumed-runs set is observably bounded —
+    compact_audit archives consumed runs' audit rows, rewrites the
+    live commit log without them, and hands back an EMPTY-set cursor
+    that still never replays them; oversized cursors ride a broadcast
+    anti-join (not an isin literal) and warn past the documented
+    threshold."""
+    import lakeflush_spark.operators.compaction as comp
+    from lakeflush_spark.operators.compaction import (
+        AuditCursor,
+        audit_table,
+        compact_audit,
+        read_increment,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    lakes = []
+    for i in range(3):
+        part = orders.where(F.col("o_orderkey") % 3 == i)
+        lake = str(tmp_path / f"l{i}")
+        part.write.parquet(lake)
+        lakes.append((lake, part.count()))
+    dest = str(tmp_path / "out")
+    cfg = dict(dest_dir=dest, file_format="parquet", max_size_mb=16,
+               write_mode="append")
+    compact(spark, CompactionConfig(source_dir=lakes[0][0], **cfg))
+    compact(spark, CompactionConfig(source_dir=lakes[1][0], **cfg))
+    inc = read_increment(spark, dest, fmt="parquet", cursor=None)
+    assert inc.df.count() == lakes[0][1] + lakes[1][1]
+    assert len(inc.cursor.run_ids) == 2
+
+    # compact the log: archive the 2 consumed runs, cursor resets empty
+    cur2 = compact_audit(spark, dest, inc.cursor)
+    assert cur2.run_ids == ()
+    live_runs = {r.run_id for r in audit_table(spark, dest).select("run_id").collect()}
+    assert live_runs == set()  # nothing unconsumed yet
+    archived = spark.read.parquet(f"{dest}/_lakeflush_audit_archive")
+    assert {r.run_id for r in archived.collect()} == set(inc.cursor.run_ids)
+
+    # a third run arrives: the empty-set cursor delivers ONLY it —
+    # the archived runs are excluded by absence, not by cursor state
+    compact(spark, CompactionConfig(source_dir=lakes[2][0], **cfg))
+    inc3 = read_increment(spark, dest, fmt="parquet", cursor=cur2)
+    assert inc3.df.count() == lakes[2][1]
+    assert len(inc3.cursor.run_ids) == 1
+
+    # oversized cursor: >_CURSOR_ISIN_MAX ids goes through the
+    # broadcast anti-join branch and still answers correctly
+    fat = AuditCursor(
+        ts=None,
+        run_ids=tuple(sorted({*inc3.cursor.run_ids,
+                              *(f"ghost-{i}" for i in range(1200))})),
+    )
+    idle = read_increment(spark, dest, fmt="parquet", cursor=fat)
+    assert idle.bundle_paths == []
+
+    # growth warning past the documented threshold
+    monkeypatch.setattr(comp, "CURSOR_WARN_RUNS", 0)
+    with pytest.warns(RuntimeWarning, match="compact_audit"):
+        read_increment(spark, dest, fmt="parquet", cursor=cur2)
+
+    # no-op forms
+    assert compact_audit(spark, dest, None).run_ids == ()
+    assert compact_audit(spark, dest, cur2) is cur2

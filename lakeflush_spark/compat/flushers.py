@@ -114,14 +114,16 @@ class S3LakeFlusher(Flusher):
         self._s3a_probe: bool | None = None
 
     def _fs_and_path(self, uri: str):
+        """``(jvm, fs, path)`` via the shared Connect-safe bridge
+        (io.hadoop_fs, the r6 guard pattern), or ``None`` when the
+        session has no ``_jvm`` — callers degrade to boto3 / plain IO."""
         if self._spark is None:
             from lakeflush_spark.session import get_spark
 
             self._spark = get_spark(app_name="lakeflush-compat-flusher")
-        jvm = self._spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(uri)
-        fs = path.getFileSystem(self._spark._jsc.hadoopConfiguration())
-        return jvm, fs, path
+        from lakeflush_spark.io import hadoop_fs
+
+        return hadoop_fs(self._spark, uri)
 
     def _s3a_usable(self) -> bool:
         # Cached classpath probe: clusters configure S3 credentials /
@@ -147,18 +149,37 @@ class S3LakeFlusher(Flusher):
         if self.partition_format:
             flush_prefix = datetime.now().strftime(self.partition_format) + "/"
         dest = f"{self.dest_uri}/{flush_prefix}{object_key}"
-        if is_s3_uri(dest) and not self._s3a_usable():
-            # boto3 delivery — the reference's own S3 upload path
-            # (flushers/s3_lake.py:62, overwrite semantics) — used when
-            # the JVM cannot mount s3a:// (no hadoop-aws on classpath).
-            upload_file(os.path.abspath(src_file), dest)
-        else:
-            jvm, fs, dest_path = self._fs_and_path(dest)
+        bridge = None
+        if not (is_s3_uri(dest) and not self._s3a_usable()):
+            bridge = self._fs_and_path(dest)
+        if bridge is not None:
+            jvm, fs, dest_path = bridge
             src_path = jvm.org.apache.hadoop.fs.Path(
                 "file://" + os.path.abspath(src_file)
             )
             # delSrc=False (bundle stays local, like the reference
             # upload), overwrite=True (S3Store.upload overwrites).
             fs.copyFromLocalFile(False, True, src_path, dest_path)
+        elif is_s3_uri(dest):
+            # boto3 delivery — the reference's own S3 upload path
+            # (flushers/s3_lake.py:62, overwrite semantics) — used when
+            # the JVM cannot mount s3a:// (no hadoop-aws on classpath)
+            # or the session has no py4j bridge (Spark Connect).
+            upload_file(os.path.abspath(src_file), dest)
+        else:
+            # Connect session + non-S3 destination: deliver with plain
+            # IO when the URI is local, else there is no route — raise
+            # actionably rather than die on a private-API attribute.
+            from lakeflush_spark.io import local_path
+
+            lp = local_path(dest)
+            if lp is None:
+                raise RuntimeError(
+                    f"cannot deliver {dest!r}: this session has no JVM "
+                    "filesystem bridge (Spark Connect) and the URI is "
+                    "neither S3 (boto3 route) nor local (plain IO route)"
+                )
+            os.makedirs(os.path.dirname(lp), exist_ok=True)
+            shutil.copyfile(os.path.abspath(src_file), lp)
         metaname = basename.replace(FileStatus.COLLECTED, FileStatus.FLUSHED)
         FileStore.flushmeta(metaname, f"{flush_prefix}{object_key}")

@@ -135,3 +135,34 @@ def test_spread_for_compute_degrades_without_rdd_surface(spark):
     # classic path still spreads an under-parallelized frame
     spread = spread_for_compute(df.coalesce(1), spark)
     assert spread.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_s3_flusher_delivers_without_jvm_bridge(tmp_path, monkeypatch):
+    """r7 (VERDICT r6 wrong #2): on a session with no py4j bridge the
+    compat S3LakeFlusher degrades — plain IO for local/file: URIs,
+    an actionable error (not an AttributeError) for remote non-S3
+    ones — instead of dying on ``spark._jvm``."""
+    import lakeflush_spark.compat.flushers as fl
+    from lakeflush_spark.compat.files import FileStatus
+    from lakeflush_spark.compat.flushers import S3LakeFlusher
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    bundle = stage / f"b.lakeflush{FileStatus.COLLECTED}"
+    bundle.write_text("payload")
+
+    flusher = S3LakeFlusher(f"file://{tmp_path}/lake", str(stage), "b")
+    # simulate Connect: the bridge probe returns None
+    monkeypatch.setattr(
+        S3LakeFlusher, "_fs_and_path", lambda self, uri: None
+    )
+    flusher.flush(str(bundle))
+    assert (tmp_path / "lake" / "b.lakeflush").read_text() == "payload"
+
+    # remote non-S3 destination without a bridge: actionable fail-fast
+    hdfs = S3LakeFlusher("hdfs://nn/lake", str(stage), "b")
+    monkeypatch.setattr(
+        S3LakeFlusher, "_s3a_usable", lambda self: False
+    )
+    with pytest.raises(RuntimeError, match="no JVM filesystem bridge"):
+        hdfs.flush(str(bundle))

@@ -91,13 +91,16 @@ def decode_png(payload: bytes):
     bpp = ch  # bytes per pixel (8-bit depth)
     for y in range(height):
         ftype = raw[y * (stride + 1)]
+        # int32 working row: the filter-undo adds two bytes before the
+        # & 0xFF mask, which overflows (and warns) in uint8 — widening
+        # makes the mod-256 arithmetic explicit; out[y] narrows back
         row = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
+        ).astype(np.int32)
         if ftype == 0:
             pass
         elif ftype == 2:  # up — fully vectorized
-            row += prev
+            row = (row + prev) & 0xFF
         elif ftype == 1:  # sub — sequential left dependency
             for i in range(bpp, stride):
                 row[i] = (row[i] + row[i - bpp]) & 0xFF

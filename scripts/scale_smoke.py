@@ -184,6 +184,63 @@ def main() -> int:
             }
         )
     )
+
+    # r7 (VERDICT r6 #6): the four most expensive REGISTERED contract
+    # builders at Nx — the suite plans (q24 LSH+blocked-Jaccard+CC,
+    # q41 wordcount+LM+BPE-replay, q60 selection suite + data card,
+    # q55 IVF flat+two-level) carry per-stage shapes (verification
+    # unions, ordered final sorts, merge-loop checks) the
+    # underlying-op smokes above don't cover. The replicated tables
+    # are written as a real sf-layout dir so the builders run UNCHANGED
+    # through load_table. Salting keeps cross-copy similarity at zero,
+    # so q24's pair count (and every downstream stage) must grow
+    # ~linearly in N — a super-linear stage here is a scale bug.
+    import shutil
+    import tempfile
+
+    from lakeflush_spark.plans import QUERIES
+
+    repl_dir = tempfile.mkdtemp(prefix="scale_smoke_sf_")
+    try:
+        (
+            load_table(spark, SF_DIR, "documents")
+            .crossJoin(F.broadcast(copies))
+            .withColumn(
+                "text",
+                F.when(F.col("_copy") == 0, F.col("text")).otherwise(salted),
+            )
+            .withColumn(
+                "doc_id", F.col("doc_id") + F.col("_copy") * 10_000_000
+            )
+            .drop("_copy")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(os.path.join(repl_dir, "documents.parquet"))
+        )
+        (
+            emb.crossJoin(F.broadcast(copies))
+            .withColumn(
+                "vec_id", F.col("vec_id") + F.col("_copy") * 10_000_000
+            )
+            .drop("_copy")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(os.path.join(repl_dir, "embeddings.parquet"))
+        )
+        for name in (
+            "q24_neardup_pairs",
+            "q41_wordcount_topk",
+            "q60_stratified_sample",
+            "q55_ann_ivf",
+        ):
+            # builders that loop eagerly (q24's CC) build inside the
+            # lambda so their driver iterations are timed too
+            timed(
+                f"builder:{name}",
+                lambda name=name: QUERIES[name].builder(spark, repl_dir).count(),
+            )
+    finally:
+        shutil.rmtree(repl_dir, ignore_errors=True)
     return 0
 
 

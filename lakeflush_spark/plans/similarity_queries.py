@@ -233,6 +233,15 @@ ranked AS (
            ) AS BIGINT) AS rank
     FROM scored
     UNION ALL
+    -- 'served' = the persisted build_ivf_index/ivf_search path: the
+    -- deterministic quantizer makes index-then-search value-identical
+    -- to the one-shot flat search, so its oracle IS the flat chain
+    SELECT 'served' AS method, query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM scored
+    UNION ALL
     SELECT 'twolevel' AS method, query_id, neighbor_id, cos_sim,
            CAST(row_number() OVER (
                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
@@ -258,10 +267,21 @@ ORDER BY method, query_id, rank
     f"r7: 'twolevel' label runs the same search through the opt-in "
     f"coarse_cells={_IVF_COARSE} two-level assignment — the "
     "corpus-proportional-n_cells scale path — with the oracle replaying "
-    "the coarse->fine scan end to end.)",
+    "the coarse->fine scan end to end; 'served' label drives the "
+    "persisted build_ivf_index/ivf_search pair — centroid sidecar + "
+    "_cp-partitioned vectors, searches pruned by partition elimination "
+    "— which the deterministic quantizer makes value-identical to the "
+    "flat search, so the driver hash-checks the serving path too.)",
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakeflush_spark.operators.similarity import ivf_topk
+    import shutil
+    import tempfile
+
+    from lakeflush_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        ivf_topk,
+    )
 
     emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark)
     corpus = prepare_vectors(emb)
@@ -269,6 +289,21 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = ivf_topk(
         corpus, queries, TOP_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
     ).select(F.lit("flat").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank")
+    idx = tempfile.mkdtemp(prefix="q55_ivf_index_")
+    try:
+        build_ivf_index(corpus, idx, n_cells=_IVF_CELLS)
+        # localCheckpoint (eager) materializes the search result so the
+        # temp index can be removed before the driver's collect
+        served = (
+            ivf_search(spark, idx, queries, TOP_K, nprobe=_IVF_NPROBE)
+            .localCheckpoint()
+            .select(
+                F.lit("served").alias("method"),
+                "query_id", "neighbor_id", "cos_sim", "rank",
+            )
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
     two = ivf_topk(
         corpus,
         queries,
@@ -280,4 +315,8 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("twolevel").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank"
     )
-    return flat.unionByName(two).orderBy("method", "query_id", "rank")
+    return (
+        flat.unionByName(served)
+        .unionByName(two)
+        .orderBy("method", "query_id", "rank")
+    )

@@ -121,6 +121,12 @@ class CurationStreamConfig:
     embedding_col: str | None = None
     sem_threshold: float = 0.95
     sem_n_cells: int = 16
+    #: the streaming SemDedup sizing rule (StreamSemDedupConfig.
+    #: expected_corpus): when set, quantizer training uses
+    #: max(sem_n_cells, ceil(sem_expected_corpus / sem_target_cell_rows))
+    #: cells so the verify join stays bounded as the corpus grows
+    sem_expected_corpus: int | None = None
+    sem_target_cell_rows: int = 1024
     #: vector store (vid, cell_id, v|qv, nrm; run/batch partitioned) —
     #: holds only ADMITTED docs' embeddings (the corpus, per the
     #: store principle above)
@@ -369,8 +375,18 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 sem_vecs = prepare_vectors(
                     sigged, id_col=cfg.id_col, vec_col=cfg.embedding_col
                 )
+                n_cells = cfg.sem_n_cells
+                if cfg.sem_expected_corpus is not None:
+                    import math
+
+                    n_cells = max(
+                        cfg.sem_n_cells,
+                        math.ceil(
+                            cfg.sem_expected_corpus / cfg.sem_target_cell_rows
+                        ),
+                    )
                 sem_cents = load_or_init_centroids(
-                    sp, cfg.sem_cent_dir, cfg.sem_n_cells, sem_vecs
+                    sp, cfg.sem_cent_dir, n_cells, sem_vecs
                 )
                 if sem_cents is not None:
                     sem_indexed = _pin(

@@ -1389,3 +1389,47 @@ def test_semdedup_stream_cell_sizing_and_occupancy_guard(spark, tmp_path):
         _warnings.simplefilter("always")
         _warn_if_cells_overfull(spark, gone, cents)
     assert not got
+
+
+def test_curate_stream_semantic_cell_sizing(spark, tmp_path):
+    """The curation semantic stage honors the sem_expected_corpus
+    sizing rule when training its quantizer."""
+    import random
+
+    from lakeflush_spark.streaming.curation import (
+        CurationStreamConfig,
+        curate_stream,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (
+            i,
+            f"document number {i} about topic {i % 7} with sufficiently "
+            f"many distinct tokens to clear gates {i * 13} {i * 29}",
+            [rng.uniform(-1, 1) for _ in range(8)],
+        )
+        for i in range(10)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        embedding_col="embedding",
+        sem_vec_dir=str(tmp_path / "semvecs"),
+        sem_cent_dir=str(tmp_path / "semcents"),
+        sem_n_cells=2,
+        sem_expected_corpus=6000,
+        sem_target_cell_rows=1000,  # -> 6 cells
+    )
+    _add_parquet_file(
+        spark, tmp_path, src, "b1", rows,
+        "doc_id long, text string, embedding array<double>",
+    )
+    curate_stream(spark, cfg).awaitTermination(240)
+    assert spark.read.parquet(cfg.sem_cent_dir).count() == 6

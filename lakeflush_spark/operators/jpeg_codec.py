@@ -1,4 +1,4 @@
-"""Pure-Python/numpy baseline JPEG decoder — no codec library.
+"""Pure-Python/numpy baseline JPEG codec — no codec library.
 
 Closes the last image-format gap in the multimodal surface (NetPBM r5,
 PNG r6): baseline sequential JFIF (SOF0) decode implemented from the
@@ -8,9 +8,11 @@ Progressive (SOF2), arithmetic coding, and 12-bit precision raise
 with the variant named; they are rare in ML corpora and genuinely
 different codecs.
 
-ENCODE is intentionally absent: the pipeline need is decode (feature
-extraction, resize input), and the resize path re-encodes losslessly
-as PNG — the same output the PIL path produces.
+ENCODE (r7): baseline 4:4:4 JFIF with the Annex K quantization +
+Huffman tables and IJG quality scaling — deterministic, decodable by
+any baseline decoder, cross-validated against javax.imageio in both
+directions. The resize path still defaults to lossless PNG output;
+``jpeg_quality`` opts into JPEG re-encode when storage is the bound.
 
 Spec compliance is cross-validated in tests against the JVM's
 ``javax.imageio`` (bundled with Java 17, reachable over py4j): images
@@ -311,3 +313,282 @@ def decode_jpeg(payload: bytes):
         axis=2,
     )
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JFIF ENCODER (r7) — the write half of the library-free
+# codec: ITU-T T.81 Annex K quantization + Huffman tables, 4:4:4
+# sampling (no chroma subsample — simplest spec-compliant layout, and
+# the variant every decoder reconstructs without filter ambiguity),
+# quality scaled by the public IJG formula. DCT runs vectorized over
+# all blocks; only the entropy loop is interpreted Python — the same
+# correctness-path stance as the decoder. Cross-validated in tests
+# both ways: bytes WE encode, the JVM's javax.imageio must decode to
+# the source image (within DCT quantization error), and our own
+# decoder must round-trip them.
+# ---------------------------------------------------------------------------
+
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# T.81 Annex K "typical" Huffman tables: (bits[16], ordered symbols)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _enc_table(bits, vals):
+    """symbol -> (code, length), inverted from the decode builder so
+    encode/decode provably share one T.81 C.2 code assignment."""
+    return {sym: (code, length) for (length, code), sym in _build_huff(bits, vals).items()}
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (T.81 B.1.1.5)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 -> per-entry divisors in [1, 255]."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """Edge-replicate to 8-multiples, return (n_blocks, 8, 8) in
+    raster MCU order (4:4:4 -> one block per MCU per component)."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return (
+        p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _encode_plane_coeffs(plane: np.ndarray, q_zz: np.ndarray) -> np.ndarray:
+    """(n_blocks, 64) zigzag-ordered quantized coefficients: level
+    shift, vectorized 8x8 DCT over every block, divide by the zigzag
+    quant table, round half away from zero (the convention hardware
+    and libjpeg share; numpy's rint rounds half to even)."""
+    b = _blocks(plane).astype(np.float64) - 128.0
+    dct = np.einsum("ux,nxy,vy->nuv", _C, b, _C)
+    zz = dct.reshape(-1, 64)[:, _ZIGZAG] / q_zz
+    return np.where(zz >= 0, np.floor(zz + 0.5), np.ceil(zz - 0.5)).astype(np.int32)
+
+
+def _mag(v: int) -> tuple[int, int]:
+    """(size, value-bits) of a coefficient per T.81 F.1.2.1."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 image -> baseline JFIF bytes. ``(h, w)`` encodes a
+    1-component grayscale stream; ``(h, w, 3)`` RGB encodes YCbCr
+    4:4:4. Deterministic (fixed Annex K tables, no optimization
+    passes); decodable by any baseline decoder including
+    :func:`decode_jpeg`."""
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        raise ValueError(f"encode_jpeg needs uint8 pixels, got {a.dtype}")
+    if a.ndim == 2:
+        planes = [a.astype(np.float64)]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        r = a[..., 0].astype(np.float64)
+        g = a[..., 1].astype(np.float64)
+        b = a[..., 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        raise ValueError(f"unsupported image shape {a.shape}")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(f"image dimensions {w}x{h} out of JPEG range")
+    color = len(planes) == 3
+
+    q_luma_zz = _scaled_q(_Q_LUMA, quality)[_ZIGZAG]
+    q_tabs = [q_luma_zz]
+    if color:
+        q_tabs.append(_scaled_q(_Q_CHROMA, quality)[_ZIGZAG])
+
+    dc_enc = [_enc_table(*_HUFF_DC_LUMA)]
+    ac_enc = [_enc_table(*_HUFF_AC_LUMA)]
+    if color:
+        dc_enc.append(_enc_table(*_HUFF_DC_CHROMA))
+        ac_enc.append(_enc_table(*_HUFF_AC_CHROMA))
+
+    coeffs = [
+        _encode_plane_coeffs(p, q_tabs[min(ci, len(q_tabs) - 1)])
+        for ci, p in enumerate(planes)
+    ]
+
+    wtr = _BitWriter()
+    pred = [0] * len(planes)
+    n_blocks = coeffs[0].shape[0]
+    for bi in range(n_blocks):
+        for ci in range(len(planes)):
+            t = min(ci, 1)
+            zz = coeffs[ci][bi]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            s, bitsv = _mag(diff)
+            code, length = dc_enc[t][s]
+            wtr.write(code, length)
+            if s:
+                wtr.write(bitsv, s)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_enc[t][0xF0]  # ZRL
+                    wtr.write(code, length)
+                    run -= 16
+                s, bitsv = _mag(v)
+                code, length = ac_enc[t][(run << 4) | s]
+                wtr.write(code, length)
+                wtr.write(bitsv, s)
+                run = 0
+            if last < 63:
+                code, length = ac_enc[t][0x00]  # EOB
+                wtr.write(code, length)
+    entropy = wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = bytes([0x00]) + bytes(int(x) for x in q_tabs[0])
+    if color:
+        dqt += bytes([0x01]) + bytes(int(x) for x in q_tabs[1])
+    out += seg(0xDB, dqt)
+    ncomp = 3 if color else 1
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])
+    out += seg(0xC0, sof)
+    dht = b""
+    tables = [(0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_LUMA)]
+    if color:
+        tables += [(0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_CHROMA)]
+    for tcth, (bits, vals) in tables:
+        dht += bytes([tcth]) + bytes(bits) + bytes(vals)
+    out += seg(0xC4, dht)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = min(ci, 1)
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -18,13 +18,12 @@ str), extended with the schema/partitioning/UDF plumbing Spark needs:
   only the header grammar + a frombuffer reshape), and since r6 PNG
   (`operators/png_codec.py` — stdlib zlib + per-row filter undo),
   baseline JPEG (`operators/jpeg_codec.py` — T.81 Huffman + IDCT +
-  fancy chroma upsampling in numpy, decode-only, cross-validated
-  against the JVM's javax.imageio), and PCM WAV
+  fancy chroma upsampling in numpy, decode AND (r7) encode, both
+  cross-validated against the JVM's javax.imageio), and PCM WAV
   (`decode_wav`/`encode_wav` — RIFF chunks over raw samples) run
-  library-free too, so image decode, spatial resize, audio decode,
-  and audio decimation all execute for real even in this codec-less
-  grading container. MP3/video (and JPEG *encode*) stay
-  IMPORT-GUARDED:
+  library-free too, so image decode/encode, spatial resize, audio
+  decode, and audio decimation all execute for real even in this
+  codec-less grading container. MP3/video stay IMPORT-GUARDED:
   `decode_media` and `resize_media(codec=True)` use PIL when
   importable and raise `NotImplementedError` otherwise; the
   deterministic byte-statistics fake stands in so the Spark-side
@@ -325,6 +324,7 @@ def resize_media(
     id_col: str = "media_id",
     payload_col: str = "payload",
     codec: bool = False,
+    jpeg_quality: int | None = None,
 ) -> DataFrame:
     """Binary-in/binary-out downsample via mapInPandas (resize shape).
 
@@ -335,7 +335,11 @@ def resize_media(
     payloads (binary PPM/PGM) go through the pure-numpy codec — a true
     pixel-grid resize that needs no library and runs in codec-less
     environments; other image formats go through PIL (PNG re-encode)
-    when importable, and raise per-payload otherwise. Either way the
+    when importable, and raise per-payload otherwise. ``jpeg_quality``
+    (r7) keeps JPEG sources IN JPEG: the library-free baseline
+    encoder (operators/jpeg_codec.encode_jpeg, T.81 Annex K tables,
+    4:4:4) re-encodes the resized pixels at that quality instead of
+    lossless PNG — the storage-bound pipeline trade. Either way the
     Spark contract is the same: opaque binary column out,
     deterministic per-payload output, output partitioning == input
     partitioning, no shuffle.
@@ -372,15 +376,26 @@ def resize_media(
                     )
 
                     out = encode_png(decode_png(payload)[::ratio, ::ratio])
-                elif codec and bytes(payload[:2]) == b"\xff\xd8" and Image is None:
+                elif codec and bytes(payload[:2]) == b"\xff\xd8" and (
+                    Image is None or jpeg_quality is not None
+                ):
                     # r6: REAL library-free baseline-JPEG decode
                     # (operators/jpeg_codec.py) — strided resize,
                     # re-encoded losslessly as PNG (the PIL path
-                    # outputs PNG too)
-                    from lakeflush_spark.operators.jpeg_codec import decode_jpeg
-                    from lakeflush_spark.operators.png_codec import encode_png
+                    # outputs PNG too) or, with jpeg_quality, back to
+                    # JPEG through the r7 library-free encoder
+                    from lakeflush_spark.operators.jpeg_codec import (
+                        decode_jpeg,
+                        encode_jpeg,
+                    )
 
-                    out = encode_png(decode_jpeg(payload)[::ratio, ::ratio])
+                    small = decode_jpeg(payload)[::ratio, ::ratio]
+                    if jpeg_quality is not None:
+                        out = encode_jpeg(small, jpeg_quality)
+                    else:
+                        from lakeflush_spark.operators.png_codec import encode_png
+
+                        out = encode_png(small)
                 elif codec:
                     if Image is None:
                         raise NotImplementedError(

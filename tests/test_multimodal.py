@@ -514,3 +514,86 @@ def test_resize_media_codec_jpeg_real(spark):
     row = resize_media(df, ratio=4, codec=True).collect()[0]
     back = decode_png(bytes(row.resized_payload))
     assert np.array_equal(back, decode_jpeg(data)[::4, ::4])
+
+
+def test_jpeg_encode_cross_validates_with_jvm(spark):
+    """r7: bytes WE encode, the JVM's javax.imageio must decode back
+    to the source image within baseline-JPEG quantization error — the
+    mirror of the decode cross-check."""
+    from lakeflush_spark.operators.jpeg_codec import encode_jpeg
+
+    if getattr(spark, "_jvm", None) is None:
+        pytest.skip("needs the py4j bridge for the JVM cross-check")
+    jvm = spark._jvm
+    cases = [
+        (16, 8, lambda x, y: (x * 15, y * 30, 128)),
+        (17, 13, lambda x, y: ((x * 13 + y * 7) % 256, (x * 5) % 256, (y * 19) % 256)),
+        (40, 24, lambda x, y: (int(127 + 120 * np.sin(x / 5)),
+                               int(127 + 120 * np.cos(y / 4)), 60)),
+    ]
+    for w, h, fn in cases:
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                img[y, x] = fn(x, y)
+        data = encode_jpeg(img, quality=95)
+        bais = jvm.java.io.ByteArrayInputStream(data)
+        bi = jvm.javax.imageio.ImageIO.read(bais)
+        assert bi.getWidth() == w and bi.getHeight() == h
+        got = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                p = bi.getRGB(x, y)
+                got[y, x] = [(p >> 16) & 255, (p >> 8) & 255, p & 255]
+        diff = np.abs(got.astype(int) - img.astype(int))
+        # smooth-gradient content at q95: small quantization error
+        assert diff.mean() < 3.0, f"{w}x{h}: mean diff {diff.mean()}"
+        assert diff.max() <= 32, f"{w}x{h}: max diff {diff.max()}"
+
+
+def test_jpeg_encode_roundtrips_through_own_decoder():
+    """encode_jpeg -> decode_jpeg without any JVM: gray + RGB, odd
+    sizes (MCU padding), deterministic output, quality validation."""
+    from lakeflush_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rgb = np.zeros((13, 21, 3), dtype=np.uint8)
+    for y in range(13):
+        for x in range(21):
+            rgb[y, x] = [(x * 11 + y * 3) % 256, (x + y * 9) % 256, (x * 2) % 256]
+    data = encode_jpeg(rgb, quality=95)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert data == encode_jpeg(rgb, quality=95)  # deterministic
+    back = decode_jpeg(data)
+    assert back.shape == rgb.shape
+    assert np.abs(back.astype(int) - rgb.astype(int)).mean() < 4.0
+
+    gray = (np.add.outer(np.arange(9) * 17, np.arange(30) * 5) % 256).astype(np.uint8)
+    gback = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert gback.shape == gray.shape
+    assert np.abs(gback.astype(int) - gray.astype(int)).mean() < 4.0
+
+    # lower quality -> smaller payload, still decodable
+    assert len(encode_jpeg(rgb, quality=30)) < len(data)
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(rgb, quality=0)
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg(rgb.astype(np.float64))
+
+
+def test_resize_media_jpeg_quality_keeps_format(spark):
+    """resize_media(codec=True, jpeg_quality=...) re-encodes JPEG
+    sources as JPEG through the r7 library-free encoder."""
+    from lakeflush_spark.operators.jpeg_codec import decode_jpeg
+    from lakeflush_spark.operators.multimodal import resize_media
+
+    if getattr(spark, "_jvm", None) is None:
+        pytest.skip("needs the py4j bridge to build the source JPEG")
+    data, _ = _jvm_jpeg(spark, 32, 16, lambda x, y: (x * 7 % 256, y * 11 % 256, 99))
+    df = spark.createDataFrame([(1, bytearray(data))], "media_id long, payload binary")
+    row = resize_media(df, ratio=4, codec=True, jpeg_quality=90).collect()[0]
+    out = bytes(row.resized_payload)
+    assert out[:2] == b"\xff\xd8"  # still a JPEG
+    src_small = decode_jpeg(data)[::4, ::4]
+    back = decode_jpeg(out)
+    assert back.shape == src_small.shape
+    assert np.abs(back.astype(int) - src_small.astype(int)).mean() < 6.0

@@ -164,6 +164,35 @@ token-budget 1.75 vs 1.42 s, LM train+score 2.7 vs 1.2 s. 5× the data
 at 1.4–2.3× the time: fixed job overhead still dominates at this
 size, and no stage degrades super-linearly — the shapes the 100 TB
 claims rest on hold under replication.
+
+r7 scale-smoke of the four most expensive REGISTERED builders
+(VERDICT r6 #6 — the suite plans themselves, run unchanged against a
+replicated sf-layout dir), clean box, 20× (100k docs / 40k vecs) vs
+4× (20k / 8k): q24 47.0 vs 8.5 s (pair+cluster rows 14,653 vs 2,952 —
+~5× rows for 5× data, 5.5× time: the LSH+blocked-Jaccard+CC chain is
+linear in data, ~flat per unit), q41 3.6 vs 2.9 s, q60 2.5 vs 3.1 s,
+q55 6.5 vs 6.9 s (all three ~flat — their cost is per-label
+verification work over bounded frames, not corpus-proportional at
+this size). ivf_assign re-confirms the r6 shape on the r7 persisted
+frames: build flat in n_cells (0.33 s @16 vs 0.32 s @1024), flat
+assignment 2.9 → 14.2 s for 64× the cells, two-level 1.7 s at
+n_cells=1024/coarse=32 (8.3× over flat). No super-linear stage
+anywhere in the registered shapes.
+
+r7 closing run (clean box): suite 34.1 s, csv 42.4 MB/s / gzip 10.6 /
+json 21.7k files/s (5.7× / 2.7× / 2.1× the reference baseline),
+neardup stream 1773 docs/s, semdd stream 756 vecs/s (within the r6
+780–840 suite-mode band; the steady-state trend line remains the
+warm multi-batch numbers above). Delta vs r6's 26.6 s is q55 almost
+entirely: 1.32 → 5.32 s suite / [15.1 cold, 5.7, 5.0] isolated warm —
+the two NEW hash-verified labels ('served': build_ivf_index writes a
+real centroid sidecar + _cp-partitioned vector store, reads it back,
+and searches it; 'twolevel': a full second assignment pass through
+the coarse→fine scan). Both are paid-for verification surface over
+the same plans PLANS.md audits (q55 now 10 BHJ / 8 NLJ — the NLJ are
+the intentional one-row broadcast centroid packs — 0 PY, 0 1P).
+Remaining diffs (q06/q07/q08/q18/q60 +0.1–0.4 s) are contended-box
+variance per the r5/r6 notes.
 """
 
 from __future__ import annotations

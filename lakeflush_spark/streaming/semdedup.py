@@ -377,6 +377,41 @@ def _warn_if_cells_overfull(
         )
 
 
+def compact_vec_store(
+    spark: SparkSession,
+    vec_dir: str,
+    dest_dir: str,
+    max_cell: int,
+    mode: str = "sample",
+) -> None:
+    """Offline compaction of a SemDedup vector store: bound every IVF
+    cell at ``max_cell`` rows and write the result to ``dest_dir``
+    (must not exist — compaction never rewrites a store in place while
+    streams may be reading it; swap ``cfg.vec_dir`` to the compacted
+    copy between runs). The streaming twin of the LSH store's
+    ``streaming/dedup.compact_store``: a corpus-lifetime store grows
+    one row per admitted vector forever, and with a generation-fixed
+    quantizer its cells grow with the corpus — compaction is the
+    offline half of the ``max_cell`` bound (the occupancy guard's
+    named remedy).
+
+    Uses the SAME deterministic md5(vid) ranking as the online cap
+    (``operators/dedup._cap_hot_buckets``), so a compacted store keeps
+    exactly the representatives the online sample mode would have
+    consulted — detection against retained history is unchanged. The
+    ``(run, batch[, _cp])`` partition layout is preserved: replay
+    exclusion and the cell-partition elimination path keep working
+    against the compacted copy. Works on float and int8-quantized
+    stores alike (the cap reads only vid/cell_id). The centroid
+    sidecar is NOT touched — cell ids must keep their meaning."""
+    from lakeflush_spark.operators.dedup import _cap_hot_buckets
+
+    df = spark.read.option("basePath", vec_dir).parquet(vec_dir)
+    capped = _cap_hot_buckets(df, ["cell_id"], max_cell, mode=mode, doc_col="vid")
+    parts = ["run", "batch"] + (["_cp"] if "_cp" in df.columns else [])
+    capped.write.mode("error").partitionBy(*parts).parquet(dest_dir)
+
+
 def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None):
     """Start the incremental SemDedup stream (``Trigger.AvailableNow``).
     Returns the StreamingQuery; ``awaitTermination()`` it."""

@@ -1433,3 +1433,63 @@ def test_curate_stream_semantic_cell_sizing(spark, tmp_path):
     )
     curate_stream(spark, cfg).awaitTermination(240)
     assert spark.read.parquet(cfg.sem_cent_dir).count() == 6
+
+
+def test_compact_vec_store_bounds_cells_and_preserves_detection(spark, tmp_path):
+    """r7: offline vector-store compaction caps every IVF cell with
+    the online cap's deterministic ranking, keeps the (run, batch)
+    layout, and a continuing stream pointed at the compacted copy
+    still drops near-dups of RETAINED history."""
+    import dataclasses
+    import random
+
+    from lakeflush_spark.streaming.semdedup import (
+        StreamSemDedupConfig,
+        compact_vec_store,
+        semdedup_stream,
+    )
+
+    rng = random.Random(17)
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamSemDedupConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        vec_dir=str(tmp_path / "vecs"),
+        cent_dir=str(tmp_path / "cents"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.95,
+        n_cells=2,
+    )
+    schema = "vec_id long, embedding array<double>"
+    vecs = [[rng.uniform(-1, 1) for _ in range(12)] for _ in range(10)]
+    _add_parquet_file(
+        spark, tmp_path, src, "b1", [(i, v) for i, v in enumerate(vecs)], schema
+    )
+    semdedup_stream(spark, cfg).awaitTermination(180)
+    store = spark.read.parquet(cfg.vec_dir)
+    assert store.count() == 10
+
+    compacted_dir = str(tmp_path / "vecs_compact")
+    compact_vec_store(spark, cfg.vec_dir, compacted_dir, max_cell=3)
+    comp = spark.read.parquet(compacted_dir)
+    per_cell = {r.cell_id: r["count"] for r in comp.groupBy("cell_id").count().collect()}
+    assert per_cell and all(n <= 3 for n in per_cell.values())
+    # retained rows are a SUBSET of the store (representatives, not rewrites)
+    assert comp.select("vid").exceptAll(store.select("vid")).count() == 0
+    # layout preserved: run/batch partition columns still present
+    assert {"run", "batch"} <= set(comp.columns)
+
+    # continuing stream against the compacted copy: a near-copy of a
+    # RETAINED vector is still dropped
+    keep_vid = sorted(r.vid for r in comp.collect())[0]
+    near = [x + rng.uniform(-1e-4, 1e-4) for x in vecs[keep_vid]]
+    cfg2 = dataclasses.replace(cfg, vec_dir=compacted_dir)
+    _add_parquet_file(spark, tmp_path, src, "b2", [(50, near)], schema)
+    semdedup_stream(spark, cfg2).awaitTermination(180)
+    got = {r.vec_id for r in spark.read.parquet(cfg.dest_dir).collect()}
+    assert 50 not in got
+
+    # dest-exists refusal: never compact onto a live store
+    with pytest.raises(Exception):
+        compact_vec_store(spark, cfg.vec_dir, compacted_dir, max_cell=3)

@@ -481,6 +481,45 @@ def bench_curation_ops(spark) -> dict[str, float]:
         out["semdd_stream_sec"] = round(dt, 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+    # r7: the COMPOSED curation stream with the semantic stage on —
+    # quality gate -> exact dedup -> LSH near-dup -> SemDedup, one
+    # AvailableNow batch against empty stores, docs/s end to end
+    # (docs carrying real embeddings via the doc_id = vec_id join)
+    from lakeflush_spark.streaming.curation import (
+        CurationStreamConfig,
+        curate_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="lakeflush_bench_curate_")
+    try:
+        joined = docs.join(
+            emb.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+        ).select("doc_id", "text", "embedding")
+        nd = joined.count()
+        src = os.path.join(work, "src")
+        joined.repartition(4).write.parquet(src)
+        ccfg = CurationStreamConfig(
+            source_dir=src,
+            dest_dir=os.path.join(work, "dest"),
+            digest_dir=os.path.join(work, "digests"),
+            sig_dir=os.path.join(work, "sigs"),
+            stats_dir=os.path.join(work, "stats"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            min_tokens=1,
+            embedding_col="embedding",
+            sem_vec_dir=os.path.join(work, "semvecs"),
+            sem_cent_dir=os.path.join(work, "semcents"),
+            sem_threshold=0.95,
+        )
+        t0 = time.time()
+        curate_stream(spark, ccfg).awaitTermination()
+        dt = time.time() - t0
+        out["curate_sem_docs_s"] = round(nd / dt, 1)
+        out["curate_sem_docs"] = nd
+        out["curate_sem_sec"] = round(dt, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return out
 
 

@@ -414,6 +414,7 @@ def ivf_search(
     queries: DataFrame,
     k: int = 10,
     nprobe: int = 4,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k search against a :func:`build_ivf_index` directory.
     Queries (a :func:`prepare_vectors` frame) assign to their
@@ -424,7 +425,10 @@ def ivf_search(
     Returns ``(query_id, neighbor_id, cos_sim, rank)``. Per-search
     cost is O(|Q| x corpus/n_cells x nprobe), independent of writes
     since the build — the serving path a per-call ``ivf_topk``
-    (train + assign every time) cannot offer."""
+    (train + assign every time) cannot offer. Flip
+    ``broadcast_queries`` OFF for corpus-sized query sets (the probe
+    frame then shuffles on cell_id instead of broadcasting; the
+    ``_cp`` directory prune still applies first)."""
     base = index_dir.rstrip("/")
     cents = spark.read.parquet(f"{base}/centroids")
     probe_src = _nearest_cells(queries, _pack_cells(cents), nprobe)
@@ -449,7 +453,7 @@ def ivf_search(
         )
     scored = (
         vecs.join(
-            F.broadcast(probes),
+            F.broadcast(probes) if broadcast_queries else probes,
             (F.col("cell_id") == F.col("qcell")) & (F.col("vid") != F.col("qid")),
         )
         .select(
@@ -575,6 +579,7 @@ def ivf_topk(
     kmeans_iters: int = 0,
     coarse_cells: int | None = None,
     coarse_probe: int = 2,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their 1 nearest
     cell; each query probes its ``nprobe`` nearest cells; scoring is
@@ -584,6 +589,11 @@ def ivf_topk(
     search join shuffles on cell_id — skew between cells is the known
     IVF failure mode, mitigated by raising n_cells (finer cells) and
     AQE skew-join splitting oversized cells at runtime.
+    ``broadcast_queries=True`` (default) pins the probe side as the
+    broadcast build — right for serving-sized query sets; flip it OFF
+    for batch-ANN with a corpus-sized query set (a multi-GB probe
+    frame must shuffle on cell_id, not broadcast) and let Catalyst
+    plan the equi-join.
     """
     # same r7 centroid plumbing as semantic_dedup_pairs: the frame is
     # persisted + materialized once and packed for BOTH _nearest_cells
@@ -606,8 +616,10 @@ def ivf_topk(
         F.col("vid").alias("qid"), F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"), F.col("cell_id").alias("qcell"),
     )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
     scored = (
-        indexed.join(F.broadcast(probes), (F.col("cell_id") == F.col("qcell")) & (F.col("vid") != F.col("qid")))
+        indexed.join(probes, (F.col("cell_id") == F.col("qcell")) & (F.col("vid") != F.col("qid")))
         .select(
             F.col("qid").alias("query_id"),
             F.col("vid").alias("neighbor_id"),

@@ -115,12 +115,12 @@ def main() -> int:
             prepare_vectors,
         )
         from lakeflush_spark.functions.vectors import dot_product
-        from lakeflush_spark.streaming.semdedup import _load_or_init_centroids
+        from lakeflush_spark.streaming.semdedup import load_or_init_centroids
 
         batch_df = spark.read.parquet(os.path.join(src, f"b{N_BATCHES - 1}.parquet"))
         vecs = prepare_vectors(batch_df, id_col="vec_id", vec_col="embedding")
         t0 = time.time()
-        cents = _load_or_init_centroids(spark, cfg, vecs)
+        cents = load_or_init_centroids(spark, cfg.cent_dir, cfg.n_cells, vecs)
         t_cent = time.time() - t0
         indexed = _nearest_cells(vecs, _pack_cells(cents), 1).persist()
         indexed.count()

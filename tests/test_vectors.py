@@ -420,3 +420,27 @@ def test_persisted_ivf_index_matches_one_shot_search(spark, tmp_path):
     pairs = lambda df: {(r.query_id, r.neighbor_id) for r in df.collect()}  # noqa: E731
     overlap = pairs(got_q) & pairs(got)
     assert len(overlap) >= int(0.8 * len(pairs(got)))
+
+
+def test_ivf_broadcast_queries_off_is_value_identical(spark, tmp_path):
+    """broadcast_queries=False (the corpus-sized-query-set path) plans
+    a shuffled equi-join but returns the same rows."""
+    from lakeflush_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        ivf_topk,
+    )
+
+    corpus = _synth_corpus(spark, n=200, dims=8)
+    queries = corpus.where(F.col("vid") < 6)
+    as_set = lambda df: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in df.collect()
+    }
+    a = ivf_topk(corpus, queries, k=4, n_cells=4, nprobe=2)
+    b = ivf_topk(corpus, queries, k=4, n_cells=4, nprobe=2, broadcast_queries=False)
+    assert as_set(a) == as_set(b)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(corpus, idx, n_cells=4)
+    c = ivf_search(spark, idx, queries, k=4, nprobe=2)
+    d = ivf_search(spark, idx, queries, k=4, nprobe=2, broadcast_queries=False)
+    assert as_set(c) == as_set(d) == as_set(a)

@@ -193,6 +193,29 @@ the same plans PLANS.md audits (q55 now 10 BHJ / 8 NLJ — the NLJ are
 the intentional one-row broadcast centroid packs — 0 PY, 0 1P).
 Remaining diffs (q06/q07/q08/q18/q60 +0.1–0.4 s) are contended-box
 variance per the r5/r6 notes.
+
+Steady-state COMPOSED curation (scripts/curate_steady.py, r7): 20k
+docs (sf0.1 docs+embeddings joined, 10x replicated, token-salted +
+cyclic-shift embedding decorrelation so pair structure stays linear),
+five 4k-doc batches, one stream. Without the semantic stage: warm
+batches ~10-13 s (quality + exact + LSH + three store writes).
+Semantic stage ON at the default sem_n_cells=16: warm ~33-38 s. An
+in-stream bisect (sem_dropped_ids stubbed empty -> warm 11.6 s;
+pruned_history stubbed -> still ~38 s) pins the entire delta inside
+the within-cell verify join over the BATCH, not history reads or
+store writes — the SemDedup cost model doing exactly what it says
+(pairs ~ sum over cells of new x (hist + lower-id batchmates)).
+sem_n_cells=64 cuts the measured pair mass 4.0x exactly (cell
+occupancy sum-of-squares 25.3M -> 6.3M, max cell 1596 -> 381 — the
+synthetic corpus quantizes evenly) and lands warm ~29 s: the verify
+term shrinks 4x as designed while ~10 s of linear per-batch semantic
+overhead (64-centroid assignment scan, broadcast of the batch tag
+frame, vector-store write + admitted semi-join) remains — fixed
+costs at this toy scale, corpus-independent. Sizing guidance stands:
+set sem_expected_corpus/sem_target_cell_rows (r7 rule) so cells stay
+bounded as the store grows, and sem_max_cell as the recall-trading
+hard cap; the bench's cold `curate_sem_docs_s` (~280 at sf0.1) is a
+bootstrap number — these warm multi-batch figures are the trend line.
 """
 
 from __future__ import annotations

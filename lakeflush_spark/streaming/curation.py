@@ -372,8 +372,16 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     sem_dropped_ids,
                 )
 
+                # derive vectors from the PINNED pre-minhash frame
+                # (fresh) minus the LSH drops rather than from
+                # `sigged` — same survivor set (the anti-join key is
+                # the id either way), but the semantic lineage then
+                # reads the cache directly instead of re-planning the
+                # minhash projection above it
                 sem_vecs = prepare_vectors(
-                    sigged, id_col=cfg.id_col, vec_col=cfg.embedding_col
+                    fresh.join(F.broadcast(nd_dropped), cfg.id_col, "left_anti"),
+                    id_col=cfg.id_col,
+                    vec_col=cfg.embedding_col,
                 )
                 n_cells = cfg.sem_n_cells
                 if cfg.sem_expected_corpus is not None:

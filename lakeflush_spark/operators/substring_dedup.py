@@ -175,6 +175,26 @@ def strip_repeated_spans(
         stride=stride,
         min_docs=min_docs,
     ).select("fp")
+    return strip_spans_against(
+        docs, hot, id_col=id_col, text_col=text_col, window=window, stride=stride
+    )
+
+
+def strip_spans_against(
+    docs: DataFrame,
+    hot: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    stride: int = 8,
+) -> DataFrame:
+    """The rewrite half of :func:`strip_repeated_spans` against a
+    CALLER-SUPPLIED hot-fingerprint frame (one ``fp`` column) — the
+    extension point the streaming boilerplate path needs (its hot set
+    combines batch counts with a persisted occurrence store, r7).
+    Same coverage rule, same single body-moving join."""
+    hot = hot.select("fp")
 
     def anchored_fp_structs(tk: Column) -> Column:
         return F.transform(

@@ -28,7 +28,12 @@ from lakeflush_spark.streaming.dedup import (  # noqa: F401
 )
 from lakeflush_spark.streaming.semdedup import (  # noqa: F401
     StreamSemDedupConfig,
+    compact_vec_store,
     semdedup_stream,
+)
+from lakeflush_spark.streaming.substring import (  # noqa: F401
+    StreamBoilerplateConfig,
+    boilerplate_stream,
 )
 from lakeflush_spark.streaming.events import (  # noqa: F401
     dedup_within_watermark,

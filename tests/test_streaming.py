@@ -1493,3 +1493,96 @@ def test_compact_vec_store_bounds_cells_and_preserves_detection(spark, tmp_path)
     # dest-exists refusal: never compact onto a live store
     with pytest.raises(Exception):
         compact_vec_store(spark, cfg.vec_dir, compacted_dir, max_cell=3)
+
+
+def test_boilerplate_stream_strips_on_arrival(spark, tmp_path):
+    """r7: the fourth dedup-on-arrival modality — repeated passages
+    strip prospectively once the fp store's occurrence count crosses
+    min_docs: within-batch, against history, across a checkpointed
+    restart; unique text untouched; docs never dropped."""
+    from lakeflush_spark.streaming.substring import (
+        StreamBoilerplateConfig,
+        boilerplate_stream,
+    )
+
+    boiler = " ".join(f"lic{i}" for i in range(12))  # 12-token license block
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(20))  # noqa: E731
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamBoilerplateConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        fp_dir=str(tmp_path / "fps"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        window=8,
+        stride=1,  # anchor everywhere: deterministic full coverage
+        min_docs=2,
+    )
+
+    # batch 1: docs 1+2 share the block (hot within batch -> both
+    # stripped); doc 3 unique
+    _add_parquet_file(
+        spark, tmp_path, src, "b1",
+        [
+            (1, f"{uniq('a')} {boiler}"),
+            (2, f"{boiler} {uniq('b')}"),
+            (3, uniq("c")),
+        ],
+    )
+    boilerplate_stream(spark, cfg).awaitTermination(240)
+    got = {r.doc_id: (r.text, r.n_stripped) for r in
+           spark.read.parquet(cfg.dest_dir).collect()}
+    assert got[3] == (uniq("c"), 0)
+    assert got[1][1] == 12 and got[2][1] == 12  # whole block stripped
+    assert "lic0" not in got[1][0] and "lic11" not in got[2][0]
+    assert got[1][0].startswith("a0") and got[2][0].endswith("b19")
+
+    # batch 2: a NEW doc with the block — stripped purely via history
+    _add_parquet_file(
+        spark, tmp_path, src, "b2", [(10, f"{uniq('d')} {boiler} {uniq('e')}")]
+    )
+    boilerplate_stream(spark, cfg).awaitTermination(240)
+    got = {r.doc_id: (r.text, r.n_stripped) for r in
+           spark.read.parquet(cfg.dest_dir).collect()}
+    assert got[10][1] == 12 and "lic5" not in got[10][0]
+    assert "d19" in got[10][0] and "e0" in got[10][0]  # unique halves kept
+
+    # checkpointed restart, no new input: nothing changes
+    boilerplate_stream(spark, cfg).awaitTermination(240)
+    assert spark.read.parquet(cfg.dest_dir).count() == 4
+
+
+def test_boilerplate_stream_threshold_is_prospective(spark, tmp_path):
+    """min_docs=3 across single-doc batches: copies 1 and 2 keep the
+    passage (under threshold at their arrival), copy 3 arrives once
+    the store says 2 and is stripped — the documented prospective
+    semantics."""
+    from lakeflush_spark.streaming.substring import (
+        StreamBoilerplateConfig,
+        boilerplate_stream,
+    )
+
+    boiler = " ".join(f"tmpl{i}" for i in range(10))
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamBoilerplateConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        fp_dir=str(tmp_path / "fps"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        window=6,
+        stride=1,
+        min_docs=3,
+    )
+    for i, name in ((1, "b1"), (2, "b2"), (3, "b3")):
+        # fully distinct preambles: any shared window must lie inside
+        # the planted block, so n_stripped counts exactly its tokens
+        _add_parquet_file(
+            spark, tmp_path, src, name,
+            [(i, f"pre{i}a pre{i}b pre{i}c pre{i}d pre{i}e pre{i}f {boiler}")],
+        )
+        boilerplate_stream(spark, cfg).awaitTermination(240)
+    got = {r.doc_id: r.n_stripped for r in
+           spark.read.parquet(cfg.dest_dir).collect()}
+    assert got[1] == 0 and got[2] == 0 and got[3] == 10

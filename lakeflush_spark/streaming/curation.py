@@ -3,7 +3,8 @@
 
 Each micro-batch runs the same stage order as the batch pipeline —
 quality filters → optional LM gate → exact dedup → LSH near-dup →
-optional semantic (SemDedup) near-dup → eval-set
+optional semantic (SemDedup) near-dup → optional repeated-passage
+(boilerplate) strip/drop → eval-set
 decontamination — but the dedup stages check arriving documents
 against PERSISTED history stores (16-byte digests; band hashes +
 minhash signatures), so a continuously-fed corpus stays curated
@@ -18,6 +19,9 @@ Composition, all reused from :mod:`lakeflush_spark.streaming.dedup`:
 - ``near_dup_dropped_ids`` — band store pruned to batch-touched
   buckets, one band equi-join for within-batch + against-history
   pairing, signature-agreement verify, hot-bucket cap;
+- the boilerplate stage — :mod:`lakeflush_spark.streaming.substring`'s
+  occurrence store + the batch operator's own rewrite
+  (``strip_spans_against``), prospective semantics;
 - the semantic stage — :mod:`lakeflush_spark.streaming.semdedup`'s
   per-batch helpers (store-scoped centroid sidecar, broadcast
   semi-join cell pruning, one cell equi-join verify) against a
@@ -35,8 +39,10 @@ stores accumulating rows for documents that never entered the corpus.
 
 Auditability: every batch appends one stats row
 (n_in / n_filtered / n_lm_filtered / n_exact_dup / n_near_dup /
-n_sem_dup / n_contaminated / n_out — n_sem_dup NULL when the
-semantic stage is not configured — plus n_hot_buckets / n_hot_rows_trimmed — the hot-bucket cap's
+n_sem_dup / n_boilerplate / n_contaminated / n_out — n_sem_dup /
+n_boilerplate NULL when their stages are not configured; in strip
+mode n_boilerplate counts REWRITTEN docs, which stay in n_out — plus
+n_hot_buckets / n_hot_rows_trimmed — the hot-bucket cap's
 per-batch recall trade, NULL when no cap is configured) to a
 queryable parquet stats store under the same (run, batch)
 exactly-once layout — the streaming twin of the batch pipeline's
@@ -142,6 +148,24 @@ class CurationStreamConfig:
     sem_cell_partitions: bool = False
     sem_coarse_cells: int | None = None
     sem_coarse_probe: int = 1
+    #: optional repeated-passage (boilerplate) stage (r7; the batch
+    #: CurationConfig.drop_repeated_passage_window twin, streaming
+    #: face at streaming/substring.py): window/stride/min_docs are the
+    #: batch operator's knobs, occurrence counts accumulate in a
+    #: persisted fp store at ``bp_fp_dir`` (required when the window
+    #: is set), and once history+batch occurrences reach
+    #: ``bp_min_docs`` the passage acts on every arrival onward —
+    #: ``bp_action="strip"`` (default) rewrites the doc (adds an
+    #: n_stripped column to the dest), "drop" removes it. Prospective
+    #: semantics (see streaming/substring.py); runs after the
+    #: semantic stage, before decontamination — the batch order, so
+    #: decontam sees post-strip text. Counts describe post-LSH
+    #: arrivals (pre-strip text), keeping the threshold monotone.
+    bp_window: int | None = None
+    bp_stride: int = 8
+    bp_min_docs: int = 2
+    bp_action: str = "strip"
+    bp_fp_dir: str | None = None
     #: optional parquet directory of eval documents — when set, corpus
     #: docs sharing >= decontam_min_common distinct word n-grams with
     #: ANY eval doc are dropped (operators/decontaminate semantics)
@@ -183,6 +207,20 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             "sem_vec_dir/sem_cent_dir set without embedding_col — the "
             "semantic stage would be silently OFF; name the embedding "
             "column on the arriving documents"
+        )
+    if cfg.bp_window is not None and cfg.bp_fp_dir is None:
+        raise ValueError(
+            "bp_window requires bp_fp_dir — the boilerplate stage needs "
+            "a persisted fingerprint store"
+        )
+    if cfg.bp_window is None and cfg.bp_fp_dir is not None:
+        raise ValueError(
+            "bp_fp_dir set without bp_window — the boilerplate stage "
+            "would be silently OFF; set the passage window"
+        )
+    if cfg.bp_action not in ("strip", "drop"):
+        raise ValueError(
+            f"bp_action must be 'strip' or 'drop', got {cfg.bp_action!r}"
         )
     if schema is None:
         schema = spark.read.parquet(cfg.source_dir).schema
@@ -435,6 +473,79 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                         "left_anti",
                     )
 
+            # 3c. repeated-passage (boilerplate) stage vs the persisted
+            # fp store — the batch pipeline's stage order (after
+            # semantic, before decontam). Counts describe post-LSH
+            # arrivals' PRE-strip text; the threshold is monotone over
+            # the store's life (streaming/substring.py semantics).
+            n_bp = None if cfg.bp_window is None else 0
+            bp_counts = None
+            if cfg.bp_window is not None:
+                from lakeflush_spark.operators.substring_dedup import (
+                    anchored_span_fps,
+                    strip_spans_against,
+                )
+
+                bp_spans = sigged.select(
+                    F.col(cfg.id_col).alias("_id"),
+                    F.explode(
+                        anchored_span_fps(
+                            cfg.text_col, cfg.bp_window, cfg.bp_stride
+                        )
+                    ).alias("fp"),
+                )
+                bp_counts = _pin(
+                    bp_spans.groupBy("fp").agg(
+                        F.countDistinct("_id").alias("n")
+                    )
+                )
+                bp_hist = _read_store(sp, cfg.bp_fp_dir, batch_id, run)
+                if bp_hist is not None:
+                    bp_hist_counts = (
+                        bp_hist.join(
+                            F.broadcast(bp_counts.select("fp")), "fp", "semi"
+                        )
+                        .groupBy("fp")
+                        .agg(F.sum("n").alias("_hn"))
+                    )
+                    bp_totals = bp_counts.join(
+                        bp_hist_counts, "fp", "left"
+                    ).select(
+                        "fp",
+                        (
+                            F.col("n") + F.coalesce(F.col("_hn"), F.lit(0))
+                        ).alias("_tot"),
+                    )
+                else:
+                    bp_totals = bp_counts.select(
+                        "fp", F.col("n").alias("_tot")
+                    )
+                bp_hot = bp_totals.where(
+                    F.col("_tot") >= cfg.bp_min_docs
+                ).select("fp")
+                if cfg.bp_action == "drop":
+                    bp_bad = _pin(
+                        bp_spans.join(F.broadcast(bp_hot), "fp", "semi")
+                        .select(F.col("_id").alias(cfg.id_col))
+                        .distinct()
+                    )
+                    n_bp = bp_bad.count()
+                    sigged = sigged.join(
+                        F.broadcast(bp_bad), cfg.id_col, "left_anti"
+                    )
+                else:
+                    sigged = _pin(
+                        strip_spans_against(
+                            sigged,
+                            bp_hot,
+                            id_col=cfg.id_col,
+                            text_col=cfg.text_col,
+                            window=cfg.bp_window,
+                            stride=cfg.bp_stride,
+                        )
+                    )
+                    n_bp = sigged.where(F.col("n_stripped") > 0).count()
+
             # 4. decontamination vs the static broadcast eval grams
             if eval_grams is not None:
                 doc_grams = sigged.select(
@@ -461,7 +572,16 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             )
             n_out = out.count()
             body_cols = [c for c in batch_df.columns] + ["run", "batch"]
+            if "n_stripped" in out.columns:
+                body_cols.insert(-2, "n_stripped")
             _writer(out.select(*body_cols), cfg.dest_dir)
+            if bp_counts is not None:
+                _writer(
+                    bp_counts.withColumn("run", F.lit(run)).withColumn(
+                        "batch", F.lit(int(batch_id))
+                    ),
+                    cfg.bp_fp_dir,
+                )
             if cfg.digest_prefix_partitions:
                 _writer(
                     out.select("_digest", "run", "batch").withColumn(
@@ -510,7 +630,12 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                         n_filtered_in - n_exact,
                         nd_count,
                         n_sem,
-                        n_exact - n_out - nd_count - (n_sem or 0),
+                        n_bp,
+                        n_exact
+                        - n_out
+                        - nd_count
+                        - (n_sem or 0)
+                        - (n_bp or 0 if cfg.bp_action == "drop" else 0),
                         n_out,
                         n_hot,
                         n_hot_over,
@@ -518,8 +643,8 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 ],
                 "run string, batch long, n_in long, n_filtered long, "
                 "n_lm_filtered long, n_exact_dup long, n_near_dup long, "
-                "n_sem_dup long, n_contaminated long, n_out long, "
-                "n_hot_buckets long, n_hot_rows_trimmed long",
+                "n_sem_dup long, n_boilerplate long, n_contaminated long, "
+                "n_out long, n_hot_buckets long, n_hot_rows_trimmed long",
             )
             _writer(stats, cfg.stats_dir)
         finally:

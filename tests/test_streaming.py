@@ -1586,3 +1586,101 @@ def test_boilerplate_stream_threshold_is_prospective(spark, tmp_path):
     got = {r.doc_id: r.n_stripped for r in
            spark.read.parquet(cfg.dest_dir).collect()}
     assert got[1] == 0 and got[2] == 0 and got[3] == 10
+
+
+def test_curate_stream_boilerplate_stage(spark, tmp_path):
+    """r7: the repeated-passage stage composed into curate_stream —
+    strip mode rewrites (n_stripped in the dest, n_boilerplate counts
+    rewritten docs), cross-batch history hits via the fp store, batch
+    stage order (decontam sees post-strip text), and drop mode removes
+    docs with the count feeding n_contaminated's residual."""
+    import dataclasses
+
+    from lakeflush_spark.streaming.curation import (
+        CurationStreamConfig,
+        curate_stream,
+    )
+
+    boiler = " ".join(f"lic{i}" for i in range(10))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(15))  # noqa: E731
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        bp_window=6,
+        bp_stride=1,
+        bp_min_docs=2,
+        bp_fp_dir=str(tmp_path / "fps"),
+    )
+
+    # batch 1: docs 1+2 share the block (hot within batch -> both
+    # stripped, both still admitted); doc 3 unique
+    _add_parquet_file(
+        spark, tmp_path, src, "b1",
+        [
+            (1, f"{uniq('a')} {boiler}"),
+            (2, f"{boiler} {uniq('b')}"),
+            (3, uniq("c")),
+        ],
+    )
+    curate_stream(spark, cfg).awaitTermination(240)
+    got = {r.doc_id: (r.text, r.n_stripped) for r in
+           spark.read.parquet(cfg.dest_dir).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1][1] == 10 and got[2][1] == 10 and got[3][1] == 0
+    assert "lic0" not in got[1][0]
+    row = spark.read.parquet(cfg.stats_dir).orderBy("batch").collect()[-1]
+    assert (row.n_in, row.n_boilerplate, row.n_contaminated, row.n_out) == (
+        3, 2, 0, 3,
+    )
+
+    # batch 2: a new doc with the block strips against HISTORY
+    _add_parquet_file(
+        spark, tmp_path, src, "b2", [(10, f"{uniq('d')} {boiler}")]
+    )
+    curate_stream(spark, cfg).awaitTermination(240)
+    got = {r.doc_id: r.n_stripped for r in
+           spark.read.parquet(cfg.dest_dir).collect()}
+    assert got[10] == 10
+
+    # drop mode on fresh stores: second doc with the block is REMOVED
+    cfg2 = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest2"),
+        digest_dir=str(tmp_path / "digests2"),
+        sig_dir=str(tmp_path / "sigs2"),
+        stats_dir=str(tmp_path / "stats2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        bp_window=6,
+        bp_stride=1,
+        bp_min_docs=2,
+        bp_action="drop",
+        bp_fp_dir=str(tmp_path / "fps2"),
+    )
+    curate_stream(spark, cfg2).awaitTermination(240)
+    got = {r.doc_id for r in spark.read.parquet(cfg2.dest_dir).collect()}
+    # all four source docs replay in one batch: 1+2+10 carry the block
+    # (hot at 3 occurrences) and drop; 3 survives; no n_stripped column
+    assert got == {3}
+    row = spark.read.parquet(cfg2.stats_dir).collect()[0]
+    assert row.n_boilerplate == 3 and row.n_contaminated == 0
+    assert "n_stripped" not in spark.read.parquet(cfg2.dest_dir).columns
+
+    # validation
+    with pytest.raises(ValueError, match="bp_fp_dir"):
+        curate_stream(
+            spark,
+            dataclasses.replace(cfg, bp_fp_dir=None,
+                                checkpoint_dir=str(tmp_path / "ckpt3")),
+        )
+    with pytest.raises(ValueError, match="bp_action"):
+        curate_stream(
+            spark,
+            dataclasses.replace(cfg, bp_action="mangle",
+                                checkpoint_dir=str(tmp_path / "ckpt4")),
+        )

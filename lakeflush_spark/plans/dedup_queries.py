@@ -344,6 +344,16 @@ _Q62_STRIDE = 2
                doc_id AS n1, (full_len - len(kept))::BIGINT AS n2,
                NULL::BIGINT AS n3
         FROM strip
+        UNION ALL
+        -- 'stream': boilerplate-on-arrival over ONE availableNow batch
+        -- with an empty fingerprint store is definitionally the batch
+        -- strip (same hot-set rule, same strip_spans_against rewrite),
+        -- so the oracle is the strip rebuild relabeled — the driver
+        -- hash-verifies the STREAMING stage end to end through it.
+        SELECT 'stream' AS method, md5(COALESCE(array_to_string(kept, ' '), '')) AS k1,
+               doc_id AS n1, (full_len - len(kept))::BIGINT AS n2,
+               NULL::BIGINT AS n3
+        FROM strip
     )
     ORDER BY method, k1, n1
     """,
@@ -356,8 +366,12 @@ _Q62_STRIDE = 2
     "hash-verified end to end — every doc's REWRITTEN text (repeated "
     "passage removed by the union-of-covered-windows token filter) "
     "md5-matched against the oracle's full rebuild, plus the exact "
-    "stripped-token count. (r4: promoted to hash-checked; r5: added "
-    "the strip label.)",
+    "stripped-token count; 'stream' = streaming/substring.py's "
+    "boilerplate_stream run for real (temp parquet source, "
+    "availableNow, exactly-once (run,batch) layout) — one batch "
+    "against an empty store is definitionally the batch strip, so "
+    "every STREAMED rewrite is md5-matched too. (r4: promoted to "
+    "hash-checked; r5: added the strip label; r7: the stream label.)",
 )
 def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.substring_dedup import (
@@ -384,7 +398,56 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_stripped").alias("n2"),
         F.lit(None).cast("bigint").alias("n3"),
     )
-    return span.unionByName(strip).orderBy("method", "k1", "n1")
+
+    # 'stream': run the r7 boilerplate-on-arrival stage for real —
+    # write the docs as a parquet streaming source, one availableNow
+    # micro-batch against an empty fingerprint store (== the batch
+    # strip, prospective threshold never engaged), read the
+    # exactly-once dest back. Workdir lifecycle matches q16: mkdtemp,
+    # left for the OS (the returned frame lazily reads the dest).
+    import os
+    import tempfile
+
+    from lakeflush_spark.streaming.substring import (
+        StreamBoilerplateConfig,
+        boilerplate_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="lakeflush_q62s_")
+    src = os.path.join(work, "src")
+    docs.select("doc_id", "text").write.parquet(src)
+    # q35's scoping trick: under the driver's PLAIN session the default
+    # 200 shuffle partitions make the per-batch fp groupBy 200-task;
+    # right-size around the run, restore after.
+    orig = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        done = boilerplate_stream(
+            spark,
+            StreamBoilerplateConfig(
+                source_dir=src,
+                dest_dir=os.path.join(work, "dest"),
+                fp_dir=os.path.join(work, "fp"),
+                checkpoint_dir=os.path.join(work, "ck"),
+                window=_Q62_WINDOW,
+                stride=_Q62_STRIDE,
+                min_docs=2,
+            ),
+        ).awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    if not done:
+        raise RuntimeError("q62 boilerplate_stream did not finish in 600s")
+    streamed = spark.read.parquet(os.path.join(work, "dest")).select(
+        F.lit("stream").alias("method"),
+        F.md5("text").alias("k1"),
+        F.col("doc_id").alias("n1"),
+        F.col("n_stripped").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+    )
+    return (
+        span.unionByName(strip).unionByName(streamed).orderBy("method", "k1", "n1")
+    )
 
 
 # SemDedup constants shared by the q28 builder and its oracle twin.

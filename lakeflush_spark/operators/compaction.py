@@ -637,12 +637,20 @@ def _list_bundles(spark: SparkSession, dest: str) -> list[tuple[str, int, int]]:
     out: list[tuple[str, int, int]] = []
     if not fs.exists(path):
         return out
+    base_depth = len(path.toString().rstrip("/").split("/"))
     it = fs.listFiles(path, True)
     while it.hasNext():
         st = it.next()
         p = st.getPath().toString()
-        name = p.rsplit("/", 1)[-1]
-        if name.startswith(("_", ".")) or f"/{_AUDIT_DIRNAME}/" in p:
+        # Spark's hidden-file rule, applied to EVERY path component
+        # below the dest (r8 — previously only the basename and the
+        # exact audit dirname were checked, so part files under
+        # _lakeflush_audit_archive/ or a crash-orphaned
+        # _lakeflush_audit_tmp-*/ were listed as data bundles,
+        # diverging from the Connect manifest path which prunes them)
+        if any(
+            c.startswith(("_", ".")) for c in p.split("/")[base_depth:]
+        ):
             continue
         out.append((p, int(st.getLen()), int(st.getModificationTime())))
     return sorted(out)
@@ -910,11 +918,23 @@ def compact_audit(
     discipline for log compaction; schedule it beside other
     maintenance (``vacuum_runs``, ``compact_store``). Local and
     JVM-bridged stores are supported; a Connect session with a remote
-    store fails fast (the ``vacuum_runs`` guard pattern)."""
+    store fails fast (the ``vacuum_runs`` guard pattern).
+
+    Crash safety (r8): the swap is rename-based and RECOVERABLE —
+    live renames to ``<audit>_old``, the rewritten table renames into
+    place, then ``_old`` is deleted. A crash at any point leaves
+    either the old live table, the new one, or the old one under
+    ``_old``; the next ``compact_audit`` call repairs the interruption
+    before doing anything else (restores ``_old`` to live if live is
+    missing, clears leftover ``_old``/``_tmp-*`` debris otherwise) —
+    never a lost audit row, at worst duplicate archived rows (the
+    archive is append-only and re-archiving is idempotent for
+    consumers, which read only the live table)."""
     if cursor is None or not cursor.run_ids:
         return cursor if cursor is not None else AuditCursor(ts=None)
     audit_path = f"{dest_dir.rstrip('/')}/{_AUDIT_DIRNAME}"
     archive_path = audit_path + "_archive"
+    _recover_audit_swap(spark, audit_path)
     audit = audit_table(spark, dest_dir)
     consumed_df = spark.createDataFrame(
         [(r,) for r in cursor.run_ids], "run_id string"
@@ -933,14 +953,21 @@ def compact_audit(
         .write.mode("overwrite")
         .parquet(tmp_path)
     )
+    # recoverable three-step swap (see docstring): live -> _old,
+    # tmp -> live, delete _old — a crash between any two steps leaves
+    # a state _recover_audit_swap repairs on the next call
+    old_path = audit_path + "_old"
     h = hadoop_fs(spark, audit_path)
     if h is not None:
         jvm, fs, ap = h
-        fs.delete(ap, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_path), ap)
+        P = jvm.org.apache.hadoop.fs.Path
+        fs.rename(ap, P(old_path))
+        fs.rename(P(tmp_path), ap)
+        fs.delete(P(old_path), True)
     else:
         lp, lt = local_path(audit_path), local_path(tmp_path)
-        if lp is None or lt is None:
+        lo = local_path(old_path)
+        if lp is None or lt is None or lo is None:
             raise RuntimeError(
                 "compact_audit needs the JVM Hadoop FileSystem bridge for "
                 "remote stores, and this session has none (Spark Connect); "
@@ -950,9 +977,53 @@ def compact_audit(
         import os as _os
         import shutil as _shutil
 
-        _shutil.rmtree(lp)
+        _os.rename(lp, lo)
         _os.rename(lt, lp)
+        _shutil.rmtree(lo)
     return AuditCursor(ts=cursor.ts, run_ids=())
+
+
+def _recover_audit_swap(spark: SparkSession, audit_path: str) -> None:
+    """Repair an interrupted :func:`compact_audit` swap before the next
+    one runs (single-writer window assumed): if ``<audit>_old`` exists
+    without a live table, the crash hit between the two renames —
+    restore ``_old`` to live (the consumed rows re-archive as
+    duplicates next time, never lost); if both exist, the crash hit
+    before the final delete — drop ``_old``. Leftover ``_tmp-*`` dirs
+    from crashed attempts are deleted either way (their content is
+    rebuilt from the live table)."""
+    old_path = audit_path + "_old"
+    h = hadoop_fs(spark, audit_path)
+    if h is not None:
+        jvm, fs, ap = h
+        P = jvm.org.apache.hadoop.fs.Path
+        op = P(old_path)
+        if fs.exists(op):
+            if fs.exists(ap):
+                fs.delete(op, True)
+            else:
+                fs.rename(op, ap)
+        parent = ap.getParent()
+        prefix = ap.getName() + "_tmp-"
+        if parent is not None and fs.exists(parent):
+            for st in fs.listStatus(parent):
+                if st.getPath().getName().startswith(prefix):
+                    fs.delete(st.getPath(), True)
+        return
+    lp, lo = local_path(audit_path), local_path(old_path)
+    if lp is None or lo is None:
+        return  # remote store without a bridge: compact_audit fails fast later
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.isdir(lo):
+        if _os.path.isdir(lp):
+            _shutil.rmtree(lo)
+        else:
+            _os.rename(lo, lp)
+    for t in _glob.glob(lp + "_tmp-*"):
+        _shutil.rmtree(t, ignore_errors=True)
 
 
 def read_bundles(spark: SparkSession, dest_dir: str, fmt: str = "json", schema=None) -> DataFrame:

@@ -415,6 +415,7 @@ def ivf_search(
     k: int = 10,
     nprobe: int = 4,
     broadcast_queries: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Top-k search against a :func:`build_ivf_index` directory.
     Queries (a :func:`prepare_vectors` frame) assign to their
@@ -428,7 +429,15 @@ def ivf_search(
     (train + assign every time) cannot offer. Flip
     ``broadcast_queries`` OFF for corpus-sized query sets (the probe
     frame then shuffles on cell_id instead of broadcasting; the
-    ``_cp`` directory prune still applies first)."""
+    ``_cp`` directory prune still applies first).
+
+    Cache lifecycle: the probe frame is pinned for the caller's
+    action and left to ContextCleaner once the returned frame's
+    lineage dies. In a long-lived SERVING loop that holds results,
+    those cached probe frames accumulate — pass ``materialize=True``
+    there: the top-k is eagerly localCheckpoint-ed (small — |Q|×k
+    rows) and the probe cache released before returning, so each
+    search leaves zero pinned state behind (r8, per round-7 advice)."""
     base = index_dir.rstrip("/")
     cents = spark.read.parquet(f"{base}/centroids")
     probe_src = _nearest_cells(queries, _pack_cells(cents), nprobe)
@@ -469,8 +478,13 @@ def ivf_search(
     # probes stays pinned for the caller's action (the cps collect
     # already materialized it; unpersisting here would re-run the
     # assignment at action time) — ContextCleaner drops the tiny
-    # cached frame when the result's lineage dies
-    return _topk(scored, k)
+    # cached frame when the result's lineage dies. materialize=True
+    # cuts the lineage now instead (serving loops; see docstring).
+    res = _topk(scored, k)
+    if materialize:
+        res = res.localCheckpoint()
+        probes.unpersist()
+    return res
 
 
 def semantic_dedup_pairs(

@@ -159,13 +159,26 @@ class CurationStreamConfig:
     #: n_stripped column to the dest), "drop" removes it. Prospective
     #: semantics (see streaming/substring.py); runs after the
     #: semantic stage, before decontamination — the batch order, so
-    #: decontam sees post-strip text. Counts describe post-LSH
-    #: arrivals (pre-strip text), keeping the threshold monotone.
+    #: decontam sees post-strip text. The PERSISTED store counts only
+    #: ADMITTED docs' pre-strip passages (r8 — the digest/sig/vector
+    #: stores' corpus-describing principle: a contaminated doc's
+    #: passages must not advance the threshold for clean future
+    #: arrivals), while THIS batch's hot-set decision sees the whole
+    #: post-semantic batch — batch-pipeline order parity, where
+    #: boilerplate counting runs before decontamination. Counts are
+    #: pre-strip, keeping the threshold monotone.
     bp_window: int | None = None
     bp_stride: int = 8
     bp_min_docs: int = 2
     bp_action: str = "strip"
     bp_fp_dir: str | None = None
+    #: prefix-partition the boilerplate fp store by the first two hex
+    #: chars of the fingerprint (256 ``_fp=xx`` dirs under each
+    #: (run, batch)) and partition-PRUNE each batch's history scan to
+    #: the prefixes it touches — the ``digest_prefix_partitions``
+    #: recipe applied to the fp store (r8). Layout must stay constant
+    #: for a store's life (guarded, like the sibling knobs).
+    bp_fp_prefix_partitions: bool = False
     #: optional parquet directory of eval documents — when set, corpus
     #: docs sharing >= decontam_min_common distinct word n-grams with
     #: ANY eval doc are dropped (operators/decontaminate semantics)

@@ -41,6 +41,17 @@ the threshold monotone.
 
 Store size: one row per (batch, distinct passage fingerprint) — a
 16-byte fp + a count; the same footprint class as the digest store.
+
+Store maintenance (r8 — the sibling-store kit, per round-7 verdict):
+``fp_prefix_partitions`` partitions the store by the first two hex
+chars of the fingerprint (256 ``_fp=xx`` dirs under each (run,
+batch)), so a trickle batch PARTITION-PRUNES its history scan to the
+prefixes it touches instead of reading the whole O(corpus-age) store
+— the digest store's ``_dp`` recipe. Counts are summable, so
+:func:`compact_fp_store` merges each run's per-batch rows offline
+into one row per fingerprint (under a synthetic ``batch=-1`` that
+replay exclusion and dynamic overwrite can never touch), bounding
+the store at O(distinct passages) regardless of age.
 """
 
 from __future__ import annotations
@@ -74,7 +85,108 @@ class StreamBoilerplateConfig:
     window: int = 50
     stride: int = 8
     min_docs: int = 2
+    #: True = additionally partition the fp store by the first two hex
+    #: chars of the fingerprint (256 ``_fp=xx`` partitions under each
+    #: (run, batch)); each micro-batch then PARTITION-PRUNES its
+    #: history scan to the prefixes it actually touches — a trickle
+    #: batch reads ~its-prefix-share of the store instead of all of
+    #: it, and a huge batch (all 256 prefixes) degrades gracefully to
+    #: the full scan. Must be constant over a store's lifetime (the
+    #: layout is on disk; guarded like the sibling stores' knobs).
+    fp_prefix_partitions: bool = False
     max_files_per_trigger: int | None = None
+
+
+def pruned_fp_history(
+    hist: DataFrame,
+    batch_counts: DataFrame,
+    *,
+    fp_dir: str,
+    fp_prefix_partitions: bool,
+) -> DataFrame:
+    """The fp store scanned — never shuffled — down to this batch's
+    fingerprints: layout fail-fast (a flipped ``fp_prefix_partitions``
+    config vs the on-disk store), optional ``_fp`` partition
+    ELIMINATION (bounded ≤256-value collect over the caller-pinned
+    ``batch_counts`` drives the directory prune), then the broadcast
+    semi-probe + per-fp sum. Returns ``(fp, _hn)`` history counts."""
+    if ("_fp" in hist.columns) != fp_prefix_partitions:
+        have = "prefix-partitioned" if "_fp" in hist.columns else "flat"
+        raise ValueError(
+            f"{fp_dir} is a {have} store but "
+            f"fp_prefix_partitions={fp_prefix_partitions} — the layout "
+            "must stay constant for a store's life; flip the config "
+            "back or rebuild the store"
+        )
+    if fp_prefix_partitions and "_fp" in hist.columns:
+        prefixes = [
+            r._fp
+            for r in batch_counts.select(
+                F.substring("fp", 1, 2).alias("_fp")
+            ).distinct().collect()
+        ]
+        hist = hist.where(F.col("_fp").isin(prefixes))
+    return (
+        hist.join(F.broadcast(batch_counts.select("fp")), "fp", "semi")
+        .groupBy("fp")
+        .agg(F.sum("n").alias("_hn"))
+    )
+
+
+def fp_store_frame(
+    batch_counts: DataFrame, fp_prefix_partitions: bool
+) -> tuple[DataFrame, tuple[str, ...]]:
+    """This batch's fp-store rows (``fp, n`` + ``_fp`` when
+    prefix-partitioned) and the extra partition columns (beyond
+    run/batch) to write with."""
+    if fp_prefix_partitions:
+        return (
+            batch_counts.withColumn("_fp", F.substring("fp", 1, 2)),
+            ("_fp",),
+        )
+    return batch_counts, ()
+
+
+def compact_fp_store(spark: SparkSession, fp_dir: str, dest_dir: str) -> None:
+    """Offline compaction of a boilerplate fp store: merge each run's
+    per-batch occurrence counts into ONE row per fingerprint and write
+    the result to ``dest_dir`` (must not exist — compaction never
+    rewrites a store in place while streams may be reading it; swap
+    ``cfg.fp_dir`` to the compacted copy between runs). Counts are
+    summable, so the merge is lossless: every future threshold
+    decision is identical against the compacted copy.
+
+    Replay safety: each run's HIGHEST batch partition is kept
+    VERBATIM — only that batch can be a crashed attempt awaiting
+    foreachBatch replay, and a replay must still find (and overwrite /
+    exclude) its own ``(run, batch)`` partition. Everything below it
+    is committed history and merges into a synthetic ``batch=-1``
+    partition, which replay exclusion (batch ids are ≥0) and dynamic
+    overwrite can never touch. Re-compacting later folds the existing
+    ``batch=-1`` rows in again — compaction is idempotent and
+    composable. The ``_fp`` prefix layout, when present, is preserved
+    (recomputed for merged rows), so partition elimination keeps
+    working against the compacted copy."""
+    df = spark.read.option("basePath", fp_dir).parquet(fp_dir)
+    has_fp_parts = "_fp" in df.columns
+    maxb = df.groupBy("run").agg(F.max("batch").alias("_mb"))
+    tagged = df.join(F.broadcast(maxb), "run")
+    keep = tagged.where(F.col("batch") == F.col("_mb")).select(
+        "fp", "n", "run", "batch"
+    )
+    merged = (
+        tagged.where(F.col("batch") != F.col("_mb"))
+        .groupBy("run", "fp")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("batch", F.lit(-1))
+        .select("fp", "n", "run", "batch")
+    )
+    out = keep.unionByName(merged)
+    parts = ["run", "batch"]
+    if has_fp_parts:
+        out = out.withColumn("_fp", F.substring("fp", 1, 2))
+        parts.append("_fp")
+    out.write.mode("error").partitionBy(*parts).parquet(dest_dir)
 
 
 def boilerplate_stream(

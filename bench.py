@@ -216,6 +216,28 @@ set sem_expected_corpus/sem_target_cell_rows (r7 rule) so cells stay
 bounded as the store grows, and sem_max_cell as the recall-trading
 hard cap; the bench's cold `curate_sem_docs_s` (~280 at sf0.1) is a
 bootstrap number — these warm multi-batch figures are the trend line.
+
+r8 adjudication (isolated warm re-measures run for the r8 verdict):
+the across-the-board BENCH_r08 slowdown vs r7 (suite 38.3 → 43.2 s,
++10–40% on nearly every entry including five-rounds-unchanged ones —
+q01 +28%, q07 +36%, q11 +43% — with compaction csv 35.8 → 28.3 MB/s
+and neardup 2324 → 1679 docs/s moving in lockstep) was a CONTENDED
+BOX, not regression: isolated warm q62 = [8.3 cold, 4.66, 4.50] s
+matches r7's 4.78, q08 [2.30, 1.23, 1.00], q11 [2.72, 0.91, 0.68] —
+all at r7 levels — and no query-building code changed in r8 (the diff
+was compaction listing/audit-swap, an opt-in similarity flag, and
+streaming docstrings). Per this file's own variance note: conclude
+regressions only from isolated warm runs.
+
+r9: `curation.curate_warm_docs_s` joins the emitted JSON — the
+steady-state composed-curation number (multi-batch stream, warm
+batches only, from StreamingQuery progress) so the composed pipeline
+has a round-over-round trend line beside the cold bootstrap
+`curate_sem_docs_s`. r9 also adds two q55 labels ('shuffled' =
+broadcast_queries=False serving, 'int8' = quantized-index serving
+verdict — a second index build + two more searches) and q62's
+'stream2' (a second two-generation streaming run): both entries get
+costlier for verification surface, same plans otherwise.
 """
 
 from __future__ import annotations
@@ -541,6 +563,55 @@ def bench_curation_ops(spark) -> dict[str, float]:
         out["curate_sem_docs_s"] = round(nd / dt, 1)
         out["curate_sem_docs"] = nd
         out["curate_sem_sec"] = round(dt, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # r9 (per r7/r8 verdicts): the STEADY-STATE composed-curation trend
+    # line — the same stream fed in multiple micro-batches against
+    # GROWING stores; warm docs/s excludes batch 0 (store bootstrap +
+    # quantizer train), measured from the query's own per-batch
+    # progress, so the round-over-round number tracks the incremental
+    # path (history reads, store appends, verify joins), not bootstrap.
+    work = tempfile.mkdtemp(prefix="lakeflush_bench_curatew_")
+    try:
+        src = os.path.join(work, "src")
+        joined.repartition(8).write.parquet(src)
+        wcfg = CurationStreamConfig(
+            source_dir=src,
+            dest_dir=os.path.join(work, "dest"),
+            digest_dir=os.path.join(work, "digests"),
+            sig_dir=os.path.join(work, "sigs"),
+            stats_dir=os.path.join(work, "stats"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            min_tokens=1,
+            embedding_col="embedding",
+            sem_vec_dir=os.path.join(work, "semvecs"),
+            sem_cent_dir=os.path.join(work, "semcents"),
+            sem_threshold=0.95,
+            max_files_per_trigger=2,  # 8 source files -> 4 micro-batches
+        )
+        q = curate_stream(spark, wcfg)
+        q.awaitTermination()
+        import json as _json
+
+        prog = [
+            p if isinstance(p, dict) else _json.loads(p.json)
+            for p in q.recentProgress
+        ]
+        warm = [
+            p for p in prog
+            if int(p.get("batchId", -1)) >= 1
+            and int(p.get("numInputRows", 0)) > 0
+        ]
+        rows = sum(int(p["numInputRows"]) for p in warm)
+        secs = sum(
+            float(p.get("batchDuration") or sum(p["durationMs"].values()))
+            for p in warm
+        ) / 1000.0
+        if secs > 0:
+            out["curate_warm_docs_s"] = round(rows / secs, 1)
+            out["curate_warm_batches"] = len(warm)
+            out["curate_warm_docs"] = rows
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -637,7 +637,14 @@ def _list_bundles(spark: SparkSession, dest: str) -> list[tuple[str, int, int]]:
     out: list[tuple[str, int, int]] = []
     if not fs.exists(path):
         return out
-    base_depth = len(path.toString().rstrip("/").split("/"))
+    # qualify FIRST: listFiles returns fully-qualified paths (scheme +
+    # authority add components on non-default FS), so an unqualified
+    # dest string would shift the hidden-component slice two components
+    # early and apply the _/. rule to dest's own path (a dest like
+    # /tmp/_output would list zero bundles)
+    base_depth = len(
+        fs.makeQualified(path).toString().rstrip("/").split("/")
+    )
     it = fs.listFiles(path, True)
     while it.hasNext():
         st = it.next()
@@ -961,8 +968,22 @@ def compact_audit(
     if h is not None:
         jvm, fs, ap = h
         P = jvm.org.apache.hadoop.fs.Path
-        fs.rename(ap, P(old_path))
-        fs.rename(P(tmp_path), ap)
+        # Hadoop rename reports failure by returning false, not
+        # raising — an unchecked false on step 1 would make step 2
+        # rename tmp INTO the still-existing live dir (hidden child)
+        # and return an empty cursor for rows still in the live table
+        if not fs.rename(ap, P(old_path)):
+            raise RuntimeError(
+                f"compact_audit: rename {audit_path} -> {old_path} "
+                "failed; live audit table left untouched"
+            )
+        if not fs.rename(P(tmp_path), ap):
+            # put the live table back so the store stays readable
+            fs.rename(P(old_path), ap)
+            raise RuntimeError(
+                f"compact_audit: rename {tmp_path} -> {audit_path} "
+                "failed; previous live table restored"
+            )
         fs.delete(P(old_path), True)
     else:
         lp, lt = local_path(audit_path), local_path(tmp_path)
@@ -1001,8 +1022,12 @@ def _recover_audit_swap(spark: SparkSession, audit_path: str) -> None:
         if fs.exists(op):
             if fs.exists(ap):
                 fs.delete(op, True)
-            else:
-                fs.rename(op, ap)
+            elif not fs.rename(op, ap):
+                raise RuntimeError(
+                    f"audit-swap recovery: rename {old_path} -> "
+                    f"{audit_path} failed; repair manually before "
+                    "running compact_audit"
+                )
         parent = ap.getParent()
         prefix = ap.getName() + "_tmp-"
         if parent is not None and fs.exists(parent):

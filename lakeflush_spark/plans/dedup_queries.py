@@ -332,7 +332,32 @@ _Q62_STRIDE = 2
                                s -> s <= j AND j < s + {_Q62_WINDOW})) > 0,
                            FALSE)),
                    j -> ap.toks[j]) AS kept
-        FROM ap LEFT JOIN cov USING (doc_id))
+        FROM ap LEFT JOIN cov USING (doc_id)),
+    -- 'stream2' oracle: the PROSPECTIVE rule over a deterministic
+    -- doc_id-parity split into two stream generations. Generation 1
+    -- (even ids) strips only against its own within-batch counts
+    -- (hot1); generation 2 (odd ids) strips against history+batch =
+    -- total corpus counts (== hot, the batches being disjoint).
+    hot1 AS (SELECT fp FROM e WHERE doc_id % 2 = 0
+             GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov2 AS (SELECT doc_id, starts FROM (
+        SELECT e.doc_id AS doc_id, list(DISTINCT e.i) AS starts
+        FROM e JOIN hot1 USING (fp) WHERE e.doc_id % 2 = 0
+        GROUP BY e.doc_id
+        UNION ALL
+        SELECT e.doc_id AS doc_id, list(DISTINCT e.i) AS starts
+        FROM e JOIN hot USING (fp) WHERE e.doc_id % 2 = 1
+        GROUP BY e.doc_id)),
+    strip2 AS (
+        SELECT ap.doc_id, len(ap.toks)::BIGINT AS full_len,
+               list_transform(
+                   list_filter(range(1, len(ap.toks) + 1),
+                       j -> NOT COALESCE(
+                           len(list_filter(cov2.starts,
+                               s -> s <= j AND j < s + {_Q62_WINDOW})) > 0,
+                           FALSE)),
+                   j -> ap.toks[j]) AS kept
+        FROM ap LEFT JOIN cov2 USING (doc_id))
     SELECT method, k1, n1, n2, n3 FROM (
         SELECT 'span' AS method, fp AS k1, n_docs AS n1,
                min_doc AS n2, max_doc AS n3
@@ -354,6 +379,15 @@ _Q62_STRIDE = 2
                doc_id AS n1, (full_len - len(kept))::BIGINT AS n2,
                NULL::BIGINT AS n3
         FROM strip
+        UNION ALL
+        -- 'stream2' (r9): TWO generations over the parity split — the
+        -- cross-batch PROSPECTIVE threshold hash-verified: gen-1 rows
+        -- keep their at-arrival decision (hot1), gen-2 rows strip
+        -- against gen-1's persisted counts plus their own batch (hot).
+        SELECT 'stream2' AS method, md5(COALESCE(array_to_string(kept, ' '), '')) AS k1,
+               doc_id AS n1, (full_len - len(kept))::BIGINT AS n2,
+               NULL::BIGINT AS n3
+        FROM strip2
     )
     ORDER BY method, k1, n1
     """,
@@ -370,8 +404,14 @@ _Q62_STRIDE = 2
     "boilerplate_stream run for real (temp parquet source, "
     "availableNow, exactly-once (run,batch) layout) — one batch "
     "against an empty store is definitionally the batch strip, so "
-    "every STREAMED rewrite is md5-matched too. (r4: promoted to "
-    "hash-checked; r5: added the strip label; r7: the stream label.)",
+    "every STREAMED rewrite is md5-matched too; 'stream2' = the "
+    "CROSS-BATCH prospective threshold run for real: two availableNow "
+    "generations over the doc_id-parity split sharing one checkpoint "
+    "and fp store, gen-2 arrivals stripping against gen-1's persisted "
+    "counts while gen-1 rows keep their at-arrival text — every "
+    "rewrite of both generations md5-matched against the oracle's "
+    "per-generation rule. (r4: promoted to hash-checked; r5: strip; "
+    "r7: stream; r9: stream2.)",
 )
 def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.substring_dedup import (
@@ -434,10 +474,49 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
                 min_docs=2,
             ),
         ).awaitTermination(600)
+        if not done:
+            raise RuntimeError("q62 boilerplate_stream did not finish in 600s")
+
+        # 'stream2' (r9): the CROSS-BATCH prospective threshold run for
+        # real — two availableNow GENERATIONS over the doc_id-parity
+        # split, one shared checkpoint + fp store: generation 2's
+        # arrivals strip against generation 1's persisted counts while
+        # generation 1's dest rows keep their at-arrival decision.
+        import glob as _glob
+        import shutil as _shutil
+
+        work2 = tempfile.mkdtemp(prefix="lakeflush_q62s2_")
+        src2 = os.path.join(work2, "src")
+        os.makedirs(src2)
+        cfg2 = StreamBoilerplateConfig(
+            source_dir=src2,
+            dest_dir=os.path.join(work2, "dest"),
+            fp_dir=os.path.join(work2, "fp"),
+            checkpoint_dir=os.path.join(work2, "ck"),
+            window=_Q62_WINDOW,
+            stride=_Q62_STRIDE,
+            min_docs=2,
+        )
+        for gen, parity in (("g1", 0), ("g2", 1)):
+            stage = os.path.join(work2, f"stage_{gen}")
+            (
+                docs.where(F.col("doc_id") % 2 == parity)
+                .select("doc_id", "text")
+                .write.parquet(stage)
+            )
+            # whole files only: the staging write is complete before
+            # the copy, so the stream source never sees partial parts
+            for i, f in enumerate(
+                sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
+            ):
+                _shutil.copy(f, os.path.join(src2, f"{gen}_{i}.parquet"))
+            done2 = boilerplate_stream(spark, cfg2).awaitTermination(600)
+            if not done2:
+                raise RuntimeError(
+                    f"q62 stream2 generation {gen} did not finish in 600s"
+                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
-    if not done:
-        raise RuntimeError("q62 boilerplate_stream did not finish in 600s")
     streamed = spark.read.parquet(os.path.join(work, "dest")).select(
         F.lit("stream").alias("method"),
         F.md5("text").alias("k1"),
@@ -445,8 +524,18 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_stripped").alias("n2"),
         F.lit(None).cast("bigint").alias("n3"),
     )
+    streamed2 = spark.read.parquet(os.path.join(work2, "dest")).select(
+        F.lit("stream2").alias("method"),
+        F.md5("text").alias("k1"),
+        F.col("doc_id").alias("n1"),
+        F.col("n_stripped").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+    )
     return (
-        span.unionByName(strip).unionByName(streamed).orderBy("method", "k1", "n1")
+        span.unionByName(strip)
+        .unionByName(streamed)
+        .unionByName(streamed2)
+        .orderBy("method", "k1", "n1")
     )
 
 

@@ -247,6 +247,26 @@ ranked AS (
                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
            ) AS BIGINT) AS rank
     FROM scored2
+    UNION ALL
+    -- 'shuffled' = ivf_search(broadcast_queries=False), the
+    -- corpus-sized-query-set plan: value-identical to the broadcast
+    -- plan, so its oracle is the same flat chain relabeled
+    SELECT 'shuffled' AS method, query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM scored
+    UNION ALL
+    -- 'int8' = quantized-index serving VERDICT (the q10 trick): the
+    -- engine emits rank=1 per query iff its int8-index top-k agrees
+    -- with the float-index top-k (>= 80% pair overlap, cosine
+    -- deviation <= 0.01 on shared pairs); the oracle expects every
+    -- query's verdict to hold
+    SELECT 'int8' AS method, qid AS query_id,
+           CAST(-1 AS BIGINT) AS neighbor_id,
+           CAST(NULL AS DOUBLE) AS cos_sim,
+           CAST(1 AS BIGINT) AS rank
+    FROM q
 )
 SELECT method, query_id, neighbor_id, cos_sim, rank
 FROM ranked WHERE rank <= {TOP_K}
@@ -271,7 +291,13 @@ ORDER BY method, query_id, rank
     "persisted build_ivf_index/ivf_search pair — centroid sidecar + "
     "_cp-partitioned vectors, searches pruned by partition elimination "
     "— which the deterministic quantizer makes value-identical to the "
-    "flat search, so the driver hash-checks the serving path too.)",
+    "flat search, so the driver hash-checks the serving path too; r9: "
+    "'shuffled' drives broadcast_queries=False — the corpus-sized-"
+    "query-set plan, value-identical, hash-checked — and 'int8' drives "
+    "the quantize=True index layout with a per-query agreement VERDICT "
+    "vs the float index — >=80% top-k pair overlap, <=0.01 cosine "
+    "deviation — the q10 tolerance trick, since int8 cosines are not "
+    "bit-reproducible in SQL.)",
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -290,20 +316,79 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, queries, TOP_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
     ).select(F.lit("flat").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank")
     idx = tempfile.mkdtemp(prefix="q55_ivf_index_")
+    idx8 = tempfile.mkdtemp(prefix="q55_ivf_index8_")
     try:
         build_ivf_index(corpus, idx, n_cells=_IVF_CELLS)
         # localCheckpoint (eager) materializes the search result so the
         # temp index can be removed before the driver's collect
-        served = (
-            ivf_search(spark, idx, queries, TOP_K, nprobe=_IVF_NPROBE)
+        served_raw = ivf_search(
+            spark, idx, queries, TOP_K, nprobe=_IVF_NPROBE
+        ).localCheckpoint()
+        served = served_raw.select(
+            F.lit("served").alias("method"),
+            "query_id", "neighbor_id", "cos_sim", "rank",
+        )
+        # 'shuffled' (r9): the broadcast_queries=False serving plan —
+        # the corpus-sized-query-set path — driven for real and
+        # hash-checked against the same flat chain (value-identical)
+        shuffled = (
+            ivf_search(
+                spark, idx, queries, TOP_K,
+                nprobe=_IVF_NPROBE, broadcast_queries=False,
+            )
             .localCheckpoint()
             .select(
-                F.lit("served").alias("method"),
+                F.lit("shuffled").alias("method"),
                 "query_id", "neighbor_id", "cos_sim", "rank",
             )
         )
+        # 'int8' (r9): the quantized index layout served end-to-end,
+        # verdict-checked (the q10 trick — int8 cosines are not
+        # bit-reproducible in SQL, agreement with the float index is):
+        # per query, >= 80% of the float top-k pairs recur and shared
+        # pairs deviate <= 0.01 in cosine
+        build_ivf_index(corpus, idx8, n_cells=_IVF_CELLS, quantize=True)
+        int8_raw = ivf_search(
+            spark, idx8, queries, TOP_K, nprobe=_IVF_NPROBE
+        ).localCheckpoint()
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(idx8, ignore_errors=True)
+    ov = int8_raw.select(
+        "query_id", "neighbor_id", F.col("cos_sim").alias("c8")
+    ).join(
+        served_raw.select(
+            "query_id", "neighbor_id", F.col("cos_sim").alias("cf")
+        ),
+        ["query_id", "neighbor_id"],
+    )
+    types = dict(served_raw.dtypes)
+    int8 = (
+        served_raw.select("query_id")
+        .distinct()
+        .join(
+            ov.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("_n_ov"),
+                F.max(F.abs(F.col("c8") - F.col("cf"))).alias("_dev"),
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            F.lit("int8").alias("method"),
+            "query_id",
+            F.lit(-1).cast(types["neighbor_id"]).alias("neighbor_id"),
+            F.lit(None).cast(types["cos_sim"]).alias("cos_sim"),
+            F.when(
+                (F.coalesce(F.col("_n_ov"), F.lit(0)) >= int(0.8 * TOP_K))
+                & (F.coalesce(F.col("_dev"), F.lit(1.0)) <= 0.01),
+                1,
+            )
+            .otherwise(0)
+            .cast(types["rank"])
+            .alias("rank"),
+        )
+    )
     two = ivf_topk(
         corpus,
         queries,
@@ -318,5 +403,7 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flat.unionByName(served)
         .unionByName(two)
+        .unionByName(shuffled)
+        .unionByName(int8)
         .orderBy("method", "query_id", "rank")
     )

@@ -16,6 +16,7 @@ from lakeflush_spark.streaming.compaction import (  # noqa: F401
 from lakeflush_spark.streaming.curation import (  # noqa: F401
     CurationStreamConfig,
     curate_stream,
+    read_stats,
 )
 from lakeflush_spark.streaming.dedup import (  # noqa: F401
     StreamDedupConfig,
@@ -29,11 +30,13 @@ from lakeflush_spark.streaming.dedup import (  # noqa: F401
 from lakeflush_spark.streaming.semdedup import (  # noqa: F401
     StreamSemDedupConfig,
     compact_vec_store,
+    retrain_quantizer,
     semdedup_stream,
 )
 from lakeflush_spark.streaming.substring import (  # noqa: F401
     StreamBoilerplateConfig,
     boilerplate_stream,
+    compact_fp_store,
 )
 from lakeflush_spark.streaming.events import (  # noqa: F401
     dedup_within_watermark,

@@ -160,13 +160,15 @@ class CurationStreamConfig:
     #: semantics (see streaming/substring.py); runs after the
     #: semantic stage, before decontamination — the batch order, so
     #: decontam sees post-strip text. The PERSISTED store counts only
-    #: ADMITTED docs' pre-strip passages (r8 — the digest/sig/vector
-    #: stores' corpus-describing principle: a contaminated doc's
-    #: passages must not advance the threshold for clean future
-    #: arrivals), while THIS batch's hot-set decision sees the whole
-    #: post-semantic batch — batch-pipeline order parity, where
-    #: boilerplate counting runs before decontamination. Counts are
-    #: pre-strip, keeping the threshold monotone.
+    #: ADMITTED docs' pre-strip passages (r9 — the digest/sig/vector
+    #: stores' corpus-describing principle: a contaminated/dropped
+    #: doc's passages must not advance the threshold for clean future
+    #: arrivals; recomputed from the span frame semi-joined to the
+    #: admitted ids at store-write time), while THIS batch's hot-set
+    #: decision sees the whole post-semantic batch — batch-pipeline
+    #: order parity, where boilerplate counting runs before
+    #: decontamination. Counts are pre-strip, keeping the threshold
+    #: monotone.
     bp_window: int | None = None
     bp_stride: int = 8
     bp_min_docs: int = 2
@@ -188,6 +190,25 @@ class CurationStreamConfig:
     #: batch's history scan (see StreamDedupConfig.digest_prefix_partitions)
     digest_prefix_partitions: bool = False
     max_files_per_trigger: int | None = None
+
+
+def read_stats(spark: SparkSession, stats_dir: str) -> DataFrame:
+    """The per-batch audit stats store as ONE schema-merged frame (r9).
+
+    Always read the stats store through this (or pass
+    ``mergeSchema=true`` yourself): parquet schema inference samples
+    one footer, so a store whose early batches predate later-added
+    columns (``n_sem_dup``/``n_boilerplate`` arrived in r7,
+    ``n_hot_buckets``/``n_hot_rows_trimmed`` in r6) would otherwise
+    SILENTLY drop whichever columns the sampled file lacks, depending
+    on which batch's file won — the ``audit_table`` pattern
+    (``operators/compaction.py``). Merged columns are NULL for rows
+    written before the column existed."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", stats_dir)
+        .parquet(stats_dir)
+    )
 
 
 def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
@@ -488,8 +509,10 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
 
             # 3c. repeated-passage (boilerplate) stage vs the persisted
             # fp store — the batch pipeline's stage order (after
-            # semantic, before decontam). Counts describe post-LSH
-            # arrivals' PRE-strip text; the threshold is monotone over
+            # semantic, before decontam). THIS batch's hot-set decision
+            # counts the whole post-semantic batch (pre-strip text); the
+            # PERSISTED counts are recomputed from admitted docs only at
+            # store-write time below. The threshold stays monotone over
             # the store's life (streaming/substring.py semantics).
             n_bp = None if cfg.bp_window is None else 0
             bp_counts = None
@@ -497,6 +520,10 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 from lakeflush_spark.operators.substring_dedup import (
                     anchored_span_fps,
                     strip_spans_against,
+                )
+                from lakeflush_spark.streaming.substring import (
+                    fp_store_frame,
+                    pruned_fp_history,
                 )
 
                 bp_spans = sigged.select(
@@ -514,12 +541,11 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 )
                 bp_hist = _read_store(sp, cfg.bp_fp_dir, batch_id, run)
                 if bp_hist is not None:
-                    bp_hist_counts = (
-                        bp_hist.join(
-                            F.broadcast(bp_counts.select("fp")), "fp", "semi"
-                        )
-                        .groupBy("fp")
-                        .agg(F.sum("n").alias("_hn"))
+                    bp_hist_counts = pruned_fp_history(
+                        bp_hist,
+                        bp_counts,
+                        fp_dir=cfg.bp_fp_dir,
+                        fp_prefix_partitions=cfg.bp_fp_prefix_partitions,
                     )
                     bp_totals = bp_counts.join(
                         bp_hist_counts, "fp", "left"
@@ -589,11 +615,33 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 body_cols.insert(-2, "n_stripped")
             _writer(out.select(*body_cols), cfg.dest_dir)
             if bp_counts is not None:
+                # PERSISTED counts cover only ADMITTED docs' (pre-strip)
+                # passages — the stores-describe-the-corpus principle: a
+                # contaminated/dropped doc's passages must not advance
+                # the threshold for clean future arrivals. Recomputed
+                # from the span frame semi-joined to out's ids (NOT by
+                # filtering the aggregated bp_counts — a countDistinct
+                # that included a dropped doc would over-count).
+                bp_store_counts = (
+                    bp_spans.join(
+                        F.broadcast(
+                            out.select(F.col(cfg.id_col).alias("_id"))
+                        ),
+                        "_id",
+                        "semi",
+                    )
+                    .groupBy("fp")
+                    .agg(F.countDistinct("_id").alias("n"))
+                )
+                bp_store_rows, bp_extra = fp_store_frame(
+                    bp_store_counts, cfg.bp_fp_prefix_partitions
+                )
                 _writer(
-                    bp_counts.withColumn("run", F.lit(run)).withColumn(
+                    bp_store_rows.withColumn("run", F.lit(run)).withColumn(
                         "batch", F.lit(int(batch_id))
                     ),
                     cfg.bp_fp_dir,
+                    parts=("run", "batch", *bp_extra),
                 )
             if cfg.digest_prefix_partitions:
                 _writer(

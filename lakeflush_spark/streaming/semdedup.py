@@ -369,9 +369,10 @@ def _warn_if_cells_overfull(
             f"semdedup store {cfg.vec_dir} holds {store_rows} vectors in "
             f"{cells} cells (mean {store_rows / cells:.0f}/cell > "
             f"{limit:.0f}): the verify join now dominates batch cost — "
-            "rebuild the store with higher n_cells (or set "
-            "expected_corpus/target_cell_rows), or cap with max_cell as "
-            "a recall-trading stopgap",
+            "run streaming.semdedup.retrain_quantizer to migrate the "
+            "store to a right-sized quantizer (swap vec_dir+cent_dir to "
+            "the migrated pair between runs), or cap with max_cell as a "
+            "recall-trading stopgap",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -410,6 +411,80 @@ def compact_vec_store(
     capped = _cap_hot_buckets(df, ["cell_id"], max_cell, mode=mode, doc_col="vid")
     parts = ["run", "batch"] + (["_cp"] if "_cp" in df.columns else [])
     capped.write.mode("error").partitionBy(*parts).parquet(dest_dir)
+
+
+def retrain_quantizer(
+    spark: SparkSession,
+    vec_dir: str,
+    cent_dir: str,
+    dest_vec_dir: str,
+    dest_cent_dir: str,
+    n_cells: int | None = None,
+    target_cell_rows: int = 1024,
+) -> int:
+    """Offline quantizer migration for a store that outgrew its cells
+    (r9 — the remedy the occupancy guard warns toward): train a NEW
+    coarse quantizer on the store's own vectors at
+    ``max(old_cells, ceil(store_rows / target_cell_rows))`` cells
+    (or an explicit ``n_cells``), reassign every stored vector
+    map-only, and write the migrated store to ``dest_vec_dir`` with
+    its new centroid sidecar at ``dest_cent_dir`` (both must not
+    exist). Layout knobs are preserved verbatim: an int8-quantized
+    store re-quantizes under the new cells, a ``_cp``-partitioned
+    store gets ``_cp`` recomputed from the new cell ids, and the
+    ``(run, batch)`` partitions (including a compacted ``batch=-1``)
+    carry over row-for-row — replay exclusion and partition
+    elimination keep working against the migrated copy.
+
+    SWAP DISCIPLINE — the sidecar is never replaced in place: until
+    ``cfg.vec_dir`` AND ``cfg.cent_dir`` both point at the migrated
+    pair, an in-place sidecar overwrite would pair the OLD store with
+    NEW cell ids — exactly the silent cell-meaning corruption the
+    layout fail-fasts exist to prevent. Instead the migrated store and
+    sidecar are written as a fresh pair and the caller swaps BOTH
+    config fields between stream runs (the ``compact_vec_store``
+    discipline); the sidecar is written last, so a crashed migration
+    is detectable (vectors without centroids) and simply deleted.
+    Must run in a single-writer window. Returns the new cell count."""
+    import math
+
+    df = spark.read.option("basePath", vec_dir).parquet(vec_dir)
+    quantized = "qv" in df.columns
+    cell_parted = "_cp" in df.columns
+    keep = ["vid", "nrm", "run", "batch"]
+    if quantized:
+        from lakeflush_spark.functions.vectors import dequantize_int8
+
+        vecs = df.select(*keep, dequantize_int8(F.col("qv")).alias("v"))
+    else:
+        vecs = df.select(*keep, "v")
+    n_rows = vecs.count()
+    old_cells = spark.read.parquet(cent_dir).count()
+    if n_cells is None:
+        n_cells = max(old_cells, math.ceil(n_rows / target_cell_rows))
+    cents = centroid_frame(vecs.select("vid", "v", "nrm"), n_cells).persist()
+    try:
+        cents.count()
+        indexed = _nearest_cells(vecs, _pack_cells(cents), 1)
+        if quantized:
+            from lakeflush_spark.functions.vectors import quantize_int8
+
+            out = indexed.select(
+                "vid", "cell_id", quantize_int8(F.col("v")).alias("qv"),
+                "nrm", "run", "batch",
+            )
+        else:
+            out = indexed.select("vid", "cell_id", "v", "nrm", "run", "batch")
+        parts = ["run", "batch"]
+        if cell_parted:
+            out = out.withColumn("_cp", F.pmod(F.col("cell_id"), F.lit(256)))
+            parts.append("_cp")
+        out.write.mode("error").partitionBy(*parts).parquet(dest_vec_dir)
+        # sidecar LAST: its presence marks the migration complete
+        cents.coalesce(1).write.mode("error").parquet(dest_cent_dir)
+    finally:
+        cents.unpersist()
+    return int(n_cells)
 
 
 def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None):

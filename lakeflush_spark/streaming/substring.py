@@ -220,12 +220,11 @@ def boilerplate_stream(
         try:
             hist = _read_store(sp, cfg.fp_dir, batch_id, run)
             if hist is not None:
-                hist_counts = (
-                    hist.join(
-                        F.broadcast(batch_counts.select("fp")), "fp", "semi"
-                    )
-                    .groupBy("fp")
-                    .agg(F.sum("n").alias("_hn"))
+                hist_counts = pruned_fp_history(
+                    hist,
+                    batch_counts,
+                    fp_dir=cfg.fp_dir,
+                    fp_prefix_partitions=cfg.fp_prefix_partitions,
                 )
                 totals = batch_counts.join(hist_counts, "fp", "left").select(
                     "fp",
@@ -252,12 +251,15 @@ def boilerplate_stream(
                 .partitionBy("run", "batch")
                 .parquet(cfg.dest_dir)
             )
+            store_rows, extra_parts = fp_store_frame(
+                batch_counts, cfg.fp_prefix_partitions
+            )
             (
-                batch_counts.withColumn("run", F.lit(run))
+                store_rows.withColumn("run", F.lit(run))
                 .withColumn("batch", F.lit(int(batch_id)))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("run", "batch")
+                .partitionBy("run", "batch", *extra_parts)
                 .parquet(cfg.fp_dir)
             )
         finally:

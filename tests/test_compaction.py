@@ -418,3 +418,112 @@ def test_compact_audit_resets_cursor_and_archives(spark, sf_dir, tmp_path, monke
     # no-op forms
     assert compact_audit(spark, dest, None).run_ids == ()
     assert compact_audit(spark, dest, cur2) is cur2
+
+
+def test_recover_audit_swap_crash_states(spark, sf_dir, tmp_path):
+    """r9 (testing the r8 fix): compact_audit's three-step swap repairs
+    every crash state on the next call — only _old left (crash between
+    renames: restore), live + _old (crash before delete: drop _old),
+    orphaned _tmp-* debris (sweep) — with no audit row lost, on both
+    the JVM rail and the local-fallback rail."""
+    import os
+    import shutil
+
+    import lakeflush_spark.operators.compaction as comp
+    from lakeflush_spark.operators.compaction import (
+        audit_table,
+        compact_audit,
+        read_increment,
+    )
+
+    def build_dest(tag):
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+        lake = str(tmp_path / f"lake_{tag}")
+        orders.limit(50).write.parquet(lake)
+        dest = str(tmp_path / f"out_{tag}")
+        for _ in range(2):
+            compact(spark, CompactionConfig(
+                source_dir=lake, dest_dir=dest, file_format="parquet",
+                max_size_mb=16, write_mode="append",
+            ))
+        return dest
+
+    def audit_rows(dest):
+        return {r.run_id for r in
+                audit_table(spark, dest).select("run_id").collect()}
+
+    for rail, patch in (("jvm", None), ("local", lambda *_: None)):
+        if patch is not None:
+            # the local fallback rail (Spark Connect shape)
+            orig = comp.hadoop_fs
+            comp.hadoop_fs = patch
+        try:
+            dest = build_dest(rail)
+            ap = os.path.join(dest, "_lakeflush_audit")
+            want = audit_rows(dest)
+            assert len(want) == 2
+
+            # state 1: crash BETWEEN the renames — only _old exists
+            os.rename(ap, ap + "_old")
+            comp._recover_audit_swap(spark, ap)
+            assert audit_rows(dest) == want  # restored, nothing lost
+
+            # state 2: crash BEFORE the final delete — both exist
+            shutil.copytree(ap, ap + "_old")
+            comp._recover_audit_swap(spark, ap)
+            assert not os.path.exists(ap + "_old")
+            assert audit_rows(dest) == want
+
+            # state 3: orphaned _tmp-* debris from a crashed rewrite
+            os.makedirs(ap + "_tmp-deadbeef")
+            with open(os.path.join(ap + "_tmp-deadbeef", "junk"), "w") as f:
+                f.write("x")
+            comp._recover_audit_swap(spark, ap)
+            assert not os.path.exists(ap + "_tmp-deadbeef")
+            assert audit_rows(dest) == want
+
+            # and a REAL compact_audit after each repair still works
+            inc = read_increment(spark, dest, fmt="parquet", cursor=None)
+            cur = compact_audit(spark, dest, inc.cursor)
+            assert cur.run_ids == ()
+            assert audit_rows(dest) == set()
+            archived = spark.read.parquet(f"{dest}/_lakeflush_audit_archive")
+            assert {r.run_id for r in archived.collect()} == want
+        finally:
+            if patch is not None:
+                comp.hadoop_fs = orig
+
+
+def test_list_bundles_skips_archive_and_tmp_debris(spark, tmp_path):
+    """r9 (testing the r8 hidden-file rule): part files under the
+    audit ARCHIVE dir and crash-orphaned _tmp-* dirs are not listed
+    as data bundles, on the JVM rail and the Connect-manifest rail
+    alike; a dest whose OWN name starts with '_' still lists (the
+    hidden rule applies only below the dest)."""
+    import os
+
+    import lakeflush_spark.operators.compaction as comp
+
+    dest = tmp_path / "_output"  # underscore dest: its own name is exempt
+    (dest / "_lakeflush_audit").mkdir(parents=True)
+    (dest / "_lakeflush_audit" / "a.json").write_text("{}")
+    (dest / "_lakeflush_audit_archive").mkdir()
+    (dest / "_lakeflush_audit_archive" / "part-0.parquet").write_text("x" * 8)
+    (dest / "_lakeflush_audit_tmp-ab12").mkdir()
+    (dest / "_lakeflush_audit_tmp-ab12" / "part-0.parquet").write_text("y" * 8)
+    (dest / ".hidden_dir").mkdir()
+    (dest / ".hidden_dir" / "c.txt").write_text("z")
+    (dest / "b1.txt").write_text("x" * 10)
+    (dest / "b2.txt").write_text("y" * 12)
+
+    jvm = comp._list_bundles(spark, str(dest))
+    assert [(os.path.basename(p), s) for p, s, _ in jvm] == [
+        ("b1.txt", 10), ("b2.txt", 12),
+    ]
+    import unittest.mock as mock
+
+    with mock.patch.object(comp, "hadoop_fs", lambda *_: None):
+        fb = comp._list_bundles(spark, str(dest))
+    assert [(os.path.basename(p), s) for p, s, _ in fb] == [
+        ("b1.txt", 10), ("b2.txt", 12),
+    ]

@@ -11,6 +11,7 @@ import os
 
 import pyspark.sql.functions as F
 import pytest
+from pyspark.errors import AnalysisException
 
 from lakeflush_spark.io import load_table
 from lakeflush_spark.streaming import (
@@ -1377,7 +1378,7 @@ def test_semdedup_stream_cell_sizing_and_occupancy_guard(spark, tmp_path):
     with _warnings.catch_warnings(record=True) as got:
         _warnings.simplefilter("always")
         _warn_if_cells_overfull(spark, tight, cents)
-    assert any("rebuild the store" in str(w.message) for w in got)
+    assert any("retrain_quantizer" in str(w.message) for w in got)
     # healthy store: silent
     with _warnings.catch_warnings(record=True) as got:
         _warnings.simplefilter("always")
@@ -1684,3 +1685,416 @@ def test_curate_stream_boilerplate_stage(spark, tmp_path):
             dataclasses.replace(cfg, bp_action="mangle",
                                 checkpoint_dir=str(tmp_path / "ckpt4")),
         )
+
+
+def test_boilerplate_stream_fp_prefix_partitions(spark, tmp_path):
+    """r9 (wiring the r8 kit): fp_prefix_partitions=True gives the fp
+    store _fp=xx fingerprint-prefix partitions, cross-batch strips
+    still hit via the PRUNED history read, prefixes match their
+    fingerprints, and flipping the knob against the on-disk layout
+    fails fast instead of silently mis-reading."""
+    import glob as _glob
+
+    from lakeflush_spark.streaming.substring import (
+        StreamBoilerplateConfig,
+        boilerplate_stream,
+    )
+
+    boiler = " ".join(f"lic{i}" for i in range(10))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(15))  # noqa: E731
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamBoilerplateConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        fp_dir=str(tmp_path / "fps"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        window=6,
+        stride=1,
+        min_docs=2,
+        fp_prefix_partitions=True,
+    )
+    _add_parquet_file(
+        spark, tmp_path, src, "b1", [(1, f"{uniq('a')} {boiler}")]
+    )
+    boilerplate_stream(spark, cfg).awaitTermination(240)
+    # the store is physically prefix-partitioned
+    assert _glob.glob(str(tmp_path / "fps" / "run=*" / "batch=*" / "_fp=*"))
+    store = spark.read.option("basePath", cfg.fp_dir).parquet(cfg.fp_dir)
+    assert store.where(F.substring("fp", 1, 2) != F.col("_fp")).count() == 0
+
+    # batch 2 repeats the block — must strip via the PRUNED history read
+    _add_parquet_file(
+        spark, tmp_path, src, "b2", [(10, f"{boiler} {uniq('b')}")]
+    )
+    boilerplate_stream(spark, cfg).awaitTermination(240)
+    got = {r.doc_id: r.n_stripped for r in
+           spark.read.parquet(cfg.dest_dir).collect()}
+    assert got == {1: 0, 10: 10}
+
+    # layout fail-fast: flipping the knob against this store must raise
+    # (inside foreachBatch -> surfaces as StreamingQueryException)
+    import dataclasses
+
+    flat_cfg = dataclasses.replace(
+        cfg, fp_prefix_partitions=False,
+        checkpoint_dir=str(tmp_path / "ckpt_flip"),
+        dest_dir=str(tmp_path / "dest_flip"),
+    )
+    _add_parquet_file(
+        spark, tmp_path, src, "b3", [(20, uniq("c"))]
+    )
+    with pytest.raises(Exception, match="fp_prefix_partitions"):
+        boilerplate_stream(spark, flat_cfg).awaitTermination(240)
+
+
+def test_boilerplate_fp_history_scan_is_partition_pruned(spark, tmp_path):
+    """The _dp-pattern partition-elimination proof for the fp store:
+    a prefix-partitioned history read scans ONLY the _fp=xx
+    directories the probing batch touches (PartitionFilters in the
+    scan plan / pruned input files), not the whole store."""
+    from lakeflush_spark.streaming.substring import pruned_fp_history
+
+    # a synthetic 2-batch store with two distinct prefixes
+    store_dir = str(tmp_path / "fps")
+    rows = [("aa" + "0" * 30, 1), ("bb" + "1" * 30, 1)]
+    df = spark.createDataFrame(rows, "fp string, n long")
+    (
+        df.withColumn("run", F.lit("r1"))
+        .withColumn("batch", F.lit(0))
+        .withColumn("_fp", F.substring("fp", 1, 2))
+        .write.partitionBy("run", "batch", "_fp")
+        .parquet(store_dir)
+    )
+    hist = spark.read.option("basePath", store_dir).parquet(store_dir)
+    batch_counts = spark.createDataFrame(
+        [("aa" + "f" * 30, 1)], "fp string, n long"
+    )
+    pruned = pruned_fp_history(
+        hist, batch_counts, fp_dir=store_dir, fp_prefix_partitions=True
+    )
+    # the prefix prune reaches the scan as a PARTITION filter (directory
+    # elimination), not a post-scan row filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf is not None and "_fp" in pf.group(1) and "aa" in pf.group(1)
+    # and the history count math still works through the prune
+    assert pruned.count() == 0  # aa-prefix store fp differs from batch fp
+
+    # a store fp sharing the batch prefix IS visible through the prune
+    batch_hit = spark.createDataFrame([(rows[0][0], 1)], "fp string, n long")
+    hit = pruned_fp_history(
+        hist, batch_hit, fp_dir=store_dir, fp_prefix_partitions=True
+    ).collect()
+    assert [(r.fp, r._hn) for r in hit] == [(rows[0][0], 1)]
+
+    # layout fail-fast both directions
+    with pytest.raises(ValueError, match="flat"):
+        pruned_fp_history(
+            hist.drop("_fp"), batch_counts,
+            fp_dir=store_dir, fp_prefix_partitions=True,
+        )
+    with pytest.raises(ValueError, match="prefix-partitioned"):
+        pruned_fp_history(
+            hist, batch_counts,
+            fp_dir=store_dir, fp_prefix_partitions=False,
+        )
+
+
+def test_compact_fp_store(spark, tmp_path):
+    """compact_fp_store: per-batch occurrence rows merge losslessly to
+    one row per (run, fp) under batch=-1, the highest batch stays
+    VERBATIM (replay safety), re-compaction is idempotent, the _fp
+    layout survives, and a live dest is refused."""
+    from lakeflush_spark.streaming.substring import compact_fp_store
+
+    store = str(tmp_path / "fps")
+    fp_a, fp_b = "aa" + "0" * 30, "bb" + "1" * 30
+    for batch, rows in enumerate(
+        [[(fp_a, 2)], [(fp_a, 1), (fp_b, 3)], [(fp_b, 1)]]
+    ):
+        (
+            spark.createDataFrame(rows, "fp string, n long")
+            .withColumn("run", F.lit("r1"))
+            .withColumn("batch", F.lit(batch))
+            .withColumn("_fp", F.substring("fp", 1, 2))
+            .write.mode("append")
+            .partitionBy("run", "batch", "_fp")
+            .parquet(store)
+        )
+
+    def totals(d):
+        return {
+            r.fp: r.t
+            for r in spark.read.option("basePath", d).parquet(d)
+            .groupBy("fp").agg(F.sum("n").alias("t")).collect()
+        }
+
+    before = totals(store)
+    c1 = str(tmp_path / "fps_c1")
+    compact_fp_store(spark, store, c1)
+    assert totals(c1) == before  # lossless merge
+    got = spark.read.option("basePath", c1).parquet(c1)
+    # committed history merged under batch=-1; highest batch verbatim
+    assert {r.batch for r in got.select("batch").distinct().collect()} == {-1, 2}
+    verbatim = got.where(F.col("batch") == 2).collect()
+    assert [(r.fp, r.n) for r in verbatim] == [(fp_b, 1)]
+    # _fp layout preserved for merged rows too
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "fps_c1" / "run=*" / "batch=-1" / "_fp=*"))
+    assert got.where(F.substring("fp", 1, 2) != F.col("_fp")).count() == 0
+
+    # idempotent: compacting the compacted copy changes nothing
+    c2 = str(tmp_path / "fps_c2")
+    compact_fp_store(spark, c1, c2)
+    assert totals(c2) == before
+    got2 = spark.read.option("basePath", c2).parquet(c2)
+    assert {r.batch for r in got2.select("batch").distinct().collect()} == {-1, 2}
+
+    # never compact onto a live store
+    with pytest.raises(Exception):
+        compact_fp_store(spark, store, c1)
+
+
+def test_curate_stream_bp_fp_prefix_partitions(spark, tmp_path):
+    """curate_stream honoring bp_fp_prefix_partitions end-to-end: the
+    fp store is prefix-partitioned, cross-batch strip hits through
+    the pruned read, and prefixes match their fingerprints."""
+    import glob as _glob
+
+    from lakeflush_spark.streaming.curation import (
+        CurationStreamConfig,
+        curate_stream,
+    )
+
+    boiler = " ".join(f"lic{i}" for i in range(10))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(15))  # noqa: E731
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        bp_window=6,
+        bp_stride=1,
+        bp_min_docs=2,
+        bp_fp_dir=str(tmp_path / "fps"),
+        bp_fp_prefix_partitions=True,
+    )
+    _add_parquet_file(
+        spark, tmp_path, src, "b1", [(1, f"{uniq('a')} {boiler}")]
+    )
+    curate_stream(spark, cfg).awaitTermination(240)
+    assert _glob.glob(str(tmp_path / "fps" / "run=*" / "batch=*" / "_fp=*"))
+    store = spark.read.option("basePath", cfg.bp_fp_dir).parquet(cfg.bp_fp_dir)
+    assert store.where(F.substring("fp", 1, 2) != F.col("_fp")).count() == 0
+
+    _add_parquet_file(
+        spark, tmp_path, src, "b2", [(10, f"{boiler} {uniq('b')}")]
+    )
+    curate_stream(spark, cfg).awaitTermination(240)
+    got = {r.doc_id: r.n_stripped for r in
+           spark.read.parquet(cfg.dest_dir).collect()}
+    assert got == {1: 0, 10: 10}
+
+
+def test_curate_stream_bp_store_counts_admitted_docs_only(spark, tmp_path):
+    """r9 semantics fix: a CONTAMINATED doc's passages must not advance
+    the boilerplate threshold for clean future arrivals — the
+    persisted fp store counts only ADMITTED docs' pre-strip passages.
+    Planted: batch 1's only doc shares the block AND hits the eval
+    set (dropped by decontam); batch 2's clean doc with the block
+    must arrive at history=0 and keep it; batch 3's clean doc then
+    arrives at history=1 (batch 2's admitted copy) and strips."""
+    from lakeflush_spark.streaming.curation import (
+        CurationStreamConfig,
+        curate_stream,
+    )
+
+    boiler = " ".join(f"lic{i}" for i in range(10))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(15))  # noqa: E731
+    # a 13+-token eval sentence (DECONTAM_N=13) planted in doc 100 only
+    eval_sent = " ".join(f"evaltok{i}" for i in range(16))
+    eval_dir = tmp_path / "eval"
+    spark.createDataFrame(
+        [(9000, eval_sent)], "doc_id long, text string"
+    ).write.parquet(str(eval_dir))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        bp_window=6,
+        bp_stride=1,
+        bp_min_docs=2,
+        bp_fp_dir=str(tmp_path / "fps"),
+        eval_dir=str(eval_dir),
+    )
+    # batch 1: contaminated doc carrying the block — dropped by
+    # decontam; its passages must NOT persist
+    _add_parquet_file(
+        spark, tmp_path, src, "b1", [(100, f"{eval_sent} {boiler}")]
+    )
+    curate_stream(spark, cfg).awaitTermination(240)
+
+    def count_or_zero(d):
+        # an all-dropped batch writes no parquet files at all
+        try:
+            return spark.read.option("basePath", d).parquet(d).count()
+        except AnalysisException:
+            return 0
+
+    assert count_or_zero(cfg.dest_dir) == 0
+    row = spark.read.parquet(cfg.stats_dir).collect()[0]
+    assert row.n_contaminated == 1 and row.n_out == 0
+    # the store recorded nothing for the dropped doc
+    assert count_or_zero(cfg.bp_fp_dir) == 0
+
+    # batch 2: CLEAN doc with the block — history must say 0, keep it
+    _add_parquet_file(
+        spark, tmp_path, src, "b2", [(1, f"{uniq('a')} {boiler}")]
+    )
+    curate_stream(spark, cfg).awaitTermination(240)
+    got = {r.doc_id: r.n_stripped for r in
+           spark.read.parquet(cfg.dest_dir).collect()}
+    assert got == {1: 0}
+
+    # batch 3: second clean copy — now history=1 (+1 batch) => strips
+    _add_parquet_file(
+        spark, tmp_path, src, "b3", [(2, f"{boiler} {uniq('b')}")]
+    )
+    curate_stream(spark, cfg).awaitTermination(240)
+    got = {r.doc_id: r.n_stripped for r in
+           spark.read.parquet(cfg.dest_dir).collect()}
+    assert got == {1: 0, 2: 10}
+
+
+def test_retrain_quantizer_migrates_outgrown_store(spark, tmp_path):
+    """r9: the occupancy guard's named remedy exists and works — a
+    warned store migrates through retrain_quantizer (new cell count
+    derived from the store size, layout knobs preserved verbatim,
+    row-for-row content), and cross-batch dedup CONTINUES against the
+    full migrated history after the config pair-swap."""
+    import dataclasses
+    import random
+
+    from lakeflush_spark.streaming.semdedup import (
+        StreamSemDedupConfig,
+        retrain_quantizer,
+        semdedup_stream,
+    )
+
+    rng = random.Random(47)
+
+    def vec(seed=None, base=None):
+        if base is not None:
+            return [x + rng.uniform(-1e-5, 1e-5) for x in base]
+        r = random.Random(seed)
+        return [r.uniform(-1, 1) for _ in range(16)]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamSemDedupConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        vec_dir=str(tmp_path / "vecs"),
+        cent_dir=str(tmp_path / "cents"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.95,
+        n_cells=2,
+        quantize_store=True,
+        cell_partitions=True,
+        occupancy_check_batches=1,
+        occupancy_warn_factor=1.0,
+        target_cell_rows=1,
+    )
+    schema = "vec_id long, embedding array<double>"
+    vs = {i: vec(seed=i) for i in range(1, 7)}
+    _add_parquet_file(spark, tmp_path, src, "b1",
+                      [(i, vs[i]) for i in (1, 2, 3)], schema)
+    semdedup_stream(spark, cfg).awaitTermination(180)
+    # the store has outgrown its 2-cell quantizer: the guard WARNS and
+    # names retrain_quantizer as the remedy
+    _add_parquet_file(spark, tmp_path, src, "b2",
+                      [(i, vs[i]) for i in (4, 5, 6)], schema)
+    with pytest.warns(RuntimeWarning, match="retrain_quantizer"):
+        semdedup_stream(spark, cfg).awaitTermination(180)
+
+    new_vec = str(tmp_path / "vecs2")
+    new_cent = str(tmp_path / "cents2")
+    n_new = retrain_quantizer(
+        spark, cfg.vec_dir, cfg.cent_dir, new_vec, new_cent,
+        target_cell_rows=1,
+    )
+    assert n_new >= 6  # derived from store size, not the old 2
+    assert spark.read.parquet(new_cent).count() == n_new
+    old = spark.read.option("basePath", cfg.vec_dir).parquet(cfg.vec_dir)
+    new = spark.read.option("basePath", new_vec).parquet(new_vec)
+    # layout knobs preserved: int8 lanes, _cp partitions, (run, batch)
+    assert "qv" in new.columns and "v" not in new.columns
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "vecs2" / "run=*" / "batch=*" / "_cp=*"))
+    assert new.where(F.pmod("cell_id", F.lit(256)) != F.col("_cp")).count() == 0
+    # row-for-row: same vids, same (run, batch) placement
+    key = lambda df: sorted(  # noqa: E731
+        (r.vid, r.run, r.batch) for r in df.select("vid", "run", "batch").collect()
+    )
+    assert key(new) == key(old)
+
+    # PAIR-SWAP the config; cross-batch dedup continues against the
+    # FULL migrated history (near-dups of batch-1 AND batch-2 vectors)
+    cfg2 = dataclasses.replace(cfg, vec_dir=new_vec, cent_dir=new_cent)
+    _add_parquet_file(
+        spark, tmp_path, src, "b3",
+        [(10, vec(base=vs[1])), (11, vec(base=vs[6])), (12, vec(seed=99))],
+        schema,
+    )
+    semdedup_stream(spark, cfg2).awaitTermination(180)
+    got = sorted(r.vec_id for r in spark.read.parquet(cfg.dest_dir).collect())
+    assert got == [1, 2, 3, 4, 5, 6, 12]
+
+    # never migrate onto existing dirs
+    with pytest.raises(Exception):
+        retrain_quantizer(spark, cfg2.vec_dir, cfg2.cent_dir, new_vec, new_cent)
+
+
+def test_read_stats_merges_older_generation_schemas(spark, tmp_path):
+    """r9 (ADVICE r8 #4): read_stats always schema-merges, so a store
+    whose early generations predate later-added stat columns surfaces
+    every column (NULL where unrecorded) instead of silently dropping
+    whichever set the sampled parquet footer lacked."""
+    from lakeflush_spark.streaming.curation import read_stats
+
+    stats = str(tmp_path / "stats")
+    # an old-generation row written before the r7 columns existed
+    spark.createDataFrame(
+        [("g1", 0, 5, 1, 0, 1, 0, 3)],
+        "run string, batch long, n_in long, n_filtered long, "
+        "n_lm_filtered long, n_exact_dup long, n_near_dup long, n_out long",
+    ).write.partitionBy("run", "batch").parquet(stats)
+    # a current-generation row with the full column set
+    spark.createDataFrame(
+        [("g2", 0, 4, 0, 0, 0, 1, 1, 0, 0, 2, None, None)],
+        "run string, batch long, n_in long, n_filtered long, "
+        "n_lm_filtered long, n_exact_dup long, n_near_dup long, "
+        "n_sem_dup long, n_boilerplate long, n_contaminated long, "
+        "n_out long, n_hot_buckets long, n_hot_rows_trimmed long",
+    ).write.mode("append").partitionBy("run", "batch").parquet(stats)
+
+    got = read_stats(spark, stats)
+    assert {"n_sem_dup", "n_boilerplate", "n_hot_buckets"} <= set(got.columns)
+    rows = {r.run: r for r in got.collect()}
+    assert rows["g1"].n_sem_dup is None and rows["g1"].n_out == 3
+    assert rows["g2"].n_sem_dup == 1 and rows["g2"].n_out == 2

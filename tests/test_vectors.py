@@ -444,3 +444,41 @@ def test_ivf_broadcast_queries_off_is_value_identical(spark, tmp_path):
     c = ivf_search(spark, idx, queries, k=4, nprobe=2)
     d = ivf_search(spark, idx, queries, k=4, nprobe=2, broadcast_queries=False)
     assert as_set(c) == as_set(d) == as_set(a)
+
+
+def test_ivf_search_materialize_is_value_identical_and_unpins(spark, tmp_path):
+    """r9 (testing the r8 fix): ivf_search(materialize=True) returns
+    the same rows as the default path, and leaves NO pinned probe
+    frame behind — the serving-loop cache-hygiene contract."""
+    from lakeflush_spark.operators.similarity import build_ivf_index, ivf_search
+
+    corpus = _synth_corpus(spark, n=200, dims=8)
+    queries = corpus.where(F.col("vid") < 6)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(corpus, idx, n_cells=4)
+    as_set = lambda df: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in df.collect()
+    }
+    want = as_set(ivf_search(spark, idx, queries, k=4, nprobe=2))
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def pinned_ids():
+        # ids of persisted RDDs, minus (local)checkpoint block holders
+        it = jsc.getPersistentRDDs().iterator()
+        out = set()
+        while it.hasNext():
+            kv = it.next()
+            if "Checkpoint" not in kv._2().toString():
+                out.add(int(kv._1()))
+        return out
+
+    before = pinned_ids()
+    got_df = ivf_search(spark, idx, queries, k=4, nprobe=2, materialize=True)
+    assert as_set(got_df) == want
+    # the probe frame was explicitly unpersisted before return: the
+    # materialize call added no pinned RDD beyond the localCheckpoint's
+    # own blocks (compared against the pre-call snapshot, so pins left
+    # by OTHER tests in a shared session don't flake this one)
+    leaked = pinned_ids() - before
+    assert leaked == set(), f"probe frame still pinned: {leaked}"

@@ -237,7 +237,27 @@ has a round-over-round trend line beside the cold bootstrap
 broadcast_queries=False serving, 'int8' = quantized-index serving
 verdict — a second index build + two more searches) and q62's
 'stream2' (a second two-generation streaming run): both entries get
-costlier for verification surface, same plans otherwise.
+costlier for verification surface, same plans otherwise. Closing r9
+run: suite 52.8 s — the +9.6 vs the r8-adjudicated 43.2 is q55
+6.45→11.9 and q62 6.57→9.8, i.e. exactly those two entries' new
+labels; every other entry is at r7/r8 levels (q01 0.15, q24 3.98,
+q41 3.98) — and warm composed curation measured 47.7 docs/s at sf0.1
+(3 warm 500-doc batches).
+
+fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
+knob's measured evidence, same methodology as the cell_partitions
+crossover above): a 3-doc trickle batch against a directly-preloaded
+fp store, flat vs prefix layout, one file per partition dir in both.
+At 2M rows / 8 batches (2048 prefix dirs) the knob LOSES — trickle
+0.69x — because listing 2048 dirs costs more than scanning 80 MB; at
+10M rows / 4 batches it is near parity (batch 1.12x, warm isolated
+history-read 0.56x — the listing term still dominates the read); at
+40M rows / 2 batches (1.6 GB store, 512 dirs) it WINS — trickle
+2.04x, warm isolated read 1.72x — the scan-share savings finally
+dwarf the listing. Default stays OFF, crossover-gated like the
+digest/_cp siblings: turn it on when per-prefix bytes dominate
+listing cost (corpus-age stores, object storage), not for toy
+stores.
 """
 
 from __future__ import annotations

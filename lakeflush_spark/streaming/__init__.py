@@ -25,6 +25,7 @@ from lakeflush_spark.streaming.dedup import (  # noqa: F401
     dedup_stream,
     list_runs,
     near_dup_stream,
+    open_file_stream,
     vacuum_runs,
 )
 from lakeflush_spark.streaming.semdedup import (  # noqa: F401

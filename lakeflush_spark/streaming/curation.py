@@ -63,6 +63,7 @@ from lakeflush_spark.operators.decontaminate import ngram_hash_set
 from lakeflush_spark.operators.dedup import content_digest, with_minhash
 from lakeflush_spark.streaming.dedup import (
     _bands_long,
+    _cfg_stream,
     _read_store,
     _run_tag,
     against_history_exact,
@@ -189,6 +190,12 @@ class CurationStreamConfig:
     #: prefix-partition the digest store and partition-prune each
     #: batch's history scan (see StreamDedupConfig.digest_prefix_partitions)
     digest_prefix_partitions: bool = False
+    #: source file format: parquet (default) or the reference lake's
+    #: bundle formats json/csv, or raw text (see ``open_file_stream``)
+    source_format: str = "parquet"
+    #: options for the source reader (schema inference AND the stream),
+    #: e.g. {"header": "true"} for CSV lakes
+    source_options: dict | None = None
     max_files_per_trigger: int | None = None
 
 
@@ -256,12 +263,7 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
         raise ValueError(
             f"bp_action must be 'strip' or 'drop', got {cfg.bp_action!r}"
         )
-    if schema is None:
-        schema = spark.read.parquet(cfg.source_dir).schema
-    reader = spark.readStream.schema(schema)
-    if cfg.max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
-    stream = reader.parquet(cfg.source_dir)
+    stream = _cfg_stream(spark, cfg, schema)
     run = _run_tag(cfg.checkpoint_dir)
 
     # the eval-gram frame is STATIC: build (and pin) it once at stream

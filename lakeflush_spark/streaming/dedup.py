@@ -79,6 +79,12 @@ class StreamDedupConfig:
     #: Must be constant over a store's lifetime (the layout is on
     #: disk): turn it on when creating the store.
     digest_prefix_partitions: bool = False
+    #: source file format: parquet (default) or the reference lake's
+    #: bundle formats json/csv, or raw text (see ``open_file_stream``)
+    source_format: str = "parquet"
+    #: options for the source reader (schema inference AND the stream),
+    #: e.g. {"header": "true"} for CSV lakes
+    source_options: dict | None = None
     max_files_per_trigger: int | None = None
 
 
@@ -140,6 +146,62 @@ def _read_store(
     )
 
 
+#: streaming file-source formats beside parquet — json/csv are the
+#: reference lake's own bundle formats (what `operators/compaction`
+#: writes), text covers raw line lakes
+_SOURCE_FORMATS = ("parquet", "json", "csv", "text")
+
+
+def open_file_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_format: str = "parquet",
+    schema=None,
+    max_files_per_trigger: int | None = None,
+    source_options: dict | None = None,
+):
+    """The shared streaming FILE-SOURCE builder behind every
+    dedup-on-arrival stream (r9): ``readStream`` over ``source_dir``
+    in ``source_format`` — parquet (default), or the reference lake's
+    own bundle formats json/csv, or raw text — so the curation/dedup
+    streams can consume a compacted JSON/CSV lake directly instead of
+    requiring a parquet re-materialization first. Streaming file
+    sources require a schema; when ``schema`` is None it is inferred
+    ONCE from a static read of the files already present (a stream
+    can start against a non-empty lake without a hand-written
+    schema). ``source_options`` pass through to BOTH the inference
+    read and the stream (e.g. ``{"header": "true"}`` for CSV lakes,
+    or ``operators/compaction.JSON_TS_OPTIONS`` for timestamp
+    round-trip fidelity with compacted JSON bundles)."""
+    if source_format not in _SOURCE_FORMATS:
+        raise ValueError(
+            f"unsupported source_format {source_format!r}; expected one "
+            f"of {'/'.join(_SOURCE_FORMATS)}"
+        )
+    opts = dict(source_options or {})
+    if schema is None:
+        schema = getattr(spark.read.options(**opts), source_format)(
+            source_dir
+        ).schema
+    reader = spark.readStream.schema(schema).options(**opts)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return getattr(reader, source_format)(source_dir)
+
+
+def _cfg_stream(spark: SparkSession, cfg, schema):
+    """`open_file_stream` from a stream config carrying the shared
+    source_* fields (every dedup-on-arrival config does)."""
+    return open_file_stream(
+        spark,
+        cfg.source_dir,
+        getattr(cfg, "source_format", "parquet"),
+        schema,
+        cfg.max_files_per_trigger,
+        getattr(cfg, "source_options", None),
+    )
+
+
 def within_batch_exact(keyed: DataFrame, id_col: str) -> DataFrame:
     """Min-id winner per ``_digest`` within one micro-batch (map-side
     combinable groupBy + ids-only semi join — no body shuffle)."""
@@ -173,12 +235,7 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
     ``source_dir`` (streaming parquet sources require one).
     Returns the StreamingQuery; ``awaitTermination()`` it.
     """
-    if schema is None:
-        schema = spark.read.parquet(cfg.source_dir).schema
-    reader = spark.readStream.schema(schema)
-    if cfg.max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
-    stream = reader.parquet(cfg.source_dir)
+    stream = _cfg_stream(spark, cfg, schema)
     run = _run_tag(cfg.checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -296,6 +353,12 @@ class StreamNearDupConfig:
     #: representatives so detection degrades to partial recall instead
     #: of zero.
     hot_bucket_mode: str = "sample"
+    #: source file format: parquet (default) or the reference lake's
+    #: bundle formats json/csv, or raw text (see ``open_file_stream``)
+    source_format: str = "parquet"
+    #: options for the source reader (schema inference AND the stream),
+    #: e.g. {"header": "true"} for CSV lakes
+    source_options: dict | None = None
     max_files_per_trigger: int | None = None
 
 
@@ -532,12 +595,7 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
     At very large history, partition the store by band-hash prefix so
     the pruning semi-join partition-prunes the scan too.
     """
-    if schema is None:
-        schema = spark.read.parquet(cfg.source_dir).schema
-    reader = spark.readStream.schema(schema)
-    if cfg.max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
-    stream = reader.parquet(cfg.source_dir)
+    stream = _cfg_stream(spark, cfg, schema)
     run = _run_tag(cfg.checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

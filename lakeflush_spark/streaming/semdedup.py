@@ -54,7 +54,7 @@ from lakeflush_spark.operators.similarity import (
     centroid_frame,
     prepare_vectors,
 )
-from lakeflush_spark.streaming.dedup import _read_store, _run_tag
+from lakeflush_spark.streaming.dedup import _cfg_stream, _read_store, _run_tag
 
 
 @dataclass
@@ -129,6 +129,12 @@ class StreamSemDedupConfig:
     #: duplicate to different cells and miss the pair).
     assign_coarse_cells: int | None = None
     assign_coarse_probe: int = 1
+    #: source file format: parquet (default) or the reference lake's
+    #: bundle formats json/csv, or raw text (see ``open_file_stream``)
+    source_format: str = "parquet"
+    #: options for the source reader (schema inference AND the stream),
+    #: e.g. {"header": "true"} for CSV lakes
+    source_options: dict | None = None
     max_files_per_trigger: int | None = None
 
 
@@ -490,12 +496,7 @@ def retrain_quantizer(
 def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None):
     """Start the incremental SemDedup stream (``Trigger.AvailableNow``).
     Returns the StreamingQuery; ``awaitTermination()`` it."""
-    if schema is None:
-        schema = spark.read.parquet(cfg.source_dir).schema
-    reader = spark.readStream.schema(schema)
-    if cfg.max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
-    stream = reader.parquet(cfg.source_dir)
+    stream = _cfg_stream(spark, cfg, schema)
     run = _run_tag(cfg.checkpoint_dir)
 
     # the documented sizing rule: corpus-proportional cells at train

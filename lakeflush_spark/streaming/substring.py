@@ -65,7 +65,7 @@ from lakeflush_spark.operators.substring_dedup import (
     anchored_span_fps,
     strip_spans_against,
 )
-from lakeflush_spark.streaming.dedup import _read_store, _run_tag
+from lakeflush_spark.streaming.dedup import _cfg_stream, _read_store, _run_tag
 
 
 @dataclass
@@ -94,6 +94,12 @@ class StreamBoilerplateConfig:
     #: the full scan. Must be constant over a store's lifetime (the
     #: layout is on disk; guarded like the sibling stores' knobs).
     fp_prefix_partitions: bool = False
+    #: source file format: parquet (default) or the reference lake's
+    #: bundle formats json/csv, or raw text (see ``open_file_stream``)
+    source_format: str = "parquet"
+    #: options for the source reader (schema inference AND the stream),
+    #: e.g. {"header": "true"} for CSV lakes
+    source_options: dict | None = None
     max_files_per_trigger: int | None = None
 
 
@@ -195,12 +201,7 @@ def boilerplate_stream(
     """Start the boilerplate-strip stream (``Trigger.AvailableNow``).
     Returns the StreamingQuery; ``awaitTermination()`` it. Read
     rewritten docs (+ ``n_stripped``) from ``cfg.dest_dir``."""
-    if schema is None:
-        schema = spark.read.parquet(cfg.source_dir).schema
-    reader = spark.readStream.schema(schema)
-    if cfg.max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
-    stream = reader.parquet(cfg.source_dir)
+    stream = _cfg_stream(spark, cfg, schema)
     run = _run_tag(cfg.checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -2098,3 +2098,80 @@ def test_read_stats_merges_older_generation_schemas(spark, tmp_path):
     rows = {r.run: r for r in got.collect()}
     assert rows["g1"].n_sem_dup is None and rows["g1"].n_out == 3
     assert rows["g2"].n_sem_dup == 1 and rows["g2"].n_out == 2
+
+
+def test_dedup_stream_csv_source(spark, tmp_path):
+    """r9: source_format='csv' — dedup-on-arrival consumes a CSV lake
+    (the reference's own bundle format) directly, schema inferred from
+    the files already present, cross-batch dedup intact."""
+    from lakeflush_spark.streaming.dedup import StreamDedupConfig, dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.csv").write_text("doc_id,text\n1,alpha\n2,beta\n")
+    cfg = StreamDedupConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="csv",
+        source_options={"header": "true", "inferSchema": "true"},
+    )
+    dedup_stream(spark, cfg).awaitTermination(180)
+    (src / "b2.csv").write_text("doc_id,text\n10,beta\n11,gamma\n")
+    dedup_stream(spark, cfg).awaitTermination(180)
+    got = {r.doc_id: r.text for r in spark.read.parquet(cfg.dest_dir).collect()}
+    assert got == {1: "alpha", 2: "beta", 11: "gamma"}
+
+    # unsupported format fails fast
+    import dataclasses
+
+    bad = dataclasses.replace(
+        cfg, source_format="avro", checkpoint_dir=str(tmp_path / "ck2")
+    )
+    with pytest.raises(ValueError, match="source_format"):
+        dedup_stream(spark, bad)
+
+
+def test_curate_stream_json_bundle_source(spark, tmp_path):
+    """r9: curate_stream consumes a compacted JSON lake directly
+    (source_format='json') — the reference's delivery format feeds the
+    curation stream without a parquet re-materialization; exact dedup
+    and stats work as with parquet sources."""
+    import json as _json
+
+    from lakeflush_spark.streaming.curation import (
+        CurationStreamConfig,
+        curate_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def bundle(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    d1 = "alpha beta gamma delta epsilon zeta"
+    d2 = "one two three four five six seven"
+    bundle("b1.json", [
+        {"doc_id": 1, "text": d1},
+        {"doc_id": 2, "text": d2},
+    ])
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="json",
+    )
+    curate_stream(spark, cfg).awaitTermination(180)
+    bundle("b2.json", [{"doc_id": 10, "text": d2}])  # exact cross-batch dup
+    curate_stream(spark, cfg).awaitTermination(180)
+    got = sorted(r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect())
+    assert got == [1, 2]
+    stats = spark.read.parquet(cfg.stats_dir).orderBy("batch").collect()
+    assert stats[-1].n_exact_dup == 1 and stats[-1].n_out == 0

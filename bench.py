@@ -244,6 +244,20 @@ labels; every other entry is at r7/r8 levels (q01 0.15, q24 3.98,
 q41 3.98) — and warm composed curation measured 47.7 docs/s at sf0.1
 (3 warm 500-doc batches).
 
+r9 scale-smoke of the GROWN registered builders (scripts/
+scale_smoke.py, now including q62 beside the r7 four), 20x (100k
+docs / 40k vecs) vs 4x (20k / 8k): q55 13.0 vs 11.7 s — FLAT for 5x
+the data, confirming the entry's cost (now with the r9 'shuffled' +
+'int8' labels) is per-label verification surface, not
+corpus-proportional; q62 27.7 vs 11.7 s with result rows 406k vs
+79.5k (5.1x — exactly linear in data as constructed) — 2.4x time for
+5x data, the three in-builder StreamingQueries amortizing their
+bootstrap; q24 53.0 vs 7.2 s (rows 14,653 vs 2,952, ~5x — consistent
+with r7's 47.0/8.5 reading on this chain), q41 4.6 vs 3.4, q60 3.7
+vs 3.5 (both flat). ivf_assign re-confirms: build flat in n_cells
+(0.35 s @1024), two-level assignment 1.51 s at n_cells=1024/coarse=32
+vs 14.8 s flat (9.8x). No super-linear stage in any registered shape.
+
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions
 crossover above): a 3-doc trickle batch against a directly-preloaded

@@ -232,6 +232,11 @@ def main() -> int:
             "q41_wordcount_topk",
             "q60_stratified_sample",
             "q55_ann_ivf",
+            # r9: q62 joined the expensive set when 'stream2' (the
+            # two-generation cross-batch streaming run) was added —
+            # the builder now boots three real StreamingQueries over
+            # the corpus, so smoke it at Nx too
+            "q62_repeated_passage",
         ):
             # builders that loop eagerly (q24's CC) build inside the
             # lambda so their driver iterations are timed too

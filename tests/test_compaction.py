@@ -527,3 +527,80 @@ def test_list_bundles_skips_archive_and_tmp_debris(spark, tmp_path):
     assert [(os.path.basename(p), s) for p, s, _ in fb] == [
         ("b1.txt", 10), ("b2.txt", 12),
     ]
+
+
+def test_compact_audit_raises_on_failed_rename(spark, sf_dir, tmp_path, monkeypatch):
+    """r9 (ADVICE r8 #4): Hadoop FileSystem.rename signals failure by
+    returning false — compact_audit must RAISE on a false return
+    instead of proceeding to the next swap step (which would nest tmp
+    inside the live dir and return an empty cursor for unswapped
+    rows), leaving the live table untouched."""
+    import lakeflush_spark.operators.compaction as comp
+    from lakeflush_spark.operators.compaction import (
+        audit_table,
+        compact_audit,
+        read_increment,
+    )
+
+    lake = str(tmp_path / "lake")
+    load_table(spark, sf_dir, "orders").select("o_orderkey").limit(
+        30
+    ).write.parquet(lake)
+    dest = str(tmp_path / "out")
+    compact(spark, CompactionConfig(
+        source_dir=lake, dest_dir=dest, file_format="parquet",
+        max_size_mb=16, write_mode="append",
+    ))
+    inc = read_increment(spark, dest, fmt="parquet", cursor=None)
+    want = {r.run_id for r in audit_table(spark, dest).select("run_id").collect()}
+
+    class _FakePath:
+        def __init__(self, s):
+            self._s = str(s)
+
+        def getParent(self):
+            parent = os.path.dirname(self._s)
+            return _FakePath(parent) if parent else None
+
+        def getName(self):
+            return os.path.basename(self._s)
+
+    class _FakeJvm:
+        class org:
+            class apache:
+                class hadoop:
+                    class fs:
+                        Path = _FakePath
+
+    class _FakeFS:
+        def rename(self, a, b):
+            return False  # Hadoop-style silent failure
+
+        def exists(self, p):
+            return False  # _recover_audit_swap: nothing to repair
+
+        def listStatus(self, p):
+            return []
+
+        def delete(self, p, rec):
+            return True
+
+    fake = (_FakeJvm, _FakeFS(), _FakePath(f"{dest}/_lakeflush_audit"))
+    monkeypatch.setattr(comp, "hadoop_fs", lambda *_: fake)
+    with pytest.raises(RuntimeError, match="left untouched"):
+        compact_audit(spark, dest, inc.cursor)
+    # the live audit table was not moved or replaced
+    monkeypatch.undo()
+    assert {r.run_id for r in
+            audit_table(spark, dest).select("run_id").collect()} == want
+
+    # _recover_audit_swap: a false restore-rename must raise too
+    class _FakeFSRestore(_FakeFS):
+        def exists(self, p):
+            # _old exists, live does not -> the restore branch
+            return p._s.endswith("_old")
+
+    fake2 = (_FakeJvm, _FakeFSRestore(), _FakePath(f"{dest}/_lakeflush_audit"))
+    monkeypatch.setattr(comp, "hadoop_fs", lambda *_: fake2)
+    with pytest.raises(RuntimeError, match="repair manually"):
+        comp._recover_audit_swap(spark, f"{dest}/_lakeflush_audit")

@@ -39,6 +39,9 @@ from lakeflush_spark.operators.lm_filter import (
 )
 from lakeflush_spark.operators.report import corpus_report
 from lakeflush_spark.operators.similarity import (
+    build_ivf_index,
+    ivf_search,
+    quantize_index,
     semantic_dedup,
     semantic_dedup_pairs,
     semantic_drop_ids,

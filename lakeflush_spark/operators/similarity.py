@@ -408,6 +408,43 @@ def build_ivf_index(
     cents.unpersist()
 
 
+def quantize_index(spark, src_index_dir: str, dest_index_dir: str) -> None:
+    """Convert an existing float :func:`build_ivf_index` directory to
+    the int8 layout WITHOUT retraining or reassigning (r9): cell ids,
+    assignments, norms, and the ``_cp`` partition layout carry over
+    row-for-row — only the vector lanes quantize (4x smaller store,
+    cosine fidelity > 0.999). Deterministic assignment makes this
+    byte-equivalent to ``build_ivf_index(..., quantize=True)`` over
+    the same corpus, at the cost of one map-only pass instead of a
+    full centroid-scan reassignment — the cheap path for shrinking a
+    serving index already in production. ``dest_index_dir`` must not
+    exist (never rewrite an index a serving loop may be reading)."""
+    from lakeflush_spark.functions.vectors import quantize_int8
+
+    src, dest = src_index_dir.rstrip("/"), dest_index_dir.rstrip("/")
+    vecs = spark.read.option("basePath", f"{src}/vectors").parquet(
+        f"{src}/vectors"
+    )
+    if "qv" in vecs.columns:
+        raise ValueError(f"{src} is already an int8 index")
+    (
+        vecs.select(
+            "vid", "cell_id", quantize_int8(F.col("v")).alias("qv"),
+            "nrm", "_cp",
+        )
+        .write.mode("error")
+        .partitionBy("_cp")
+        .parquet(f"{dest}/vectors")
+    )
+    # sidecar last — its presence marks the converted index complete
+    (
+        spark.read.parquet(f"{src}/centroids")
+        .coalesce(1)
+        .write.mode("error")
+        .parquet(f"{dest}/centroids")
+    )
+
+
 def ivf_search(
     spark,
     index_dir: str,

@@ -346,8 +346,14 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         # verdict-checked (the q10 trick — int8 cosines are not
         # bit-reproducible in SQL, agreement with the float index is):
         # per query, >= 80% of the float top-k pairs recur and shared
-        # pairs deviate <= 0.01 in cosine
-        build_ivf_index(corpus, idx8, n_cells=_IVF_CELLS, quantize=True)
+        # pairs deviate <= 0.01 in cosine. The int8 index derives from
+        # the float one via quantize_index (one map-only pass — same
+        # cells/assignments by determinism; the test suite proves it
+        # equivalent to a from-scratch quantize=True build)
+        from lakeflush_spark.operators.similarity import quantize_index
+
+        shutil.rmtree(idx8, ignore_errors=True)  # mkdtemp made it; op wants absent
+        quantize_index(spark, idx, idx8)
         int8_raw = ivf_search(
             spark, idx8, queries, TOP_K, nprobe=_IVF_NPROBE
         ).localCheckpoint()

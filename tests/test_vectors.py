@@ -482,3 +482,47 @@ def test_ivf_search_materialize_is_value_identical_and_unpins(spark, tmp_path):
     # by OTHER tests in a shared session don't flake this one)
     leaked = pinned_ids() - before
     assert leaked == set(), f"probe frame still pinned: {leaked}"
+
+
+def test_quantize_index_equals_from_scratch_int8_build(spark, tmp_path):
+    """r9: quantize_index (one map-only pass over an existing float
+    index) produces the same cells, assignments, and quantized lanes
+    as build_ivf_index(quantize=True) from scratch — deterministic
+    assignment makes the cheap conversion exact; searches through
+    either index return identical rows."""
+    from lakeflush_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        quantize_index,
+    )
+
+    corpus = _synth_corpus(spark, n=200, dims=8)
+    queries = corpus.where(F.col("vid") < 5)
+    idx_f = str(tmp_path / "float")
+    idx_q = str(tmp_path / "scratch_q")
+    idx_c = str(tmp_path / "converted_q")
+    build_ivf_index(corpus, idx_f, n_cells=4)
+    build_ivf_index(corpus, idx_q, n_cells=4, quantize=True)
+    quantize_index(spark, idx_f, idx_c)
+
+    def rows(d):
+        return sorted(
+            (r.vid, r.cell_id, r.qv.scale, tuple(r.qv.q), r.nrm, r._cp)
+            for r in spark.read.option("basePath", f"{d}/vectors")
+            .parquet(f"{d}/vectors").collect()
+        )
+
+    assert rows(idx_c) == rows(idx_q)
+    as_set = lambda df: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in df.collect()
+    }
+    assert as_set(ivf_search(spark, idx_c, queries, k=4, nprobe=2)) == as_set(
+        ivf_search(spark, idx_q, queries, k=4, nprobe=2)
+    )
+    # guards: int8 input refused, live dest refused
+    import pytest
+
+    with pytest.raises(ValueError, match="already an int8"):
+        quantize_index(spark, idx_q, str(tmp_path / "x"))
+    with pytest.raises(Exception):
+        quantize_index(spark, idx_f, idx_c)

@@ -638,8 +638,13 @@ def bench_curation_ops(spark) -> dict[str, float]:
             and int(p.get("numInputRows", 0)) > 0
         ]
         rows = sum(int(p["numInputRows"]) for p in warm)
+        # triggerExecution is the TOTAL of the other durationMs
+        # components — never sum the dict (double-counts ~2x)
         secs = sum(
-            float(p.get("batchDuration") or sum(p["durationMs"].values()))
+            float(
+                p.get("batchDuration")
+                or p.get("durationMs", {}).get("triggerExecution", 0)
+            )
             for p in warm
         ) / 1000.0
         if secs > 0:

@@ -978,11 +978,20 @@ def compact_audit(
                 "failed; live audit table left untouched"
             )
         if not fs.rename(P(tmp_path), ap):
-            # put the live table back so the store stays readable
-            fs.rename(P(old_path), ap)
+            # put the live table back so the store stays readable —
+            # and report honestly if even the rollback failed (the
+            # next compact_audit's _recover_audit_swap restores _old)
+            if fs.rename(P(old_path), ap):
+                raise RuntimeError(
+                    f"compact_audit: rename {tmp_path} -> {audit_path} "
+                    "failed; previous live table restored"
+                )
             raise RuntimeError(
                 f"compact_audit: rename {tmp_path} -> {audit_path} "
-                "failed; previous live table restored"
+                f"failed AND restoring {old_path} failed — the live "
+                "audit table is currently under _old; the next "
+                "compact_audit call repairs this via recovery, or "
+                "rename it back manually"
             )
         fs.delete(P(old_path), True)
     else:

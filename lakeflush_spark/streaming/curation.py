@@ -528,13 +528,19 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     pruned_fp_history,
                 )
 
-                bp_spans = sigged.select(
-                    F.col(cfg.id_col).alias("_id"),
-                    F.explode(
-                        anchored_span_fps(
-                            cfg.text_col, cfg.bp_window, cfg.bp_stride
-                        )
-                    ).alias("fp"),
+                # pinned: consumed by bp_counts, the drop-mode id set,
+                # AND the admitted-only store recount — without the pin
+                # each consumer re-runs the tokenize+md5 span explode
+                # over the whole post-semantic batch
+                bp_spans = _pin(
+                    sigged.select(
+                        F.col(cfg.id_col).alias("_id"),
+                        F.explode(
+                            anchored_span_fps(
+                                cfg.text_col, cfg.bp_window, cfg.bp_stride
+                            )
+                        ).alias("fp"),
+                    )
                 )
                 bp_counts = _pin(
                     bp_spans.groupBy("fp").agg(

@@ -386,6 +386,14 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                         F.substring("_digest", 1, 2).alias("_dp")
                     ).distinct().collect()
                 ]
+                # normalize an int-inferred _dp partition column (an
+                # all-numeric prefix dir set infers as int — r9) back
+                # to the documented 2-char hex string for type
+                # stability; literal coercion matches either way
+                if dict(seen.dtypes)["_dp"] != "string":
+                    seen = seen.withColumn(
+                        "_dp", F.lpad(F.col("_dp").cast("string"), 2, "0")
+                    )
                 seen = seen.where(F.col("_dp").isin(prefixes))
             fresh = _pin(against_history_exact(fresh, seen))
             n_exact = fresh.count()

@@ -125,6 +125,17 @@ def pruned_fp_history(
             "back or rebuild the store"
         )
     if fp_prefix_partitions and "_fp" in hist.columns:
+        # partition-value inference types an ALL-numeric prefix dir set
+        # as int (a small store can hold only "00".."99" prefixes —
+        # found by the r9 property suite); normalize back to the
+        # documented 2-char hex string so the prune, downstream layout
+        # checks, and consumers always see one type. (Spark's literal
+        # coercion makes the isin match either way; the normalization
+        # is for type stability, not match correctness.)
+        if dict(hist.dtypes)["_fp"] != "string":
+            hist = hist.withColumn(
+                "_fp", F.lpad(F.col("_fp").cast("string"), 2, "0")
+            )
         prefixes = [
             r._fp
             for r in batch_counts.select(

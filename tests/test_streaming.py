@@ -2175,3 +2175,65 @@ def test_curate_stream_json_bundle_source(spark, tmp_path):
     assert got == [1, 2]
     stats = spark.read.parquet(cfg.stats_dir).orderBy("batch").collect()
     assert stats[-1].n_exact_dup == 1 and stats[-1].n_out == 0
+
+
+def test_curate_stream_over_compacted_bundles(spark, tmp_path):
+    """r9: the FULL loop — a reference-style tiny-file JSON lake is
+    compacted into bundles, and curate_stream consumes the bundle
+    directory directly (source_format='json'): the audit sidecar dir
+    is invisible to the stream (hidden-name rule), exact dedup works
+    across the lake's duplicate rows, and a second compaction run
+    delivering new bundles flows through the SAME checkpoint."""
+    import json as _json
+
+    from lakeflush_spark.operators.compaction import CompactionConfig, compact
+    from lakeflush_spark.streaming.curation import (
+        CurationStreamConfig,
+        curate_stream,
+    )
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    d1 = "alpha beta gamma delta epsilon zeta"
+    d2 = "one two three four five six seven"
+    for i, (doc_id, text) in enumerate([(1, d1), (2, d2), (3, d2)]):
+        (lake / f"f{i}.json").write_text(
+            _json.dumps({"doc_id": doc_id, "text": text}) + "\n"
+        )
+    bundles = str(tmp_path / "bundles")
+    compact(spark, CompactionConfig(
+        source_dir=str(lake), dest_dir=bundles, file_format="json",
+        max_size_mb=16, write_mode="append",
+    ))
+
+    cfg = CurationStreamConfig(
+        source_dir=bundles,
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="json",
+    )
+    curate_stream(spark, cfg).awaitTermination(180)
+    got = sorted(r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect())
+    assert got == [1, 2]  # doc 3 is an exact dup of doc 2's text
+    stats = spark.read.parquet(cfg.stats_dir).collect()[0]
+    assert stats.n_in == 3 and stats.n_exact_dup == 1 and stats.n_out == 2
+
+    # a later compaction delivers new bundles; the stream catches up
+    # through the same checkpoint, deduping against the bundle history
+    lake2 = tmp_path / "lake2"
+    lake2.mkdir()
+    (lake2 / "g0.json").write_text(
+        _json.dumps({"doc_id": 10, "text": d1}) + "\n"
+        + _json.dumps({"doc_id": 11, "text": "new words entirely here now"})
+        + "\n"
+    )
+    compact(spark, CompactionConfig(
+        source_dir=str(lake2), dest_dir=bundles, file_format="json",
+        max_size_mb=16, write_mode="append",
+    ))
+    curate_stream(spark, cfg).awaitTermination(180)
+    got = sorted(r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect())
+    assert got == [1, 2, 11]  # 10 deduped against bundle-delivered history

@@ -95,6 +95,37 @@ def dequantize_int8(qs: Column) -> Column:
     )
 
 
+def int8_roundtrip_verdict(nv: Column, dv: Column) -> Column:
+    """True iff ``dv`` is a faithful int8 round-trip of the already
+    unit-normalized ``nv`` (both ``array<double>``).
+
+    The contract being asserted (map-only JVM Column expression — no
+    shuffle, no Python):
+
+    - ``nv`` has unit norm (|norm - 1| < 1e-9), or is the zero vector
+      (which must round-trip to exact zeros);
+    - every reconstructed element is within scale/2 (+ float eps) of
+      the original, where scale = max|nv| / 127 — ``quantize_int8``'s
+      documented per-element bound;
+    - round-trip cosine(nv, dv) >= 0.999.
+
+    Built for verdict-row oracles (q29 'fidelity'): int8 lanes are not
+    bit-replayable in ANSI SQL, so the engine asserts the bound and
+    the driver hash-checks the boolean. Kept as a standalone helper so
+    tests can plant a violating ``dv`` and watch the verdict flip.
+    """
+    nrm = l2_norm(nv)
+    max_err = F.array_max(F.zip_with(nv, dv, lambda a, b: F.abs(a - b)))
+    scale = F.array_max(F.transform(nv, F.abs)) / F.lit(127.0)
+    dot = _fold_sum(F.zip_with(nv, dv, lambda a, b: a * b))
+    dnrm = l2_norm(dv)
+    return F.when(nrm == 0.0, dnrm == 0.0).otherwise(
+        (F.abs(nrm - 1.0) < 1e-9)
+        & (max_err <= scale / 2 + F.lit(1e-9))
+        & (dot / dnrm >= 0.999)
+    )
+
+
 def sign_lsh_bucket(vec: Column | str, n_bits: int = 8) -> Column:
     """Axis-aligned random-hyperplane LSH bucket id in [0, 2**n_bits).
 

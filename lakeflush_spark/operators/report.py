@@ -33,6 +33,60 @@ from lakeflush_spark.functions.text import (
 )
 
 
+def sketch_quantile_verdicts(
+    values: DataFrame,
+    card: DataFrame,
+    value_col: str,
+    qcols: dict[str, float],
+    key: str = "source",
+    accuracy: int = 10_000,
+    slack_ranks: int = 2,
+) -> DataFrame:
+    """Per-``key`` boolean verdicts that a card's ``percentile_approx``
+    quantiles honor the sketch's rank contract.
+
+    The QuantileSummaries contract: the value returned for quantile q
+    over n rows has rank r with |r - q*n| <= eps*n, eps = 1/accuracy.
+    A sketch value v's exact rank window is [#{x < v}+1, #{x <= v}];
+    the verdict per key is True iff, for every (card column -> q) in
+    ``qcols``, that window intersects q*n ± (eps*n + slack_ranks) —
+    the slack absorbs the rank-definition off-by-ones; a wrong sketch
+    value is tens of ranks out.
+
+    Scale stance: ONE scan of ``values`` with the |keys|-row card
+    broadcast (map-side combined counts; no corpus shuffle). Built for
+    verdict-row oracles (q60 'card_q') where the sketch's picked data
+    points are not replayable in ANSI SQL; kept standalone so tests
+    can plant a violating card value and watch the verdict flip.
+
+    Returns one row per key: (``key``, ok boolean).
+    """
+    cols = list(qcols)
+    ranks = (
+        values.join(F.broadcast(card.select(key, *cols)), key)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((F.col(value_col) <= F.col(c)).cast("bigint")).alias(f"le_{c}")
+                for c in cols
+            ],
+            *[
+                F.sum((F.col(value_col) < F.col(c)).cast("bigint")).alias(f"lt_{c}")
+                for c in cols
+            ],
+        )
+    )
+    ok = F.lit(True)
+    for c, q in qcols.items():
+        target = F.col("n") * q
+        slack = F.col("n") / accuracy + slack_ranks
+        ok = ok & (F.col(f"le_{c}") >= target - slack) & (
+            F.col(f"lt_{c}") + 1 <= target + slack
+        )
+    return ranks.select(key, ok.alias("ok"))
+
+
 def corpus_report(
     docs: DataFrame,
     source_col: str = "source",

@@ -81,15 +81,39 @@ def _sql_topk_labeled(method: str, bucket_cond: str) -> str:
     + _sql_topk_labeled("exact", "")
     + " UNION ALL "
     + _sql_topk_labeled("lsh", "AND bucket = qbucket")
+    + """ UNION ALL
+    -- 'fidelity' (r9): int8 round-trip VERDICT rows, one per corpus
+    -- vector (the q10/q55-int8 tolerance trick — int8 lane values are
+    -- not bit-replayable in SQL, so the ENGINE asserts the bound and
+    -- the driver hash-checks the assertion): cos_sim=1.0 and rank=1
+    -- iff dequantize(quantize(l2_normalize(v))) stays within the
+    -- documented per-element scale/2 error bound AND >=0.999 cosine
+    -- of the normalized original AND the normalized vector has unit
+    -- norm. Any vector failing hashes as 0.0/0 and mismatches.
+    SELECT 'fidelity' AS method, vec_id AS query_id,
+           vec_id AS neighbor_id, 1.0 AS cos_sim, CAST(1 AS BIGINT) AS rank
+    FROM embeddings
+    """
     + " ORDER BY method, query_id, rank",
     "ANN top-10 for 5 query vectors, two strategies labeled in one "
     "frame: exact brute-force cosine (broadcast queries, one corpus "
     "scan, window top-k — the correctness baseline) and sign-LSH "
     "bucketed search (256 sign buckets; the bucket equi-join cuts "
     "candidate pairs ~256x — the scale path). (r4: merged q29+q30 to "
-    "free a contract slot for q62.)",
+    "free a contract slot for q62.) r9 adds the 'fidelity' label: the "
+    "embedding-compression kit (functions/vectors.l2_normalize / "
+    "quantize_int8 / dequantize_int8) driver-verified per corpus "
+    "vector via verdict rows — map-only, no shuffle beyond the "
+    "existing total order.",
 )
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeflush_spark.functions.vectors import (
+        dequantize_int8,
+        int8_roundtrip_verdict,
+        l2_normalize,
+        quantize_int8,
+    )
+
     emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark)
     corpus = prepare_vectors(emb, with_bucket=True, n_bits=LSH_BITS)
     queries = corpus.where(corpus.vid < N_QUERIES)
@@ -99,7 +123,26 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = lsh_topk(corpus, queries, TOP_K).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank"
     )
-    return exact.unionByName(lsh).orderBy("method", "query_id", "rank")
+    # 'fidelity' (r9): per-vector int8 round-trip verdict — one
+    # map-only corpus scan, all JVM Column expressions; the contract
+    # asserted lives in ``int8_roundtrip_verdict`` (unit-tested both
+    # ways in tests/test_vectors.py, incl. a planted violation).
+    rt = emb.select(
+        F.col("vec_id"),
+        l2_normalize(F.transform("embedding", lambda x: x.cast("double"))).alias("nv"),
+    ).withColumn("dv", dequantize_int8(quantize_int8(F.col("nv"))))
+    ok = int8_roundtrip_verdict(F.col("nv"), F.col("dv"))
+    fidelity = rt.select(
+        F.lit("fidelity").alias("method"),
+        F.col("vec_id").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.when(ok, 1.0).otherwise(0.0).alias("cos_sim"),
+        F.when(ok, 1).otherwise(0).cast("bigint").alias("rank"),
+    )
+    return (
+        exact.unionByName(lsh).unionByName(fidelity)
+        .orderBy("method", "query_id", "rank")
+    )
 
 
 _IVF_CELLS = 16

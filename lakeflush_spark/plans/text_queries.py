@@ -410,6 +410,13 @@ _SAMPLE_PCT = 10
                CAST(ROUND(ROUND(src_tokens::DOUBLE / all_tokens, 4) * 10000, 0)
                     AS BIGINT)
         FROM lmode JOIN srctok USING (source) CROSS JOIN alltok
+        UNION ALL
+        -- 'card_q' (r9): sketch-quantile VERDICT rows (the q10 trick —
+        -- percentile_approx's picked data points are not replayable in
+        -- SQL, so the ENGINE asserts each sketch value's exact rank is
+        -- within the sketch's eps-rank contract and the driver
+        -- hash-checks the assertion). A failing source hashes 0/0.
+        SELECT 'card_q', source, 1, 1 FROM srctok
     ) ORDER BY kind, key
     """,
     "Deterministic sampling & training-mix suite, three strategies "
@@ -426,8 +433,13 @@ _SAMPLE_PCT = 10
     "corpus_report (per-source doc/token counts, and the language mode "
     "+ its share and the token share as x10000 integers) — the oracle "
     "rebuilds the whole card incl. the lang_id mode via the SQL lang "
-    "CASE twin. The sketch quantiles and float-summation averages stay "
-    "outside the hash (unit-tested instead; see report.py).",
+    "CASE twin. r9 adds 'card_q': the card's percentile_approx token "
+    "quantiles (p10/p50/p90/p99) driver-verified per source via "
+    "rank-contract verdict rows — each sketch value's exact rank "
+    "window [#lt+1, #le] (one broadcast-card corpus scan, map-side "
+    "combined) must intersect q*n +/- (eps*n + 2) where eps is the "
+    "sketch's 1/accuracy contract. Only the float-summation averages "
+    "stay outside the hash (unit-tested; see report.py).",
 )
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.mixing import mix_sources, take_token_budget
@@ -480,10 +492,28 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("top_lang_share") * 10000).cast("bigint").alias("n_docs"),
         F.round(F.col("token_share") * 10000).cast("bigint").alias("sum_tokens"),
     )
+    # 'card_q' (r9): verdict rows tying the card's sketch quantiles to
+    # their exact ranks — the rank-contract check lives in
+    # ``sketch_quantile_verdicts`` (one corpus scan, card broadcast;
+    # unit-tested both ways in tests/test_report.py, incl. a planted
+    # violating card value). Oracle side emits constant 1/1 rows, so
+    # any violation hash-mismatches.
+    from lakeflush_spark.operators.report import sketch_quantile_verdicts
+
+    qcols = {"tokens_p10": 0.1, "tokens_p50": 0.5, "tokens_p90": 0.9,
+             "tokens_p99": 0.99}
+    verdicts = sketch_quantile_verdicts(d, rep, "n_tokens", qcols)
+    card_q = verdicts.select(
+        F.lit("card_q").alias("kind"),
+        F.col("source").alias("key"),
+        F.when(F.col("ok"), 1).otherwise(0).cast("bigint").alias("n_docs"),
+        F.when(F.col("ok"), 1).otherwise(0).cast("bigint").alias("sum_tokens"),
+    )
     return (
         strat.unionByName(mixed)
         .unionByName(budget)
         .unionByName(card)
         .unionByName(card_top)
+        .unionByName(card_q)
         .orderBy("kind", "key")
     )

@@ -39,3 +39,38 @@ def test_corpus_report_deterministic_and_layout_independent(spark, sf_dir):
     assert set(a) == set(b)
     for s in a:
         assert a[s] == b[s]
+
+
+def test_sketch_quantile_verdicts_pass_and_flip(spark, sf_dir):
+    """The q60 'card_q' verdict: every source's percentile_approx
+    quantiles satisfy the rank contract on the real card; a planted
+    out-of-contract card value flips that source's verdict to False
+    while leaving the others True."""
+    from lakeflush_spark.operators.report import sketch_quantile_verdicts
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    rep = corpus_report(docs)
+    qcols = {"tokens_p10": 0.1, "tokens_p50": 0.5,
+             "tokens_p90": 0.9, "tokens_p99": 0.99}
+    good = sketch_quantile_verdicts(d, rep, "n_tokens", qcols)
+    rows = good.collect()
+    assert rows and all(r.ok for r in rows)
+
+    # plant: shift one source's p50 far beyond any real token count —
+    # its exact-rank window [n+1, n] can't intersect 0.5*n ± slack
+    victim = rows[0].source
+    bad_card = rep.withColumn(
+        "tokens_p50",
+        F.when(F.col("source") == victim, F.lit(10**9)).otherwise(
+            F.col("tokens_p50")
+        ),
+    )
+    flipped = {
+        r.source: r.ok
+        for r in sketch_quantile_verdicts(d, bad_card, "n_tokens", qcols).collect()
+    }
+    assert flipped[victim] is False
+    assert all(ok for s, ok in flipped.items() if s != victim)

@@ -526,3 +526,49 @@ def test_quantize_index_equals_from_scratch_int8_build(spark, tmp_path):
         quantize_index(spark, idx_q, str(tmp_path / "x"))
     with pytest.raises(Exception):
         quantize_index(spark, idx_f, idx_c)
+
+
+def test_int8_roundtrip_verdict_passes_and_flips(spark):
+    """The q29 'fidelity' verdict: True on a faithful round-trip of
+    every normalized vector (incl. the zero vector), False when the
+    reconstruction is planted out of the scale/2 bound — and False on
+    a non-normalized input or a corrupted zero-vector round-trip."""
+    from lakeflush_spark.functions.vectors import int8_roundtrip_verdict
+
+    vecs = _rand_vecs(15, 32) + [[0.0] * 32]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i long, v array<double>"
+    )
+    rt = df.select(
+        "i", l2_normalize(F.col("v")).alias("nv")
+    ).withColumn("dv", dequantize_int8(quantize_int8(F.col("nv"))))
+    good = rt.select(int8_roundtrip_verdict(F.col("nv"), F.col("dv")).alias("ok"))
+    assert all(r.ok for r in good.collect())
+
+    # plant: nudge the first element past scale/2 of a unit vector
+    bad_elem = rt.where(F.col("i") == 0).select(
+        int8_roundtrip_verdict(
+            F.col("nv"),
+            F.concat(
+                F.array(F.element_at("dv", 1) + F.lit(0.1)), F.slice("dv", 2, 31)
+            ),
+        ).alias("ok")
+    )
+    assert not bad_elem.collect()[0].ok
+
+    # plant: un-normalized input fails the unit-norm leg
+    notnorm = df.where(F.col("i") == 0).select(
+        int8_roundtrip_verdict(
+            F.transform("v", lambda x: x * 3.0),
+            dequantize_int8(quantize_int8(F.transform("v", lambda x: x * 3.0))),
+        ).alias("ok")
+    )
+    assert not notnorm.collect()[0].ok
+
+    # plant: zero vector whose round-trip is not zeros
+    zbad = rt.where(F.col("i") == len(vecs) - 1).select(
+        int8_roundtrip_verdict(
+            F.col("nv"), F.transform("dv", lambda x: x + 0.5)
+        ).alias("ok")
+    )
+    assert not zbad.collect()[0].ok

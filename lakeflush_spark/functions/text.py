@@ -348,3 +348,93 @@ def lang_id(text: Column | str) -> Column:
     for lang in reversed(list(LANG_PROFILES)):
         expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
+
+
+# --------------------------------------------------------------------------
+# Gopher document-quality rules (Rae et al. 2021, appendix A — the
+# published heuristic filter every large text-curation pipeline ships
+# a variant of). All counters are exact BIGINTs and every rule
+# threshold compares integers (10*sym >= n, not sym/n >= 0.1), so the
+# DuckDB oracle twin agrees bit-for-bit — no float knife-edges.
+# Map-only JVM Column expressions; at 100 TB this runs at scan speed
+# inside whole-stage codegen (the HOF filters drop to interpreted
+# eval but stay JVM-side and per-row-bounded).
+# --------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+BULLET_RE = "^[-*•]"
+ELLIPSIS_RE = "(\\.\\.\\.|…)$"
+
+
+def symbol_hits(text: Column | str) -> Column:
+    """Count of '#' occurrences + non-overlapping '...' occurrences."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit("\\.\\.\\."))
+    ).cast("bigint")
+
+
+def doc_lines(text: Column | str) -> Column:
+    return F.split(F.col(text) if isinstance(text, str) else text, "\n")
+
+
+def bullet_line_hits(text: Column | str) -> Column:
+    """Lines whose left-trimmed form starts with -, * or the bullet glyph."""
+    return F.size(
+        F.filter(doc_lines(text), lambda l: F.ltrim(l).rlike(BULLET_RE))
+    ).cast("bigint")
+
+
+def ellipsis_line_hits(text: Column | str) -> Column:
+    """Lines whose right-trimmed form ends with '...' or the ellipsis glyph."""
+    return F.size(
+        F.filter(doc_lines(text), lambda l: F.rtrim(l).rlike(ELLIPSIS_RE))
+    ).cast("bigint")
+
+
+def alpha_word_hits(text: Column | str) -> Column:
+    """Tokens containing at least one ASCII letter."""
+    return F.size(
+        F.filter(tokens(text), lambda t: t.rlike("[A-Za-z]"))
+    ).cast("bigint")
+
+
+def gopher_stopword_hits(text: Column | str) -> Column:
+    """How many DISTINCT Gopher stop words appear in the document."""
+    toks = tokens(text)
+    return bind(
+        toks,
+        lambda tk: F.size(
+            F.filter(
+                F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+                lambda w: F.array_contains(tk, w),
+            )
+        ).cast("bigint"),
+    )
+
+
+def symbol_word_ratio_4dp(text: Column | str) -> Column:
+    """('#' + '...') occurrences per word, 4dp half-up (exact)."""
+    return _round_half_up_div(
+        F.lit(10000) * symbol_hits(text), token_count(text)
+    ).cast("double") / F.lit(10000.0)
+
+
+def bullet_line_ratio_4dp(text: Column | str) -> Column:
+    nl = F.size(doc_lines(text)).cast("bigint")
+    return _round_half_up_div(F.lit(10000) * bullet_line_hits(text), nl).cast(
+        "double"
+    ) / F.lit(10000.0)
+
+
+def ellipsis_line_ratio_4dp(text: Column | str) -> Column:
+    nl = F.size(doc_lines(text)).cast("bigint")
+    return _round_half_up_div(F.lit(10000) * ellipsis_line_hits(text), nl).cast(
+        "double"
+    ) / F.lit(10000.0)
+
+
+def alpha_word_ratio_4dp(text: Column | str) -> Column:
+    return _round_half_up_div(
+        F.lit(10000) * alpha_word_hits(text), token_count(text)
+    ).cast("double") / F.lit(10000.0)

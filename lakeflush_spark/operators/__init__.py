@@ -37,7 +37,11 @@ from lakeflush_spark.operators.lm_filter import (
     lm_logprob_scores,
     train_bigram_lm,
 )
-from lakeflush_spark.operators.report import corpus_report
+from lakeflush_spark.operators.quality import gopher_filter, gopher_flags
+from lakeflush_spark.operators.report import (
+    corpus_report,
+    sketch_quantile_verdicts,
+)
 from lakeflush_spark.operators.similarity import (
     build_ivf_index,
     ivf_search,
@@ -99,6 +103,8 @@ __all__ = [
     "train_bigram_lm",
     "train_bpe",
     "word_histogram",
+    "gopher_filter",
+    "gopher_flags",
     "media_metadata",
     "minhash_near_dups",
     "near_dup_clusters",
@@ -111,6 +117,7 @@ __all__ = [
     "semantic_dedup_pairs",
     "semantic_drop_ids",
     "sharded_prefix_sum",
+    "sketch_quantile_verdicts",
     "simhash_near_dups",
     "strip_repeated_spans",
     "zorder_write",

@@ -1,0 +1,91 @@
+"""Gopher-rule document filter (Rae et al. 2021, appendix A1.1).
+
+The reference has no text-quality operators (its records are opaque
+strings — `lakeflush/core/collector.py:97-103`); this is the published
+heuristic-filter stage every large text-curation pipeline ships a
+variant of (Gopher, MassiveText, RefinedWeb, Dolma). Seven rules:
+
+  bit 0  word count outside [50, 100_000]
+  bit 1  mean word length outside [3, 10]
+  bit 2  symbol-to-word ratio ('#' + '...') >= 0.1
+  bit 3  > 90% of lines start with a bullet (-, *, •)
+  bit 4  > 30% of lines end with an ellipsis ('...', …)
+  bit 5  < 80% of words contain an ASCII letter
+  bit 6  fewer than 2 distinct Gopher stop words present
+
+``gopher_flags`` returns the failed-rule bitmask (0 == document
+passes); ``gopher_filter`` keeps passing documents. Every threshold is
+an integer comparison on exact BIGINT counters (10*sym >= n, not
+sym/n >= 0.1) so the DuckDB oracle twin in plans/text_queries.py
+agrees bit-for-bit.
+
+Scale stance: map-only JVM Column expressions — no shuffle, no
+Python, no UDF. At 100 TB the filter runs at scan speed and composes
+with predicate pushdown (the flags projection prunes to the text
+column only).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from lakeflush_spark.functions.text import (
+    _total_token_len,
+    alpha_word_hits,
+    bullet_line_hits,
+    doc_lines,
+    ellipsis_line_hits,
+    gopher_stopword_hits,
+    symbol_hits,
+    token_count,
+)
+
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+
+
+def gopher_flags(text: Column | str = "text") -> Column:
+    """BIGINT bitmask of failed Gopher rules (0 == document passes)."""
+    n = token_count(text)
+    total_len = _total_token_len(text)
+    sym = symbol_hits(text)
+    nlines = F.size(doc_lines(text)).cast("bigint")
+    bullets = bullet_line_hits(text)
+    ell = ellipsis_line_hits(text)
+    alpha = alpha_word_hits(text)
+    stops = gopher_stopword_hits(text)
+
+    def bit(i: int, failed: Column) -> Column:
+        return F.when(failed, F.lit(1 << i)).otherwise(F.lit(0)).cast("bigint")
+
+    return (
+        bit(0, (n < MIN_WORDS) | (n > MAX_WORDS))
+        # mean word length in [3, 10]  <=>  3n <= L <= 10n
+        + bit(1, (total_len < 3 * n) | (total_len > 10 * n))
+        # sym/n >= 0.1  <=>  10*sym >= n
+        + bit(2, 10 * sym >= n)
+        # bullets/nlines > 0.9  <=>  10*bullets > 9*nlines
+        + bit(3, 10 * bullets > 9 * nlines)
+        # ell/nlines > 0.3  <=>  10*ell > 3*nlines
+        + bit(4, 10 * ell > 3 * nlines)
+        # alpha/n < 0.8  <=>  5*alpha < 4*n
+        + bit(5, 5 * alpha < 4 * n)
+        + bit(6, stops < 2)
+    )
+
+
+def gopher_filter(
+    docs: DataFrame, text_col: str = "text", keep_flags: bool = False
+) -> DataFrame:
+    """Drop documents failing any Gopher rule.
+
+    With ``keep_flags`` the surviving rows carry their (all-zero)
+    ``gopher_flags`` column — useful when a downstream audit wants the
+    column present; the flags of DROPPED docs are what a quality
+    report wants, so audits should project ``gopher_flags`` before
+    filtering instead.
+    """
+    flagged = docs.withColumn("gopher_flags", gopher_flags(text_col))
+    kept = flagged.where(F.col("gopher_flags") == 0)
+    return kept if keep_flags else kept.drop("gopher_flags")

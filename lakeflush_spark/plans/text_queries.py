@@ -98,6 +98,48 @@ _SQL_DUP3_4DP = (
 )
 
 
+# ---- Gopher-rule twins (operators/quality.py; exact BIGINT counters,
+# integer threshold comparisons — no float knife-edges) ---------------------
+
+_SQL_SYM = (
+    "(len(regexp_extract_all(text, '#'))"
+    " + len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT"
+)
+_SQL_LINES = "string_split(text, chr(10))"
+_SQL_NLINES = f"len({_SQL_LINES})::BIGINT"
+_SQL_BULLETS = (
+    f"len(list_filter({_SQL_LINES},"
+    " l -> regexp_matches(ltrim(l), '^[-*•]')))::BIGINT"
+)
+_SQL_ELLIPSIS = (
+    f"len(list_filter({_SQL_LINES},"
+    " l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::BIGINT"
+)
+_SQL_ALPHA = f"len(list_filter({_TOKS}, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT"
+
+
+def _sql_gopher_stops() -> str:
+    from lakeflush_spark.functions.text import GOPHER_STOPWORDS
+
+    lit = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    return f"len(list_filter({lit}, w -> list_contains({_TOKS}, w)))::BIGINT"
+
+
+def _sql_gopher_flags() -> str:
+    from lakeflush_spark.operators.quality import MAX_WORDS, MIN_WORDS
+
+    n, li = _SQL_NI, _SQL_LI
+    return f"""(
+      CASE WHEN {n} < {MIN_WORDS} OR {n} > {MAX_WORDS} THEN 1 ELSE 0 END
+      + CASE WHEN {li} < 3 * {n} OR {li} > 10 * {n} THEN 2 ELSE 0 END
+      + CASE WHEN 10 * {_SQL_SYM} >= {n} THEN 4 ELSE 0 END
+      + CASE WHEN 10 * {_SQL_BULLETS} > 9 * {_SQL_NLINES} THEN 8 ELSE 0 END
+      + CASE WHEN 10 * {_SQL_ELLIPSIS} > 3 * {_SQL_NLINES} THEN 16 ELSE 0 END
+      + CASE WHEN 5 * {_SQL_ALPHA} < 4 * {n} THEN 32 ELSE 0 END
+      + CASE WHEN {_sql_gopher_stops()} < 2 THEN 64 ELSE 0 END
+    )::BIGINT"""
+
+
 def _sql_lang_case() -> str:
     scores = {
         lang: f"len(list_filter({_TOKS}, t -> t IN {tuple(words)!r}))"
@@ -130,6 +172,13 @@ def _sql_lang_case() -> str:
            {_SQL_DUP3_4DP} AS dup3_ratio,
            {_sql_arr_fingerprint(_TOKS)} AS doc_fp,
            {_sql_arr_fingerprint(_SQL_SHINGLES)} AS shingle_fp,
+           {_sql_round_half_up_div(f"10000 * {_SQL_SYM}", _SQL_NI)} AS sym_ratio,
+           {_sql_round_half_up_div(f"10000 * {_SQL_BULLETS}", _SQL_NLINES)}
+               AS bullet_ratio,
+           {_sql_round_half_up_div(f"10000 * {_SQL_ELLIPSIS}", _SQL_NLINES)}
+               AS ellipsis_ratio,
+           {_sql_round_half_up_div(f"10000 * {_SQL_ALPHA}", _SQL_NI)} AS alpha_ratio,
+           {_sql_gopher_flags()} AS gopher_flags,
            lang,
            {_sql_lang_case()} AS lang_pred
     FROM t
@@ -141,11 +190,23 @@ def _sql_lang_case() -> str:
     "fraction), "
     "rolling-hash document + 3-gram shingle fingerprints (the shingle "
     "construction MinHash dedup builds on), and function-word language ID "
-    "beside the labeled lang column. Scan-speed at any scale. "
+    "beside the labeled lang column. r9 adds the full Gopher-rule filter "
+    "(operators/quality.py — Rae et al. 2021 A1.1): symbol/bullet/"
+    "ellipsis/alpha ratios and the 7-rule failed-flag bitmask, every "
+    "threshold an integer comparison so both engines agree bit-for-bit. "
+    "Scan-speed at any scale. "
     "(r2: merged q18+q19+q21; r3: merged q20 — per-doc lang ID is a "
     "stronger check than the old agreement matrix.)",
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeflush_spark.functions.text import (
+        alpha_word_ratio_4dp,
+        bullet_line_ratio_4dp,
+        ellipsis_line_ratio_4dp,
+        symbol_word_ratio_4dp,
+    )
+    from lakeflush_spark.operators.quality import gopher_flags
+
     return (
         spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
         .select(
@@ -161,6 +222,11 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup_3gram_ratio_4dp("text").alias("dup3_ratio"),
             doc_fingerprint("text").alias("doc_fp"),
             arr_fingerprint(shingles("text", 3)).alias("shingle_fp"),
+            symbol_word_ratio_4dp("text").alias("sym_ratio"),
+            bullet_line_ratio_4dp("text").alias("bullet_ratio"),
+            ellipsis_line_ratio_4dp("text").alias("ellipsis_ratio"),
+            alpha_word_ratio_4dp("text").alias("alpha_ratio"),
+            gopher_flags("text").alias("gopher_flags"),
             "lang",
             lang_id("text").alias("lang_pred"),
         )

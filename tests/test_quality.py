@@ -1,0 +1,139 @@
+"""Gopher-rule filter units (operators/quality.py): each of the 7
+rules triggered in isolation by a crafted document the synthetic
+corpus can't produce (bullet lists, ellipsis lines, symbol soup,
+non-alpha tokens), plus a passing document and the filter wrapper."""
+
+import pyspark.sql.functions as F
+
+from lakeflush_spark.operators.quality import gopher_filter, gopher_flags
+
+# a clean passing document: 60 words, mean length ~4.5, two Gopher
+# stop words, no symbols/bullets/ellipses, all-alpha
+_GOOD = "the quick brown fox jumps over that lazy sleeping dog again " * 6
+_GOOD = _GOOD.strip()
+
+
+def _flags(spark, text: str) -> int:
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(gopher_flags("text").alias("f")).collect()[0].f
+
+
+def test_good_doc_passes(spark):
+    assert _flags(spark, _GOOD) == 0
+
+
+def test_word_count_rule(spark):
+    assert _flags(spark, "the cat sat with that") & 1  # 5 words < 50
+
+
+def test_mean_word_length_rule(spark):
+    short = " ".join(["a b c d the of with that"] * 10)  # mean < 3
+    f = _flags(spark, short)
+    assert f & 2
+    long_words = " ".join(["extraordinarily incomprehensible"] * 30) + " the with"
+    assert _flags(spark, long_words) & 2  # mean > 10
+
+
+def test_symbol_ratio_rule(spark):
+    # 60 words, 8 '#' and 2 '...' => 10 symbols, 10*10 >= 60
+    doc = _GOOD + " " + "#word " * 8 + "tail... end..."
+    assert _flags(spark, doc) & 4
+
+
+def test_bullet_line_rule(spark):
+    lines = ["- item %d yes" % i for i in range(19)] + ["plain closing line"]
+    doc = "\n".join(lines) + "\n" + _GOOD.replace(" ", "\n")[:0]
+    # 19/20 bulleted lines > 90%; pad words to clear the count rule
+    doc = "\n".join(["- " + _GOOD.split(" ", 1)[1]] * 19 + [_GOOD])
+    assert _flags(spark, doc) & 8
+
+
+def test_ellipsis_line_rule(spark):
+    doc = "\n".join([_GOOD + "..."] * 4 + [_GOOD] * 6)  # 40% > 30%
+    assert _flags(spark, doc) & 16
+    uni = "\n".join([_GOOD + "…"] * 4 + [_GOOD] * 6)
+    assert _flags(spark, uni) & 16
+
+
+def test_alpha_word_rule(spark):
+    doc = _GOOD + " " + "123 456 789 000 111 222 333 444 555 666 " * 3
+    assert _flags(spark, doc) & 32  # 30/90 non-alpha > 20%
+
+
+def test_stopword_rule(spark):
+    doc = " ".join(["quick brown fox jumps over lazy dog"] * 10)
+    assert _flags(spark, doc) & 64  # zero Gopher stop words
+    one = doc + " the"
+    assert _flags(spark, one) & 64  # one is still < 2
+
+
+def test_rules_independent(spark):
+    # the bullet doc fails ONLY the bullet rule
+    doc = "\n".join(["- " + _GOOD.split(" ", 1)[1]] * 19 + [_GOOD])
+    assert _flags(spark, doc) == 8
+
+
+def test_gopher_filter_wrapper(spark):
+    df = spark.createDataFrame(
+        [(1, _GOOD), (2, "too short doc"), (3, _GOOD + " extra")],
+        "doc_id long, text string",
+    )
+    kept = gopher_filter(df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+    assert "gopher_flags" not in kept.columns
+    with_flags = gopher_filter(df, keep_flags=True)
+    rows = with_flags.collect()
+    assert all(r.gopher_flags == 0 for r in rows)
+
+
+def test_flags_match_oracle_arithmetic(spark):
+    """Cross-check the Spark bitmask against a plain-Python model on a
+    batch of adversarial docs (same integer thresholds)."""
+    from lakeflush_spark.functions.text import GOPHER_STOPWORDS
+
+    docs = [
+        _GOOD,
+        "short one",
+        "\n".join(["- bullet %d" % i for i in range(10)]),
+        _GOOD + " ############",
+        "\n".join([_GOOD + "..."] * 9 + [_GOOD]),
+        " ".join(["12345"] * 60) + " the with",
+    ]
+
+    def model(text: str) -> int:
+        toks = text.split(" ")
+        n = len(toks)
+        total = sum(len(t.replace("\n", "n")) for t in toks)
+        # NOTE: tokens() splits on ' ' only — newlines stay inside
+        # tokens, so length counts them; replicate exactly
+        total = sum(len(t) for t in toks)
+        sym = text.count("#") + _nonoverlap(text, "...")
+        lines = text.split("\n")
+        nl = len(lines)
+        bullets = sum(bool(l.lstrip()[:1] in ("-", "*", "•")) and bool(l.lstrip()) for l in lines)
+        ell = sum(l.rstrip().endswith(("...", "…")) for l in lines)
+        alpha = sum(any(c.isascii() and c.isalpha() for c in t) for t in toks)
+        stops = sum(w in toks for w in GOPHER_STOPWORDS)
+        f = 0
+        f |= (n < 50 or n > 100_000) and 1
+        f |= (total < 3 * n or total > 10 * n) and 2
+        f |= (10 * sym >= n) and 4
+        f |= (10 * bullets > 9 * nl) and 8
+        f |= (10 * ell > 3 * nl) and 16
+        f |= (5 * alpha < 4 * n) and 32
+        f |= (stops < 2) and 64
+        return f
+
+    def _nonoverlap(s: str, sub: str) -> int:
+        i = c = 0
+        while (i := s.find(sub, i)) != -1:
+            c += 1
+            i += len(sub)
+        return c
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "i long, text string")
+    got = {r.i: r.f for r in
+           df.select("i", gopher_flags("text").alias("f")).collect()}
+    for i, d in enumerate(docs):
+        assert got[i] == model(d), f"doc {i}: spark={got[i]} model={model(d)}"

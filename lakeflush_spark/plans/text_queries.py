@@ -563,12 +563,30 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ``sketch_quantile_verdicts`` (one corpus scan, card broadcast;
     # unit-tested both ways in tests/test_report.py, incl. a planted
     # violating card value). Oracle side emits constant 1/1 rows, so
-    # any violation hash-mismatches.
+    # any violation hash-mismatches. The quantile card is REPLAYED as
+    # the slim per-source sketch agg (same percentile_approx path and
+    # accuracy corpus_report uses) rather than projected from `rep`:
+    # rep's plan carries the 1-row token-share total, and duplicating
+    # that subtree a third time would add a third SinglePartition
+    # exchange (tests/test_plans.py budget: <= 2 per query).
     from lakeflush_spark.operators.report import sketch_quantile_verdicts
 
     qcols = {"tokens_p10": 0.1, "tokens_p50": 0.5, "tokens_p90": 0.9,
              "tokens_p99": 0.99}
-    verdicts = sketch_quantile_verdicts(d, rep, "n_tokens", qcols)
+    qcard = (
+        d.groupBy("source")
+        .agg(
+            F.percentile_approx(
+                "n_tokens", [0.1, 0.5, 0.9, 0.99], 10_000
+            ).alias("_tq")
+        )
+        .select(
+            "source",
+            *[F.col("_tq")[i].cast("bigint").alias(c)
+              for i, c in enumerate(qcols)],
+        )
+    )
+    verdicts = sketch_quantile_verdicts(d, qcard, "n_tokens", qcols)
     card_q = verdicts.select(
         F.lit("card_q").alias("kind"),
         F.col("source").alias("key"),

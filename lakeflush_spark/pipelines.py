@@ -53,6 +53,12 @@ class CurationConfig:
     max_tokens: int = 100_000
     max_stopword_ratio: float = 0.9
     allowed_langs: tuple[str, ...] | None = None  # None = keep all
+    #: True = additionally require all seven published Gopher rules
+    #: (operators/quality.gopher_flags == 0) in the quality gate —
+    #: word-count/word-length bounds, symbol/bullet/ellipsis ratios,
+    #: alpha-word ratio, stop-word presence. Off by default: the rules
+    #: assume natural-language prose and would gut code corpora.
+    gopher_rules: bool = False
     near_dup_threshold: float = 0.85  # Jaccard on 3-shingles
     #: 0 = single-pass greedy resolution (drop every doc that pairs with
     #: a lower id). N > 0 = N rounds of iterative independent-set
@@ -151,11 +157,16 @@ def quality_keep_condition(
     max_tokens: int | None,
     max_stopword_ratio: float | None,
     allowed_langs: tuple[str, ...] | None,
+    gopher_flags_col: "F.Column | None" = None,
 ) -> "F.Column":
     """THE quality-gate predicate, shared by the batch pipeline and
     ``streaming/curation.py`` so the two can never drift. Callers pass
     the metric COLUMNS (precomputed annotation columns in batch; inline
     expressions in streaming) and each gate's knob (None disables it).
+
+    ``gopher_flags_col`` (r9): pass ``operators.quality.gopher_flags``
+    to additionally require all seven Gopher rules to pass (bitmask
+    == 0); None keeps the gate as before.
     """
     keep = F.lit(True)
     if min_tokens is not None:
@@ -166,6 +177,8 @@ def quality_keep_condition(
         keep = keep & (stop_ratio <= max_stopword_ratio)
     if allowed_langs:
         keep = keep & lang_pred.isin(*allowed_langs)
+    if gopher_flags_col is not None:
+        keep = keep & (gopher_flags_col == 0)
     return keep
 
 
@@ -264,6 +277,8 @@ def curate_documents(
         lang_id(tc).alias("lang_pred"),
     )
 
+    from lakeflush_spark.operators.quality import gopher_flags
+
     keep = quality_keep_condition(
         F.col("n_tokens"),
         F.col("stop_ratio"),
@@ -272,6 +287,7 @@ def curate_documents(
         cfg.max_tokens,
         cfg.max_stopword_ratio,
         cfg.allowed_langs,
+        gopher_flags_col=gopher_flags(tc) if cfg.gopher_rules else None,
     )
     filtered = annotated.where(keep)
 

@@ -100,6 +100,10 @@ class CurationStreamConfig:
     max_tokens: int | None = None
     max_stopword_ratio: float | None = None
     allowed_langs: tuple[str, ...] | None = None
+    #: True = additionally require all seven Gopher rules (operators/
+    #: quality.gopher_flags == 0) — same predicate the batch
+    #: CurationConfig.gopher_rules drives, so batch/stream can't drift
+    gopher_rules: bool = False
     #: near-dup gate: estimated-Jaccard threshold (see StreamNearDupConfig)
     near_dup_threshold: float = 0.7
     near_dup_max_bucket: int | None = None
@@ -312,6 +316,7 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
         # expressions (stopword filter, lang profiles) each re-split
         # the text and sit outside codegen, so the stats agg and the
         # filter below must read the flag, not re-run the expressions
+        from lakeflush_spark.operators.quality import gopher_flags
         from lakeflush_spark.pipelines import quality_keep_condition
 
         cond = quality_keep_condition(
@@ -322,6 +327,9 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             cfg.max_tokens,
             cfg.max_stopword_ratio,
             cfg.allowed_langs,
+            gopher_flags_col=(
+                gopher_flags(cfg.text_col) if cfg.gopher_rules else None
+            ),
         )
         # every per-batch persist registers here; the outer finally
         # releases them even when a MID-BATCH action fails (a corrupt

@@ -324,3 +324,33 @@ def test_curation_hot_bucket_cap_observability(spark):
     _, stats_nocap = curate_documents(spark, docs, CurationConfig(min_tokens=1))
     assert stats_nocap.near_dup_hot_buckets is None
     assert stats_nocap.near_dup_rows_over_cap is None
+
+
+def test_curation_gopher_rules_gate(spark):
+    """gopher_rules=True drops a bullet-list doc and a stopword-free
+    doc through the shared quality gate; the provenance names
+    'quality'; gopher_rules=False keeps them."""
+    good = (
+        "the quick brown fox jumps over that lazy sleeping dog again " * 6
+    ).strip()
+    bullets = "\n".join(["- " + good.split(" ", 1)[1]] * 19 + [good])
+    nostops = " ".join(["quick brown fox jumps over lazy dog"] * 10)
+    docs = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, nostops)], "doc_id long, text string"
+    )
+    cfg = CurationConfig(
+        min_tokens=5, max_stopword_ratio=None, gopher_rules=True,
+        near_dup_threshold=0.99,
+    )
+    curated, stats = curate_documents(spark, docs, cfg)
+    assert {r.doc_id for r in curated.collect()} == {1}
+    prov = curate_documents(spark, docs, cfg, return_provenance=True)[2]
+    dropped = {r.doc_id: r.stage for r in prov.collect()}
+    assert dropped[2] == "quality" and dropped[3] == "quality"
+
+    off, _ = curate_documents(
+        spark, docs,
+        CurationConfig(min_tokens=5, max_stopword_ratio=None,
+                       near_dup_threshold=0.99),
+    )
+    assert {r.doc_id for r in off.collect()} == {1, 2, 3}

@@ -2237,3 +2237,31 @@ def test_curate_stream_over_compacted_bundles(spark, tmp_path):
     curate_stream(spark, cfg).awaitTermination(180)
     got = sorted(r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect())
     assert got == [1, 2, 11]  # 10 deduped against bundle-delivered history
+
+
+def test_curate_stream_gopher_rules_gate(spark, tmp_path):
+    """gopher_rules=True in the stream drops a Gopher-failing doc at
+    the quality stage (counted in n_filtered), same predicate as the
+    batch pipeline."""
+    from lakeflush_spark.streaming.curation import CurationStreamConfig, curate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        gopher_rules=True,
+    )
+    good = (
+        "the quick brown fox jumps over that lazy sleeping dog again " * 6
+    ).strip()
+    bullets = "\n".join(["- " + good.split(" ", 1)[1]] * 19 + [good])
+    _add_parquet_file(spark, tmp_path, src, "b1", [(1, good), (2, bullets)])
+    curate_stream(spark, cfg).awaitTermination(180)
+    assert [r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect()] == [1]
+    stats = spark.read.parquet(cfg.stats_dir).collect()
+    assert stats[0].n_filtered == 1 and stats[0].n_out == 1

@@ -32,6 +32,7 @@ from lakeflush_spark.operators.mixing import (
     sample_fraction,
     sharded_prefix_sum,
     take_token_budget,
+    temperature_weights,
 )
 from lakeflush_spark.operators.lm_filter import (
     lm_logprob_scores,
@@ -100,6 +101,7 @@ __all__ = [
     "mix_sources",
     "sample_fraction",
     "take_token_budget",
+    "temperature_weights",
     "train_bigram_lm",
     "train_bpe",
     "word_histogram",

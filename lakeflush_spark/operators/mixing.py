@@ -267,3 +267,59 @@ def take_token_budget(
     return summed.where(
         limit.isNotNull() & (F.col("_preceding_tokens") < limit)
     ).select(*df.columns)
+
+
+def temperature_weights(
+    counts: DataFrame,
+    count_col: str,
+    key_col: str = "source",
+    alpha: float = 0.5,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Temperature-resampled mixing weights: w_k ∝ count_k**alpha.
+
+    The published low-resource up-sampling recipe (mT5/UniMax
+    "temperature sampling"): alpha=1 reproduces natural proportions,
+    alpha→0 approaches uniform, alpha=0.5 is the common middle ground.
+    Returns one row per key: (key_col, weight, share_x{scale}) where
+    ``weight = floor(scale * count**alpha)`` (BIGINT) and
+    ``share_x{scale}`` is the integer-rounded normalized share
+    ``round_half_up(scale * weight / Σ weight)``.
+
+    Exactness: for alpha=0.5 the power is ``sqrt`` — correctly rounded
+    under IEEE-754 in every engine — so weight and share are
+    bit-identical cross-engine (the q60 'temp' oracle relies on this).
+    Other alphas go through ``pow``, which libms round differently in
+    the last ulp; results are then deterministic per engine but not
+    oracle-exact.
+
+    Scale stance: ``counts`` is the already-aggregated per-source
+    frame (|sources| rows) — it is coalesced to ONE partition first,
+    so the Σ-weight combine needs no SinglePartition exchange (a
+    1-partition child already satisfies AllTuples) and the share join
+    is a 1-row broadcast. Nothing corpus-sized moves; do NOT pass a
+    per-document frame.
+    """
+    c = F.col(count_col).cast("double")
+    p = F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(float(alpha)))
+    w = counts.coalesce(1).select(
+        F.col(key_col),
+        F.floor(F.lit(float(scale)) * p).cast("bigint").alias("weight"),
+    )
+    tot = w.select(F.sum("weight").alias("_tot"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            key_col,
+            "weight",
+            _round_half_up_int(F.lit(scale) * F.col("weight"), F.col("_tot")).alias(
+                f"share_x{scale}"
+            ),
+        )
+    )
+
+
+def _round_half_up_int(num: Column, den: Column) -> Column:
+    """round-half-up(num/den) for positive BIGINTs, exactly (the
+    functions/text.py trick: floor((2*num + den) / (2*den)))."""
+    return F.floor((F.lit(2) * num + den) / (F.lit(2) * den)).cast("bigint")

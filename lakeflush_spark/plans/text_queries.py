@@ -483,6 +483,18 @@ _SAMPLE_PCT = 10
         -- within the sketch's eps-rank contract and the driver
         -- hash-checks the assertion). A failing source hashes 0/0.
         SELECT 'card_q', source, 1, 1 FROM srctok
+        UNION ALL
+        -- 'temp' (r9): temperature-resampled mixing weights (alpha=0.5
+        -- => sqrt, correctly rounded under IEEE-754 in both engines,
+        -- so the floor/integer share arithmetic is bit-identical)
+        SELECT 'temp', source, w,
+               ((2 * (10000 * w) + tw) // (2 * tw))::BIGINT
+        FROM (SELECT source,
+                     CAST(FLOOR(10000 * sqrt(src_tokens::DOUBLE)) AS BIGINT) AS w
+              FROM srctok)
+        CROSS JOIN (
+            SELECT SUM(CAST(FLOOR(10000 * sqrt(src_tokens::DOUBLE)) AS BIGINT))
+                   AS tw FROM srctok)
     ) ORDER BY kind, key
     """,
     "Deterministic sampling & training-mix suite, three strategies "
@@ -593,11 +605,29 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("ok"), 1).otherwise(0).cast("bigint").alias("n_docs"),
         F.when(F.col("ok"), 1).otherwise(0).cast("bigint").alias("sum_tokens"),
     )
+    # 'temp' (r9): operators/mixing.temperature_weights over the
+    # per-source token totals — alpha=0.5 (sqrt) so weight and
+    # normalized share are bit-identical to the SQL twin (see the
+    # operator docstring). The |sources|-row input reuses rep's
+    # aggregation? No — rep carries the 1-row total subtree (see
+    # card_q note); replay the slim groupBy instead.
+    from lakeflush_spark.operators.mixing import temperature_weights
+
+    srctok = d.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("src_tokens")
+    )
+    temp = temperature_weights(srctok, "src_tokens", "source").select(
+        F.lit("temp").alias("kind"),
+        F.col("source").alias("key"),
+        F.col("weight").alias("n_docs"),
+        F.col("share_x10000").alias("sum_tokens"),
+    )
     return (
         strat.unionByName(mixed)
         .unionByName(budget)
         .unionByName(card)
         .unionByName(card_top)
         .unionByName(card_q)
+        .unionByName(temp)
         .orderBy("kind", "key")
     )

@@ -238,3 +238,35 @@ def test_mix_sources_column_weight_out_of_range_raises(spark):
     assert "weight out of [0, 1]" in str(ei.value)
     # NULL weights still mean "drop", no error
     assert mix_sources(df, F.lit(None).cast("double")).count() == 0
+
+
+def test_temperature_weights_model_and_alpha_semantics(spark):
+    """alpha=0.5 weights match the exact isqrt model and shares sum to
+    ~scale; alpha=1 reproduces natural proportions; alpha->0 flattens
+    toward uniform (smaller keys gain share)."""
+    import math
+
+    from lakeflush_spark.operators.mixing import temperature_weights
+
+    counts = [("a", 400), ("b", 100), ("c", 2500)]
+    df = spark.createDataFrame(counts, "source string, n long")
+
+    half = {r.source: (r.weight, r.share_x10000)
+            for r in temperature_weights(df, "n").collect()}
+    model_w = {k: math.floor(10000 * math.sqrt(v)) for k, v in counts}
+    tot = sum(model_w.values())
+    for k, v in counts:
+        assert half[k][0] == model_w[k]
+        assert half[k][1] == (2 * 10000 * model_w[k] + tot) // (2 * tot)
+    assert abs(sum(s for _, s in half.values()) - 10000) <= len(counts)
+
+    nat = {r.source: r.share_x10000
+           for r in temperature_weights(df, "n", alpha=1.0).collect()}
+    assert nat["c"] > nat["a"] > nat["b"]
+    assert abs(nat["c"] - 8333) <= 1  # 2500/3000
+
+    cold = {r.source: r.share_x10000
+            for r in temperature_weights(df, "n", alpha=0.1).collect()}
+    # flattening: the small source gains share as alpha drops
+    assert cold["b"] > half["b"][1] > nat["b"]
+    assert cold["c"] < half["c"][1] < nat["c"]

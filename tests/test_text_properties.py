@@ -219,3 +219,72 @@ def test_repeated_spans_alignment_free(spark, seed, offsets, window):
     if anchor_exists:
         assert hits, f"shared passage missed at offsets {offsets}"
         assert all(r.n_docs == len(rows) for r in hits)
+
+
+# ---- Gopher flags model (operators/quality.py) ----------------------------
+
+_gopher_unit = st.one_of(
+    st.sampled_from(
+        ["the", "be", "with", "fox", "#", "...", "....", "12345", "-", "…",
+         "", "a#b...", "mixed123"]
+    ),
+    st.sampled_from(["x\n- y", "end...\nnext", "p\n…", "\n", "-lead", "*s"]),
+)
+_gopher_doc = st.lists(_gopher_unit, min_size=1, max_size=40).map(" ".join)
+
+
+def _count_nonoverlap(s: str, sub: str) -> int:
+    i = c = 0
+    while (i := s.find(sub, i)) != -1:
+        c += 1
+        i += len(sub)
+    return c
+
+
+def _gopher_model(text: str) -> int:
+    from lakeflush_spark.functions.text import GOPHER_STOPWORDS
+
+    toks = text.split(" ")
+    n = len(toks)
+    total = sum(len(t) for t in toks)
+    sym = text.count("#") + _count_nonoverlap(text, "...")
+    lines = text.split("\n")
+    nl = len(lines)
+    bullets = sum(
+        l.lstrip(" ").startswith(("-", "*", "•")) for l in lines
+    )
+    ell = sum(l.rstrip(" ").endswith(("...", "…")) for l in lines)
+    alpha = sum(any(c.isascii() and c.isalpha() for c in t) for t in toks)
+    stops = sum(w in toks for w in GOPHER_STOPWORDS)
+    f = 0
+    f |= 1 if (n < 50 or n > 100_000) else 0
+    f |= 2 if (total < 3 * n or total > 10 * n) else 0
+    f |= 4 if 10 * sym >= n else 0
+    f |= 8 if 10 * bullets > 9 * nl else 0
+    f |= 16 if 10 * ell > 3 * nl else 0
+    f |= 32 if 5 * alpha < 4 * n else 0
+    f |= 64 if stops < 2 else 0
+    return f
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_gopher_doc, min_size=1, max_size=10))
+def test_gopher_flags_match_python_model(spark, docs):
+    """The 7-rule bitmask agrees with an independent Python model on
+    generated text with embedded newlines, bullets, ellipses (ASCII
+    and unicode), symbol runs, and empty tokens."""
+    from lakeflush_spark.operators.quality import gopher_flags
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i LONG, text STRING"
+    )
+    rows = df.select("i", "text", gopher_flags("text").alias("f")).collect()
+    for r in rows:
+        assert r.f == _gopher_model(r.text), (
+            f"mismatch for text={r.text!r}: spark={r.f} "
+            f"model={_gopher_model(r.text)}"
+        )

@@ -438,3 +438,53 @@ def alpha_word_ratio_4dp(text: Column | str) -> Column:
     return _round_half_up_div(
         F.lit(10000) * alpha_word_hits(text), token_count(text)
     ).cast("double") / F.lit(10000.0)
+
+
+def dup_line_ratio_4dp(text: Column | str) -> Column:
+    """Fraction of lines that are repeats of an earlier line
+    (MassiveText's duplicate-line filter signal), 4dp half-up exact:
+    (nlines - distinct lines) / nlines."""
+
+    def build(ls: Column) -> Column:
+        nl = F.size(ls).cast("bigint")
+        dup = nl - F.size(F.array_distinct(ls)).cast("bigint")
+        return _round_half_up_div(F.lit(10000) * dup, nl).cast("double") / F.lit(
+            10000.0
+        )
+
+    return bind(doc_lines(text), build)
+
+
+def dup_line_char_ratio_4dp(text: Column | str) -> Column:
+    """Fraction of characters in repeated line occurrences (all
+    occurrences AFTER the first of each line value), 4dp half-up
+    exact. Denominator = total line characters (separators excluded);
+    0.0 for all-empty lines."""
+
+    def build(ls: Column) -> Column:
+        tot = F.aggregate(
+            F.transform(ls, lambda l: F.length(l).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        first = F.aggregate(
+            F.transform(F.array_distinct(ls), lambda l: F.length(l).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(
+            tot > 0,
+            _round_half_up_div(F.lit(10000) * (tot - first), tot).cast("double")
+            / F.lit(10000.0),
+        ).otherwise(F.lit(0.0))
+
+    return bind(doc_lines(text), build)
+
+
+def strip_duplicate_lines(text: Column | str) -> Column:
+    """Rewrite the document keeping only the FIRST occurrence of each
+    line (``array_distinct`` preserves first-occurrence order in
+    Spark). The published in-document repetition scrub; map-only.
+    Not oracle-twinned: DuckDB's list_distinct does not document
+    order preservation — unit-tested instead."""
+    return F.concat_ws("\n", F.array_distinct(doc_lines(text)))

@@ -116,6 +116,24 @@ _SQL_ELLIPSIS = (
     " l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::BIGINT"
 )
 _SQL_ALPHA = f"len(list_filter({_TOKS}, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT"
+_SQL_DUPLN = (
+    f"({_SQL_NLINES} - len(list_distinct({_SQL_LINES}))::BIGINT)"
+)
+_SQL_LINECH = (
+    f"COALESCE(list_sum(list_transform({_SQL_LINES}, l -> length(l))), 0)::BIGINT"
+)
+_SQL_LINECH_1ST = (
+    "COALESCE(list_sum(list_transform(list_distinct("
+    f"{_SQL_LINES}), l -> length(l))), 0)::BIGINT"
+)
+_SQL_DUP_LINE_4DP = _sql_round_half_up_div(f"10000 * {_SQL_DUPLN}", _SQL_NLINES)
+_SQL_DUP_LINE_CH_4DP = (
+    f"CASE WHEN {_SQL_LINECH} > 0 THEN "
+    + _sql_round_half_up_div(
+        f"10000 * ({_SQL_LINECH} - {_SQL_LINECH_1ST})", _SQL_LINECH
+    )
+    + " ELSE 0.0 END"
+)
 
 
 def _sql_gopher_stops() -> str:
@@ -178,6 +196,8 @@ def _sql_lang_case() -> str:
            {_sql_round_half_up_div(f"10000 * {_SQL_ELLIPSIS}", _SQL_NLINES)}
                AS ellipsis_ratio,
            {_sql_round_half_up_div(f"10000 * {_SQL_ALPHA}", _SQL_NI)} AS alpha_ratio,
+           {_SQL_DUP_LINE_4DP} AS dup_line_ratio,
+           {_SQL_DUP_LINE_CH_4DP} AS dup_line_char_ratio,
            {_sql_gopher_flags()} AS gopher_flags,
            lang,
            {_sql_lang_case()} AS lang_pred
@@ -202,6 +222,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.functions.text import (
         alpha_word_ratio_4dp,
         bullet_line_ratio_4dp,
+        dup_line_char_ratio_4dp,
+        dup_line_ratio_4dp,
         ellipsis_line_ratio_4dp,
         symbol_word_ratio_4dp,
     )
@@ -226,6 +248,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             bullet_line_ratio_4dp("text").alias("bullet_ratio"),
             ellipsis_line_ratio_4dp("text").alias("ellipsis_ratio"),
             alpha_word_ratio_4dp("text").alias("alpha_ratio"),
+            dup_line_ratio_4dp("text").alias("dup_line_ratio"),
+            dup_line_char_ratio_4dp("text").alias("dup_line_char_ratio"),
             gopher_flags("text").alias("gopher_flags"),
             "lang",
             lang_id("text").alias("lang_pred"),

@@ -137,3 +137,34 @@ def test_flags_match_oracle_arithmetic(spark):
            df.select("i", gopher_flags("text").alias("f")).collect()}
     for i, d in enumerate(docs):
         assert got[i] == model(d), f"doc {i}: spark={got[i]} model={model(d)}"
+
+
+def test_dup_line_metrics_and_strip(spark):
+    """MassiveText duplicate-line signals: ratio counts repeat lines,
+    char ratio counts chars in occurrences after the first; strip
+    keeps first occurrences in order."""
+    from lakeflush_spark.functions.text import (
+        dup_line_char_ratio_4dp,
+        dup_line_ratio_4dp,
+        strip_duplicate_lines,
+    )
+
+    doc = "aaaa\nbb\naaaa\ncc\naaaa"  # 5 lines, 'aaaa' x3
+    df = spark.createDataFrame([(doc,), ("no newlines here",), ("",)],
+                               "text string")
+    rows = df.select(
+        "text",
+        dup_line_ratio_4dp("text").alias("dlr"),
+        dup_line_char_ratio_4dp("text").alias("dlcr"),
+        strip_duplicate_lines("text").alias("stripped"),
+    ).collect()
+    by = {r.text: r for r in rows}
+    # 2 repeated occurrences / 5 lines
+    assert by[doc].dlr == 0.4
+    # chars: total 4+2+4+2+4=16, first-occurrence 4+2+2=8 -> 8/16
+    assert by[doc].dlcr == 0.5
+    assert by[doc].stripped == "aaaa\nbb\ncc"
+    assert by["no newlines here"].dlr == 0.0
+    assert by["no newlines here"].dlcr == 0.0
+    assert by["no newlines here"].stripped == "no newlines here"
+    assert by[""].dlcr == 0.0  # zero-char guard

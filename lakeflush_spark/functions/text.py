@@ -488,3 +488,101 @@ def strip_duplicate_lines(text: Column | str) -> Column:
     Not oracle-twinned: DuckDB's list_distinct does not document
     order preservation — unit-tested instead."""
     return F.concat_ws("\n", F.array_distinct(doc_lines(text)))
+
+
+# --------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, §2.2) and MassiveText's
+# top-n-gram coverage signal (Rae et al. 2021, A1.1 repetition table)
+# --------------------------------------------------------------------------
+
+#: a C4-kept line ends in terminal punctuation (period, !, ?, closing
+#: quote); regex meaning identical in Java regex and RE2/DuckDB
+C4_TERMINAL_RE = '[.!?"”]$'
+#: C4 keeps only lines with at least 5 words
+C4_MIN_LINE_WORDS = 5
+
+
+def c4_keep_line(line: Column) -> Column:
+    """C4's per-line retention predicate: >= 5 words, ends in terminal
+    punctuation, and no 'javascript' (case-insensitive)."""
+    return (
+        (F.size(F.split(line, TOKEN_SEP)) >= C4_MIN_LINE_WORDS)
+        & F.rtrim(line).rlike(C4_TERMINAL_RE)
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_kept_lines(text: Column | str) -> Column:
+    return F.filter(doc_lines(text), c4_keep_line)
+
+
+def c4_clean(text: Column | str) -> Column:
+    """Rewrite the document keeping only C4-retained lines (original
+    order). Map-only JVM expression — scan speed at any scale."""
+    return F.concat_ws("\n", c4_kept_lines(text))
+
+
+def c4_kept_line_ratio_4dp(text: Column | str) -> Column:
+    """Fraction of lines C4's line filter retains, 4dp half-up exact."""
+    nl = F.size(doc_lines(text)).cast("bigint")
+    kept = F.size(c4_kept_lines(text)).cast("bigint")
+    return _round_half_up_div(F.lit(10000) * kept, nl).cast("double") / F.lit(
+        10000.0
+    )
+
+
+def sentence_terminator_count(text: Column | str) -> Column:
+    """Count of sentence terminators ([.!?]) — the sentence-count
+    proxy C4's >= 3-sentence page rule needs."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit("[.!?]")).cast("bigint")
+
+
+def top_2gram_char_ratio_4dp(text: Column | str) -> Column:
+    """Fraction of document characters covered by the most frequent
+    word 2-gram (MassiveText's top-n-gram repetition signal), 4dp
+    half-up exact.
+
+    Coverage = count(g) * chars(g) for the most frequent gram g; ties
+    on count break toward the LARGEST coverage (deterministic in both
+    engines). Denominator = length(text); 0.0 when the doc has < 2
+    tokens or no characters. O(distinct-grams x grams) per row, all
+    JVM higher-order functions over one bound gram array — no shuffle.
+    """
+
+    def build(g: Column) -> Column:
+        dist = F.array_distinct(g)
+        pairs = F.transform(
+            dist,
+            lambda d: F.struct(
+                F.size(F.filter(g, lambda x: x == d)).cast("bigint").alias("c"),
+                F.length(d).cast("bigint").alias("L"),
+            ),
+        )
+
+        def build2(p: Column) -> Column:
+            maxc = F.array_max(F.transform(p, lambda s: s["c"]))
+
+            def build3(mc: Column) -> Column:
+                return F.array_max(
+                    F.transform(
+                        p,
+                        lambda s: F.when(s["c"] == mc, s["c"] * s["L"]).otherwise(
+                            F.lit(0).cast("bigint")
+                        ),
+                    )
+                )
+
+            return bind(maxc, build3)
+
+        cov = bind(pairs, build2)
+        nch = F.length(
+            F.col(text) if isinstance(text, str) else text
+        ).cast("bigint")
+        return F.when(
+            (F.size(g) > 0) & (nch > 0),
+            _round_half_up_div(F.lit(10000) * cov, nch).cast("double")
+            / F.lit(10000.0),
+        ).otherwise(F.lit(0.0))
+
+    return bind(shingles(text, 2), build)

@@ -38,7 +38,12 @@ from lakeflush_spark.operators.lm_filter import (
     lm_logprob_scores,
     train_bigram_lm,
 )
-from lakeflush_spark.operators.quality import gopher_filter, gopher_flags
+from lakeflush_spark.operators.quality import (
+    c4_filter,
+    c4_flags,
+    gopher_filter,
+    gopher_flags,
+)
 from lakeflush_spark.operators.report import (
     corpus_report,
     sketch_quantile_verdicts,
@@ -105,6 +110,8 @@ __all__ = [
     "train_bigram_lm",
     "train_bpe",
     "word_histogram",
+    "c4_filter",
+    "c4_flags",
     "gopher_filter",
     "gopher_flags",
     "media_metadata",

@@ -75,6 +75,56 @@ def gopher_flags(text: Column | str = "text") -> Column:
     )
 
 
+def c4_flags(text: Column | str = "text") -> Column:
+    """BIGINT bitmask of failed C4 page rules (Raffel et al. 2020,
+    §2.2), applied AFTER the line filter where the paper does:
+
+      bit 0  cleaned text has fewer than 3 sentence terminators
+             (the >= 3-sentences page rule, on C4-retained lines)
+      bit 1  raw text contains 'lorem ipsum' (case-insensitive)
+      bit 2  raw text contains '{' (code page)
+
+    The paper's bad-words-list rule is deliberately out of scope —
+    the list is a deployment policy choice; plug it in as an extra
+    predicate on the same cleaned column. 0 == page passes. Exact
+    integer/substring tests only, so the DuckDB twin in
+    plans/text_queries.py agrees bit-for-bit. Map-only, no Python.
+    """
+    from lakeflush_spark.functions.text import (
+        c4_clean,
+        sentence_terminator_count,
+    )
+
+    raw = F.col(text) if isinstance(text, str) else text
+
+    def bit(i: int, failed: Column) -> Column:
+        return F.when(failed, F.lit(1 << i)).otherwise(F.lit(0)).cast("bigint")
+
+    return (
+        bit(0, sentence_terminator_count(c4_clean(text)) < 3)
+        + bit(1, F.lower(raw).contains("lorem ipsum"))
+        + bit(2, raw.contains("{"))
+    )
+
+
+def c4_filter(
+    docs: DataFrame, text_col: str = "text", keep_flags: bool = False
+) -> DataFrame:
+    """C4 cleanup: rewrite each doc to its line-filtered form, then
+    drop pages failing any C4 page rule. The surviving ``text_col``
+    holds the CLEANED text (what C4 publishes); flags of dropped docs
+    are what an audit wants — project ``c4_flags`` before filtering
+    for that.
+    """
+    from lakeflush_spark.functions.text import c4_clean
+
+    flagged = docs.withColumn("c4_flags", c4_flags(text_col))
+    kept = flagged.where(F.col("c4_flags") == 0).withColumn(
+        text_col, c4_clean(text_col)
+    )
+    return kept if keep_flags else kept.drop("c4_flags")
+
+
 def gopher_filter(
     docs: DataFrame, text_col: str = "text", keep_flags: bool = False
 ) -> DataFrame:

@@ -136,6 +136,61 @@ _SQL_DUP_LINE_CH_4DP = (
 )
 
 
+# ---- C4 twins (operators/quality.py c4_flags; functions/text.py
+# c4_clean — same predicates, same evaluation order). The corpus is
+# single-line with no terminal punctuation, so the C4 columns are
+# computed over a DETERMINISTIC line-structured view derived in BOTH
+# engines (a sentence break before each 'table' token): otherwise the
+# driver hash would compare constants — no verification strength. ----------
+
+#: literal, non-overlapping left-to-right in both engines
+_SQL_LTEXT = "replace(text, ' table ', '.' || chr(10) || 'table ')"
+_SQL_LLINES = "string_split(ltext, chr(10))"
+_SQL_LNLINES = f"len({_SQL_LLINES})::BIGINT"
+_SQL_C4_KEPT = (
+    f"list_filter({_SQL_LLINES}, l -> "
+    "len(string_split(l, ' ')) >= 5"
+    " AND regexp_matches(rtrim(l), '[.!?\"”]$')"
+    " AND NOT contains(lower(l), 'javascript'))"
+)
+# COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+_SQL_C4_CLEAN = f"COALESCE(array_to_string({_SQL_C4_KEPT}, chr(10)), '')"
+_SQL_C4_SENT = f"len(regexp_extract_all({_SQL_C4_CLEAN}, '[.!?]'))::BIGINT"
+_SQL_C4_RATIO_4DP = _sql_round_half_up_div(
+    f"10000 * len({_SQL_C4_KEPT})::BIGINT", _SQL_LNLINES
+)
+_SQL_C4_FLAGS = (
+    f"(CASE WHEN {_SQL_C4_SENT} < 3 THEN 1 ELSE 0 END"
+    " + CASE WHEN contains(lower(ltext), 'lorem ipsum') THEN 2 ELSE 0 END"
+    " + CASE WHEN contains(ltext, chr(123)) THEN 4 ELSE 0 END)::BIGINT"
+)
+
+# ---- MassiveText top-2-gram coverage (functions/text.py
+# top_2gram_char_ratio_4dp). The gram/count arrays are built in chained
+# CTEs (t2/t3/t4) so each is evaluated once per row, mirroring the
+# Spark builder's bind() structure. -----------------------------------------
+
+_SQL_G2 = (
+    f"CASE WHEN {_N} >= 2 THEN list_transform(range(1, {_N}), "
+    "i -> toks[i] || ' ' || toks[i+1]) "
+    "ELSE [] END"
+)
+_SQL_G2_PAIRS = (
+    "list_transform(list_distinct(g2), d -> struct_pack("
+    "c := len(list_filter(g2, x -> x = d))::BIGINT, "
+    "L := length(d)::BIGINT))"
+)
+_SQL_G2_COV = (
+    "list_max(list_transform(g2p, "
+    "s -> CASE WHEN s.c = g2maxc THEN s.c * s.L ELSE 0::BIGINT END))"
+)
+_SQL_TOP2_4DP = (
+    "CASE WHEN len(g2p) > 0 AND length(text) > 0 THEN "
+    + _sql_round_half_up_div(f"10000 * {_SQL_G2_COV}", "length(text)::BIGINT")
+    + " ELSE 0.0 END"
+)
+
+
 def _sql_gopher_stops() -> str:
     from lakeflush_spark.functions.text import GOPHER_STOPWORDS
 
@@ -177,7 +232,12 @@ def _sql_lang_case() -> str:
 @declare(
     "q18_text_metrics",
     f"""
-    WITH t AS (SELECT doc_id, text, lang, {_TOKS} AS toks FROM documents)
+    WITH t AS (SELECT doc_id, text, lang, {_TOKS} AS toks,
+                      {_SQL_LTEXT} AS ltext FROM documents),
+         t2 AS (SELECT *, {_SQL_G2} AS g2 FROM t),
+         t3 AS (SELECT *, {_SQL_G2_PAIRS} AS g2p FROM t2),
+         t4 AS (SELECT *, list_max(list_transform(g2p, s -> s.c)) AS g2maxc
+                FROM t3)
     SELECT doc_id,
            {_N}::BIGINT AS n_tokens,
            len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))::BIGINT AS n_bpe_tokens,
@@ -199,9 +259,13 @@ def _sql_lang_case() -> str:
            {_SQL_DUP_LINE_4DP} AS dup_line_ratio,
            {_SQL_DUP_LINE_CH_4DP} AS dup_line_char_ratio,
            {_sql_gopher_flags()} AS gopher_flags,
+           {_SQL_C4_RATIO_4DP} AS c4_kept_ratio,
+           {_SQL_C4_FLAGS} AS c4_flags,
+           md5({_SQL_C4_CLEAN}) AS c4_clean_md5,
+           {_SQL_TOP2_4DP} AS top2_char_ratio,
            lang,
            {_sql_lang_case()} AS lang_pred
-    FROM t
+    FROM t4
     ORDER BY doc_id
     """,
     "Per-document text metrics in ONE map-only pass: token/char counts, "
@@ -214,7 +278,11 @@ def _sql_lang_case() -> str:
     "(operators/quality.py — Rae et al. 2021 A1.1): symbol/bullet/"
     "ellipsis/alpha ratios and the 7-rule failed-flag bitmask, every "
     "threshold an integer comparison so both engines agree bit-for-bit. "
-    "Scan-speed at any scale. "
+    "r9 also adds the MassiveText repetition family (duplicate-line "
+    "ratio/char-ratio, top-2-gram char coverage) and the C4 §2.2 cleaner "
+    "(line filter + page flags + md5 of the rewritten text, computed over "
+    "a deterministic line-structured view since the corpus is "
+    "single-line). Scan-speed at any scale. "
     "(r2: merged q18+q19+q21; r3: merged q20 — per-doc lang ID is a "
     "stronger check than the old agreement matrix.)",
 )
@@ -222,12 +290,23 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.functions.text import (
         alpha_word_ratio_4dp,
         bullet_line_ratio_4dp,
+        c4_clean,
+        c4_kept_line_ratio_4dp,
         dup_line_char_ratio_4dp,
         dup_line_ratio_4dp,
         ellipsis_line_ratio_4dp,
         symbol_word_ratio_4dp,
+        top_2gram_char_ratio_4dp,
     )
-    from lakeflush_spark.operators.quality import gopher_flags
+    from lakeflush_spark.operators.quality import c4_flags, gopher_flags
+
+    def _ltext():
+        # the oracle's deterministic line-structured view (see
+        # _SQL_LTEXT): literal replace, both engines left-to-right
+        # non-overlapping
+        return F.replace(
+            F.col("text"), F.lit(" table "), F.lit(".\ntable ")
+        )
 
     return (
         spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
@@ -251,6 +330,10 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup_line_ratio_4dp("text").alias("dup_line_ratio"),
             dup_line_char_ratio_4dp("text").alias("dup_line_char_ratio"),
             gopher_flags("text").alias("gopher_flags"),
+            c4_kept_line_ratio_4dp(_ltext()).alias("c4_kept_ratio"),
+            c4_flags(_ltext()).alias("c4_flags"),
+            F.md5(c4_clean(_ltext())).alias("c4_clean_md5"),
+            top_2gram_char_ratio_4dp("text").alias("top2_char_ratio"),
             "lang",
             lang_id("text").alias("lang_pred"),
         )

@@ -168,3 +168,67 @@ def test_dup_line_metrics_and_strip(spark):
     assert by["no newlines here"].dlcr == 0.0
     assert by["no newlines here"].stripped == "no newlines here"
     assert by[""].dlcr == 0.0  # zero-char guard
+
+
+def test_c4_line_filter_and_flags(spark):
+    """C4 §2.2: keep lines with >=5 words ending in terminal punct and
+    no 'javascript'; page flags = <3 sentences / lorem ipsum / brace."""
+    import pyspark.sql.functions as F
+
+    from lakeflush_spark.functions.text import (
+        c4_clean,
+        c4_kept_line_ratio_4dp,
+    )
+    from lakeflush_spark.operators.quality import c4_filter, c4_flags
+
+    good = "one two three four five.\nsix seven eight nine ten!\na b c d e?"
+    docs = [
+        good,                                   # 3 kept lines, 3 sentences
+        "short line.\nthis line has five words.",  # 1 kept -> <3 sentences
+        "enable JavaScript to view this page.\n" + good,  # js line dropped
+        good + "\nlorem ipsum dolor sit amet.",  # lorem ipsum page flag
+        "if (x) { return y; } one two.\n" + good,  # brace page flag
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "i int, text string")
+    rows = {r.i: r for r in df.select(
+        "i",
+        c4_clean("text").alias("clean"),
+        c4_kept_line_ratio_4dp("text").alias("ratio"),
+        c4_flags("text").alias("flags"),
+    ).collect()}
+    assert rows[0].clean == good and rows[0].flags == 0
+    assert rows[0].ratio == 1.0
+    assert rows[1].clean == "this line has five words." and rows[1].flags == 1
+    assert rows[2].clean == good and rows[2].flags == 0
+    assert rows[2].ratio == 0.75
+    assert rows[3].flags == 2  # enough sentences, but lorem ipsum
+    assert rows[4].flags == 4  # brace page (the js-free lines still kept)
+
+    kept = c4_filter(df, "text")
+    out = {r.i: r.text for r in kept.collect()}
+    assert set(out) == {0, 2}           # pages 1,3,4 dropped
+    assert out[2] == good               # and text is the CLEANED rewrite
+    audit = c4_filter(df, "text", keep_flags=True)
+    assert "c4_flags" in audit.columns
+    assert {r.c4_flags for r in audit.collect()} == {0}
+
+
+def test_top_2gram_char_ratio(spark):
+    """MassiveText top-n-gram coverage: most frequent 2-gram's chars /
+    doc chars, ties broken toward larger coverage."""
+    from lakeflush_spark.functions.text import top_2gram_char_ratio_4dp
+
+    # "a b" occurs 2x (len 3) -> coverage 6; text len 11 ("a b a b c d")
+    doc = "a b a b c d"
+    # tie on count=1: grams "xx yy"(5), "yy z"(4) -> max coverage 5, len 7
+    tie = "xx yy z"
+    df = spark.createDataFrame([(0, doc), (1, tie), (2, "solo"), (3, "")],
+                               "i int, text string")
+    got = {r.i: r.r for r in df.select(
+        "i", top_2gram_char_ratio_4dp("text").alias("r")).collect()}
+    # exact half-up checks
+    assert got[0] == 0.5455   # 60000/11 = 5454.54 -> 5455
+    assert got[1] == 0.7143   # 50000/7 = 7142.85 -> 7143
+    assert got[2] == 0.0      # < 2 tokens
+    assert got[3] == 0.0      # empty text

@@ -59,6 +59,21 @@ class CurationConfig:
     #: alpha-word ratio, stop-word presence. Off by default: the rules
     #: assume natural-language prose and would gut code corpora.
     gopher_rules: bool = False
+    #: True = C4 cleanup (Raffel et al. 2020 §2.2, operators/quality):
+    #: pages failing the C4 page rules (< 3 sentences on retained
+    #: lines, 'lorem ipsum', '{') are dropped in the quality gate, and
+    #: SURVIVORS' text is rewritten to its line-filtered form before
+    #: any dedup stage — so dedup keys/shingles see the cleaned text.
+    #: The annotation metrics (n_tokens/stop_ratio/lang_pred) describe
+    #: the PRE-clean text (the strip-mode precedent). Off by default
+    #: for the same reason as gopher_rules: assumes prose.
+    c4_rules: bool = False
+    #: True = rewrite surviving docs keeping only the FIRST occurrence
+    #: of each line (functions/text.strip_duplicate_lines — the
+    #: MassiveText in-document repetition scrub). Runs after the C4
+    #: rewrite (when both are on) and before any dedup stage, so
+    #: dedup keys see the scrubbed text. Map-only.
+    strip_dup_lines: bool = False
     near_dup_threshold: float = 0.85  # Jaccard on 3-shingles
     #: 0 = single-pass greedy resolution (drop every doc that pairs with
     #: a lower id). N > 0 = N rounds of iterative independent-set
@@ -158,6 +173,7 @@ def quality_keep_condition(
     max_stopword_ratio: float | None,
     allowed_langs: tuple[str, ...] | None,
     gopher_flags_col: "F.Column | None" = None,
+    c4_flags_col: "F.Column | None" = None,
 ) -> "F.Column":
     """THE quality-gate predicate, shared by the batch pipeline and
     ``streaming/curation.py`` so the two can never drift. Callers pass
@@ -166,7 +182,9 @@ def quality_keep_condition(
 
     ``gopher_flags_col`` (r9): pass ``operators.quality.gopher_flags``
     to additionally require all seven Gopher rules to pass (bitmask
-    == 0); None keeps the gate as before.
+    == 0); None keeps the gate as before. ``c4_flags_col`` (r9) is the
+    same contract for the C4 page rules (``operators.quality.
+    c4_flags``); the caller owns the post-gate ``c4_clean`` rewrite.
     """
     keep = F.lit(True)
     if min_tokens is not None:
@@ -179,6 +197,8 @@ def quality_keep_condition(
         keep = keep & lang_pred.isin(*allowed_langs)
     if gopher_flags_col is not None:
         keep = keep & (gopher_flags_col == 0)
+    if c4_flags_col is not None:
+        keep = keep & (c4_flags_col == 0)
     return keep
 
 
@@ -277,7 +297,7 @@ def curate_documents(
         lang_id(tc).alias("lang_pred"),
     )
 
-    from lakeflush_spark.operators.quality import gopher_flags
+    from lakeflush_spark.operators.quality import c4_flags, gopher_flags
 
     keep = quality_keep_condition(
         F.col("n_tokens"),
@@ -288,8 +308,20 @@ def curate_documents(
         cfg.max_stopword_ratio,
         cfg.allowed_langs,
         gopher_flags_col=gopher_flags(tc) if cfg.gopher_rules else None,
+        c4_flags_col=c4_flags(tc) if cfg.c4_rules else None,
     )
     filtered = annotated.where(keep)
+    if cfg.c4_rules:
+        # survivors carry the C4 line-cleaned text into every dedup
+        # stage (shingles/digests key on the cleaned form); the
+        # annotation metrics above describe the pre-clean text
+        from lakeflush_spark.functions.text import c4_clean
+
+        filtered = filtered.withColumn(tc, c4_clean(tc))
+    if cfg.strip_dup_lines:
+        from lakeflush_spark.functions.text import strip_duplicate_lines
+
+        filtered = filtered.withColumn(tc, strip_duplicate_lines(tc))
 
     prov: list[DataFrame] = []
 

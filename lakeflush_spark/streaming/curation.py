@@ -104,6 +104,16 @@ class CurationStreamConfig:
     #: quality.gopher_flags == 0) — same predicate the batch
     #: CurationConfig.gopher_rules drives, so batch/stream can't drift
     gopher_rules: bool = False
+    #: True = C4 cleanup (operators/quality.c4_flags + functions/text.
+    #: c4_clean), the batch CurationConfig.c4_rules twin driven through
+    #: the SAME shared predicate: failing pages drop in the quality
+    #: gate (counted in n_filtered), survivors' text is rewritten to
+    #: its line-filtered form before any dedup stage
+    c4_rules: bool = False
+    #: True = rewrite survivors keeping the first occurrence of each
+    #: line (the batch CurationConfig.strip_dup_lines twin; runs after
+    #: the C4 rewrite, before any dedup stage)
+    strip_dup_lines: bool = False
     #: near-dup gate: estimated-Jaccard threshold (see StreamNearDupConfig)
     near_dup_threshold: float = 0.7
     near_dup_max_bucket: int | None = None
@@ -316,7 +326,7 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
         # expressions (stopword filter, lang profiles) each re-split
         # the text and sit outside codegen, so the stats agg and the
         # filter below must read the flag, not re-run the expressions
-        from lakeflush_spark.operators.quality import gopher_flags
+        from lakeflush_spark.operators.quality import c4_flags, gopher_flags
         from lakeflush_spark.pipelines import quality_keep_condition
 
         cond = quality_keep_condition(
@@ -329,6 +339,9 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             cfg.allowed_langs,
             gopher_flags_col=(
                 gopher_flags(cfg.text_col) if cfg.gopher_rules else None
+            ),
+            c4_flags_col=(
+                c4_flags(cfg.text_col) if cfg.c4_rules else None
             ),
         )
         # every per-batch persist registers here; the outer finally
@@ -352,6 +365,20 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             n_in, n_q_kept = int(counts.n_in), int(counts.n_kept)
             n_filtered_in = n_q_kept
             kept = src.where(F.col("_q_keep")).drop("_q_keep")
+            if cfg.c4_rules:
+                # batch-pipeline parity: survivors carry the C4
+                # line-cleaned text into every dedup stage
+                from lakeflush_spark.functions.text import c4_clean
+
+                kept = kept.withColumn(cfg.text_col, c4_clean(cfg.text_col))
+            if cfg.strip_dup_lines:
+                from lakeflush_spark.functions.text import (
+                    strip_duplicate_lines,
+                )
+
+                kept = kept.withColumn(
+                    cfg.text_col, strip_duplicate_lines(cfg.text_col)
+                )
 
             # 1b. optional static-LM quality gate — the pinned LM joins
             # each batch with the SAME pass predicate as the batch

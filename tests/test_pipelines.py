@@ -354,3 +354,68 @@ def test_curation_gopher_rules_gate(spark):
                        near_dup_threshold=0.99),
     )
     assert {r.doc_id for r in off.collect()} == {1, 2, 3}
+
+
+def test_curation_c4_rules_gate(spark):
+    """c4_rules=True drops a sentence-poor page through the shared
+    quality gate AND rewrites survivors to the C4 line-cleaned text;
+    c4_rules=False leaves both alone."""
+    line = "the quick brown fox jumps over that lazy sleeping dog."
+    good = "\n".join([line] * 4)
+    other = "\n".join(
+        f"a {w} bird sat on the old garden fence today." .replace("bird", w)
+        for w in ("red", "blue", "green", "yellow", "purple")
+    )
+    chaff = other + "\nclick here\nmenu home about\n" + line
+    sparse = "the quick brown fox jumps over the dog again and again"  # no '.'
+    docs = spark.createDataFrame(
+        [(1, good), (2, chaff), (3, sparse)], "doc_id long, text string"
+    )
+    cfg = CurationConfig(
+        min_tokens=5, max_stopword_ratio=None, c4_rules=True,
+        near_dup_threshold=0.99,
+    )
+    curated, stats = curate_documents(spark, docs, cfg)
+    out = {r.doc_id: r.text for r in curated.collect()}
+    assert set(out) == {1, 2}
+    assert out[2] == other + "\n" + line  # chaff lines stripped
+    prov = curate_documents(spark, docs, cfg, return_provenance=True)[2]
+    dropped = {r.doc_id: r.stage for r in prov.collect()}
+    assert dropped[3] == "quality"
+
+    off, _ = curate_documents(
+        spark, docs,
+        CurationConfig(min_tokens=5, max_stopword_ratio=None,
+                       near_dup_threshold=0.99),
+    )
+    assert {r.doc_id: r.text for r in off.collect()}[2] == chaff
+
+
+def test_curation_strip_dup_lines(spark):
+    """strip_dup_lines=True scrubs repeated lines before dedup; order
+    after the C4 rewrite when both are on."""
+    base = "\n".join(
+        f"the {w} fox jumps over that lazy sleeping dog again today."
+        for w in ("red", "blue", "green")
+    )
+    doc = base + "\n" + base.split("\n")[0]  # first line repeated
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    curated, _ = curate_documents(
+        spark, docs,
+        CurationConfig(min_tokens=5, max_stopword_ratio=None,
+                       strip_dup_lines=True, near_dup_threshold=0.99),
+    )
+    assert curated.collect()[0].text == base
+
+    both, _ = curate_documents(
+        spark,
+        spark.createDataFrame(
+            [(1, doc + "\nshort chaff")], "doc_id long, text string"
+        ),
+        CurationConfig(min_tokens=5, max_stopword_ratio=None,
+                       c4_rules=True, strip_dup_lines=True,
+                       near_dup_threshold=0.99),
+    )
+    # c4 drops the chaff line, then the dup-line scrub collapses the
+    # repeated first line
+    assert both.collect()[0].text == base

@@ -2265,3 +2265,65 @@ def test_curate_stream_gopher_rules_gate(spark, tmp_path):
     assert [r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect()] == [1]
     stats = spark.read.parquet(cfg.stats_dir).collect()
     assert stats[0].n_filtered == 1 and stats[0].n_out == 1
+
+
+def test_curate_stream_c4_rules_gate(spark, tmp_path):
+    """c4_rules=True in the stream drops a C4-failing page at the
+    quality stage and rewrites survivors' text — same shared predicate
+    and same rewrite as the batch pipeline."""
+    from lakeflush_spark.streaming.curation import CurationStreamConfig, curate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        c4_rules=True,
+    )
+    line = "the quick brown fox jumps over that lazy sleeping dog."
+    good = "\n".join([line] * 4)
+    other = "\n".join(
+        f"a {w} bird sat on the old garden fence today." .replace("bird", w)
+        for w in ("red", "blue", "green", "yellow", "purple")
+    )
+    chaff = other + "\nclick here\nmenu home about\n" + line
+    sparse = "the quick brown fox jumps over the dog again and again"
+    _add_parquet_file(spark, tmp_path, src, "b1",
+                      [(1, good), (2, chaff), (3, sparse)])
+    curate_stream(spark, cfg).awaitTermination(180)
+    out = {r.doc_id: r.text for r in spark.read.parquet(cfg.dest_dir).collect()}
+    assert set(out) == {1, 2}
+    assert out[2] == other + "\n" + line
+    stats = spark.read.parquet(cfg.stats_dir).collect()
+    assert stats[0].n_filtered == 1 and stats[0].n_out == 2
+
+
+def test_curate_stream_strip_dup_lines(spark, tmp_path):
+    """strip_dup_lines=True in the stream rewrites arrivals with the
+    first-occurrence line scrub (batch parity)."""
+    from lakeflush_spark.streaming.curation import CurationStreamConfig, curate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        strip_dup_lines=True,
+    )
+    base = "\n".join(
+        f"the {w} fox jumps over that lazy sleeping dog again today."
+        for w in ("red", "blue", "green")
+    )
+    doc = base + "\n" + base.split("\n")[0]
+    _add_parquet_file(spark, tmp_path, src, "b1", [(1, doc)])
+    curate_stream(spark, cfg).awaitTermination(180)
+    out = spark.read.parquet(cfg.dest_dir).collect()
+    assert out[0].text == base

@@ -548,7 +548,47 @@ def top_2gram_char_ratio_4dp(text: Column | str) -> Column:
     engines). Denominator = length(text); 0.0 when the doc has < 2
     tokens or no characters. O(distinct-grams x grams) per row, all
     JVM higher-order functions over one bound gram array — no shuffle.
+    See ``top_kgram_char_ratio_4dp`` (the generalized form this
+    delegates to, defined below with the repetition counters).
     """
+    return top_kgram_char_ratio_4dp(text, 2)
+
+
+# --------------------------------------------------------------------------
+# MassiveText repetition counters (Rae et al. 2021, A1.1 table) —
+# exact BIGINT building blocks shared by the ratio columns and the
+# repetition-rule bitmask (operators/quality.massivetext_repetition_flags)
+# --------------------------------------------------------------------------
+
+
+def doc_paragraphs(text: Column | str) -> Column:
+    """Paragraph split (blank-line separated)."""
+    return F.split(F.col(text) if isinstance(text, str) else text, "\n\n")
+
+
+def dup_unit_count(units: Column) -> Column:
+    """Occurrences repeating an earlier unit (line or paragraph)."""
+    return (F.size(units) - F.size(F.array_distinct(units))).cast("bigint")
+
+
+def unit_char_total(units: Column) -> Column:
+    """Total characters across units (separators excluded)."""
+    return F.aggregate(
+        F.transform(units, lambda u: F.length(u).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def dup_unit_char_count(units: Column) -> Column:
+    """Characters in repeated unit occurrences (after each first)."""
+    return unit_char_total(units) - unit_char_total(F.array_distinct(units))
+
+
+def top_kgram_coverage(text: Column | str, k: int) -> Column:
+    """Characters covered by the most frequent word k-gram: count(g) *
+    chars(g), ties on count broken toward the largest coverage. BIGINT;
+    0 when the doc has fewer than k tokens."""
 
     def build(g: Column) -> Column:
         dist = F.array_distinct(g)
@@ -575,14 +615,47 @@ def top_2gram_char_ratio_4dp(text: Column | str) -> Column:
 
             return bind(maxc, build3)
 
-        cov = bind(pairs, build2)
-        nch = F.length(
-            F.col(text) if isinstance(text, str) else text
-        ).cast("bigint")
+        return F.coalesce(bind(pairs, build2), F.lit(0).cast("bigint"))
+
+    return bind(shingles(text, k), build)
+
+
+def top_kgram_char_ratio_4dp(text: Column | str, k: int) -> Column:
+    """top_kgram_coverage / doc chars, 4dp half-up exact; 0.0 for docs
+    with no k-grams or no characters."""
+    cov = top_kgram_coverage(text, k)
+    nch = F.length(F.col(text) if isinstance(text, str) else text).cast("bigint")
+    return F.when(
+        (cov > 0) & (nch > 0),
+        _round_half_up_div(F.lit(10000) * cov, nch).cast("double")
+        / F.lit(10000.0),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_para_ratio_4dp(text: Column | str) -> Column:
+    """Duplicate-paragraph fraction, 4dp half-up exact (the
+    paragraph-level twin of ``dup_line_ratio_4dp``)."""
+
+    def build(ps: Column) -> Column:
+        n = F.size(ps).cast("bigint")
+        return _round_half_up_div(
+            F.lit(10000) * dup_unit_count(ps), n
+        ).cast("double") / F.lit(10000.0)
+
+    return bind(doc_paragraphs(text), build)
+
+
+def dup_para_char_ratio_4dp(text: Column | str) -> Column:
+    """Fraction of characters in repeated paragraph occurrences, 4dp
+    half-up exact; 0.0 for all-empty paragraphs."""
+
+    def build(ps: Column) -> Column:
+        tot = unit_char_total(ps)
+        dup = dup_unit_char_count(ps)
         return F.when(
-            (F.size(g) > 0) & (nch > 0),
-            _round_half_up_div(F.lit(10000) * cov, nch).cast("double")
+            tot > 0,
+            _round_half_up_div(F.lit(10000) * dup, tot).cast("double")
             / F.lit(10000.0),
         ).otherwise(F.lit(0.0))
 
-    return bind(shingles(text, 2), build)
+    return bind(doc_paragraphs(text), build)

@@ -43,6 +43,8 @@ from lakeflush_spark.operators.quality import (
     c4_flags,
     gopher_filter,
     gopher_flags,
+    massivetext_repetition_flags,
+    repetition_filter,
 )
 from lakeflush_spark.operators.report import (
     corpus_report,
@@ -114,6 +116,8 @@ __all__ = [
     "c4_flags",
     "gopher_filter",
     "gopher_flags",
+    "massivetext_repetition_flags",
+    "repetition_filter",
     "media_metadata",
     "minhash_near_dups",
     "near_dup_clusters",

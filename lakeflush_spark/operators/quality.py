@@ -107,6 +107,88 @@ def c4_flags(text: Column | str = "text") -> Column:
     )
 
 
+def massivetext_repetition_flags(
+    text: Column | str = "text", structured: Column | str | None = None
+) -> Column:
+    """BIGINT bitmask of failed MassiveText repetition rules (Rae et
+    al. 2021, A1.1 repetition table), 0 == document passes:
+
+      bit 0  duplicate line fraction        > 0.30
+      bit 1  duplicate paragraph fraction   > 0.30
+      bit 2  duplicate line char fraction   > 0.20
+      bit 3  duplicate paragraph char frac  > 0.20
+      bit 4  top 2-gram char fraction       > 0.20
+      bit 5  top 3-gram char fraction       > 0.18
+      bit 6  top 4-gram char fraction       > 0.16
+
+    The paper's dup-5..10-gram char fractions use positional UNION
+    coverage (chars counted once across overlapping duplicate grams) —
+    out of scope here; the seven rules above are exact. Every
+    threshold is an integer comparison on exact BIGINT counters
+    (10*dup > 3*n, not dup/n > 0.3), so the DuckDB twin agrees
+    bit-for-bit. ``structured`` optionally supplies a different column
+    for the line/paragraph bits (a derived line-structured view when
+    the corpus is single-line, as q18 does); top-k-gram bits always
+    read ``text``. Map-only JVM HOFs — scan speed at any scale.
+    """
+    from lakeflush_spark.functions.text import (
+        bind,
+        doc_lines,
+        doc_paragraphs,
+        dup_unit_char_count,
+        dup_unit_count,
+        top_kgram_coverage,
+        unit_char_total,
+    )
+
+    struct_src = text if structured is None else structured
+    raw = F.col(text) if isinstance(text, str) else text
+    nch = F.length(raw).cast("bigint")
+    cov2 = top_kgram_coverage(text, 2)
+    cov3 = top_kgram_coverage(text, 3)
+    cov4 = top_kgram_coverage(text, 4)
+
+    def bit(i: int, failed: Column) -> Column:
+        return F.when(failed, F.lit(1 << i)).otherwise(F.lit(0)).cast("bigint")
+
+    def unit_bits(units: Column, frac_bit: int, char_bit: int) -> Column:
+        def build(us: Column) -> Column:
+            n = F.size(us).cast("bigint")
+            dup = dup_unit_count(us)
+            tot = unit_char_total(us)
+            dupch = dup_unit_char_count(us)
+            # dup/n > 0.3 <=> 10*dup > 3*n ; dupch/tot > 0.2 <=> 5*dupch > tot
+            return bit(frac_bit, 10 * dup > 3 * n) + bit(
+                char_bit, 5 * dupch > tot
+            )
+
+        return bind(units, build)
+
+    return (
+        unit_bits(doc_lines(struct_src), 0, 2)
+        + unit_bits(doc_paragraphs(struct_src), 1, 3)
+        # cov2/nch > 0.20 <=> 5*cov2 > nch
+        + bit(4, 5 * cov2 > nch)
+        # cov3/nch > 0.18 <=> 50*cov3 > 9*nch
+        + bit(5, 50 * cov3 > 9 * nch)
+        # cov4/nch > 0.16 <=> 25*cov4 > 4*nch
+        + bit(6, 25 * cov4 > 4 * nch)
+    )
+
+
+def repetition_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    keep_flags: bool = False,
+) -> DataFrame:
+    """Drop documents failing any MassiveText repetition rule."""
+    flagged = docs.withColumn(
+        "mt_rep_flags", massivetext_repetition_flags(text_col)
+    )
+    kept = flagged.where(F.col("mt_rep_flags") == 0)
+    return kept if keep_flags else kept.drop("mt_rep_flags")
+
+
 def c4_filter(
     docs: DataFrame, text_col: str = "text", keep_flags: bool = False
 ) -> DataFrame:

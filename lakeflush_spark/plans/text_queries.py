@@ -116,24 +116,26 @@ _SQL_ELLIPSIS = (
     " l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::BIGINT"
 )
 _SQL_ALPHA = f"len(list_filter({_TOKS}, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT"
-_SQL_DUPLN = (
-    f"({_SQL_NLINES} - len(list_distinct({_SQL_LINES}))::BIGINT)"
-)
-_SQL_LINECH = (
-    f"COALESCE(list_sum(list_transform({_SQL_LINES}, l -> length(l))), 0)::BIGINT"
-)
-_SQL_LINECH_1ST = (
-    "COALESCE(list_sum(list_transform(list_distinct("
-    f"{_SQL_LINES}), l -> length(l))), 0)::BIGINT"
-)
-_SQL_DUP_LINE_4DP = _sql_round_half_up_div(f"10000 * {_SQL_DUPLN}", _SQL_NLINES)
-_SQL_DUP_LINE_CH_4DP = (
-    f"CASE WHEN {_SQL_LINECH} > 0 THEN "
-    + _sql_round_half_up_div(
-        f"10000 * ({_SQL_LINECH} - {_SQL_LINECH_1ST})", _SQL_LINECH
+# duplicate line/paragraph fractions read the structured views' CTE
+# arrays (vls = token-per-line vtext lines, qps = token-pair qtext
+# paragraphs): the raw corpus is single-line with near-unique multi-token
+# segments, which would make these constant 0.0 — no verification
+
+
+def _sql_dup_ratio_4dp(units: str) -> str:
+    return _sql_round_half_up_div(
+        f"10000 * {_sql_dup_units(units)}", f"len({units})::BIGINT"
     )
-    + " ELSE 0.0 END"
-)
+
+
+def _sql_dup_char_ratio_4dp(units: str) -> str:
+    tot = _sql_unit_char_total(units)
+    first = _sql_unit_char_total(f"list_distinct({units})")
+    return (
+        f"CASE WHEN {tot} > 0 THEN "
+        + _sql_round_half_up_div(f"10000 * ({tot} - {first})", tot)
+        + " ELSE 0.0 END"
+    )
 
 
 # ---- C4 twins (operators/quality.py c4_flags; functions/text.py
@@ -165,30 +167,95 @@ _SQL_C4_FLAGS = (
     " + CASE WHEN contains(ltext, chr(123)) THEN 4 ELSE 0 END)::BIGINT"
 )
 
-# ---- MassiveText top-2-gram coverage (functions/text.py
-# top_2gram_char_ratio_4dp). The gram/count arrays are built in chained
-# CTEs (t2/t3/t4) so each is evaluated once per row, mirroring the
-# Spark builder's bind() structure. -----------------------------------------
+# ---- MassiveText top-k-gram coverage + repetition-rule twins
+# (functions/text.py top_kgram_*; operators/quality.
+# massivetext_repetition_flags). The gram/count arrays are built in
+# chained CTEs so each is evaluated once per row, mirroring the Spark
+# builders' bind() structure. Line/paragraph bits read the ``vtext``
+# token-per-line view (tokens repeat, so the machinery sees real
+# duplication); the dup-paragraph columns read the ``qtext``
+# token-pair-paragraph view.
 
-_SQL_G2 = (
-    f"CASE WHEN {_N} >= 2 THEN list_transform(range(1, {_N}), "
-    "i -> toks[i] || ' ' || toks[i+1]) "
-    "ELSE [] END"
+
+def _sql_gk(k: int) -> str:
+    """Word k-gram array from the bound ``toks`` (1-based range)."""
+    joined = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]"
+                                for j in range(k))
+    hi = f"{_N} - {k - 2}" if k > 2 else _N
+    return (
+        f"CASE WHEN {_N} >= {k} THEN list_transform(range(1, {hi}), "
+        f"i -> {joined}) ELSE [] END"
+    )
+
+
+def _sql_gpairs(g: str) -> str:
+    return (
+        f"list_transform(list_distinct({g}), d -> struct_pack("
+        f"c := len(list_filter({g}, x -> x = d))::BIGINT, "
+        "L := length(d)::BIGINT))"
+    )
+
+
+def _sql_gcov(p: str, maxc: str) -> str:
+    # COALESCE: list_max over an empty pair list is NULL; the Spark
+    # builder coalesces coverage to 0
+    return (
+        f"COALESCE(list_max(list_transform({p}, "
+        f"s -> CASE WHEN s.c = {maxc} THEN s.c * s.L ELSE 0::BIGINT END)), "
+        "0::BIGINT)"
+    )
+
+
+def _sql_topk_4dp(cov: str) -> str:
+    return (
+        f"CASE WHEN {cov} > 0 AND length(text) > 0 THEN "
+        + _sql_round_half_up_div(f"10000 * {cov}", "length(text)::BIGINT")
+        + " ELSE 0.0 END"
+    )
+
+
+#: token-per-line view — tokens become lines, so the duplicate-line
+#: machinery sees real repetition in the random-token corpus
+_SQL_VTEXT = "replace(text, ' ', chr(10))"
+#: token-pair-per-paragraph view (backref replace, identical
+#: left-to-right global semantics in Java regex and RE2)
+_SQL_QTEXT = (
+    "regexp_replace(text, '(\\S+ \\S+) ', "
+    "'\\1' || chr(10) || chr(10), 'g')"
 )
-_SQL_G2_PAIRS = (
-    "list_transform(list_distinct(g2), d -> struct_pack("
-    "c := len(list_filter(g2, x -> x = d))::BIGINT, "
-    "L := length(d)::BIGINT))"
-)
-_SQL_G2_COV = (
-    "list_max(list_transform(g2p, "
-    "s -> CASE WHEN s.c = g2maxc THEN s.c * s.L ELSE 0::BIGINT END))"
-)
-_SQL_TOP2_4DP = (
-    "CASE WHEN len(g2p) > 0 AND length(text) > 0 THEN "
-    + _sql_round_half_up_div(f"10000 * {_SQL_G2_COV}", "length(text)::BIGINT")
-    + " ELSE 0.0 END"
-)
+
+
+def _sql_unit_char_total(units: str) -> str:
+    return (
+        f"COALESCE(list_sum(list_transform({units}, u -> length(u))), 0)"
+        "::BIGINT"
+    )
+
+
+def _sql_dup_units(units: str) -> str:
+    return f"(len({units}) - len(list_distinct({units})))::BIGINT"
+
+
+def _sql_mt_rep_flags() -> str:
+    """Exact-integer twin of massivetext_repetition_flags (lines/paras
+    over the vtext structured view via the vls/vps CTE columns; top-k
+    over raw text)."""
+    tot_l = _sql_unit_char_total("vls")
+    first_l = _sql_unit_char_total("list_distinct(vls)")
+    tot_p = _sql_unit_char_total("vps")
+    first_p = _sql_unit_char_total("list_distinct(vps)")
+    bits = [
+        f"CASE WHEN 10 * {_sql_dup_units('vls')} > 3 * len(vls) "
+        "THEN 1 ELSE 0 END",
+        f"CASE WHEN 10 * {_sql_dup_units('vps')} > 3 * len(vps) "
+        "THEN 2 ELSE 0 END",
+        f"CASE WHEN 5 * ({tot_l} - {first_l}) > {tot_l} THEN 4 ELSE 0 END",
+        f"CASE WHEN 5 * ({tot_p} - {first_p}) > {tot_p} THEN 8 ELSE 0 END",
+        "CASE WHEN 5 * cov2 > length(text) THEN 16 ELSE 0 END",
+        "CASE WHEN 50 * cov3 > 9 * length(text) THEN 32 ELSE 0 END",
+        "CASE WHEN 25 * cov4 > 4 * length(text) THEN 64 ELSE 0 END",
+    ]
+    return "(" + " + ".join(f"({b})" for b in bits) + ")::BIGINT"
 
 
 def _sql_gopher_stops() -> str:
@@ -234,10 +301,26 @@ def _sql_lang_case() -> str:
     f"""
     WITH t AS (SELECT doc_id, text, lang, {_TOKS} AS toks,
                       {_SQL_LTEXT} AS ltext FROM documents),
-         t2 AS (SELECT *, {_SQL_G2} AS g2 FROM t),
-         t3 AS (SELECT *, {_SQL_G2_PAIRS} AS g2p FROM t2),
+         t2 AS (SELECT *, {_sql_gk(2)} AS g2, {_SQL_VTEXT} AS vtext,
+                       {_SQL_QTEXT} AS qtext FROM t),
+         t3 AS (SELECT *, {_sql_gpairs("g2")} AS g2p FROM t2),
          t4 AS (SELECT *, list_max(list_transform(g2p, s -> s.c)) AS g2maxc
-                FROM t3)
+                FROM t3),
+         t5 AS (SELECT *, {_sql_gcov("g2p", "g2maxc")} AS cov2,
+                       {_sql_gk(3)} AS g3 FROM t4),
+         t6 AS (SELECT *, {_sql_gpairs("g3")} AS g3p FROM t5),
+         t7 AS (SELECT *, list_max(list_transform(g3p, s -> s.c)) AS g3maxc
+                FROM t6),
+         t8 AS (SELECT *, {_sql_gcov("g3p", "g3maxc")} AS cov3,
+                       {_sql_gk(4)} AS g4 FROM t7),
+         t9 AS (SELECT *, {_sql_gpairs("g4")} AS g4p FROM t8),
+         t10 AS (SELECT *, list_max(list_transform(g4p, s -> s.c)) AS g4maxc
+                 FROM t9),
+         t11 AS (SELECT *, {_sql_gcov("g4p", "g4maxc")} AS cov4,
+                        string_split(vtext, chr(10)) AS vls,
+                        string_split(vtext, chr(10) || chr(10)) AS vps,
+                        string_split(qtext, chr(10) || chr(10)) AS qps
+                 FROM t10)
     SELECT doc_id,
            {_N}::BIGINT AS n_tokens,
            len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))::BIGINT AS n_bpe_tokens,
@@ -256,16 +339,21 @@ def _sql_lang_case() -> str:
            {_sql_round_half_up_div(f"10000 * {_SQL_ELLIPSIS}", _SQL_NLINES)}
                AS ellipsis_ratio,
            {_sql_round_half_up_div(f"10000 * {_SQL_ALPHA}", _SQL_NI)} AS alpha_ratio,
-           {_SQL_DUP_LINE_4DP} AS dup_line_ratio,
-           {_SQL_DUP_LINE_CH_4DP} AS dup_line_char_ratio,
+           {_sql_dup_ratio_4dp("vls")} AS dup_line_ratio,
+           {_sql_dup_char_ratio_4dp("vls")} AS dup_line_char_ratio,
+           {_sql_dup_ratio_4dp("qps")} AS dup_para_ratio,
+           {_sql_dup_char_ratio_4dp("qps")} AS dup_para_char_ratio,
            {_sql_gopher_flags()} AS gopher_flags,
            {_SQL_C4_RATIO_4DP} AS c4_kept_ratio,
            {_SQL_C4_FLAGS} AS c4_flags,
            md5({_SQL_C4_CLEAN}) AS c4_clean_md5,
-           {_SQL_TOP2_4DP} AS top2_char_ratio,
+           {_sql_topk_4dp("cov2")} AS top2_char_ratio,
+           {_sql_topk_4dp("cov3")} AS top3_char_ratio,
+           {_sql_topk_4dp("cov4")} AS top4_char_ratio,
+           {_sql_mt_rep_flags()} AS mt_rep_flags,
            lang,
            {_sql_lang_case()} AS lang_pred
-    FROM t4
+    FROM t11
     ORDER BY doc_id
     """,
     "Per-document text metrics in ONE map-only pass: token/char counts, "
@@ -278,8 +366,12 @@ def _sql_lang_case() -> str:
     "(operators/quality.py — Rae et al. 2021 A1.1): symbol/bullet/"
     "ellipsis/alpha ratios and the 7-rule failed-flag bitmask, every "
     "threshold an integer comparison so both engines agree bit-for-bit. "
-    "r9 also adds the MassiveText repetition family (duplicate-line "
-    "ratio/char-ratio, top-2-gram char coverage) and the C4 §2.2 cleaner "
+    "r9 also adds the MassiveText repetition family — duplicate "
+    "line/paragraph ratios and char fractions, top-2/3/4-gram char "
+    "coverage, and the 7-rule repetition bitmask "
+    "(massivetext_repetition_flags, integer thresholds) over "
+    "deterministic token-line/token-pair structured views — and the "
+    "C4 §2.2 cleaner "
     "(line filter + page flags + md5 of the rewritten text, computed over "
     "a deterministic line-structured view since the corpus is "
     "single-line). Scan-speed at any scale. "
@@ -294,11 +386,17 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         c4_kept_line_ratio_4dp,
         dup_line_char_ratio_4dp,
         dup_line_ratio_4dp,
+        dup_para_char_ratio_4dp,
+        dup_para_ratio_4dp,
         ellipsis_line_ratio_4dp,
         symbol_word_ratio_4dp,
-        top_2gram_char_ratio_4dp,
+        top_kgram_char_ratio_4dp,
     )
-    from lakeflush_spark.operators.quality import c4_flags, gopher_flags
+    from lakeflush_spark.operators.quality import (
+        c4_flags,
+        gopher_flags,
+        massivetext_repetition_flags,
+    )
 
     def _ltext():
         # the oracle's deterministic line-structured view (see
@@ -307,6 +405,15 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.replace(
             F.col("text"), F.lit(" table "), F.lit(".\ntable ")
         )
+
+    def _vtext():
+        # token-per-line view (_SQL_VTEXT): gives the duplicate-line
+        # machinery real repetition to verify against
+        return F.replace(F.col("text"), F.lit(" "), F.lit("\n"))
+
+    def _qtext():
+        # token-pair-per-paragraph view (_SQL_QTEXT)
+        return F.regexp_replace("text", r"(\S+ \S+) ", "$1\n\n")
 
     return (
         spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
@@ -327,13 +434,20 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             bullet_line_ratio_4dp("text").alias("bullet_ratio"),
             ellipsis_line_ratio_4dp("text").alias("ellipsis_ratio"),
             alpha_word_ratio_4dp("text").alias("alpha_ratio"),
-            dup_line_ratio_4dp("text").alias("dup_line_ratio"),
-            dup_line_char_ratio_4dp("text").alias("dup_line_char_ratio"),
+            dup_line_ratio_4dp(_vtext()).alias("dup_line_ratio"),
+            dup_line_char_ratio_4dp(_vtext()).alias("dup_line_char_ratio"),
+            dup_para_ratio_4dp(_qtext()).alias("dup_para_ratio"),
+            dup_para_char_ratio_4dp(_qtext()).alias("dup_para_char_ratio"),
             gopher_flags("text").alias("gopher_flags"),
             c4_kept_line_ratio_4dp(_ltext()).alias("c4_kept_ratio"),
             c4_flags(_ltext()).alias("c4_flags"),
             F.md5(c4_clean(_ltext())).alias("c4_clean_md5"),
-            top_2gram_char_ratio_4dp("text").alias("top2_char_ratio"),
+            top_kgram_char_ratio_4dp("text", 2).alias("top2_char_ratio"),
+            top_kgram_char_ratio_4dp("text", 3).alias("top3_char_ratio"),
+            top_kgram_char_ratio_4dp("text", 4).alias("top4_char_ratio"),
+            massivetext_repetition_flags(
+                "text", structured=_vtext()
+            ).alias("mt_rep_flags"),
             "lang",
             lang_id("text").alias("lang_pred"),
         )

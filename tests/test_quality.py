@@ -232,3 +232,60 @@ def test_top_2gram_char_ratio(spark):
     assert got[1] == 0.7143   # 50000/7 = 7142.85 -> 7143
     assert got[2] == 0.0      # < 2 tokens
     assert got[3] == 0.0      # empty text
+
+
+def test_massivetext_repetition_flags(spark):
+    """Each of the 7 repetition rules fires on a constructed doc and
+    stays quiet on a clean one; thresholds are exact integer math."""
+    from lakeflush_spark.operators.quality import (
+        massivetext_repetition_flags,
+        repetition_filter,
+    )
+
+    # long enough that the top (count=1) gram's chars stay under every
+    # coverage threshold — short docs legitimately fail the top-k rules
+    clean = " ".join(f"word{i:03d}" for i in range(40))
+    # 2-gram "x y" repeated: 4 occurrences x 3 chars = 12 of 15 chars
+    top2 = "x y x y x y x y"
+    # lines: a/b/a/a -> dup 2/4 = 0.5 > 0.3 (bit 0); dup chars 2/4 > 0.2
+    # (bit 2); paragraphs aa\n\naa -> dup 1/2 (bit 1), chars 2/4 (bit 3)
+    lines = "a\nb\na\na"
+    paras = "aa\n\naa"
+    df = spark.createDataFrame(
+        [(0, clean), (1, top2), (2, lines), (3, paras)],
+        "i int, text string",
+    )
+    got = {r.i: r.f for r in df.select(
+        "i", massivetext_repetition_flags("text").alias("f")).collect()}
+    assert got[0] == 0
+    # top2: cov2=12 > 15/5; cov3 ("x y x" 2x5=10) 50*10 > 9*15; cov4
+    # ("x y x y" 2x7=14) 25*14 > 4*15 -> bits 4+5+6
+    assert got[1] == 16 + 32 + 64
+    assert got[2] & 0b101 == 0b101  # bits 0 and 2
+    assert got[3] & 0b1010 == 0b1010  # bits 1 and 3
+
+    kept = repetition_filter(df, "text")
+    assert {r.i for r in kept.collect()} == {0}
+
+
+def test_dup_para_and_topk_ratios(spark):
+    """Paragraph dup ratios and generalized top-k coverage, hand
+    computed."""
+    from lakeflush_spark.functions.text import (
+        dup_para_char_ratio_4dp,
+        dup_para_ratio_4dp,
+        top_kgram_char_ratio_4dp,
+    )
+
+    doc = "aa bb\n\ncc\n\naa bb"  # 3 paras, 'aa bb' x2
+    df = spark.createDataFrame([(doc,)], "text string")
+    r = df.select(
+        dup_para_ratio_4dp("text").alias("pr"),
+        dup_para_char_ratio_4dp("text").alias("pcr"),
+        top_kgram_char_ratio_4dp("text", 3).alias("t3"),
+    ).first()
+    assert r.pr == 0.3333       # 1/3 half-up
+    assert r.pcr == round(5 / 12, 4)  # 5 dup chars of 12 (4167)
+    # tokens: aa bb\n\ncc cc\n\naa bb -> whitespace split on ' ' gives
+    # ["aa","bb\n\ncc\n\naa","bb"]; top 3-gram = whole string len 15 of 15
+    assert r.t3 == 1.0

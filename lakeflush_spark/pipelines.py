@@ -68,6 +68,12 @@ class CurationConfig:
     #: the PRE-clean text (the strip-mode precedent). Off by default
     #: for the same reason as gopher_rules: assumes prose.
     c4_rules: bool = False
+    #: True = additionally require all seven MassiveText repetition
+    #: rules (operators/quality.massivetext_repetition_flags == 0) in
+    #: the quality gate — duplicate line/paragraph fractions and
+    #: char fractions, top-2/3/4-gram char coverage. Off by default
+    #: (prose assumption, like gopher_rules).
+    mt_repetition_rules: bool = False
     #: True = rewrite surviving docs keeping only the FIRST occurrence
     #: of each line (functions/text.strip_duplicate_lines — the
     #: MassiveText in-document repetition scrub). Runs after the C4
@@ -174,6 +180,7 @@ def quality_keep_condition(
     allowed_langs: tuple[str, ...] | None,
     gopher_flags_col: "F.Column | None" = None,
     c4_flags_col: "F.Column | None" = None,
+    mt_rep_flags_col: "F.Column | None" = None,
 ) -> "F.Column":
     """THE quality-gate predicate, shared by the batch pipeline and
     ``streaming/curation.py`` so the two can never drift. Callers pass
@@ -185,6 +192,8 @@ def quality_keep_condition(
     == 0); None keeps the gate as before. ``c4_flags_col`` (r9) is the
     same contract for the C4 page rules (``operators.quality.
     c4_flags``); the caller owns the post-gate ``c4_clean`` rewrite.
+    ``mt_rep_flags_col`` likewise gates on the MassiveText repetition
+    bitmask (``operators.quality.massivetext_repetition_flags``).
     """
     keep = F.lit(True)
     if min_tokens is not None:
@@ -199,6 +208,8 @@ def quality_keep_condition(
         keep = keep & (gopher_flags_col == 0)
     if c4_flags_col is not None:
         keep = keep & (c4_flags_col == 0)
+    if mt_rep_flags_col is not None:
+        keep = keep & (mt_rep_flags_col == 0)
     return keep
 
 
@@ -297,7 +308,11 @@ def curate_documents(
         lang_id(tc).alias("lang_pred"),
     )
 
-    from lakeflush_spark.operators.quality import c4_flags, gopher_flags
+    from lakeflush_spark.operators.quality import (
+        c4_flags,
+        gopher_flags,
+        massivetext_repetition_flags,
+    )
 
     keep = quality_keep_condition(
         F.col("n_tokens"),
@@ -309,6 +324,10 @@ def curate_documents(
         cfg.allowed_langs,
         gopher_flags_col=gopher_flags(tc) if cfg.gopher_rules else None,
         c4_flags_col=c4_flags(tc) if cfg.c4_rules else None,
+        mt_rep_flags_col=(
+            massivetext_repetition_flags(tc)
+            if cfg.mt_repetition_rules else None
+        ),
     )
     filtered = annotated.where(keep)
     if cfg.c4_rules:

@@ -110,6 +110,9 @@ class CurationStreamConfig:
     #: gate (counted in n_filtered), survivors' text is rewritten to
     #: its line-filtered form before any dedup stage
     c4_rules: bool = False
+    #: True = additionally require the seven MassiveText repetition
+    #: rules (the batch CurationConfig.mt_repetition_rules twin)
+    mt_repetition_rules: bool = False
     #: True = rewrite survivors keeping the first occurrence of each
     #: line (the batch CurationConfig.strip_dup_lines twin; runs after
     #: the C4 rewrite, before any dedup stage)
@@ -326,7 +329,11 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
         # expressions (stopword filter, lang profiles) each re-split
         # the text and sit outside codegen, so the stats agg and the
         # filter below must read the flag, not re-run the expressions
-        from lakeflush_spark.operators.quality import c4_flags, gopher_flags
+        from lakeflush_spark.operators.quality import (
+            c4_flags,
+            gopher_flags,
+            massivetext_repetition_flags,
+        )
         from lakeflush_spark.pipelines import quality_keep_condition
 
         cond = quality_keep_condition(
@@ -342,6 +349,10 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             ),
             c4_flags_col=(
                 c4_flags(cfg.text_col) if cfg.c4_rules else None
+            ),
+            mt_rep_flags_col=(
+                massivetext_repetition_flags(cfg.text_col)
+                if cfg.mt_repetition_rules else None
             ),
         )
         # every per-batch persist registers here; the outer finally

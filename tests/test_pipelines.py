@@ -419,3 +419,24 @@ def test_curation_strip_dup_lines(spark):
     # c4 drops the chaff line, then the dup-line scrub collapses the
     # repeated first line
     assert both.collect()[0].text == base
+
+
+def test_curation_mt_repetition_rules_gate(spark):
+    """mt_repetition_rules=True drops a top-2-gram-repetitive doc
+    through the shared quality gate; off keeps it."""
+    clean = " ".join(f"word{i:03d}" for i in range(60)) + " the a of"
+    loop = " ".join(["again go"] * 40) + " the a"
+    docs = spark.createDataFrame(
+        [(1, clean), (2, loop)], "doc_id long, text string"
+    )
+    on_cfg = CurationConfig(min_tokens=5, max_stopword_ratio=None,
+                            mt_repetition_rules=True,
+                            near_dup_threshold=0.99)
+    curated, _ = curate_documents(spark, docs, on_cfg)
+    assert {r.doc_id for r in curated.collect()} == {1}
+    off, _ = curate_documents(
+        spark, docs,
+        CurationConfig(min_tokens=5, max_stopword_ratio=None,
+                       near_dup_threshold=0.99),
+    )
+    assert {r.doc_id for r in off.collect()} == {1, 2}

@@ -289,3 +289,16 @@ def test_dup_para_and_topk_ratios(spark):
     # tokens: aa bb\n\ncc cc\n\naa bb -> whitespace split on ' ' gives
     # ["aa","bb\n\ncc\n\naa","bb"]; top 3-gram = whole string len 15 of 15
     assert r.t3 == 1.0
+
+
+def test_c4_kept_ratio_and_terminal_quote(spark):
+    """Closing-quote terminal punctuation retains a line; ratio is
+    exact 4dp."""
+    from lakeflush_spark.functions.text import c4_kept_line_ratio_4dp
+
+    doc = 'he said "one two three four five."\nshort.\nsix seven eight nine ten."'
+    df = spark.createDataFrame([(doc,)], "text string")
+    # 3 lines, kept: line 1 (ends '."' -> '"'), line 3 (ends '"');
+    # 'short.' has < 5 words
+    assert df.select(
+        c4_kept_line_ratio_4dp("text").alias("r")).first().r == 0.6667

@@ -288,3 +288,80 @@ def test_gopher_flags_match_python_model(spark, docs):
             f"mismatch for text={r.text!r}: spark={r.f} "
             f"model={_gopher_model(r.text)}"
         )
+
+
+# ---- MassiveText repetition bitmask (operators/quality.
+# massivetext_repetition_flags) vs an independent Python model -------------
+
+_rep_unit = st.one_of(
+    st.sampled_from(["x y", "x y x y", "aa", "bb", "aa\naa", "p\n\np",
+                     "a\nb\na", "", "loop loop loop", "word123"]),
+    st.text(alphabet=list("ab\n "), min_size=0, max_size=6)
+    .filter(lambda t: " " not in t),
+)
+_rep_doc = st.lists(_rep_unit, min_size=1, max_size=20).map(" ".join)
+
+
+def _rep_model(text: str) -> int:
+    toks = text.split(" ")
+
+    def grams(k: int) -> list[str]:
+        if len(toks) < k:
+            return []
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    def cov(k: int) -> int:
+        gs = grams(k)
+        if not gs:
+            return 0
+        counts = {}
+        for g in gs:
+            counts[g] = counts.get(g, 0) + 1
+        maxc = max(counts.values())
+        return max(c * len(g) for g, c in counts.items() if c == maxc)
+
+    def unit_bits(units: list[str], fb: int, cb: int) -> int:
+        n = len(units)
+        dup = n - len(set(units))
+        tot = sum(len(u) for u in units)
+        dupch = tot - sum(len(u) for u in set(units))
+        f = 0
+        f |= (1 << fb) if 10 * dup > 3 * n else 0
+        f |= (1 << cb) if 5 * dupch > tot else 0
+        return f
+
+    nch = len(text)
+    f = unit_bits(text.split("\n"), 0, 2)
+    f |= unit_bits(text.split("\n\n"), 1, 3)
+    f |= 16 if 5 * cov(2) > nch else 0
+    f |= 32 if 50 * cov(3) > 9 * nch else 0
+    f |= 64 if 25 * cov(4) > 4 * nch else 0
+    return f
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_rep_doc, min_size=1, max_size=10))
+def test_mt_repetition_flags_match_python_model(spark, docs):
+    """The repetition bitmask (and its top-k tie-break toward largest
+    coverage) agrees with an independent Python model on generated
+    text with embedded newlines, blank lines, repeated grams, and
+    empty tokens."""
+    from lakeflush_spark.operators.quality import (
+        massivetext_repetition_flags,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i LONG, text STRING"
+    )
+    rows = df.select(
+        "i", "text", massivetext_repetition_flags("text").alias("f")
+    ).collect()
+    for r in rows:
+        assert r.f == _rep_model(r.text), (
+            f"mismatch for text={r.text!r}: spark={r.f} "
+            f"model={_rep_model(r.text)}"
+        )

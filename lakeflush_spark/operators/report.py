@@ -95,12 +95,24 @@ def corpus_report(
 ) -> DataFrame:
     """One row per source: doc/token counts, token-length quantiles
     (p10/p50/p90/p99 via ``percentile_approx``), corpus share, language
-    mix (top language + its share), and quality aggregates.
+    mix (top language + its share), quality aggregates, and the
+    published-filter profile (r9): per source, how many docs (and
+    their tokens) fail the Gopher rules, the C4 page rules, and the
+    MassiveText repetition rules — the "what would a cleanup delete"
+    panel a data card ships. The flag expressions are the same
+    map-only bitmasks the curation gates use (operators/quality.py),
+    evaluated in the SAME single aggregation scan.
 
     ``quantile_accuracy`` is ``percentile_approx``'s 1/eps knob
     (10_000 ⇒ ~0.01% rank error — sketch memory is O(accuracy), not
     O(corpus)). Deterministic given the input (no sampling).
     """
+    from lakeflush_spark.operators.quality import (
+        c4_flags,
+        gopher_flags,
+        massivetext_repetition_flags,
+    )
+
     tc = F.col("_nt")
     annotated = docs.select(
         F.col(source_col).alias("source"),
@@ -108,7 +120,19 @@ def corpus_report(
         stopword_ratio(text_col).alias("_sw"),
         quality_score(text_col).alias("_q"),
         lang_id(text_col).alias("_lang"),
+        (gopher_flags(text_col) != 0).alias("_gf"),
+        (c4_flags(text_col) != 0).alias("_cf"),
+        (massivetext_repetition_flags(text_col) != 0).alias("_mf"),
     )
+
+    def _flagged(flag: str, name: str) -> list:
+        return [
+            F.sum(F.col(flag).cast("bigint")).alias(f"n_{name}_flagged"),
+            F.sum(F.when(F.col(flag), tc).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"{name}_flagged_tokens"),
+        ]
+
     per_source = annotated.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tc).cast("bigint").alias("n_tokens"),
@@ -117,6 +141,9 @@ def corpus_report(
         ),
         F.round(F.avg("_sw"), 4).alias("avg_stopword_ratio"),
         F.round(F.avg("_q"), 4).alias("avg_quality"),
+        *_flagged("_gf", "gopher"),
+        *_flagged("_cf", "c4"),
+        *_flagged("_mf", "mt"),
     )
     # language mode: a per-(source, lang) pre-aggregation (map-side
     # combined over the corpus) then max_by over |sources| × |langs|
@@ -162,6 +189,12 @@ def corpus_report(
             "avg_quality",
             "top_lang",
             "top_lang_share",
+            "n_gopher_flagged",
+            "gopher_flagged_tokens",
+            "n_c4_flagged",
+            "c4_flagged_tokens",
+            "n_mt_flagged",
+            "mt_flagged_tokens",
         )
         .orderBy("source")
     )

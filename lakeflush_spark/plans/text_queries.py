@@ -147,25 +147,40 @@ def _sql_dup_char_ratio_4dp(units: str) -> str:
 
 #: literal, non-overlapping left-to-right in both engines
 _SQL_LTEXT = "replace(text, ' table ', '.' || chr(10) || 'table ')"
-_SQL_LLINES = "string_split(ltext, chr(10))"
-_SQL_LNLINES = f"len({_SQL_LLINES})::BIGINT"
-_SQL_C4_KEPT = (
-    f"list_filter({_SQL_LLINES}, l -> "
-    "len(string_split(l, ' ')) >= 5"
-    " AND regexp_matches(rtrim(l), '[.!?\"”]$')"
-    " AND NOT contains(lower(l), 'javascript'))"
-)
-# COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
-_SQL_C4_CLEAN = f"COALESCE(array_to_string({_SQL_C4_KEPT}, chr(10)), '')"
-_SQL_C4_SENT = f"len(regexp_extract_all({_SQL_C4_CLEAN}, '[.!?]'))::BIGINT"
+
+
+def _sql_c4_kept_on(t: str) -> str:
+    return (
+        f"list_filter(string_split({t}, chr(10)), l -> "
+        "len(string_split(l, ' ')) >= 5"
+        " AND regexp_matches(rtrim(l), '[.!?\"”]$')"
+        " AND NOT contains(lower(l), 'javascript'))"
+    )
+
+
+def _sql_c4_clean_on(t: str) -> str:
+    # COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws ''
+    return f"COALESCE(array_to_string({_sql_c4_kept_on(t)}, chr(10)), '')"
+
+
+def _sql_c4_flags_on(t: str) -> str:
+    sent = (
+        f"len(regexp_extract_all({_sql_c4_clean_on(t)}, '[.!?]'))::BIGINT"
+    )
+    return (
+        f"(CASE WHEN {sent} < 3 THEN 1 ELSE 0 END"
+        f" + CASE WHEN contains(lower({t}), 'lorem ipsum') THEN 2 ELSE 0 END"
+        f" + CASE WHEN contains({t}, chr(123)) THEN 4 ELSE 0 END)::BIGINT"
+    )
+
+
+_SQL_C4_KEPT = _sql_c4_kept_on("ltext")
+_SQL_C4_CLEAN = _sql_c4_clean_on("ltext")
 _SQL_C4_RATIO_4DP = _sql_round_half_up_div(
-    f"10000 * len({_SQL_C4_KEPT})::BIGINT", _SQL_LNLINES
+    f"10000 * len({_SQL_C4_KEPT})::BIGINT",
+    "len(string_split(ltext, chr(10)))::BIGINT",
 )
-_SQL_C4_FLAGS = (
-    f"(CASE WHEN {_SQL_C4_SENT} < 3 THEN 1 ELSE 0 END"
-    " + CASE WHEN contains(lower(ltext), 'lorem ipsum') THEN 2 ELSE 0 END"
-    " + CASE WHEN contains(ltext, chr(123)) THEN 4 ELSE 0 END)::BIGINT"
-)
+_SQL_C4_FLAGS = _sql_c4_flags_on("ltext")
 
 # ---- MassiveText top-k-gram coverage + repetition-rule twins
 # (functions/text.py top_kgram_*; operators/quality.
@@ -661,6 +676,33 @@ _SAMPLE_PCT = 10
                CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
         FROM d GROUP BY source),
     alltok AS (SELECT SUM(src_tokens) AS all_tokens FROM srctok),
+    f0 AS (SELECT source, text,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  string_split(text, ' ') AS toks
+           FROM documents),
+    f2 AS (SELECT *, {_sql_gk(2)} AS g2 FROM f0),
+    f3 AS (SELECT *, {_sql_gpairs("g2")} AS g2p FROM f2),
+    f4 AS (SELECT *, list_max(list_transform(g2p, s -> s.c)) AS g2maxc
+           FROM f3),
+    f5 AS (SELECT *, {_sql_gcov("g2p", "g2maxc")} AS cov2,
+                  {_sql_gk(3)} AS g3 FROM f4),
+    f6 AS (SELECT *, {_sql_gpairs("g3")} AS g3p FROM f5),
+    f7 AS (SELECT *, list_max(list_transform(g3p, s -> s.c)) AS g3maxc
+           FROM f6),
+    f8 AS (SELECT *, {_sql_gcov("g3p", "g3maxc")} AS cov3,
+                  {_sql_gk(4)} AS g4 FROM f7),
+    f9 AS (SELECT *, {_sql_gpairs("g4")} AS g4p FROM f8),
+    f10 AS (SELECT *, list_max(list_transform(g4p, s -> s.c)) AS g4maxc
+            FROM f9),
+    fA AS (SELECT *, {_sql_gcov("g4p", "g4maxc")} AS cov4,
+                  string_split(text, chr(10)) AS vls,
+                  string_split(text, chr(10) || chr(10)) AS vps
+           FROM f10),
+    fB AS (SELECT source, n_tokens,
+                  {_sql_gopher_flags()} AS gf,
+                  {_sql_c4_flags_on("text")} AS cf,
+                  {_sql_mt_rep_flags()} AS mf
+           FROM fA),
     langpred AS (SELECT source, {_sql_lang_case()} AS lp FROM documents),
     lmode AS (
         SELECT source, lp, cnt, tot FROM (
@@ -716,6 +758,27 @@ _SAMPLE_PCT = 10
         CROSS JOIN (
             SELECT SUM(CAST(FLOOR(10000 * sqrt(src_tokens::DOUBLE)) AS BIGINT))
                    AS tw FROM srctok)
+        UNION ALL
+        -- 'card_flags' (r9): per (source, rule family) — docs failing
+        -- the family's bitmask and their token mass (corpus_report's
+        -- published-filter profile columns)
+        SELECT 'card_flags', source || ':gopher',
+               CAST(COUNT(*) FILTER (WHERE gf <> 0) AS BIGINT),
+               CAST(COALESCE(SUM(n_tokens) FILTER (WHERE gf <> 0), 0)
+                    AS BIGINT)
+        FROM fB GROUP BY source
+        UNION ALL
+        SELECT 'card_flags', source || ':c4',
+               CAST(COUNT(*) FILTER (WHERE cf <> 0) AS BIGINT),
+               CAST(COALESCE(SUM(n_tokens) FILTER (WHERE cf <> 0), 0)
+                    AS BIGINT)
+        FROM fB GROUP BY source
+        UNION ALL
+        SELECT 'card_flags', source || ':mt',
+               CAST(COUNT(*) FILTER (WHERE mf <> 0) AS BIGINT),
+               CAST(COALESCE(SUM(n_tokens) FILTER (WHERE mf <> 0), 0)
+                    AS BIGINT)
+        FROM fB GROUP BY source
     ) ORDER BY kind, key
     """,
     "Deterministic sampling & training-mix suite, three strategies "
@@ -737,8 +800,12 @@ _SAMPLE_PCT = 10
     "rank-contract verdict rows — each sketch value's exact rank "
     "window [#lt+1, #le] (one broadcast-card corpus scan, map-side "
     "combined) must intersect q*n +/- (eps*n + 2) where eps is the "
-    "sketch's 1/accuracy contract. Only the float-summation averages "
-    "stay outside the hash (unit-tested; see report.py).",
+    "sketch's 1/accuracy contract. r9 also adds 'card_flags': the "
+    "card's published-filter profile — per (source, rule family "
+    "gopher/c4/mt) flagged-doc counts and token mass, the oracle "
+    "replaying all three bitmasks including the top-k-gram coverage "
+    "chain. Only the float-summation averages stay outside the hash "
+    "(unit-tested; see report.py).",
 )
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.mixing import mix_sources, take_token_budget
@@ -843,6 +910,47 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight").alias("n_docs"),
         F.col("share_x10000").alias("sum_tokens"),
     )
+    # 'card_flags' (r9): the data card's published-filter profile —
+    # per (source, rule family): docs failing the family's bitmask and
+    # their token mass (corpus_report's n_*_flagged/*_flagged_tokens
+    # columns, replayed as a slim scan + tiny groupBy like card_q/temp
+    # rather than projected from `rep`, which carries the 1-row
+    # token-share total — see the card_q SinglePartition-budget note).
+    from lakeflush_spark.operators.quality import (
+        c4_flags,
+        gopher_flags,
+        massivetext_repetition_flags,
+    )
+
+    fl = load_table(spark, sf_dir, "documents").select(
+        "source",
+        token_count("text").alias("n_tokens"),
+        (gopher_flags("text") != 0).alias("_gf"),
+        (c4_flags("text") != 0).alias("_cf"),
+        (massivetext_repetition_flags("text") != 0).alias("_mf"),
+    )
+    fams = {"gopher": "_gf", "c4": "_cf", "mt": "_mf"}
+    fagg = fl.groupBy("source").agg(
+        *[
+            F.sum(F.col(c).cast("bigint")).alias(f"n{c}")
+            for c in fams.values()
+        ],
+        *[
+            F.sum(F.when(F.col(c), F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"t{c}")
+            for c in fams.values()
+        ],
+    )
+    card_flags = None
+    for fam, c in fams.items():
+        part = fagg.select(
+            F.lit("card_flags").alias("kind"),
+            F.concat_ws(":", F.col("source"), F.lit(fam)).alias("key"),
+            F.col(f"n{c}").alias("n_docs"),
+            F.col(f"t{c}").alias("sum_tokens"),
+        )
+        card_flags = part if card_flags is None else card_flags.unionByName(part)
     return (
         strat.unionByName(mixed)
         .unionByName(budget)
@@ -850,5 +958,6 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(card_top)
         .unionByName(card_q)
         .unionByName(temp)
+        .unionByName(card_flags)
         .orderBy("kind", "key")
     )

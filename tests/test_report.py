@@ -74,3 +74,33 @@ def test_sketch_quantile_verdicts_pass_and_flip(spark, sf_dir):
     }
     assert flipped[victim] is False
     assert all(ok for s, ok in flipped.items() if s != victim)
+
+
+def test_corpus_report_flag_profile(spark, sf_dir):
+    """The published-filter profile columns (r9): per-source flagged
+    doc counts + token mass, exact against an independent per-doc
+    recomputation with the same bitmask expressions."""
+    from lakeflush_spark.operators.quality import gopher_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = {r.source: r for r in corpus_report(docs).collect()}
+    for r in rep.values():
+        for fam in ("gopher", "c4", "mt"):
+            n = getattr(r, f"n_{fam}_flagged")
+            t = getattr(r, f"{fam}_flagged_tokens")
+            assert 0 <= n <= r.n_docs
+            assert 0 <= t <= r.n_tokens
+            assert (n == 0) == (t == 0) or n > 0  # tokens need docs
+
+    # exact cross-check of the gopher family on one source
+    src = next(iter(rep))
+    grp = docs.where(F.col("source") == src)
+    exact = grp.select(
+        F.sum((gopher_flags("text") != 0).cast("bigint")).alias("n"),
+        F.sum(
+            F.when(gopher_flags("text") != 0,
+                   F.size(F.split("text", " "))).otherwise(F.lit(0))
+        ).cast("bigint").alias("t"),
+    ).first()
+    assert rep[src].n_gopher_flagged == exact.n
+    assert rep[src].gopher_flagged_tokens == exact.t

@@ -244,6 +244,21 @@ labels; every other entry is at r7/r8 levels (q01 0.15, q24 3.98,
 q41 3.98) — and warm composed curation measured 47.7 docs/s at sf0.1
 (3 warm 500-doc batches).
 
+r9-late run (after the q18 text-quality growth — C4 cleaner, dup
+line/paragraph metrics, top-2/3/4-gram coverage, the MassiveText
+repetition bitmask — and before q60's 'card_flags'): suite 45.3 s on
+a quieter box; q18 1.4→3.48 s is the ONLY real entry growth and is
+those ~12 new hash-verified per-doc columns (map-only HOFs, plan
+unchanged: 0 joins, 0 PY); q55 8.7 / q62 8.4 confirm the 52.8-s
+closing run's q55=11.9 reading was box noise on top of the label
+growth. curate_warm_docs_s 46.3 (vs 47.7). q60 then grows to ~5.1 s warm
+isolated for 'card_flags' (one extra flags scan + tiny groupBy — the
+SinglePartition budget is untouched; the cost decomposes as gopher
+1.4 + c4 1.6 + repetition-bitmask 2.0 s of map-only per-doc HOFs at
+sf0.1, verification surface like q55's labels; top-k coverage now a
+sorted-run fold, same speed here, O(n log n) instead of
+O(distinct*n) on long docs).
+
 r9 scale-smoke of the GROWN registered builders (scripts/
 scale_smoke.py, now including q62 beside the r7 four), 20x (100k
 docs / 40k vecs) vs 4x (20k / 8k): q55 13.0 vs 11.7 s — FLAT for 5x

@@ -588,34 +588,61 @@ def dup_unit_char_count(units: Column) -> Column:
 def top_kgram_coverage(text: Column | str, k: int) -> Column:
     """Characters covered by the most frequent word k-gram: count(g) *
     chars(g), ties on count broken toward the largest coverage. BIGINT;
-    0 when the doc has fewer than k tokens."""
+    0 when the doc has fewer than k tokens.
 
-    def build(g: Column) -> Column:
-        dist = F.array_distinct(g)
-        pairs = F.transform(
-            dist,
-            lambda d: F.struct(
-                F.size(F.filter(g, lambda x: x == d)).cast("bigint").alias("c"),
-                F.length(d).cast("bigint").alias("L"),
-            ),
+    Implementation: sort the gram array and fold once over the sorted
+    runs (O(n log n) per row) rather than counting each distinct gram
+    against the whole array (O(distinct x n)). At the sf0.1 corpus's
+    ~300 tokens/doc the two measure the SAME (~1 s per coverage pass —
+    the fold's per-element struct constant offsets the complexity win);
+    the fold is kept for the long-doc regime, where distinct x n is
+    quadratic (a 100k-token doc: ~1e10 comparisons vs ~2e6). The
+    sentinel prev='' is safe: a k>=2 gram always contains the
+    separator, so no gram is the empty string. Exact same result
+    (integer math, same tie-break) — the DuckDB oracle keeps the
+    distinct-count formulation and the hash comparison pins the two
+    algorithms to each other.
+    """
+
+    def _close(acc: Column) -> tuple[Column, Column]:
+        # fold the finished run (count=acc.run, gram=acc.prev) into
+        # the (maxc, best-coverage) pair
+        c = acc["run"]
+        cov = c * F.length(acc["prev"]).cast("bigint")
+        return (
+            F.greatest(acc["maxc"], c),
+            F.when(c > acc["maxc"], cov)
+            .when(c == acc["maxc"], F.greatest(acc["best"], cov))
+            .otherwise(acc["best"]),
         )
 
-        def build2(p: Column) -> Column:
-            maxc = F.array_max(F.transform(p, lambda s: s["c"]))
+    def build(g: Column) -> Column:
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("maxc"),
+            F.lit(0).cast("bigint").alias("best"),
+        )
 
-            def build3(mc: Column) -> Column:
-                return F.array_max(
-                    F.transform(
-                        p,
-                        lambda s: F.when(s["c"] == mc, s["c"] * s["L"]).otherwise(
-                            F.lit(0).cast("bigint")
-                        ),
-                    )
-                )
+        def step(acc: Column, x: Column) -> Column:
+            same = acc["prev"] == x
+            closed = _close(acc)
+            keep = same | (acc["run"] == 0)
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, acc["run"] + 1)
+                .otherwise(F.lit(1).cast("bigint"))
+                .alias("run"),
+                F.when(keep, acc["maxc"]).otherwise(closed[0]).alias("maxc"),
+                F.when(keep, acc["best"]).otherwise(closed[1]).alias("best"),
+            )
 
-            return bind(maxc, build3)
+        def finish(acc: Column) -> Column:
+            return F.when(
+                acc["run"] == 0, F.lit(0).cast("bigint")
+            ).otherwise(_close(acc)[1])
 
-        return F.coalesce(bind(pairs, build2), F.lit(0).cast("bigint"))
+        return F.aggregate(F.array_sort(g), zero, step, finish)
 
     return bind(shingles(text, k), build)
 

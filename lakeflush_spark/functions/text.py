@@ -686,3 +686,110 @@ def dup_para_char_ratio_4dp(text: Column | str) -> Column:
         ).otherwise(F.lit(0.0))
 
     return bind(doc_paragraphs(text), build)
+
+
+def dup_kgram_char_coverage(text: Column | str, k: int) -> Column:
+    """Characters covered by AT LEAST ONE occurrence of a duplicated
+    word k-gram (MassiveText's dup-n-gram signal for n in 5..10):
+    positional UNION coverage — overlapping duplicate occurrences
+    count each character once. BIGINT; 0 when the doc has fewer than
+    k tokens or no gram repeats.
+
+    Covered chars = sum of len(token) over covered token positions,
+    plus one separator char for each ADJACENT covered pair (the
+    separator between two covered tokens lies inside a covered span).
+
+    Shape per row (all JVM HOFs over bound arrays, map-only):
+    duplicated gram VALUES from one sorted-run fold (O(n log n)),
+    their start positions by membership test (O(n * dups)), and the
+    covered-position union via flatten + distinct. The DuckDB twin in
+    plans/text_queries.py recomputes dup values by distinct-count —
+    same set, different algorithm, hash-pinned.
+    """
+
+    def build(tk: Column) -> Column:
+        n = F.size(tk)
+        starts = F.sequence(F.lit(1), n - (k - 1))
+        grams_raw = F.transform(
+            starts, lambda i: F.concat_ws(TOKEN_SEP, F.slice(tk, i, k))
+        )
+
+        def with_grams(grams: Column) -> Column:
+            zero = F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("bigint").alias("run"),
+                F.array().cast("array<string>").alias("dups"),
+            )
+
+            def step(acc: Column, x: Column) -> Column:
+                same = acc["prev"] == x
+                return F.struct(
+                    x.alias("prev"),
+                    F.when(same, acc["run"] + 1)
+                    .otherwise(F.lit(1).cast("bigint"))
+                    .alias("run"),
+                    F.when(
+                        ~same & (acc["run"] >= 2),
+                        F.array_append(acc["dups"], acc["prev"]),
+                    )
+                    .otherwise(acc["dups"])
+                    .alias("dups"),
+                )
+
+            def finish(acc: Column) -> Column:
+                return F.when(
+                    acc["run"] >= 2, F.array_append(acc["dups"], acc["prev"])
+                ).otherwise(acc["dups"])
+
+            dupvals = F.aggregate(F.array_sort(grams), zero, step, finish)
+
+            def with_dupvals(dv: Column) -> Column:
+                dup_starts = F.filter(
+                    starts,
+                    lambda i: F.array_contains(dv, F.element_at(grams, i)),
+                )
+                covered = F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            dup_starts,
+                            lambda s: F.sequence(s, s + F.lit(k - 1)),
+                        )
+                    )
+                )
+
+                def with_covered(cov: Column) -> Column:
+                    chars = F.aggregate(
+                        cov,
+                        F.lit(0).cast("bigint"),
+                        lambda acc, j: acc
+                        + F.length(F.element_at(tk, j)).cast("bigint"),
+                    )
+                    seps = F.size(
+                        F.filter(
+                            cov, lambda j: F.array_contains(cov, j + 1)
+                        )
+                    ).cast("bigint")
+                    return chars + seps
+
+                return bind(covered, with_covered)
+
+            return bind(dupvals, with_dupvals)
+
+        gated = F.when(n >= k, bind(grams_raw, with_grams)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        return gated
+
+    return bind(tokens(text), build)
+
+
+def dup_kgram_char_ratio_4dp(text: Column | str, k: int) -> Column:
+    """dup_kgram_char_coverage / doc chars, 4dp half-up exact; 0.0
+    when nothing repeats or the doc is empty."""
+    cov = dup_kgram_char_coverage(text, k)
+    nch = F.length(F.col(text) if isinstance(text, str) else text).cast("bigint")
+    return F.when(
+        (cov > 0) & (nch > 0),
+        _round_half_up_div(F.lit(10000) * cov, nch).cast("double")
+        / F.lit(10000.0),
+    ).otherwise(F.lit(0.0))

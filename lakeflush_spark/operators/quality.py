@@ -107,8 +107,15 @@ def c4_flags(text: Column | str = "text") -> Column:
     )
 
 
+#: dup-k-gram char-fraction thresholds x100 (Rae et al. 2021 A1.1):
+#: 5-gram 0.15 ... 10-gram 0.10
+MT_DUP_KGRAM_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
 def massivetext_repetition_flags(
-    text: Column | str = "text", structured: Column | str | None = None
+    text: Column | str = "text",
+    structured: Column | str | None = None,
+    full_table: bool = False,
 ) -> Column:
     """BIGINT bitmask of failed MassiveText repetition rules (Rae et
     al. 2021, A1.1 repetition table), 0 == document passes:
@@ -121,20 +128,28 @@ def massivetext_repetition_flags(
       bit 5  top 3-gram char fraction       > 0.18
       bit 6  top 4-gram char fraction       > 0.16
 
-    The paper's dup-5..10-gram char fractions use positional UNION
-    coverage (chars counted once across overlapping duplicate grams) —
-    out of scope here; the seven rules above are exact. Every
-    threshold is an integer comparison on exact BIGINT counters
-    (10*dup > 3*n, not dup/n > 0.3), so the DuckDB twin agrees
-    bit-for-bit. ``structured`` optionally supplies a different column
-    for the line/paragraph bits (a derived line-structured view when
-    the corpus is single-line, as q18 does); top-k-gram bits always
-    read ``text``. Map-only JVM HOFs — scan speed at any scale.
+    With ``full_table=True`` the remaining six published rules join —
+    the positional-UNION duplicate-n-gram char fractions
+    (functions/text.dup_kgram_char_coverage; overlapping duplicate
+    occurrences count each character once):
+
+      bit 7..12  dup {5..10}-gram char fraction > {0.15..0.10}
+
+    Off by default because each k adds a per-doc gram pass (~6x the
+    bitmask's cost) — the 7-rule mask is the cheap gate; run the full
+    table for data-card audits. Every threshold is an integer
+    comparison on exact BIGINT counters (10*dup > 3*n, not dup/n >
+    0.3), so the DuckDB twin agrees bit-for-bit. ``structured``
+    optionally supplies a different column for the line/paragraph bits
+    (a derived line-structured view when the corpus is single-line, as
+    q18 does); the gram bits always read ``text``. Map-only JVM HOFs —
+    scan speed at any scale.
     """
     from lakeflush_spark.functions.text import (
         bind,
         doc_lines,
         doc_paragraphs,
+        dup_kgram_char_coverage,
         dup_unit_char_count,
         dup_unit_count,
         top_kgram_coverage,
@@ -164,7 +179,7 @@ def massivetext_repetition_flags(
 
         return bind(units, build)
 
-    return (
+    flags = (
         unit_bits(doc_lines(struct_src), 0, 2)
         + unit_bits(doc_paragraphs(struct_src), 1, 3)
         # cov2/nch > 0.20 <=> 5*cov2 > nch
@@ -174,6 +189,13 @@ def massivetext_repetition_flags(
         # cov4/nch > 0.16 <=> 25*cov4 > 4*nch
         + bit(6, 25 * cov4 > 4 * nch)
     )
+    if full_table:
+        for i, (k, pct) in enumerate(sorted(MT_DUP_KGRAM_PCT.items())):
+            # dupcov/nch > pct/100 <=> 100*dupcov > pct*nch
+            flags = flags + bit(
+                7 + i, 100 * dup_kgram_char_coverage(text, k) > pct * nch
+            )
+    return flags
 
 
 def repetition_filter(

@@ -192,13 +192,14 @@ _SQL_C4_FLAGS = _sql_c4_flags_on("ltext")
 # token-pair-paragraph view.
 
 
-def _sql_gk(k: int) -> str:
-    """Word k-gram array from the bound ``toks`` (1-based range)."""
-    joined = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]"
+def _sql_gk(k: int, arr: str = "toks") -> str:
+    """Word k-gram array from the bound token array (1-based range)."""
+    joined = " || ' ' || ".join(f"{arr}[i+{j}]" if j else f"{arr}[i]"
                                 for j in range(k))
-    hi = f"{_N} - {k - 2}" if k > 2 else _N
+    n = f"len({arr})"
+    hi = f"{n} - {k - 2}" if k > 2 else n
     return (
-        f"CASE WHEN {_N} >= {k} THEN list_transform(range(1, {hi}), "
+        f"CASE WHEN {n} >= {k} THEN list_transform(range(1, {hi}), "
         f"i -> {joined}) ELSE [] END"
     )
 
@@ -335,7 +336,29 @@ def _sql_lang_case() -> str:
                         string_split(vtext, chr(10)) AS vls,
                         string_split(vtext, chr(10) || chr(10)) AS vps,
                         string_split(qtext, chr(10) || chr(10)) AS qps
-                 FROM t10)
+                 FROM t10),
+         t12 AS (SELECT *,
+                        text || ' ' ||
+                            array_to_string(list_slice(toks, 1, 8), ' ')
+                            AS etext
+                 FROM t11),
+         t13 AS (SELECT *, string_split(etext, ' ') AS etoks FROM t12),
+         t14 AS (SELECT *, {_sql_gk(5, "etoks")} AS g5 FROM t13),
+         t15 AS (SELECT *, list_filter(list_distinct(g5),
+                        d -> len(list_filter(g5, x -> x = d)) > 1) AS dv5
+                 FROM t14),
+         t16 AS (SELECT *, list_distinct(flatten(list_transform(
+                        list_filter(range(1, len(etoks) - 3),
+                                    i -> list_contains(dv5, g5[i])),
+                        s -> range(s, s + 5)))) AS cvi5
+                 FROM t15),
+         t17 AS (SELECT *,
+                        (COALESCE(list_sum(list_transform(cvi5,
+                             j -> length(etoks[j]))), 0)
+                         + len(list_filter(cvi5,
+                             j -> list_contains(cvi5, j + 1))))::BIGINT
+                            AS dcov5
+                 FROM t16)
     SELECT doc_id,
            {_N}::BIGINT AS n_tokens,
            len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))::BIGINT AS n_bpe_tokens,
@@ -366,9 +389,11 @@ def _sql_lang_case() -> str:
            {_sql_topk_4dp("cov3")} AS top3_char_ratio,
            {_sql_topk_4dp("cov4")} AS top4_char_ratio,
            {_sql_mt_rep_flags()} AS mt_rep_flags,
+           CASE WHEN dcov5 > 0 AND length(etext) > 0 THEN {_sql_round_half_up_div("10000 * dcov5", "length(etext)::BIGINT")}
+                ELSE 0.0 END AS dup5_char_ratio,
            lang,
            {_sql_lang_case()} AS lang_pred
-    FROM t11
+    FROM t17
     ORDER BY doc_id
     """,
     "Per-document text metrics in ONE map-only pass: token/char counts, "
@@ -383,7 +408,10 @@ def _sql_lang_case() -> str:
     "threshold an integer comparison so both engines agree bit-for-bit. "
     "r9 also adds the MassiveText repetition family — duplicate "
     "line/paragraph ratios and char fractions, top-2/3/4-gram char "
-    "coverage, and the 7-rule repetition bitmask "
+    "coverage, the 7-rule repetition bitmask, and the dup-5-gram "
+    "positional-union char fraction (echo-view verified; the full "
+    "13-rule table incl. dup-6..10-gram lives behind "
+    "massivetext_repetition_flags(full_table=True)) "
     "(massivetext_repetition_flags, integer thresholds) over "
     "deterministic token-line/token-pair structured views — and the "
     "C4 §2.2 cleaner "
@@ -401,6 +429,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         c4_kept_line_ratio_4dp,
         dup_line_char_ratio_4dp,
         dup_line_ratio_4dp,
+        dup_kgram_char_ratio_4dp,
         dup_para_char_ratio_4dp,
         dup_para_ratio_4dp,
         ellipsis_line_ratio_4dp,
@@ -429,6 +458,17 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _qtext():
         # token-pair-per-paragraph view (_SQL_QTEXT)
         return F.regexp_replace("text", r"(\S+ \S+) ", "$1\n\n")
+
+    def _etext():
+        # echo view: the doc's first 8 tokens re-appended, giving the
+        # dup-5-gram union-coverage machinery real (and per-doc
+        # varying) repeats — the raw corpus has no natural 5-gram dups
+        from lakeflush_spark.functions.text import tokens
+
+        return F.concat(
+            F.col("text"), F.lit(" "),
+            F.concat_ws(" ", F.slice(tokens("text"), 1, 8)),
+        )
 
     return (
         spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
@@ -463,6 +503,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             massivetext_repetition_flags(
                 "text", structured=_vtext()
             ).alias("mt_rep_flags"),
+            dup_kgram_char_ratio_4dp(_etext(), 5).alias("dup5_char_ratio"),
             "lang",
             lang_id("text").alias("lang_pred"),
         )

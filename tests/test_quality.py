@@ -302,3 +302,38 @@ def test_c4_kept_ratio_and_terminal_quote(spark):
     # 'short.' has < 5 words
     assert df.select(
         c4_kept_line_ratio_4dp("text").alias("r")).first().r == 0.6667
+
+
+def test_mt_full_table_dup_kgram_bits(spark):
+    """full_table=True adds the dup-5..10-gram positional-union bits
+    with the published thresholds; overlapping occurrences count each
+    char once."""
+    from lakeflush_spark.functions.text import (
+        dup_kgram_char_coverage,
+        dup_kgram_char_ratio_4dp,
+    )
+    from lakeflush_spark.operators.quality import (
+        massivetext_repetition_flags,
+    )
+
+    # "a b c d e X a b c d e": dup 5-gram 'a b c d e' covers tokens
+    # 1-5 and 7-11 -> 18 of 21 chars (0.857 > 0.15 -> bit 7); no
+    # 6..10-gram repeats
+    doc = "a b c d e X a b c d e"
+    # long unique doc: no bits at all under the full table
+    clean = " ".join(f"w{i:04d}" for i in range(60))
+    df = spark.createDataFrame([(0, doc), (1, clean)], "i int, text string")
+    got = {r.i: r for r in df.select(
+        "i",
+        massivetext_repetition_flags("text", full_table=True).alias("f"),
+        dup_kgram_char_coverage("text", 5).alias("c5"),
+        dup_kgram_char_ratio_4dp("text", 5).alias("r5"),
+    ).collect()}
+    assert got[0].c5 == 18 and got[0].r5 == 0.8571
+    assert got[0].f & (1 << 7)          # dup-5-gram bit
+    assert not got[0].f & (0b111110 << 7)  # no 6..10 bits
+    assert got[1].f == 0
+    # overlap-union: 6 identical tokens, k=5 -> whole text covered once
+    tri = spark.createDataFrame([("a a a a a a",)], "text string")
+    assert tri.select(
+        dup_kgram_char_coverage("text", 5).alias("c")).first().c == 11

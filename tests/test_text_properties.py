@@ -365,3 +365,61 @@ def test_mt_repetition_flags_match_python_model(spark, docs):
             f"mismatch for text={r.text!r}: spark={r.f} "
             f"model={_rep_model(r.text)}"
         )
+
+
+def _dup_union_cov(toks: list[str], k: int) -> int:
+    if len(toks) < k:
+        return 0
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    counts = {}
+    for g in grams:
+        counts[g] = counts.get(g, 0) + 1
+    covered = set()
+    for i, g in enumerate(grams):
+        if counts[g] > 1:
+            covered.update(range(i, i + k))
+    chars = sum(len(toks[j]) for j in covered)
+    seps = sum(1 for j in covered if j + 1 in covered)
+    return chars + seps
+
+
+def _rep_model_full(text: str) -> int:
+    from lakeflush_spark.operators.quality import MT_DUP_KGRAM_PCT
+
+    f = _rep_model(text)
+    toks = text.split(" ")
+    nch = len(text)
+    for i, (k, pct) in enumerate(sorted(MT_DUP_KGRAM_PCT.items())):
+        if 100 * _dup_union_cov(toks, k) > pct * nch:
+            f |= 1 << (7 + i)
+    return f
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_rep_doc, min_size=1, max_size=8))
+def test_mt_full_table_matches_python_model(spark, docs):
+    """The 13-rule full-table bitmask (incl. positional-union dup-k
+    coverage) agrees with an independent Python model; repetitive
+    generated docs exercise the overlap-union path."""
+    from lakeflush_spark.operators.quality import (
+        massivetext_repetition_flags,
+    )
+
+    # append a repeated tail so dup-5..10-gram bits actually fire
+    docs = [d + " " + " ".join((d.split(" ") * 3)[:12]) for d in docs]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i LONG, text STRING"
+    )
+    rows = df.select(
+        "i", "text",
+        massivetext_repetition_flags("text", full_table=True).alias("f"),
+    ).collect()
+    for r in rows:
+        assert r.f == _rep_model_full(r.text), (
+            f"mismatch for text={r.text!r}: spark={r.f} "
+            f"model={_rep_model_full(r.text)}"
+        )

@@ -248,7 +248,7 @@ r9-late run (after the q18 text-quality growth — C4 cleaner, dup
 line/paragraph metrics, top-2/3/4-gram coverage, the MassiveText
 repetition bitmask — and before q60's 'card_flags'): suite 45.3 s on
 a quieter box; q18 1.4→3.48 s is the ONLY real entry growth and is
-those ~12 new hash-verified per-doc columns (map-only HOFs, plan
+those ~14 new hash-verified per-doc columns (incl. the r9-late dup5 echo-view union coverage) (map-only HOFs, plan
 unchanged: 0 joins, 0 PY); q55 8.7 / q62 8.4 confirm the 52.8-s
 closing run's q55=11.9 reading was box noise on top of the label
 growth. curate_warm_docs_s 46.3 (vs 47.7). q60 then grows to ~5.1 s warm

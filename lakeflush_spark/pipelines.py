@@ -74,6 +74,10 @@ class CurationConfig:
     #: char fractions, top-2/3/4-gram char coverage. Off by default
     #: (prose assumption, like gopher_rules).
     mt_repetition_rules: bool = False
+    #: with mt_repetition_rules: gate on the FULL 13-rule table
+    #: (adds the dup-5..10-gram positional-union char fractions —
+    #: ~6x the bitmask's per-doc cost; see operators/quality)
+    mt_full_table: bool = False
     #: True = rewrite surviving docs keeping only the FIRST occurrence
     #: of each line (functions/text.strip_duplicate_lines — the
     #: MassiveText in-document repetition scrub). Runs after the C4
@@ -325,7 +329,7 @@ def curate_documents(
         gopher_flags_col=gopher_flags(tc) if cfg.gopher_rules else None,
         c4_flags_col=c4_flags(tc) if cfg.c4_rules else None,
         mt_rep_flags_col=(
-            massivetext_repetition_flags(tc)
+            massivetext_repetition_flags(tc, full_table=cfg.mt_full_table)
             if cfg.mt_repetition_rules else None
         ),
     )

@@ -113,6 +113,9 @@ class CurationStreamConfig:
     #: True = additionally require the seven MassiveText repetition
     #: rules (the batch CurationConfig.mt_repetition_rules twin)
     mt_repetition_rules: bool = False
+    #: with mt_repetition_rules: gate on the full 13-rule table (the
+    #: batch CurationConfig.mt_full_table twin)
+    mt_full_table: bool = False
     #: True = rewrite survivors keeping the first occurrence of each
     #: line (the batch CurationConfig.strip_dup_lines twin; runs after
     #: the C4 rewrite, before any dedup stage)
@@ -351,7 +354,9 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 c4_flags(cfg.text_col) if cfg.c4_rules else None
             ),
             mt_rep_flags_col=(
-                massivetext_repetition_flags(cfg.text_col)
+                massivetext_repetition_flags(
+                    cfg.text_col, full_table=cfg.mt_full_table
+                )
                 if cfg.mt_repetition_rules else None
             ),
         )

@@ -440,3 +440,21 @@ def test_curation_mt_repetition_rules_gate(spark):
                        near_dup_threshold=0.99),
     )
     assert {r.doc_id for r in off.collect()} == {1, 2}
+
+
+def test_curation_mt_full_table_gate(spark):
+    """mt_full_table=True also drops docs failing only a dup-k-gram
+    union rule (no top-k/line rule fires)."""
+    # unique 2-grams except one repeated 5-gram block: top-2 coverage
+    # low, dup-5 union coverage high
+    body = " ".join(f"w{i:03d}" for i in range(20))
+    block = " ".join("pqrstuvwxyzabcd")  # 15 single-char tokens
+    doc = f"{block} {body} {block} the a"
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    base = dict(min_tokens=5, max_stopword_ratio=None,
+                near_dup_threshold=0.99, mt_repetition_rules=True)
+    seven, _ = curate_documents(spark, docs, CurationConfig(**base))
+    full, _ = curate_documents(
+        spark, docs, CurationConfig(**base, mt_full_table=True))
+    assert {r.doc_id for r in seven.collect()} == {1}   # 7-rule passes
+    assert {r.doc_id for r in full.collect()} == set()  # dup-5 bit drops

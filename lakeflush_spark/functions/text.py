@@ -793,3 +793,9 @@ def dup_kgram_char_ratio_4dp(text: Column | str, k: int) -> Column:
         _round_half_up_div(F.lit(10000) * cov, nch).cast("double")
         / F.lit(10000.0),
     ).otherwise(F.lit(0.0))
+
+
+def strip_duplicate_paragraphs(text: Column | str) -> Column:
+    """Keep only the FIRST occurrence of each paragraph (the
+    paragraph-level twin of ``strip_duplicate_lines``); map-only."""
+    return F.concat_ws("\n\n", F.array_distinct(doc_paragraphs(text)))

@@ -337,3 +337,13 @@ def test_mt_full_table_dup_kgram_bits(spark):
     tri = spark.createDataFrame([("a a a a a a",)], "text string")
     assert tri.select(
         dup_kgram_char_coverage("text", 5).alias("c")).first().c == 11
+
+
+def test_strip_duplicate_paragraphs(spark):
+    from lakeflush_spark.functions.text import strip_duplicate_paragraphs
+
+    doc = "aa bb\n\ncc\n\naa bb\n\ndd"
+    df = spark.createDataFrame([(doc,)], "text string")
+    assert df.select(
+        strip_duplicate_paragraphs("text").alias("s")).first().s == \
+        "aa bb\n\ncc\n\ndd"

@@ -273,6 +273,14 @@ vs 3.5 (both flat). ivf_assign re-confirms: build flat in n_cells
 (0.35 s @1024), two-level assignment 1.51 s at n_cells=1024/coarse=32
 vs 14.8 s flat (9.8x). No super-linear stage in any registered shape.
 
+r9-late re-smoke after the q18/q60 growth (now incl. q18 in the
+builder set): 20x (100k docs) q18 2.6 s vs 3.0 s at 4x — FLAT, the
+text-quality HOF columns are pure map-side and the 4x number is
+fixed overhead; q60 7.3 s at 20x (was 3.7 pre-'card_flags' — the
+added flags scan is ~3.5 s per 100k docs, exactly linear); q24 55.7 /
+q41 4.8 / q55 14.4 / q62 22.5 all at the prior readings. Still no
+super-linear stage.
+
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions
 crossover above): a 3-doc trickle batch against a directly-preloaded

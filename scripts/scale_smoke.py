@@ -232,6 +232,10 @@ def main() -> int:
             "q41_wordcount_topk",
             "q60_stratified_sample",
             "q55_ann_ivf",
+            # r9-late: q18 joined when the text-quality family (Gopher/
+            # C4/MassiveText bitmasks, top-k coverage, dup-5 union)
+            # made it the heaviest map-only entry — must stay linear
+            "q18_text_metrics",
             # r9: q62 joined the expensive set when 'stream2' (the
             # two-generation cross-batch streaming run) was added —
             # the builder now boots three real StreamingQueries over

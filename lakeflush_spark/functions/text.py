@@ -443,14 +443,14 @@ def alpha_word_ratio_4dp(text: Column | str) -> Column:
 def dup_line_ratio_4dp(text: Column | str) -> Column:
     """Fraction of lines that are repeats of an earlier line
     (MassiveText's duplicate-line filter signal), 4dp half-up exact:
-    (nlines - distinct lines) / nlines."""
+    (nlines - distinct lines) / nlines. Delegates to the shared unit
+    counters defined with the repetition block below."""
 
     def build(ls: Column) -> Column:
         nl = F.size(ls).cast("bigint")
-        dup = nl - F.size(F.array_distinct(ls)).cast("bigint")
-        return _round_half_up_div(F.lit(10000) * dup, nl).cast("double") / F.lit(
-            10000.0
-        )
+        return _round_half_up_div(
+            F.lit(10000) * dup_unit_count(ls), nl
+        ).cast("double") / F.lit(10000.0)
 
     return bind(doc_lines(text), build)
 
@@ -459,22 +459,15 @@ def dup_line_char_ratio_4dp(text: Column | str) -> Column:
     """Fraction of characters in repeated line occurrences (all
     occurrences AFTER the first of each line value), 4dp half-up
     exact. Denominator = total line characters (separators excluded);
-    0.0 for all-empty lines."""
+    0.0 for all-empty lines. Shared-counter twin of the paragraph
+    version."""
 
     def build(ls: Column) -> Column:
-        tot = F.aggregate(
-            F.transform(ls, lambda l: F.length(l).cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        first = F.aggregate(
-            F.transform(F.array_distinct(ls), lambda l: F.length(l).cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
+        tot = unit_char_total(ls)
+        dup = dup_unit_char_count(ls)
         return F.when(
             tot > 0,
-            _round_half_up_div(F.lit(10000) * (tot - first), tot).cast("double")
+            _round_half_up_div(F.lit(10000) * dup, tot).cast("double")
             / F.lit(10000.0),
         ).otherwise(F.lit(0.0))
 
@@ -586,70 +579,131 @@ def dup_unit_char_count(units: Column) -> Column:
 
 
 def top_kgram_coverage(text: Column | str, k: int) -> Column:
-    """Characters covered by the most frequent word k-gram: count(g) *
-    chars(g), ties on count broken toward the largest coverage. BIGINT;
-    0 when the doc has fewer than k tokens.
+    """Characters contained within occurrences of the most frequent
+    word k-gram — MassiveText's exact wording — as positional UNION
+    coverage: overlapping occurrences of a self-overlapping gram count
+    each character once, so coverage never exceeds the document
+    length. Ties on occurrence count break toward the LARGEST union
+    coverage (deterministic in both engines). BIGINT; 0 when the doc
+    has fewer than k tokens.
 
-    Implementation: sort the gram array and fold once over the sorted
-    runs (O(n log n) per row) rather than counting each distinct gram
-    against the whole array (O(distinct x n)). At the sf0.1 corpus's
-    ~300 tokens/doc the two measure the SAME (~1 s per coverage pass —
-    the fold's per-element struct constant offsets the complexity win);
-    the fold is kept for the long-doc regime, where distinct x n is
-    quadratic (a 100k-token doc: ~1e10 comparisons vs ~2e6). The
-    sentinel prev='' is safe: a k>=2 gram always contains the
-    separator, so no gram is the empty string. Exact same result
-    (integer math, same tie-break) — the DuckDB oracle keeps the
-    distinct-count formulation and the hash comparison pins the two
-    algorithms to each other.
+    Shape per row (all JVM HOFs, map-only): one sorted-run fold finds
+    the max count and the candidate grams holding it (O(n log n));
+    when maxcount == 1 (the common non-repetitive case) coverage is
+    simply the longest gram, else each candidate's occurrence
+    positions are unioned (O(candidates x n) — candidates <=
+    n/maxcount, typically a handful). Covered chars = token lengths
+    over the covered positions + one separator per ADJACENT covered
+    pair. The sentinel prev='' is safe: a k>=2 gram always contains
+    the separator, so no gram is the empty string. The DuckDB oracle
+    recomputes via distinct-count lists — different algorithm, same
+    integers, hash-pinned.
     """
 
-    def _close(acc: Column) -> tuple[Column, Column]:
-        # fold the finished run (count=acc.run, gram=acc.prev) into
-        # the (maxc, best-coverage) pair
-        c = acc["run"]
-        cov = c * F.length(acc["prev"]).cast("bigint")
-        return (
-            F.greatest(acc["maxc"], c),
-            F.when(c > acc["maxc"], cov)
-            .when(c == acc["maxc"], F.greatest(acc["best"], cov))
-            .otherwise(acc["best"]),
+    def build(tk: Column) -> Column:
+        n = F.size(tk)
+        starts = F.sequence(F.lit(1), n - (k - 1))
+        grams_raw = F.transform(
+            starts, lambda i: F.concat_ws(TOKEN_SEP, F.slice(tk, i, k))
         )
 
-    def build(g: Column) -> Column:
-        zero = F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).cast("bigint").alias("run"),
-            F.lit(0).cast("bigint").alias("maxc"),
-            F.lit(0).cast("bigint").alias("best"),
-        )
-
-        def step(acc: Column, x: Column) -> Column:
-            same = acc["prev"] == x
-            closed = _close(acc)
-            keep = same | (acc["run"] == 0)
-            return F.struct(
-                x.alias("prev"),
-                F.when(same, acc["run"] + 1)
-                .otherwise(F.lit(1).cast("bigint"))
-                .alias("run"),
-                F.when(keep, acc["maxc"]).otherwise(closed[0]).alias("maxc"),
-                F.when(keep, acc["best"]).otherwise(closed[1]).alias("best"),
+        def with_grams(grams: Column) -> Column:
+            zero = F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("bigint").alias("run"),
+                F.lit(0).cast("bigint").alias("maxc"),
+                F.array().cast("array<string>").alias("cands"),
             )
 
-        def finish(acc: Column) -> Column:
-            return F.when(
-                acc["run"] == 0, F.lit(0).cast("bigint")
-            ).otherwise(_close(acc)[1])
+            def step(acc: Column, x: Column) -> Column:
+                same = acc["prev"] == x
+                keep = same | (acc["run"] == 0)
+                c = acc["run"]
+                return F.struct(
+                    x.alias("prev"),
+                    F.when(same, acc["run"] + 1)
+                    .otherwise(F.lit(1).cast("bigint"))
+                    .alias("run"),
+                    F.when(keep, acc["maxc"])
+                    .otherwise(F.greatest(acc["maxc"], c))
+                    .alias("maxc"),
+                    F.when(keep, acc["cands"])
+                    .when(c > acc["maxc"], F.array(acc["prev"]))
+                    .when(c == acc["maxc"], F.array_append(acc["cands"], acc["prev"]))
+                    .otherwise(acc["cands"])
+                    .alias("cands"),
+                )
 
-        return F.aggregate(F.array_sort(g), zero, step, finish)
+            def finish(acc: Column) -> Column:
+                c = acc["run"]
+                return F.struct(
+                    F.greatest(acc["maxc"], c).alias("maxc"),
+                    F.when(c > acc["maxc"], F.array(acc["prev"]))
+                    .when(c == acc["maxc"], F.array_append(acc["cands"], acc["prev"]))
+                    .otherwise(acc["cands"])
+                    .alias("cands"),
+                )
 
-    return bind(shingles(text, k), build)
+            mc = F.aggregate(F.array_sort(grams), zero, step, finish)
+
+            def union_cov(cand: Column) -> Column:
+                occ = F.filter(
+                    starts, lambda i: F.element_at(grams, i) == cand
+                )
+                covered_expr = F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            occ, lambda s: F.sequence(s, s + F.lit(k - 1))
+                        )
+                    )
+                )
+                # bind `covered` locally (the bind() trick inline —
+                # chars and seps both read it)
+                return F.element_at(
+                    F.transform(
+                        F.array(covered_expr),
+                        lambda cov: F.aggregate(
+                            cov,
+                            F.lit(0).cast("bigint"),
+                            lambda acc, j: acc
+                            + F.length(F.element_at(tk, j)).cast("bigint"),
+                        )
+                        + F.size(
+                            F.filter(
+                                cov, lambda j: F.array_contains(cov, j + 1)
+                            )
+                        ).cast("bigint"),
+                    ),
+                    1,
+                )
+
+            def with_mc(m: Column) -> Column:
+                max_len = F.coalesce(
+                    F.array_max(
+                        F.transform(grams, lambda x: F.length(x).cast("bigint"))
+                    ),
+                    F.lit(0).cast("bigint"),
+                )
+                return F.when(m["maxc"] <= 1, max_len).otherwise(
+                    F.coalesce(
+                        F.array_max(F.transform(m["cands"], union_cov)),
+                        F.lit(0).cast("bigint"),
+                    )
+                )
+
+            return bind(mc, with_mc)
+
+        return F.when(n >= k, bind(grams_raw, with_grams)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    return bind(tokens(text), build)
 
 
 def top_kgram_char_ratio_4dp(text: Column | str, k: int) -> Column:
-    """top_kgram_coverage / doc chars, 4dp half-up exact; 0.0 for docs
-    with no k-grams or no characters."""
+    """top_kgram_coverage / doc chars, 4dp half-up exact; a true
+    fraction in [0, 1] (union coverage never exceeds the text). 0.0
+    for docs with no k-grams or no characters."""
     cov = top_kgram_coverage(text, k)
     nch = F.length(F.col(text) if isinstance(text, str) else text).cast("bigint")
     return F.when(

@@ -75,6 +75,27 @@ def gopher_flags(text: Column | str = "text") -> Column:
     )
 
 
+def _c4_flags_from(clean: Column, raw: Column) -> Column:
+    """c4_flags given a cleaned-text Column — the gate+rewrite paths
+    define the C4 line filter ONCE (single source of the expression).
+    Note Catalyst still inlines the shared alias through filter
+    pushdown, so the physical plan evaluates the line filter twice for
+    surviving docs (once in the gate's Filter, once in the rewrite
+    Project) — that is the floor without a materialization barrier,
+    and identical to the pre-refactor cost; what this buys is that the
+    predicate cannot drift between the flag bit and the rewrite."""
+    from lakeflush_spark.functions.text import sentence_terminator_count
+
+    def bit(i: int, failed: Column) -> Column:
+        return F.when(failed, F.lit(1 << i)).otherwise(F.lit(0)).cast("bigint")
+
+    return (
+        bit(0, sentence_terminator_count(clean) < 3)
+        + bit(1, F.lower(raw).contains("lorem ipsum"))
+        + bit(2, raw.contains("{"))
+    )
+
+
 def c4_flags(text: Column | str = "text") -> Column:
     """BIGINT bitmask of failed C4 page rules (Raffel et al. 2020,
     §2.2), applied AFTER the line filter where the paper does:
@@ -89,22 +110,14 @@ def c4_flags(text: Column | str = "text") -> Column:
     predicate on the same cleaned column. 0 == page passes. Exact
     integer/substring tests only, so the DuckDB twin in
     plans/text_queries.py agrees bit-for-bit. Map-only, no Python.
+    When the caller also needs the cleaned text (gate + rewrite),
+    precompute it as a column and use ``_c4_flags_from`` to avoid a
+    second line-filter pass.
     """
-    from lakeflush_spark.functions.text import (
-        c4_clean,
-        sentence_terminator_count,
-    )
+    from lakeflush_spark.functions.text import c4_clean
 
     raw = F.col(text) if isinstance(text, str) else text
-
-    def bit(i: int, failed: Column) -> Column:
-        return F.when(failed, F.lit(1 << i)).otherwise(F.lit(0)).cast("bigint")
-
-    return (
-        bit(0, sentence_terminator_count(c4_clean(text)) < 3)
-        + bit(1, F.lower(raw).contains("lorem ipsum"))
-        + bit(2, raw.contains("{"))
-    )
+    return _c4_flags_from(c4_clean(text), raw)
 
 
 #: dup-k-gram char-fraction thresholds x100 (Rae et al. 2021 A1.1):
@@ -202,10 +215,13 @@ def repetition_filter(
     docs: DataFrame,
     text_col: str = "text",
     keep_flags: bool = False,
+    full_table: bool = False,
 ) -> DataFrame:
-    """Drop documents failing any MassiveText repetition rule."""
+    """Drop documents failing any MassiveText repetition rule (the
+    7-rule mask by default; ``full_table=True`` applies all 13)."""
     flagged = docs.withColumn(
-        "mt_rep_flags", massivetext_repetition_flags(text_col)
+        "mt_rep_flags",
+        massivetext_repetition_flags(text_col, full_table=full_table),
     )
     kept = flagged.where(F.col("mt_rep_flags") == 0)
     return kept if keep_flags else kept.drop("mt_rep_flags")
@@ -222,9 +238,13 @@ def c4_filter(
     """
     from lakeflush_spark.functions.text import c4_clean
 
-    flagged = docs.withColumn("c4_flags", c4_flags(text_col))
-    kept = flagged.where(F.col("c4_flags") == 0).withColumn(
-        text_col, c4_clean(text_col)
+    flagged = docs.withColumn("_c4_clean", c4_clean(text_col)).withColumn(
+        "c4_flags", _c4_flags_from(F.col("_c4_clean"), F.col(text_col))
+    )
+    kept = (
+        flagged.where(F.col("c4_flags") == 0)
+        .withColumn(text_col, F.col("_c4_clean"))
+        .drop("_c4_clean")
     )
     return kept if keep_flags else kept.drop("c4_flags")
 

@@ -92,6 +92,7 @@ def corpus_report(
     source_col: str = "source",
     text_col: str = "text",
     quantile_accuracy: int = 10_000,
+    flag_profile: bool = True,
 ) -> DataFrame:
     """One row per source: doc/token counts, token-length quantiles
     (p10/p50/p90/p99 via ``percentile_approx``), corpus share, language
@@ -101,7 +102,10 @@ def corpus_report(
     MassiveText repetition rules — the "what would a cleanup delete"
     panel a data card ships. The flag expressions are the same
     map-only bitmasks the curation gates use (operators/quality.py),
-    evaluated in the SAME single aggregation scan.
+    evaluated in the SAME single aggregation scan. The profile
+    roughly doubles the per-doc scan cost (three bitmasks incl.
+    top-k-gram folds) — ``flag_profile=False`` restores the pre-r9
+    cheap card (the six columns then report 0).
 
     ``quantile_accuracy`` is ``percentile_approx``'s 1/eps knob
     (10_000 ⇒ ~0.01% rank error — sketch memory is O(accuracy), not
@@ -114,15 +118,22 @@ def corpus_report(
     )
 
     tc = F.col("_nt")
+    flag_cols = (
+        [
+            (gopher_flags(text_col) != 0).alias("_gf"),
+            (c4_flags(text_col) != 0).alias("_cf"),
+            (massivetext_repetition_flags(text_col) != 0).alias("_mf"),
+        ]
+        if flag_profile
+        else [F.lit(False).alias(c) for c in ("_gf", "_cf", "_mf")]
+    )
     annotated = docs.select(
         F.col(source_col).alias("source"),
         token_count(text_col).alias("_nt"),
         stopword_ratio(text_col).alias("_sw"),
         quality_score(text_col).alias("_q"),
         lang_id(text_col).alias("_lang"),
-        (gopher_flags(text_col) != 0).alias("_gf"),
-        (c4_flags(text_col) != 0).alias("_cf"),
-        (massivetext_repetition_flags(text_col) != 0).alias("_mf"),
+        *flag_cols,
     )
 
     def _flagged(flag: str, name: str) -> list:

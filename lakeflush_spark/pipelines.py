@@ -305,18 +305,25 @@ def curate_documents(
     drop-set lineages; write it in the same job as the curated corpus.
     """
     tc = cfg.text_col
-    annotated = docs.select(
-        "*",
-        token_count(tc).alias("n_tokens"),
-        stopword_ratio(tc).alias("stop_ratio"),
-        lang_id(tc).alias("lang_pred"),
-    )
-
     from lakeflush_spark.operators.quality import (
-        c4_flags,
+        _c4_flags_from,
         gopher_flags,
         massivetext_repetition_flags,
     )
+
+    annot_cols = [
+        token_count(tc).alias("n_tokens"),
+        stopword_ratio(tc).alias("stop_ratio"),
+        lang_id(tc).alias("lang_pred"),
+    ]
+    if cfg.c4_rules:
+        # single source of the cleaned-text expression: the flags bit
+        # and the survivor rewrite read the same _c4_clean alias (see
+        # _c4_flags_from on the physical-plan cost)
+        from lakeflush_spark.functions.text import c4_clean
+
+        annot_cols.append(c4_clean(tc).alias("_c4_clean"))
+    annotated = docs.select("*", *annot_cols)
 
     keep = quality_keep_condition(
         F.col("n_tokens"),
@@ -327,7 +334,10 @@ def curate_documents(
         cfg.max_stopword_ratio,
         cfg.allowed_langs,
         gopher_flags_col=gopher_flags(tc) if cfg.gopher_rules else None,
-        c4_flags_col=c4_flags(tc) if cfg.c4_rules else None,
+        c4_flags_col=(
+            _c4_flags_from(F.col("_c4_clean"), F.col(tc))
+            if cfg.c4_rules else None
+        ),
         mt_rep_flags_col=(
             massivetext_repetition_flags(tc, full_table=cfg.mt_full_table)
             if cfg.mt_repetition_rules else None
@@ -338,9 +348,9 @@ def curate_documents(
         # survivors carry the C4 line-cleaned text into every dedup
         # stage (shingles/digests key on the cleaned form); the
         # annotation metrics above describe the pre-clean text
-        from lakeflush_spark.functions.text import c4_clean
-
-        filtered = filtered.withColumn(tc, c4_clean(tc))
+        filtered = filtered.withColumn(tc, F.col("_c4_clean")).drop(
+            "_c4_clean"
+        )
     if cfg.strip_dup_lines:
         from lakeflush_spark.functions.text import strip_duplicate_lines
 

@@ -207,18 +207,33 @@ def _sql_gk(k: int, arr: str = "toks") -> str:
 def _sql_gpairs(g: str) -> str:
     return (
         f"list_transform(list_distinct({g}), d -> struct_pack("
-        f"c := len(list_filter({g}, x -> x = d))::BIGINT, "
-        "L := length(d)::BIGINT))"
+        f"g := d, c := len(list_filter({g}, x -> x = d))::BIGINT))"
     )
 
 
-def _sql_gcov(p: str, maxc: str) -> str:
-    # COALESCE: list_max over an empty pair list is NULL; the Spark
-    # builder coalesces coverage to 0
+def _sql_gucov(k: int, garr: str, parr: str, maxc: str, tokarr: str) -> str:
+    """Positional-UNION coverage of the most frequent k-gram (ties ->
+    largest union coverage), the functions/text.top_kgram_coverage
+    twin. maxc <= 1 degenerates to the longest single gram; otherwise
+    each max-count candidate's occurrence windows are unioned."""
+    covered = (
+        "list_distinct(flatten(list_transform("
+        f"list_filter(range(1, len({garr}) + 1), i -> {garr}[i] = cand), "
+        f"s -> range(s, s + {k}))))"
+    )
+    ucov = (
+        f"COALESCE(list_sum(list_transform({covered}, "
+        f"j -> length({tokarr}[j]))), 0)::BIGINT "
+        f"+ len(list_filter({covered}, j -> list_contains({covered}, j + 1)))"
+        "::BIGINT"
+    )
     return (
-        f"COALESCE(list_max(list_transform({p}, "
-        f"s -> CASE WHEN s.c = {maxc} THEN s.c * s.L ELSE 0::BIGINT END)), "
-        "0::BIGINT)"
+        f"CASE WHEN {maxc} IS NULL OR {maxc} <= 1 THEN "
+        f"COALESCE(list_max(list_transform({garr}, x -> length(x)::BIGINT)),"
+        " 0::BIGINT) "
+        f"ELSE COALESCE(list_max(list_transform("
+        f"list_transform(list_filter({parr}, s -> s.c = {maxc}), s -> s.g), "
+        f"cand -> {ucov})), 0::BIGINT) END"
     )
 
 
@@ -322,17 +337,17 @@ def _sql_lang_case() -> str:
          t3 AS (SELECT *, {_sql_gpairs("g2")} AS g2p FROM t2),
          t4 AS (SELECT *, list_max(list_transform(g2p, s -> s.c)) AS g2maxc
                 FROM t3),
-         t5 AS (SELECT *, {_sql_gcov("g2p", "g2maxc")} AS cov2,
+         t5 AS (SELECT *, {_sql_gucov(2, "g2", "g2p", "g2maxc", "toks")} AS cov2,
                        {_sql_gk(3)} AS g3 FROM t4),
          t6 AS (SELECT *, {_sql_gpairs("g3")} AS g3p FROM t5),
          t7 AS (SELECT *, list_max(list_transform(g3p, s -> s.c)) AS g3maxc
                 FROM t6),
-         t8 AS (SELECT *, {_sql_gcov("g3p", "g3maxc")} AS cov3,
+         t8 AS (SELECT *, {_sql_gucov(3, "g3", "g3p", "g3maxc", "toks")} AS cov3,
                        {_sql_gk(4)} AS g4 FROM t7),
          t9 AS (SELECT *, {_sql_gpairs("g4")} AS g4p FROM t8),
          t10 AS (SELECT *, list_max(list_transform(g4p, s -> s.c)) AS g4maxc
                  FROM t9),
-         t11 AS (SELECT *, {_sql_gcov("g4p", "g4maxc")} AS cov4,
+         t11 AS (SELECT *, {_sql_gucov(4, "g4", "g4p", "g4maxc", "toks")} AS cov4,
                         string_split(vtext, chr(10)) AS vls,
                         string_split(vtext, chr(10) || chr(10)) AS vps,
                         string_split(qtext, chr(10) || chr(10)) AS qps
@@ -725,17 +740,17 @@ _SAMPLE_PCT = 10
     f3 AS (SELECT *, {_sql_gpairs("g2")} AS g2p FROM f2),
     f4 AS (SELECT *, list_max(list_transform(g2p, s -> s.c)) AS g2maxc
            FROM f3),
-    f5 AS (SELECT *, {_sql_gcov("g2p", "g2maxc")} AS cov2,
+    f5 AS (SELECT *, {_sql_gucov(2, "g2", "g2p", "g2maxc", "toks")} AS cov2,
                   {_sql_gk(3)} AS g3 FROM f4),
     f6 AS (SELECT *, {_sql_gpairs("g3")} AS g3p FROM f5),
     f7 AS (SELECT *, list_max(list_transform(g3p, s -> s.c)) AS g3maxc
            FROM f6),
-    f8 AS (SELECT *, {_sql_gcov("g3p", "g3maxc")} AS cov3,
+    f8 AS (SELECT *, {_sql_gucov(3, "g3", "g3p", "g3maxc", "toks")} AS cov3,
                   {_sql_gk(4)} AS g4 FROM f7),
     f9 AS (SELECT *, {_sql_gpairs("g4")} AS g4p FROM f8),
     f10 AS (SELECT *, list_max(list_transform(g4p, s -> s.c)) AS g4maxc
             FROM f9),
-    fA AS (SELECT *, {_sql_gcov("g4p", "g4maxc")} AS cov4,
+    fA AS (SELECT *, {_sql_gucov(4, "g4", "g4p", "g4maxc", "toks")} AS cov4,
                   string_split(text, chr(10)) AS vls,
                   string_split(text, chr(10) || chr(10)) AS vps
            FROM f10),
@@ -895,7 +910,8 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     card_top = rep.select(
         F.lit("card_top").alias("kind"),
-        F.concat_ws(":", "source", "top_lang").alias("key"),
+        # concat for the same NULL-source parity as card_flags
+        F.concat(F.col("source"), F.lit(":"), F.col("top_lang")).alias("key"),
         F.round(F.col("top_lang_share") * 10000).cast("bigint").alias("n_docs"),
         F.round(F.col("token_share") * 10000).cast("bigint").alias("sum_tokens"),
     )
@@ -987,7 +1003,9 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fam, c in fams.items():
         part = fagg.select(
             F.lit("card_flags").alias("kind"),
-            F.concat_ws(":", F.col("source"), F.lit(fam)).alias("key"),
+            # concat (NOT concat_ws): NULL source must yield a NULL
+            # key, matching the oracle's NULL-propagating `||`
+            F.concat(F.col("source"), F.lit(":" + fam)).alias("key"),
             F.col(f"n{c}").alias("n_docs"),
             F.col(f"t{c}").alias("sum_tokens"),
         )

@@ -333,12 +333,22 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
         # the text and sit outside codegen, so the stats agg and the
         # filter below must read the flag, not re-run the expressions
         from lakeflush_spark.operators.quality import (
-            c4_flags,
+            _c4_flags_from,
             gopher_flags,
             massivetext_repetition_flags,
         )
         from lakeflush_spark.pipelines import quality_keep_condition
 
+        input_cols = list(batch_df.columns)  # dest schema (pre-helper)
+        if cfg.c4_rules:
+            # shared _c4_clean alias feeds BOTH the flags bit and the
+            # survivor rewrite (the batch pipeline's recipe; see
+            # _c4_flags_from on the physical-plan cost)
+            from lakeflush_spark.functions.text import c4_clean
+
+            batch_df = batch_df.withColumn(
+                "_c4_clean", c4_clean(cfg.text_col)
+            )
         cond = quality_keep_condition(
             token_count(cfg.text_col),
             stopword_ratio(cfg.text_col),
@@ -351,7 +361,8 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 gopher_flags(cfg.text_col) if cfg.gopher_rules else None
             ),
             c4_flags_col=(
-                c4_flags(cfg.text_col) if cfg.c4_rules else None
+                _c4_flags_from(F.col("_c4_clean"), F.col(cfg.text_col))
+                if cfg.c4_rules else None
             ),
             mt_rep_flags_col=(
                 massivetext_repetition_flags(
@@ -384,9 +395,9 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             if cfg.c4_rules:
                 # batch-pipeline parity: survivors carry the C4
                 # line-cleaned text into every dedup stage
-                from lakeflush_spark.functions.text import c4_clean
-
-                kept = kept.withColumn(cfg.text_col, c4_clean(cfg.text_col))
+                kept = kept.withColumn(
+                    cfg.text_col, F.col("_c4_clean")
+                ).drop("_c4_clean")
             if cfg.strip_dup_lines:
                 from lakeflush_spark.functions.text import (
                     strip_duplicate_lines,
@@ -677,7 +688,7 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 .withColumn("batch", F.lit(int(batch_id)))
             )
             n_out = out.count()
-            body_cols = [c for c in batch_df.columns] + ["run", "batch"]
+            body_cols = [c for c in input_cols] + ["run", "batch"]
             if "n_stripped" in out.columns:
                 body_cols.insert(-2, "n_stripped")
             _writer(out.select(*body_cols), cfg.dest_dir)

@@ -219,7 +219,8 @@ def test_top_2gram_char_ratio(spark):
     doc chars, ties broken toward larger coverage."""
     from lakeflush_spark.functions.text import top_2gram_char_ratio_4dp
 
-    # "a b" occurs 2x (len 3) -> coverage 6; text len 11 ("a b a b c d")
+    # "a b" occurs 2x at positions 1,3 -> union covers tokens 1..4:
+    # 4 chars + 3 separators = 7; text len 11 ("a b a b c d")
     doc = "a b a b c d"
     # tie on count=1: grams "xx yy"(5), "yy z"(4) -> max coverage 5, len 7
     tie = "xx yy z"
@@ -228,7 +229,7 @@ def test_top_2gram_char_ratio(spark):
     got = {r.i: r.r for r in df.select(
         "i", top_2gram_char_ratio_4dp("text").alias("r")).collect()}
     # exact half-up checks
-    assert got[0] == 0.5455   # 60000/11 = 5454.54 -> 5455
+    assert got[0] == 0.6364   # 70000/11 = 6363.63 -> 6364
     assert got[1] == 0.7143   # 50000/7 = 7142.85 -> 7143
     assert got[2] == 0.0      # < 2 tokens
     assert got[3] == 0.0      # empty text
@@ -337,6 +338,19 @@ def test_mt_full_table_dup_kgram_bits(spark):
     tri = spark.createDataFrame([("a a a a a a",)], "text string")
     assert tri.select(
         dup_kgram_char_coverage("text", 5).alias("c")).first().c == 11
+
+    # the operator wrapper honors full_table: a doc failing ONLY a
+    # dup-5..10-gram rule passes the 7-rule filter but not the full one
+    from lakeflush_spark.operators.quality import repetition_filter
+
+    body = " ".join(f"w{i:03d}" for i in range(20))
+    block = " ".join("pqrstuvwxyzabcd")
+    only5 = spark.createDataFrame(
+        [(0, f"{block} {body} {block} the a")], "i int, text string"
+    )
+    assert {r.i for r in repetition_filter(only5, "text").collect()} == {0}
+    assert {r.i for r in
+            repetition_filter(only5, "text", full_table=True).collect()}         == set()
 
 
 def test_strip_duplicate_paragraphs(spark):

@@ -311,6 +311,7 @@ def _rep_model(text: str) -> int:
         return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
     def cov(k: int) -> int:
+        # positional-union coverage of the most frequent k-gram
         gs = grams(k)
         if not gs:
             return 0
@@ -318,7 +319,20 @@ def _rep_model(text: str) -> int:
         for g in gs:
             counts[g] = counts.get(g, 0) + 1
         maxc = max(counts.values())
-        return max(c * len(g) for g, c in counts.items() if c == maxc)
+        if maxc <= 1:
+            return max(len(g) for g in gs)
+        best = 0
+        for cand, c in counts.items():
+            if c != maxc:
+                continue
+            covered = set()
+            for i, g in enumerate(gs):
+                if g == cand:
+                    covered.update(range(i, i + k))
+            chars = sum(len(toks[j]) for j in covered)
+            seps = sum(1 for j in covered if j + 1 in covered)
+            best = max(best, chars + seps)
+        return best
 
     def unit_bits(units: list[str], fb: int, cb: int) -> int:
         n = len(units)

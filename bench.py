@@ -281,6 +281,14 @@ added flags scan is ~3.5 s per 100k docs, exactly linear); q24 55.7 /
 q41 4.8 / q55 14.4 / q62 22.5 all at the prior readings. Still no
 super-linear stage.
 
+The r9-late top-k-gram semantic fix (count*len -> positional-union
+coverage, the paper's actual 'fraction of characters contained'
+definition — ratios now true <=1 fractions) is cost-neutral: q18
+warm isolated 3.2-3.5 s and q60 4.5-5.1 s, level with the pre-fix
+readings; the maxcount<=1 degenerate case short-circuits to
+longest-gram, and union expansion runs only over the few max-count
+candidates.
+
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions
 crossover above): a 3-doc trickle batch against a directly-preloaded

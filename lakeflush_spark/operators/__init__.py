@@ -45,6 +45,7 @@ from lakeflush_spark.operators.quality import (
     gopher_flags,
     massivetext_repetition_flags,
     repetition_filter,
+    text_quality_profile,
 )
 from lakeflush_spark.operators.report import (
     corpus_report,
@@ -118,6 +119,7 @@ __all__ = [
     "gopher_flags",
     "massivetext_repetition_flags",
     "repetition_filter",
+    "text_quality_profile",
     "media_metadata",
     "minhash_near_dups",
     "near_dup_clusters",

@@ -263,3 +263,65 @@ def gopher_filter(
     flagged = docs.withColumn("gopher_flags", gopher_flags(text_col))
     kept = flagged.where(F.col("gopher_flags") == 0)
     return kept if keep_flags else kept.drop("gopher_flags")
+
+
+def text_quality_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    full_table: bool = False,
+) -> DataFrame:
+    """Annotate each document with the engine's full per-doc quality
+    panel — the product-facing face of the q18 metric family, on the
+    REAL text (no oracle structured views):
+
+    counts (n_tokens, n_bpe_tokens, n_chars), ratios (avg_tok_len,
+    stop_ratio, distinct_ratio, dup3_ratio, dup_line_ratio,
+    dup_line_char_ratio, dup_para_ratio, dup_para_char_ratio,
+    top2/3/4_char_ratio), lang_pred, and the three published-filter
+    bitmasks (gopher_flags, c4_flags, mt_rep_flags — the latter the
+    full 13-rule table with ``full_table=True``).
+
+    Everything is a map-only JVM Column (functions/text.py) — one
+    projection pass, no shuffle, scan speed at any scale. Feed it to a
+    quality-classifier trainer, a data-card audit, or threshold it
+    directly (the curation gates apply the same bitmasks).
+    """
+    from lakeflush_spark.functions.text import (
+        avg_token_len_4dp,
+        bpe_token_count,
+        distinct_token_ratio_4dp,
+        dup_3gram_ratio_4dp,
+        dup_line_char_ratio_4dp,
+        dup_line_ratio_4dp,
+        dup_para_char_ratio_4dp,
+        dup_para_ratio_4dp,
+        lang_id,
+        stopword_ratio_4dp,
+        token_count,
+        top_kgram_char_ratio_4dp,
+    )
+
+    tc = text_col
+    return docs.select(
+        "*",
+        token_count(tc).alias("n_tokens"),
+        bpe_token_count(tc).alias("n_bpe_tokens"),
+        F.length(tc).cast("bigint").alias("n_chars"),
+        avg_token_len_4dp(tc).alias("avg_tok_len"),
+        stopword_ratio_4dp(tc).alias("stop_ratio"),
+        distinct_token_ratio_4dp(tc).alias("distinct_ratio"),
+        dup_3gram_ratio_4dp(tc).alias("dup3_ratio"),
+        dup_line_ratio_4dp(tc).alias("dup_line_ratio"),
+        dup_line_char_ratio_4dp(tc).alias("dup_line_char_ratio"),
+        dup_para_ratio_4dp(tc).alias("dup_para_ratio"),
+        dup_para_char_ratio_4dp(tc).alias("dup_para_char_ratio"),
+        top_kgram_char_ratio_4dp(tc, 2).alias("top2_char_ratio"),
+        top_kgram_char_ratio_4dp(tc, 3).alias("top3_char_ratio"),
+        top_kgram_char_ratio_4dp(tc, 4).alias("top4_char_ratio"),
+        lang_id(tc).alias("lang_pred"),
+        gopher_flags(tc).alias("gopher_flags"),
+        c4_flags(tc).alias("c4_flags"),
+        massivetext_repetition_flags(tc, full_table=full_table).alias(
+            "mt_rep_flags"
+        ),
+    )

@@ -361,3 +361,25 @@ def test_strip_duplicate_paragraphs(spark):
     assert df.select(
         strip_duplicate_paragraphs("text").alias("s")).first().s == \
         "aa bb\n\ncc\n\ndd"
+
+
+def test_text_quality_profile(spark):
+    """The product-facing per-doc panel: one map-only projection with
+    all counts/ratios/bitmasks; full_table widens mt_rep_flags."""
+    from lakeflush_spark.operators.quality import text_quality_profile
+
+    body = " ".join(f"w{i:03d}" for i in range(20))
+    block = " ".join("pqrstuvwxyzabcd")
+    df = spark.createDataFrame(
+        [(1, f"{block} {body} {block} the a")], "doc_id long, text string"
+    )
+    r = text_quality_profile(df).collect()[0]
+    assert r.n_tokens == 52 and r.n_chars == len(r.text)
+    assert 0.0 <= r.top2_char_ratio <= 1.0
+    assert r.mt_rep_flags == 0  # 7-rule passes
+    rf = text_quality_profile(df, full_table=True).collect()[0]
+    assert rf.mt_rep_flags & (1 << 7)  # dup-5 union rule fires
+    # all expected columns present
+    cols = set(text_quality_profile(df).columns)
+    assert {"gopher_flags", "c4_flags", "dup_para_char_ratio",
+            "lang_pred", "n_bpe_tokens"} <= cols

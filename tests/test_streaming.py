@@ -2327,3 +2327,29 @@ def test_curate_stream_strip_dup_lines(spark, tmp_path):
     curate_stream(spark, cfg).awaitTermination(180)
     out = spark.read.parquet(cfg.dest_dir).collect()
     assert out[0].text == base
+
+
+def test_curate_stream_mt_repetition_gate(spark, tmp_path):
+    """mt_repetition_rules=True in the stream drops a repetition-heavy
+    doc at the quality stage — same shared predicate as the batch."""
+    from lakeflush_spark.streaming.curation import CurationStreamConfig, curate_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        mt_repetition_rules=True,
+    )
+    clean = " ".join(f"word{i:03d}" for i in range(60)) + " the a of"
+    loop = " ".join(["again go"] * 40) + " the a"
+    _add_parquet_file(spark, tmp_path, src, "b1", [(1, clean), (2, loop)])
+    curate_stream(spark, cfg).awaitTermination(180)
+    assert [r.doc_id for r in
+            spark.read.parquet(cfg.dest_dir).collect()] == [1]
+    stats = spark.read.parquet(cfg.stats_dir).collect()
+    assert stats[0].n_filtered == 1 and stats[0].n_out == 1

@@ -437,3 +437,124 @@ def test_mt_full_table_matches_python_model(spark, docs):
             f"mismatch for text={r.text!r}: spark={r.f} "
             f"model={_rep_model_full(r.text)}"
         )
+
+
+# ---- C4 line/page rules (operators/quality.c4_flags, functions/text.
+# c4_clean) vs an independent Python model ---------------------------------
+
+_c4_unit = st.one_of(
+    st.sampled_from([
+        "one two three four five.", "short.", "a b c d e?",
+        'quoted "words here now yes."', "enable javascript please now ok.",
+        "lorem ipsum dolor sit amet.", "if (x) { y; } one two.",
+        "no terminal punct here", "six seven eight nine ten!",
+    ]),
+    st.text(alphabet=list("ab .!?\n{\"”"), min_size=0, max_size=12),
+)
+_c4_doc = st.lists(_c4_unit, min_size=1, max_size=8).map("\n".join)
+
+
+def _c4_model(text: str) -> tuple[str, int]:
+    import re as _re
+
+    def keep(line: str) -> bool:
+        return (
+            len(line.split(" ")) >= 5
+            and bool(_re.search(r'[.!?"”]$', line.rstrip(" ")))
+            and "javascript" not in line.lower()
+        )
+
+    clean = "\n".join(l for l in text.split("\n") if keep(l))
+    sent = len(_re.findall(r"[.!?]", clean))
+    f = 0
+    f |= 1 if sent < 3 else 0
+    f |= 2 if "lorem ipsum" in text.lower() else 0
+    f |= 4 if "{" in text else 0
+    return clean, f
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_c4_doc, min_size=1, max_size=10))
+def test_c4_clean_and_flags_match_python_model(spark, docs):
+    """The C4 line filter (word count, terminal punct incl. closing
+    quote, javascript) and page flags agree with an independent
+    Python model on generated multi-line text."""
+    from lakeflush_spark.functions.text import c4_clean
+    from lakeflush_spark.operators.quality import c4_flags
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i LONG, text STRING"
+    )
+    rows = df.select(
+        "i", "text", c4_clean("text").alias("clean"),
+        c4_flags("text").alias("f"),
+    ).collect()
+    for r in rows:
+        clean, f = _c4_model(r.text)
+        assert r.clean == clean, f"clean mismatch for {r.text!r}"
+        assert r.f == f, f"flags mismatch for {r.text!r}: {r.f} vs {f}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_rep_doc, min_size=1, max_size=8))
+def test_coverage_values_match_python_model(spark, docs):
+    """Direct VALUE check (not just threshold bits) of the union
+    top-k-gram coverage and dup-k-gram union coverage folds."""
+    from lakeflush_spark.functions.text import (
+        dup_kgram_char_coverage,
+        top_kgram_coverage,
+    )
+
+    docs = [d + " " + " ".join((d.split(" ") * 3)[:10]) for d in docs]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i LONG, text STRING"
+    )
+    rows = df.select(
+        "i", "text",
+        top_kgram_coverage("text", 2).alias("t2"),
+        top_kgram_coverage("text", 3).alias("t3"),
+        dup_kgram_char_coverage("text", 5).alias("d5"),
+        dup_kgram_char_coverage("text", 6).alias("d6"),
+    ).collect()
+    for r in rows:
+        toks = r.text.split(" ")
+
+        def grams(k):
+            if len(toks) < k:
+                return []
+            return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+        def topcov(k):
+            gs = grams(k)
+            if not gs:
+                return 0
+            counts = {}
+            for g in gs:
+                counts[g] = counts.get(g, 0) + 1
+            maxc = max(counts.values())
+            if maxc <= 1:
+                return max(len(g) for g in gs)
+            best = 0
+            for cand, c in counts.items():
+                if c != maxc:
+                    continue
+                cov = set()
+                for i, g in enumerate(gs):
+                    if g == cand:
+                        cov.update(range(i, i + k))
+                best = max(best, sum(len(toks[j]) for j in cov)
+                           + sum(1 for j in cov if j + 1 in cov))
+            return best
+
+        assert r.t2 == topcov(2), f"t2 {r.text!r}"
+        assert r.t3 == topcov(3), f"t3 {r.text!r}"
+        assert r.d5 == _dup_union_cov(toks, 5), f"d5 {r.text!r}"
+        assert r.d6 == _dup_union_cov(toks, 6), f"d6 {r.text!r}"

@@ -47,6 +47,11 @@ from lakeflush_spark.operators.quality import (
     repetition_filter,
     text_quality_profile,
 )
+from lakeflush_spark.operators.quality_classifier import (
+    classifier_filter,
+    quality_score_col,
+    train_quality_classifier,
+)
 from lakeflush_spark.operators.report import (
     corpus_report,
     sketch_quantile_verdicts,
@@ -120,6 +125,9 @@ __all__ = [
     "massivetext_repetition_flags",
     "repetition_filter",
     "text_quality_profile",
+    "classifier_filter",
+    "quality_score_col",
+    "train_quality_classifier",
     "media_metadata",
     "minhash_near_dups",
     "near_dup_clusters",

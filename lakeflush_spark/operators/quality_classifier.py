@@ -1,0 +1,184 @@
+"""Classifier-based quality filtering — the GPT-3/LLaMA-family recipe
+(Brown et al. 2020 appendix A; Touvron et al. 2023): train a linear
+classifier that separates a trusted high-quality corpus from raw crawl
+text, then keep raw documents the classifier scores as
+reference-like.
+
+The reference engine has no analog (opaque records); this completes
+the engine's published-filter family: heuristic gates
+(:mod:`operators.quality`), the CCNet-style LM gate
+(:mod:`operators.lm_filter`), and this discriminative gate.
+
+Design:
+
+- **Features** are the engine's own per-doc quality panel
+  (``text_quality_profile``): token/char counts (log-scaled), length,
+  stopword/type-token/repetition ratios, top-k-gram coverage — all
+  map-only JVM Columns, so FEATURE EXTRACTION runs at scan speed.
+- **Training** uses ``pyspark.ml`` LogisticRegression (distributed
+  LBFGS) over the labeled union of a positive (reference) and a
+  negative (raw) sample. Training corpora are samples — thousands of
+  rows, not the 100 TB corpus — so this is a small job.
+- **Inference does NOT need pyspark.ml**: the fitted model is exported
+  as a plain ``{feature: weight}`` dict, and ``quality_score_col``
+  rebuilds the sigmoid as a pure Column expression (weights inlined as
+  literals — effectively broadcast). Scoring the full corpus is one
+  map-only projection; no model object ships to executors, no Python
+  in the row path.
+
+Determinism note: LBFGS training is deterministic for a fixed input
+(no sampling); scores are IEEE-754 doubles — exact cross-engine
+replay is NOT claimed (exp() is not bit-specified), which is why this
+operator is unit-tested (separation + filter behavior) rather than
+driver-hash-verified.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+#: profile columns used as features, with their scaling. Counts are
+#: log1p-scaled (heavy-tailed); ratios enter as-is (already in [0,1]).
+_LOG_FEATURES = ("n_tokens", "n_chars", "n_bpe_tokens")
+_RATIO_FEATURES = (
+    "avg_tok_len",
+    "stop_ratio",
+    "distinct_ratio",
+    "dup3_ratio",
+    "dup_line_ratio",
+    "dup_line_char_ratio",
+    "dup_para_ratio",
+    "dup_para_char_ratio",
+    "top2_char_ratio",
+    "top3_char_ratio",
+    "top4_char_ratio",
+)
+FEATURE_COLS: tuple[str, ...] = _LOG_FEATURES + _RATIO_FEATURES
+INTERCEPT_KEY = "__intercept__"
+
+
+def _feature_expr(name: str) -> Column:
+    if name in _LOG_FEATURES:
+        return F.log1p(F.col(name).cast("double"))
+    return F.col(name).cast("double")
+
+
+def _featurized(docs: DataFrame, text_col: str) -> DataFrame:
+    from lakeflush_spark.operators.quality import text_quality_profile
+
+    prof = text_quality_profile(docs, text_col=text_col)
+    return prof.select(
+        "*", *[_feature_expr(c).alias(f"_f_{c}") for c in FEATURE_COLS]
+    )
+
+
+def train_quality_classifier(
+    reference: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+) -> dict[str, float]:
+    """Fit the reference-vs-raw logistic model; returns the plain
+    ``{feature: weight, "__intercept__": b}`` dict ``quality_score_col``
+    consumes. Positive scores (> 0.5 after sigmoid) mean
+    reference-like. Persist it as JSON next to the corpus — the dict
+    IS the model.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    pos = _featurized(reference, text_col).select(
+        F.lit(1.0).alias("label"), *[f"_f_{c}" for c in FEATURE_COLS]
+    )
+    neg = _featurized(raw, text_col).select(
+        F.lit(0.0).alias("label"), *[f"_f_{c}" for c in FEATURE_COLS]
+    )
+    train = pos.unionByName(neg)
+    assembled = VectorAssembler(
+        inputCols=[f"_f_{c}" for c in FEATURE_COLS], outputCol="features"
+    ).transform(train)
+    model = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, standardization=True
+    ).fit(assembled)
+    weights = {
+        c: float(w) for c, w in zip(FEATURE_COLS, model.coefficients)
+    }
+    weights[INTERCEPT_KEY] = float(model.intercept)
+    return weights
+
+
+def quality_score_col(weights: dict[str, float]) -> Column:
+    """Sigmoid(w . features + b) as a pure Column over the PROFILE
+    columns — call on a ``text_quality_profile`` frame (or use
+    ``classifier_filter`` which composes both). Map-only; weights are
+    inlined literals, so nothing ships to executors but the plan."""
+    z = F.lit(float(weights.get(INTERCEPT_KEY, 0.0)))
+    for c in FEATURE_COLS:
+        w = float(weights.get(c, 0.0))
+        if w != 0.0:
+            z = z + F.lit(w) * _feature_expr(c)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def classifier_filter(
+    docs: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    threshold: float = 0.5,
+    keep_score: bool = False,
+) -> DataFrame:
+    """Keep documents the trained classifier scores as reference-like
+    (score >= threshold). One map-only pass: profile features and the
+    sigmoid evaluate in a single projection; the profile columns are
+    dropped from the result (pass ``keep_score`` to retain the
+    ``quality_score`` column for sampling or auditing).
+    """
+    scored = _featurized(docs, text_col).withColumn(
+        "quality_score", quality_score_col(weights)
+    )
+    kept = scored.where(F.col("quality_score") >= threshold)
+    drop = [
+        c
+        for c in kept.columns
+        if c.startswith("_f_")
+        or c
+        in {
+            "n_tokens", "n_bpe_tokens", "n_chars", "avg_tok_len",
+            "stop_ratio", "distinct_ratio", "dup3_ratio",
+            "dup_line_ratio", "dup_line_char_ratio", "dup_para_ratio",
+            "dup_para_char_ratio", "top2_char_ratio", "top3_char_ratio",
+            "top4_char_ratio", "lang_pred", "gopher_flags", "c4_flags",
+            "mt_rep_flags",
+        }
+    ]
+    out = kept.drop(*drop)
+    return out if keep_score else out.drop("quality_score")
+
+
+def pareto_sample_condition(
+    score: Column, alpha: float = 9.0, seed_col: Column | None = None
+) -> Column:
+    """GPT-3's noisy acceptance rule (Brown et al. 2020, appendix A):
+    keep a document iff ``np.random.pareto(alpha) > 1 - score`` —
+    implemented DETERMINISTICALLY: the Pareto draw's uniform comes
+    from md5 of a per-doc seed column (pass the doc id; defaults to
+    the score itself), so retries and partition layout cannot change
+    the selection (the engine's no-rand() rule).
+
+    u = md5-uniform in (0, 1); pareto = u**(-1/alpha) - 1 — the exact
+    inverse-CDF of numpy's Lomax ``pareto(alpha)``. High-scoring docs
+    are almost always kept; low-scoring ones survive occasionally,
+    preserving the tail diversity the paper wanted.
+    """
+    if seed_col is None:
+        seed_col = score
+    u = (
+        F.conv(
+            F.substring(F.md5(seed_col.cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32 + 2))
+    pareto = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return pareto > (F.lit(1.0) - score)

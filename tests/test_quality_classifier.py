@@ -1,0 +1,72 @@
+"""Classifier-based quality gate (operators/quality_classifier.py):
+train reference-vs-raw, score map-only, filter and Pareto-sample."""
+
+import pyspark.sql.functions as F
+
+from lakeflush_spark.operators.quality_classifier import (
+    FEATURE_COLS,
+    INTERCEPT_KEY,
+    classifier_filter,
+    pareto_sample_condition,
+    quality_score_col,
+    train_quality_classifier,
+)
+
+
+def _corpora(spark):
+    # reference: varied clean prose-ish docs; raw: repetitive loops
+    # and token soup — separable on the repetition/ratio features
+    ref = [
+        " ".join(f"word{i:03d} the quick brown fox jumps over".split()
+                 + [f"extra{j}" for j in range(i % 7)])
+        for i in range(40)
+    ]
+    raw = [" ".join(["again go"] * (10 + i % 5)) for i in range(40)]
+    pos = spark.createDataFrame([(i, t) for i, t in enumerate(ref)],
+                                "doc_id long, text string")
+    neg = spark.createDataFrame([(100 + i, t) for i, t in enumerate(raw)],
+                                "doc_id long, text string")
+    return pos, neg
+
+
+def test_train_score_filter(spark):
+    pos, neg = _corpora(spark)
+    w = train_quality_classifier(pos, neg)
+    assert set(FEATURE_COLS) <= set(w) and INTERCEPT_KEY in w
+
+    # the model separates held-out-like examples of each style
+    from lakeflush_spark.operators.quality import text_quality_profile
+
+    test = spark.createDataFrame(
+        [(1, "the gentle river winds past quiet villages every evening."),
+         (2, " ".join(["loop loop"] * 12))],
+        "doc_id long, text string",
+    )
+    scored = text_quality_profile(test).withColumn(
+        "s", quality_score_col(w)).select("doc_id", "s").collect()
+    by = {r.doc_id: r.s for r in scored}
+    assert by[1] > by[2]
+    assert 0.0 <= by[2] <= 1.0 <= by[1] + 1.0
+
+    kept = classifier_filter(test, w, threshold=(by[1] + by[2]) / 2)
+    assert [r.doc_id for r in kept.collect()] == [1]
+    # keep_score retains the audit column, original columns intact
+    audited = classifier_filter(test, w, threshold=0.0, keep_score=True)
+    assert {"doc_id", "text", "quality_score"} == set(audited.columns)
+
+
+def test_pareto_sample_deterministic(spark):
+    # high scores always kept; the rule is deterministic given seed
+    df = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(100)], "doc_id long, s double"
+    )
+    cond = pareto_sample_condition(F.col("s"), alpha=9.0,
+                                   seed_col=F.col("doc_id"))
+    a = sorted(r.doc_id for r in df.where(cond).collect())
+    b = sorted(r.doc_id for r in df.repartition(7).where(cond).collect())
+    assert a == b                      # layout-independent
+    assert 99 in a                     # score 0.99: pareto > 0.01 a.s.
+    kept_low = sum(1 for i in a if i < 50)
+    kept_high = sum(1 for i in a if i >= 50)
+    assert kept_high > kept_low        # monotone in score
+    assert 0 < len(a) < 100            # it actually samples

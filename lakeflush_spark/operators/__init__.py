@@ -49,7 +49,9 @@ from lakeflush_spark.operators.quality import (
 )
 from lakeflush_spark.operators.quality_classifier import (
     classifier_filter,
+    pareto_sample_condition,
     quality_score_col,
+    quality_score_from_text,
     train_quality_classifier,
 )
 from lakeflush_spark.operators.report import (
@@ -126,7 +128,9 @@ __all__ = [
     "repetition_filter",
     "text_quality_profile",
     "classifier_filter",
+    "pareto_sample_condition",
     "quality_score_col",
+    "quality_score_from_text",
     "train_quality_classifier",
     "media_metadata",
     "minhash_near_dups",

@@ -182,3 +182,55 @@ def pareto_sample_condition(
     ) / F.lit(float(2**32 + 2))
     pareto = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
     return pareto > (F.lit(1.0) - score)
+
+
+def quality_score_from_text(
+    weights: dict[str, float], text_col: str = "text"
+) -> Column:
+    """The sigmoid score as a pure Column over RAW TEXT — every
+    feature substituted by its functions/text expression, for gates
+    that run before any profile projection exists (the curation
+    pipelines' quality stage). Same model, same result as
+    ``quality_score_col`` on a profile frame; costs one evaluation of
+    each weighted feature's expression per doc (map-only)."""
+    from lakeflush_spark.functions.text import (
+        avg_token_len_4dp,
+        bpe_token_count,
+        distinct_token_ratio_4dp,
+        dup_3gram_ratio_4dp,
+        dup_line_char_ratio_4dp,
+        dup_line_ratio_4dp,
+        dup_para_char_ratio_4dp,
+        dup_para_ratio_4dp,
+        stopword_ratio_4dp,
+        token_count,
+        top_kgram_char_ratio_4dp,
+    )
+
+    tc = text_col
+    exprs: dict[str, Column] = {
+        "n_tokens": token_count(tc).cast("double"),
+        "n_chars": F.length(tc).cast("double"),
+        "n_bpe_tokens": bpe_token_count(tc).cast("double"),
+        "avg_tok_len": avg_token_len_4dp(tc),
+        "stop_ratio": stopword_ratio_4dp(tc),
+        "distinct_ratio": distinct_token_ratio_4dp(tc),
+        "dup3_ratio": dup_3gram_ratio_4dp(tc),
+        "dup_line_ratio": dup_line_ratio_4dp(tc),
+        "dup_line_char_ratio": dup_line_char_ratio_4dp(tc),
+        "dup_para_ratio": dup_para_ratio_4dp(tc),
+        "dup_para_char_ratio": dup_para_char_ratio_4dp(tc),
+        "top2_char_ratio": top_kgram_char_ratio_4dp(tc, 2),
+        "top3_char_ratio": top_kgram_char_ratio_4dp(tc, 3),
+        "top4_char_ratio": top_kgram_char_ratio_4dp(tc, 4),
+    }
+    z = F.lit(float(weights.get(INTERCEPT_KEY, 0.0)))
+    for c in FEATURE_COLS:
+        w = float(weights.get(c, 0.0))
+        if w == 0.0:
+            continue
+        feat = exprs[c]
+        if c in _LOG_FEATURES:
+            feat = F.log1p(feat)
+        z = z + F.lit(w) * feat
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -84,6 +84,13 @@ class CurationConfig:
     #: rewrite (when both are on) and before any dedup stage, so
     #: dedup keys see the scrubbed text. Map-only.
     strip_dup_lines: bool = False
+    #: optional PRE-TRAINED quality-classifier gate (operators/
+    #: quality_classifier.train_quality_classifier's weight dict):
+    #: docs scoring below ``classifier_threshold`` drop in the quality
+    #: gate — the GPT-3 appendix-A recipe, map-only inference. None
+    #: disables. Train offline on reference-vs-raw samples.
+    classifier_weights: "dict[str, float] | None" = None
+    classifier_threshold: float = 0.5
     near_dup_threshold: float = 0.85  # Jaccard on 3-shingles
     #: 0 = single-pass greedy resolution (drop every doc that pairs with
     #: a lower id). N > 0 = N rounds of iterative independent-set
@@ -167,6 +174,21 @@ class CurationConfig:
     text_col: str = "text"
 
 
+def _classifier_pass(
+    weights: "dict[str, float] | None", threshold: float, text_col: str
+) -> "F.Column | None":
+    """The pre-trained quality-classifier gate predicate (None when no
+    weights are configured) — shared by batch and stream so the two
+    score the same expression (quality_score_from_text)."""
+    if weights is None:
+        return None
+    from lakeflush_spark.operators.quality_classifier import (
+        quality_score_from_text,
+    )
+
+    return quality_score_from_text(weights, text_col) >= threshold
+
+
 def lm_keep_condition(avg_logprob: "F.Column", threshold: float) -> "F.Column":
     """THE LM-gate predicate, shared by the batch quantile gate and the
     stream's absolute-threshold gate: NULL scores (< 2 tokens) PASS —
@@ -185,6 +207,7 @@ def quality_keep_condition(
     gopher_flags_col: "F.Column | None" = None,
     c4_flags_col: "F.Column | None" = None,
     mt_rep_flags_col: "F.Column | None" = None,
+    classifier_pass_col: "F.Column | None" = None,
 ) -> "F.Column":
     """THE quality-gate predicate, shared by the batch pipeline and
     ``streaming/curation.py`` so the two can never drift. Callers pass
@@ -214,6 +237,8 @@ def quality_keep_condition(
         keep = keep & (c4_flags_col == 0)
     if mt_rep_flags_col is not None:
         keep = keep & (mt_rep_flags_col == 0)
+    if classifier_pass_col is not None:
+        keep = keep & classifier_pass_col
     return keep
 
 
@@ -341,6 +366,9 @@ def curate_documents(
         mt_rep_flags_col=(
             massivetext_repetition_flags(tc, full_table=cfg.mt_full_table)
             if cfg.mt_repetition_rules else None
+        ),
+        classifier_pass_col=_classifier_pass(
+            cfg.classifier_weights, cfg.classifier_threshold, tc
         ),
     )
     filtered = annotated.where(keep)

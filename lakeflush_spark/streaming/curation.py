@@ -120,6 +120,10 @@ class CurationStreamConfig:
     #: line (the batch CurationConfig.strip_dup_lines twin; runs after
     #: the C4 rewrite, before any dedup stage)
     strip_dup_lines: bool = False
+    #: optional PRE-TRAINED quality-classifier gate (the batch
+    #: CurationConfig.classifier_weights twin; same shared predicate)
+    classifier_weights: "dict[str, float] | None" = None
+    classifier_threshold: float = 0.5
     #: near-dup gate: estimated-Jaccard threshold (see StreamNearDupConfig)
     near_dup_threshold: float = 0.7
     near_dup_max_bucket: int | None = None
@@ -337,7 +341,10 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             gopher_flags,
             massivetext_repetition_flags,
         )
-        from lakeflush_spark.pipelines import quality_keep_condition
+        from lakeflush_spark.pipelines import (
+            _classifier_pass,
+            quality_keep_condition,
+        )
 
         input_cols = list(batch_df.columns)  # dest schema (pre-helper)
         if cfg.c4_rules:
@@ -369,6 +376,10 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     cfg.text_col, full_table=cfg.mt_full_table
                 )
                 if cfg.mt_repetition_rules else None
+            ),
+            classifier_pass_col=_classifier_pass(
+                cfg.classifier_weights, cfg.classifier_threshold,
+                cfg.text_col,
             ),
         )
         # every per-batch persist registers here; the outer finally

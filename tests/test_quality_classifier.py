@@ -70,3 +70,50 @@ def test_pareto_sample_deterministic(spark):
     kept_high = sum(1 for i in a if i >= 50)
     assert kept_high > kept_low        # monotone in score
     assert 0 < len(a) < 100            # it actually samples
+
+
+def test_classifier_gate_in_curation(spark, tmp_path):
+    """classifier_weights gates both pipelines through the shared
+    predicate: train on reference-vs-raw, then a raw-style arrival is
+    dropped at the quality stage in batch AND stream."""
+    from lakeflush_spark.pipelines import CurationConfig, curate_documents
+    from lakeflush_spark.streaming.curation import (
+        CurationStreamConfig,
+        curate_stream,
+    )
+
+    pos, neg = _corpora(spark)
+    w = train_quality_classifier(pos, neg)
+    clean = "the gentle river winds past quiet villages every evening."
+    loop = " ".join(["loop loop"] * 12)
+    docs = spark.createDataFrame(
+        [(1, clean), (2, loop)], "doc_id long, text string"
+    )
+    curated, _ = curate_documents(
+        spark, docs,
+        CurationConfig(min_tokens=1, max_stopword_ratio=None,
+                       classifier_weights=w, near_dup_threshold=0.99),
+    )
+    assert {r.doc_id for r in curated.collect()} == {1}
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, clean), (2, loop)],
+                          "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "stage"))
+    import shutil, glob, os
+    part = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+    shutil.copy(part, src / "b1.parquet")
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        classifier_weights=w,
+    )
+    curate_stream(spark, cfg).awaitTermination(180)
+    assert [r.doc_id for r in
+            spark.read.parquet(cfg.dest_dir).collect()] == [1]

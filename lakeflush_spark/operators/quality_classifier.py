@@ -26,10 +26,12 @@ Design:
   map-only projection; no model object ships to executors, no Python
   in the row path.
 
-Determinism note: LBFGS training is deterministic for a fixed input
-(no sampling); scores are IEEE-754 doubles — exact cross-engine
-replay is NOT claimed (exp() is not bit-specified), which is why this
-operator is unit-tested (separation + filter behavior) rather than
+Determinism note: LBFGS training has no sampling; across partition
+layouts the fitted weights agree to float-sum ordering (measured max
+delta 1.4e-14 on a 13-vs-1 partition re-train) — reproducible in
+practice, but not bit-pinned. Scores are IEEE-754 doubles and exp()
+is not bit-specified across engines, which is why this operator is
+unit-tested (separation + filter behavior) rather than
 driver-hash-verified.
 """
 

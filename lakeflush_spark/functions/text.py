@@ -578,6 +578,33 @@ def dup_unit_char_count(units: Column) -> Column:
     return unit_char_total(units) - unit_char_total(F.array_distinct(units))
 
 
+def _union_chars(cov: Column, tk: Column) -> Column:
+    """Characters in a covered-token-position set: token lengths plus
+    one separator per ADJACENT covered pair, computed in ONE fold over
+    the sorted positions (O(m log m)). The naive adjacency count —
+    filter(cov, j -> array_contains(cov, j+1)) — is O(m^2) and stalls
+    on machine-looped long docs where cov is nearly every position."""
+    zero = F.struct(
+        F.lit(-(10**9)).cast("bigint").alias("prev"),
+        F.lit(0).cast("bigint").alias("tot"),
+    )
+
+    def step(acc: Column, j: Column) -> Column:
+        jj = j.cast("bigint")
+        return F.struct(
+            jj.alias("prev"),
+            (
+                acc["tot"]
+                + F.length(F.element_at(tk, j)).cast("bigint")
+                + F.when(jj == acc["prev"] + 1, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+            ).alias("tot"),
+        )
+
+    return F.aggregate(F.array_sort(cov), zero, step, lambda a: a["tot"])
+
+
 def top_kgram_coverage(text: Column | str, k: int) -> Column:
     """Characters contained within occurrences of the most frequent
     word k-gram — MassiveText's exact wording — as positional UNION
@@ -619,6 +646,11 @@ def top_kgram_coverage(text: Column | str, k: int) -> Column:
                 same = acc["prev"] == x
                 keep = same | (acc["run"] == 0)
                 c = acc["run"]
+                # cands only needs runs with count >= 2 (the maxc<=1
+                # consumer short-circuits to longest-gram): without
+                # the guard every count-1 run of a mostly-unique long
+                # doc appends — O(n^2) array copying (measured 2.3 ->
+                # 7.7 s/doc going 8k -> 16k tokens)
                 return F.struct(
                     x.alias("prev"),
                     F.when(same, acc["run"] + 1)
@@ -627,7 +659,7 @@ def top_kgram_coverage(text: Column | str, k: int) -> Column:
                     F.when(keep, acc["maxc"])
                     .otherwise(F.greatest(acc["maxc"], c))
                     .alias("maxc"),
-                    F.when(keep, acc["cands"])
+                    F.when(keep | (c < 2), acc["cands"])
                     .when(c > acc["maxc"], F.array(acc["prev"]))
                     .when(c == acc["maxc"], F.array_append(acc["cands"], acc["prev"]))
                     .otherwise(acc["cands"])
@@ -638,7 +670,8 @@ def top_kgram_coverage(text: Column | str, k: int) -> Column:
                 c = acc["run"]
                 return F.struct(
                     F.greatest(acc["maxc"], c).alias("maxc"),
-                    F.when(c > acc["maxc"], F.array(acc["prev"]))
+                    F.when(c < 2, acc["cands"])
+                    .when(c > acc["maxc"], F.array(acc["prev"]))
                     .when(c == acc["maxc"], F.array_append(acc["cands"], acc["prev"]))
                     .otherwise(acc["cands"])
                     .alias("cands"),
@@ -650,32 +683,14 @@ def top_kgram_coverage(text: Column | str, k: int) -> Column:
                 occ = F.filter(
                     starts, lambda i: F.element_at(grams, i) == cand
                 )
-                covered_expr = F.array_distinct(
+                covered = F.array_distinct(
                     F.flatten(
                         F.transform(
                             occ, lambda s: F.sequence(s, s + F.lit(k - 1))
                         )
                     )
                 )
-                # bind `covered` locally (the bind() trick inline —
-                # chars and seps both read it)
-                return F.element_at(
-                    F.transform(
-                        F.array(covered_expr),
-                        lambda cov: F.aggregate(
-                            cov,
-                            F.lit(0).cast("bigint"),
-                            lambda acc, j: acc
-                            + F.length(F.element_at(tk, j)).cast("bigint"),
-                        )
-                        + F.size(
-                            F.filter(
-                                cov, lambda j: F.array_contains(cov, j + 1)
-                            )
-                        ).cast("bigint"),
-                    ),
-                    1,
-                )
+                return _union_chars(covered, tk)
 
             def with_mc(m: Column) -> Column:
                 max_len = F.coalesce(
@@ -811,21 +826,7 @@ def dup_kgram_char_coverage(text: Column | str, k: int) -> Column:
                     )
                 )
 
-                def with_covered(cov: Column) -> Column:
-                    chars = F.aggregate(
-                        cov,
-                        F.lit(0).cast("bigint"),
-                        lambda acc, j: acc
-                        + F.length(F.element_at(tk, j)).cast("bigint"),
-                    )
-                    seps = F.size(
-                        F.filter(
-                            cov, lambda j: F.array_contains(cov, j + 1)
-                        )
-                    ).cast("bigint")
-                    return chars + seps
-
-                return bind(covered, with_covered)
+                return _union_chars(covered, tk)
 
             return bind(dupvals, with_dupvals)
 

@@ -302,6 +302,22 @@ def text_quality_profile(
     )
 
     tc = text_col
+    added = {
+        "n_tokens", "n_bpe_tokens", "n_chars", "avg_tok_len",
+        "stop_ratio", "distinct_ratio", "dup3_ratio", "dup_line_ratio",
+        "dup_line_char_ratio", "dup_para_ratio", "dup_para_char_ratio",
+        "top2_char_ratio", "top3_char_ratio", "top4_char_ratio",
+        "lang_pred", "gopher_flags", "c4_flags", "mt_rep_flags",
+    }
+    clash = added & set(docs.columns)
+    if clash:
+        # select("*", alias) would create duplicate names that later
+        # F.col() references cannot resolve — fail with guidance
+        # instead of a downstream AMBIGUOUS_REFERENCE
+        raise ValueError(
+            "text_quality_profile: input already has profile column(s) "
+            f"{sorted(clash)} — drop or rename them first"
+        )
     return docs.select(
         "*",
         token_count(tc).alias("n_tokens"),

@@ -66,12 +66,56 @@ def _feature_expr(name: str) -> Column:
     return F.col(name).cast("double")
 
 
-def _featurized(docs: DataFrame, text_col: str) -> DataFrame:
-    from lakeflush_spark.operators.quality import text_quality_profile
+def _text_feature_exprs(text_col: str) -> dict[str, Column]:
+    """Each feature as a raw-TEXT expression (functions/text) — the
+    single source both the featurizer and quality_score_from_text
+    substitute from, so training and gate scoring cannot drift."""
+    from lakeflush_spark.functions.text import (
+        avg_token_len_4dp,
+        bpe_token_count,
+        distinct_token_ratio_4dp,
+        dup_3gram_ratio_4dp,
+        dup_line_char_ratio_4dp,
+        dup_line_ratio_4dp,
+        dup_para_char_ratio_4dp,
+        dup_para_ratio_4dp,
+        stopword_ratio_4dp,
+        token_count,
+        top_kgram_char_ratio_4dp,
+    )
 
-    prof = text_quality_profile(docs, text_col=text_col)
-    return prof.select(
-        "*", *[_feature_expr(c).alias(f"_f_{c}") for c in FEATURE_COLS]
+    tc = text_col
+    return {
+        "n_tokens": token_count(tc).cast("double"),
+        "n_chars": F.length(tc).cast("double"),
+        "n_bpe_tokens": bpe_token_count(tc).cast("double"),
+        "avg_tok_len": avg_token_len_4dp(tc),
+        "stop_ratio": stopword_ratio_4dp(tc),
+        "distinct_ratio": distinct_token_ratio_4dp(tc),
+        "dup3_ratio": dup_3gram_ratio_4dp(tc),
+        "dup_line_ratio": dup_line_ratio_4dp(tc),
+        "dup_line_char_ratio": dup_line_char_ratio_4dp(tc),
+        "dup_para_ratio": dup_para_ratio_4dp(tc),
+        "dup_para_char_ratio": dup_para_char_ratio_4dp(tc),
+        "top2_char_ratio": top_kgram_char_ratio_4dp(tc, 2),
+        "top3_char_ratio": top_kgram_char_ratio_4dp(tc, 3),
+        "top4_char_ratio": top_kgram_char_ratio_4dp(tc, 4),
+    }
+
+
+def _scaled(name: str, feat: Column) -> Column:
+    return F.log1p(feat) if name in _LOG_FEATURES else feat
+
+
+def _featurized(docs: DataFrame, text_col: str) -> DataFrame:
+    """``_f_*`` feature columns computed straight from the text — NOT
+    via text_quality_profile, so an input frame already carrying
+    profile-named columns (curate_documents output keeps n_tokens /
+    stop_ratio / lang_pred) composes without AMBIGUOUS_REFERENCE."""
+    exprs = _text_feature_exprs(text_col)
+    return docs.select(
+        "*",
+        *[_scaled(c, exprs[c]).alias(f"_f_{c}") for c in FEATURE_COLS],
     )
 
 
@@ -137,25 +181,16 @@ def classifier_filter(
     dropped from the result (pass ``keep_score`` to retain the
     ``quality_score`` column for sampling or auditing).
     """
+    z = F.lit(float(weights.get(INTERCEPT_KEY, 0.0)))
+    for c in FEATURE_COLS:
+        w = float(weights.get(c, 0.0))
+        if w != 0.0:
+            z = z + F.lit(w) * F.col(f"_f_{c}")  # _f_* already scaled
     scored = _featurized(docs, text_col).withColumn(
-        "quality_score", quality_score_col(weights)
+        "quality_score", F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     )
     kept = scored.where(F.col("quality_score") >= threshold)
-    drop = [
-        c
-        for c in kept.columns
-        if c.startswith("_f_")
-        or c
-        in {
-            "n_tokens", "n_bpe_tokens", "n_chars", "avg_tok_len",
-            "stop_ratio", "distinct_ratio", "dup3_ratio",
-            "dup_line_ratio", "dup_line_char_ratio", "dup_para_ratio",
-            "dup_para_char_ratio", "top2_char_ratio", "top3_char_ratio",
-            "top4_char_ratio", "lang_pred", "gopher_flags", "c4_flags",
-            "mt_rep_flags",
-        }
-    ]
-    out = kept.drop(*drop)
+    out = kept.drop(*[c for c in kept.columns if c.startswith("_f_")])
     return out if keep_score else out.drop("quality_score")
 
 
@@ -195,44 +230,11 @@ def quality_score_from_text(
     pipelines' quality stage). Same model, same result as
     ``quality_score_col`` on a profile frame; costs one evaluation of
     each weighted feature's expression per doc (map-only)."""
-    from lakeflush_spark.functions.text import (
-        avg_token_len_4dp,
-        bpe_token_count,
-        distinct_token_ratio_4dp,
-        dup_3gram_ratio_4dp,
-        dup_line_char_ratio_4dp,
-        dup_line_ratio_4dp,
-        dup_para_char_ratio_4dp,
-        dup_para_ratio_4dp,
-        stopword_ratio_4dp,
-        token_count,
-        top_kgram_char_ratio_4dp,
-    )
-
-    tc = text_col
-    exprs: dict[str, Column] = {
-        "n_tokens": token_count(tc).cast("double"),
-        "n_chars": F.length(tc).cast("double"),
-        "n_bpe_tokens": bpe_token_count(tc).cast("double"),
-        "avg_tok_len": avg_token_len_4dp(tc),
-        "stop_ratio": stopword_ratio_4dp(tc),
-        "distinct_ratio": distinct_token_ratio_4dp(tc),
-        "dup3_ratio": dup_3gram_ratio_4dp(tc),
-        "dup_line_ratio": dup_line_ratio_4dp(tc),
-        "dup_line_char_ratio": dup_line_char_ratio_4dp(tc),
-        "dup_para_ratio": dup_para_ratio_4dp(tc),
-        "dup_para_char_ratio": dup_para_char_ratio_4dp(tc),
-        "top2_char_ratio": top_kgram_char_ratio_4dp(tc, 2),
-        "top3_char_ratio": top_kgram_char_ratio_4dp(tc, 3),
-        "top4_char_ratio": top_kgram_char_ratio_4dp(tc, 4),
-    }
+    exprs = _text_feature_exprs(text_col)
     z = F.lit(float(weights.get(INTERCEPT_KEY, 0.0)))
     for c in FEATURE_COLS:
         w = float(weights.get(c, 0.0))
         if w == 0.0:
             continue
-        feat = exprs[c]
-        if c in _LOG_FEATURES:
-            feat = F.log1p(feat)
-        z = z + F.lit(w) * feat
+        z = z + F.lit(w) * _scaled(c, exprs[c])
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -117,3 +117,25 @@ def test_classifier_gate_in_curation(spark, tmp_path):
     curate_stream(spark, cfg).awaitTermination(180)
     assert [r.doc_id for r in
             spark.read.parquet(cfg.dest_dir).collect()] == [1]
+
+
+def test_classifier_composes_with_curation_output(spark):
+    """curate_documents output carries n_tokens/stop_ratio/lang_pred —
+    classifier_filter must compose without ambiguous references
+    (regression: the featurizer used to re-select profile names)."""
+    from lakeflush_spark.pipelines import CurationConfig, curate_documents
+
+    pos, neg = _corpora(spark)
+    w = train_quality_classifier(pos, neg)
+    docs = spark.createDataFrame(
+        [(1, "the gentle river winds past quiet villages every evening.")],
+        "doc_id long, text string",
+    )
+    curated, _ = curate_documents(
+        spark, docs, CurationConfig(min_tokens=1, max_stopword_ratio=None)
+    )
+    assert "n_tokens" in curated.columns
+    out = classifier_filter(curated, w, threshold=0.0, keep_score=True)
+    rows = out.collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert "n_tokens" in out.columns and "quality_score" in out.columns

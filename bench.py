@@ -287,7 +287,14 @@ definition — ratios now true <=1 fractions) is cost-neutral: q18
 warm isolated 3.2-3.5 s and q60 4.5-5.1 s, level with the pre-fix
 readings; the maxcount<=1 degenerate case short-circuits to
 longest-gram, and union expansion runs only over the few max-count
-candidates.
+candidates. The follow-up O(n^2) guards (count>=2 candidate
+accumulator; one-pass sorted union-chars fold replacing the
+array_contains adjacency scan) hold the short-doc costs level — warm
+isolated q18 3.7 s / q60 5.9-7.0 s, the q60 spread being this box's
+documented variance — while fixing the long-doc tail outright:
+probes at 16k/32k tokens (mostly-unique and loop-saturated docs,
+the two pathological shapes) run sub-second per doc vs 7.7 s and
+climbing quadratically before.
 
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions

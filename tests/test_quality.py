@@ -383,3 +383,16 @@ def test_text_quality_profile(spark):
     cols = set(text_quality_profile(df).columns)
     assert {"gopher_flags", "c4_flags", "dup_para_char_ratio",
             "lang_pred", "n_bpe_tokens"} <= cols
+
+
+def test_text_quality_profile_name_clash_raises(spark):
+    """A frame already carrying a profile column name fails fast with
+    guidance instead of a downstream ambiguous-reference error."""
+    import pytest
+
+    from lakeflush_spark.operators.quality import text_quality_profile
+
+    df = spark.createDataFrame([(1, "a b c", 3)],
+                               "doc_id long, text string, n_tokens long")
+    with pytest.raises(ValueError, match="n_tokens"):
+        text_quality_profile(df)

@@ -30,6 +30,7 @@ from lakeflush_spark.operators.mixing import (
     deterministic_shuffle,
     mix_sources,
     sample_fraction,
+    plan_epochs,
     sharded_prefix_sum,
     take_token_budget,
     temperature_weights,
@@ -115,6 +116,7 @@ __all__ = [
     "grouped_top_k",
     "mix_sources",
     "sample_fraction",
+    "plan_epochs",
     "take_token_budget",
     "temperature_weights",
     "train_bigram_lm",

@@ -323,3 +323,47 @@ def _round_half_up_int(num: Column, den: Column) -> Column:
     """round-half-up(num/den) for positive BIGINTs, exactly (the
     functions/text.py trick: floor((2*num + den) / (2*den)))."""
     return F.floor((F.lit(2) * num + den) / (F.lit(2) * den)).cast("bigint")
+
+
+def plan_epochs(
+    card: DataFrame,
+    target_tokens: int,
+    max_epochs: float = 4.0,
+    tokens_col: str = "n_tokens",
+    key_col: str = "source",
+) -> DataFrame:
+    """Per-source epoch plan for a token target under a repetition cap
+    — the data-constrained scaling recipe (Muennighoff et al. 2023:
+    repeating data beyond ~4 epochs returns rapidly diminishing
+    value): scale every source by the same factor
+    ``min(max_epochs, target / total_tokens)``, so the mix PROPORTIONS
+    are preserved and no source repeats beyond the cap.
+
+    Input is a data-card-shaped frame (``corpus_report`` output or any
+    (key, token-count) frame — |sources| rows, driver-scale). Returns
+    one row per key: (key, available tokens, ``epochs`` double,
+    ``planned_tokens`` bigint = floor(epochs * available)), plus the
+    achieved total is just sum(planned_tokens) — short of the target
+    exactly when the cap binds (the signal to go find more data, which
+    is the point of the cap). Arithmetic on a tiny frame; the actual
+    selection step is ``take_token_budget`` per source with these
+    planned budgets.
+    """
+    if target_tokens <= 0:
+        raise ValueError("target_tokens must be positive")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    total = card.agg(
+        F.sum(F.col(tokens_col)).cast("double").alias("_t")
+    ).first()["_t"]
+    if not total:
+        raise ValueError("card has no tokens")
+    factor = min(float(max_epochs), float(target_tokens) / total)
+    return card.select(
+        F.col(key_col).alias("key"),
+        F.col(tokens_col).cast("bigint").alias("available_tokens"),
+        F.lit(factor).alias("epochs"),
+        F.floor(F.lit(factor) * F.col(tokens_col).cast("double"))
+        .cast("bigint")
+        .alias("planned_tokens"),
+    )

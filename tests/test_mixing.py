@@ -270,3 +270,28 @@ def test_temperature_weights_model_and_alpha_semantics(spark):
     # flattening: the small source gains share as alpha drops
     assert cold["b"] > half["b"][1] > nat["b"]
     assert cold["c"] < half["c"][1] < nat["c"]
+
+
+def test_plan_epochs(spark):
+    """Epoch budgeting: proportional scaling when data is plentiful,
+    the max_epochs cap when constrained (plan falls short — the
+    go-find-more-data signal)."""
+    import pytest
+
+    from lakeflush_spark.operators.mixing import plan_epochs
+
+    card = spark.createDataFrame(
+        [("a", 1000), ("b", 3000)], "source string, n_tokens long"
+    )
+    # plentiful: target 2000 of 4000 -> factor 0.5, proportions kept
+    plenty = {r.key: r for r in plan_epochs(card, 2000).collect()}
+    assert plenty["a"].epochs == 0.5 and plenty["a"].planned_tokens == 500
+    assert plenty["b"].planned_tokens == 1500
+    # constrained: target 40000 needs 10 epochs -> capped at 4
+    capped = {r.key: r for r in plan_epochs(card, 40_000).collect()}
+    assert capped["a"].epochs == 4.0
+    assert capped["a"].planned_tokens == 4000
+    assert capped["b"].planned_tokens == 12000
+    assert sum(r.planned_tokens for r in capped.values()) < 40_000
+    with pytest.raises(ValueError):
+        plan_epochs(card, 0)

@@ -296,6 +296,16 @@ probes at 16k/32k tokens (mostly-unique and loop-saturated docs,
 the two pathological shapes) run sub-second per doc vs 7.7 s and
 climbing quadratically before.
 
+Closing r9-late full-bench run: suite 67.1 s with UNIFORM +15-25%
+inflation on five-rounds-unchanged entries (q01 0.17 vs 0.135, q08
+1.02 vs 0.89, q24 3.97 vs 3.67) — the contended-box signature, judge
+per this file's standing rule from the isolated warm numbers above
+(q18 3.7, q60 5.9-7.0, q55/q62 label-grown as adjudicated).
+Compaction in the SAME run reads its best numbers yet — csv 41.2
+MB/s (5.6x baseline 7.4), gzip 10.5 (2.7x), json 19.4k files/s
+(1.8x) — so the engine-vs-baseline gate is comfortably green
+regardless of box state.
+
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions
 crossover above): a 3-doc trickle batch against a directly-preloaded

@@ -91,6 +91,36 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.col(text) if isinstance(text, str) else text, TOKEN_SEP)
 
 
+#: whitespace-run class for Gopher WORD splitting. An explicit class,
+#: not \s: Java's \s includes \x0B (vertical tab) where RE2/DuckDB's
+#: does not — the explicit class means identical semantics in both
+#: engines. Kept r-string so both sides receive the escapes verbatim.
+WORD_SEP_RE = r"[ \t\n\r]+"
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace-run word split — the published Gopher/MassiveText
+    notion of a "word" (Rae et al. 2021 count whitespace-split words):
+    words adjacent across a newline/tab separate, unlike ``tokens``
+    (single-space, the corpus storage contract). Use this for the
+    word-based quality counters; keep ``tokens`` for fingerprints,
+    shingles and packing, whose oracles are pinned to the single-space
+    split."""
+    return F.split(F.col(text) if isinstance(text, str) else text, WORD_SEP_RE)
+
+
+def word_count(text: Column | str) -> Column:
+    return F.size(words(text)).cast("bigint")
+
+
+def _total_word_len(text: Column | str) -> Column:
+    return F.aggregate(
+        F.transform(words(text), lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
@@ -393,17 +423,18 @@ def ellipsis_line_hits(text: Column | str) -> Column:
 
 
 def alpha_word_hits(text: Column | str) -> Column:
-    """Tokens containing at least one ASCII letter."""
+    """Whitespace-split words containing at least one ASCII letter."""
     return F.size(
-        F.filter(tokens(text), lambda t: t.rlike("[A-Za-z]"))
+        F.filter(words(text), lambda t: t.rlike("[A-Za-z]"))
     ).cast("bigint")
 
 
 def gopher_stopword_hits(text: Column | str) -> Column:
-    """How many DISTINCT Gopher stop words appear in the document."""
-    toks = tokens(text)
+    """How many DISTINCT Gopher stop words appear in the document
+    (whitespace-split words — a stop word at end-of-line counts)."""
+    ws = words(text)
     return bind(
-        toks,
+        ws,
         lambda tk: F.size(
             F.filter(
                 F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
@@ -414,9 +445,10 @@ def gopher_stopword_hits(text: Column | str) -> Column:
 
 
 def symbol_word_ratio_4dp(text: Column | str) -> Column:
-    """('#' + '...') occurrences per word, 4dp half-up (exact)."""
+    """('#' + '...') occurrences per whitespace-split word, 4dp
+    half-up (exact)."""
     return _round_half_up_div(
-        F.lit(10000) * symbol_hits(text), token_count(text)
+        F.lit(10000) * symbol_hits(text), word_count(text)
     ).cast("double") / F.lit(10000.0)
 
 
@@ -436,7 +468,7 @@ def ellipsis_line_ratio_4dp(text: Column | str) -> Column:
 
 def alpha_word_ratio_4dp(text: Column | str) -> Column:
     return _round_half_up_div(
-        F.lit(10000) * alpha_word_hits(text), token_count(text)
+        F.lit(10000) * alpha_word_hits(text), word_count(text)
     ).cast("double") / F.lit(10000.0)
 
 

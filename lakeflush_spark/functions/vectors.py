@@ -119,10 +119,17 @@ def int8_roundtrip_verdict(nv: Column, dv: Column) -> Column:
     scale = F.array_max(F.transform(nv, F.abs)) / F.lit(127.0)
     dot = _fold_sum(F.zip_with(nv, dv, lambda a, b: a * b))
     dnrm = l2_norm(dv)
-    return F.when(nrm == 0.0, dnrm == 0.0).otherwise(
-        (F.abs(nrm - 1.0) < 1e-9)
-        & (max_err <= scale / 2 + F.lit(1e-9))
-        & (dot / dnrm >= 0.999)
+    # coalesce(..., False): a planted all-zero dv against a unit nv
+    # makes dot/dnrm = 0/0 = NULL, which must read as a FAILED verdict
+    # (not a NULL slipping through a hash-verified boolean column)
+    return F.coalesce(
+        F.when(nrm == 0.0, dnrm == 0.0).otherwise(
+            (F.abs(nrm - 1.0) < 1e-9)
+            & (max_err <= scale / 2 + F.lit(1e-9))
+            & (dnrm > 0.0)
+            & (dot / dnrm >= 0.999)
+        ),
+        F.lit(False),
     )
 
 

@@ -28,6 +28,9 @@ from lakeflush_spark.operators.dedup import (
 from lakeflush_spark.operators.layout import zorder_write
 from lakeflush_spark.operators.mixing import (
     deterministic_shuffle,
+    epoch_shortfall,
+    epoch_shuffle_key,
+    materialize_epochs,
     mix_sources,
     sample_fraction,
     plan_epochs,
@@ -117,6 +120,9 @@ __all__ = [
     "mix_sources",
     "sample_fraction",
     "plan_epochs",
+    "epoch_shortfall",
+    "epoch_shuffle_key",
+    "materialize_epochs",
     "take_token_budget",
     "temperature_weights",
     "train_bigram_lm",

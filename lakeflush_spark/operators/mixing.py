@@ -299,6 +299,14 @@ def temperature_weights(
     1-partition child already satisfies AllTuples) and the share join
     is a 1-row broadcast. Nothing corpus-sized moves; do NOT pass a
     per-document frame.
+
+    Fail-fast contract: a zero weight SUM (all-zero counts, or counts
+    small enough that every floor(scale*count**alpha) is 0) raises at
+    evaluation instead of silently emitting NULL shares, and so does a
+    share numerator that would break the half-up division's exactness
+    precondition (2*scale*weight + Σweight must stay < 2**53 — see
+    ``_round_half_up_int``); callers with astronomically large
+    ``scale`` get an error, not a last-ulp-wrong share.
     """
     c = F.col(count_col).cast("double")
     p = F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(float(alpha)))
@@ -307,15 +315,37 @@ def temperature_weights(
         F.floor(F.lit(float(scale)) * p).cast("bigint").alias("weight"),
     )
     tot = w.select(F.sum("weight").alias("_tot"))
+    num = F.lit(scale) * F.col("weight")
+    share = (
+        F.when(
+            F.col("_tot") <= 0,
+            F.raise_error(
+                F.lit(
+                    "temperature_weights: weight sum is 0 — every "
+                    f"floor({scale} * count**{alpha}) vanished; raise "
+                    "`scale` or check the counts frame"
+                )
+            ).cast("bigint"),
+        )
+        .when(
+            # guard arithmetic in DOUBLE: the exact BIGINT form would
+            # itself overflow (ANSI error) before the check could fire
+            F.lit(2.0) * F.lit(float(scale)) * F.col("weight").cast("double")
+            + F.col("_tot").cast("double")
+            >= F.lit(float(2**53)),
+            F.raise_error(
+                F.lit(
+                    "temperature_weights: 2*scale*weight + sum(weight) "
+                    ">= 2**53 — the half-up share division is no longer "
+                    "exact; lower `scale`"
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(_round_half_up_int(num, F.col("_tot")))
+    )
     return (
         w.crossJoin(F.broadcast(tot))
-        .select(
-            key_col,
-            "weight",
-            _round_half_up_int(F.lit(scale) * F.col("weight"), F.col("_tot")).alias(
-                f"share_x{scale}"
-            ),
-        )
+        .select(key_col, "weight", share.alias(f"share_x{scale}"))
     )
 
 
@@ -345,9 +375,12 @@ def plan_epochs(
     ``planned_tokens`` bigint = floor(epochs * available)), plus the
     achieved total is just sum(planned_tokens) — short of the target
     exactly when the cap binds (the signal to go find more data, which
-    is the point of the cap). Arithmetic on a tiny frame; the actual
-    selection step is ``take_token_budget`` per source with these
-    planned budgets.
+    is the point of the cap; ``epoch_shortfall`` turns that into the
+    per-source report). Arithmetic on a tiny frame; the EXECUTION step
+    is ``materialize_epochs(df, plan)``, which emits floor(epochs)
+    full passes plus a fractional-epoch budget prefix per source.
+    (``take_token_budget`` alone CANNOT realize a plan with epochs > 1
+    — a one-pass prefix caps out at one epoch of each source.)
     """
     if target_tokens <= 0:
         raise ValueError("target_tokens must be positive")
@@ -367,3 +400,144 @@ def plan_epochs(
         .cast("bigint")
         .alias("planned_tokens"),
     )
+
+
+def epoch_shortfall(plan: DataFrame, target_tokens: int) -> DataFrame:
+    """Per-source shortfall view over a ``plan_epochs`` plan — the
+    go-find-more-data report a data card ships when the repetition cap
+    binds.
+
+    ``desired_tokens`` = floor((target / Σ available) * available) —
+    each source's UNCAPPED proportional ask (the same two-step float
+    arithmetic as ``plan_epochs``: divide first, then scale, so the
+    numbers are bit-identical to an oracle replay);
+    ``shortfall_tokens`` = desired − planned, positive exactly when
+    the cap binds. All on the |sources|-row plan frame: one 1-row
+    broadcast total, nothing corpus-sized.
+    """
+    if target_tokens <= 0:
+        raise ValueError("target_tokens must be positive")
+    tot = plan.agg(
+        F.sum("available_tokens").cast("double").alias("_tot")
+    )
+    desired = F.floor(
+        (F.lit(float(target_tokens)) / F.col("_tot"))
+        * F.col("available_tokens").cast("double")
+    ).cast("bigint")
+    return plan.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "available_tokens",
+        "epochs",
+        "planned_tokens",
+        desired.alias("desired_tokens"),
+        (desired - F.col("planned_tokens")).alias("shortfall_tokens"),
+    )
+
+
+def epoch_shuffle_key(
+    epoch_col: Column | str, id_col: Column | str, seed: str = "0"
+) -> Column:
+    """Deterministic per-epoch shuffle key: md5(seed:epoch:id).
+
+    Each epoch of a materialized multi-epoch selection gets an
+    INDEPENDENT-looking permutation (the epoch number salts the key),
+    so repeated data never replays in the same order — the property
+    data-constrained training runs rely on. Order the output of
+    ``materialize_epochs`` by this key for the global shuffle.
+    """
+    e = F.col(epoch_col) if isinstance(epoch_col, str) else epoch_col
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(
+        F.concat_ws(":", F.lit(seed), e.cast("string"), c.cast("string"))
+    )
+
+
+def materialize_epochs(
+    df: DataFrame,
+    plan: DataFrame,
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "0",
+    shards: int = 64,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """EXECUTE a ``plan_epochs`` plan: emit, per source with planned
+    epochs e, ⌊e⌋ full copies of every document plus a fractional
+    final epoch selected as a seeded-shuffle token-budget prefix — so
+    the delivered token count equals ``planned_tokens`` within one
+    document per source (the prefix overshoots by at most one doc).
+
+    Output = ``df``'s columns plus ``epoch_col`` (0-based BIGINT).
+    Every copy carries its epoch number; order downstream by
+    ``epoch_shuffle_key(epoch_col, id_col, seed)`` — each epoch is a
+    DIFFERENTLY-ordered full pass (md5(seed:epoch:id) salts the
+    permutation per epoch), not a replay of one order.
+
+    Determinism: content/seed-addressed like everything in this module
+    — no RNG, so retries, re-runs and partition layout reproduce the
+    selection exactly; a bigger plan for the same seed is a superset
+    (full epochs only grow, and the fractional prefix is monotone in
+    its budget).
+
+    Scale stance: the plan joins in as a |sources|-row BROADCAST; full
+    epochs are a map-only explode-by-⌊e⌋ (≤ ``max_epochs``-way row
+    multiplication — inherent to materialization, no shuffle); ONLY
+    the fractional-epoch rows take the two-pass sharded prefix sum
+    (``sharded_prefix_sum`` — never a whole source in one task).
+    ``shards=1`` degenerates to the single-window reference plan.
+    """
+    if epoch_col in df.columns:
+        raise ValueError(
+            f"materialize_epochs: input already has a {epoch_col!r} column"
+        )
+    p = plan.select(
+        F.col("key").alias("_me_key"),
+        F.col("available_tokens").cast("bigint").alias("_me_avail"),
+        F.col("epochs").cast("double").alias("_me_epochs"),
+        F.col("planned_tokens").cast("bigint").alias("_me_planned"),
+    )
+    # eqNullSafe: a NULL source key is a real group in the plan
+    joined = df.join(
+        F.broadcast(p), F.col(source_col).eqNullSafe(F.col("_me_key"))
+    )
+    full = F.floor(F.col("_me_epochs")).cast("bigint")
+    frac_budget = F.col("_me_planned") - full * F.col("_me_avail")
+    n_copies = full + F.when(frac_budget > 0, F.lit(1)).otherwise(F.lit(0)).cast(
+        "bigint"
+    )
+    # sequence(0, -1) would count DOWN — gate zero-copy rows out first
+    exploded = joined.where(n_copies > 0).withColumn(
+        epoch_col,
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_copies - 1)),
+    )
+    keep_cols = [*df.columns, epoch_col]
+    keepers = exploded.where(F.col(epoch_col) < full).select(*keep_cols)
+    frac = exploded.where((F.col(epoch_col) == full) & (frac_budget > 0))
+    key = epoch_shuffle_key(epoch_col, id_col, seed)
+    if shards <= 1:
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(key, F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prec = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("bigint"))
+        frac_kept = frac.withColumn("_me_prec", prec)
+    else:
+        keyed = frac.withColumn("_me_k", key).withColumn(
+            "_me_shard", hex_order_shard(F.col("_me_k"), shards)
+        )
+        frac_kept = sharded_prefix_sum(
+            keyed,
+            part_cols=[source_col],
+            order_cols=[F.col("_me_k"), F.col(id_col)],
+            value_col=token_col,
+            shard_col="_me_shard",
+            out_col="_me_prec",
+        )
+    frac_kept = frac_kept.where(
+        F.col("_me_prec")
+        < F.col("_me_planned")
+        - F.floor(F.col("_me_epochs")).cast("bigint") * F.col("_me_avail")
+    ).select(*keep_cols)
+    return keepers.unionByName(frac_kept)

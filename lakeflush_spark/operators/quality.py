@@ -7,17 +7,20 @@ variant of (Gopher, MassiveText, RefinedWeb, Dolma). Seven rules:
 
   bit 0  word count outside [50, 100_000]
   bit 1  mean word length outside [3, 10]
-  bit 2  symbol-to-word ratio ('#' + '...') >= 0.1
+  bit 2  symbol-to-word ratio ('#' + '...') > 0.1
   bit 3  > 90% of lines start with a bullet (-, *, •)
   bit 4  > 30% of lines end with an ellipsis ('...', …)
   bit 5  < 80% of words contain an ASCII letter
   bit 6  fewer than 2 distinct Gopher stop words present
 
-``gopher_flags`` returns the failed-rule bitmask (0 == document
-passes); ``gopher_filter`` keeps passing documents. Every threshold is
-an integer comparison on exact BIGINT counters (10*sym >= n, not
-sym/n >= 0.1) so the DuckDB oracle twin in plans/text_queries.py
-agrees bit-for-bit.
+"Words" are whitespace-run splits (functions/text.words) — the
+paper's word notion — NOT the corpus single-space ``tokens``: words
+adjacent across a newline separate, and a stop word at end-of-line
+still counts. ``gopher_flags`` returns the failed-rule bitmask (0 ==
+document passes); ``gopher_filter`` keeps passing documents. Every
+threshold is an integer comparison on exact BIGINT counters
+(10*sym > n, not sym/n > 0.1) so the DuckDB oracle twin in
+plans/text_queries.py agrees bit-for-bit.
 
 Scale stance: map-only JVM Column expressions — no shuffle, no
 Python, no UDF. At 100 TB the filter runs at scan speed and composes
@@ -31,14 +34,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from lakeflush_spark.functions.text import (
-    _total_token_len,
+    _total_word_len,
     alpha_word_hits,
     bullet_line_hits,
     doc_lines,
     ellipsis_line_hits,
     gopher_stopword_hits,
     symbol_hits,
-    token_count,
+    word_count,
 )
 
 MIN_WORDS = 50
@@ -47,8 +50,8 @@ MAX_WORDS = 100_000
 
 def gopher_flags(text: Column | str = "text") -> Column:
     """BIGINT bitmask of failed Gopher rules (0 == document passes)."""
-    n = token_count(text)
-    total_len = _total_token_len(text)
+    n = word_count(text)
+    total_len = _total_word_len(text)
     sym = symbol_hits(text)
     nlines = F.size(doc_lines(text)).cast("bigint")
     bullets = bullet_line_hits(text)
@@ -63,8 +66,8 @@ def gopher_flags(text: Column | str = "text") -> Column:
         bit(0, (n < MIN_WORDS) | (n > MAX_WORDS))
         # mean word length in [3, 10]  <=>  3n <= L <= 10n
         + bit(1, (total_len < 3 * n) | (total_len > 10 * n))
-        # sym/n >= 0.1  <=>  10*sym >= n
-        + bit(2, 10 * sym >= n)
+        # sym/n > 0.1  <=>  10*sym > n (strict, per Rae et al. A1.1)
+        + bit(2, 10 * sym > n)
         # bullets/nlines > 0.9  <=>  10*bullets > 9*nlines
         + bit(3, 10 * bullets > 9 * nlines)
         # ell/nlines > 0.3  <=>  10*ell > 3*nlines

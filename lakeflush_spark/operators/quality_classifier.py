@@ -194,6 +194,21 @@ def classifier_filter(
     return out if keep_score else out.drop("quality_score")
 
 
+def pareto_draw(seed_col: Column, alpha: float = 9.0) -> Column:
+    """The deterministic Pareto(alpha) draw ``pareto_sample_condition``
+    compares against: u = md5-uniform in (0, 1) over the seed column,
+    pareto = u**(-1/alpha) - 1 — the exact inverse-CDF of numpy's
+    Lomax ``pareto(alpha)``. Exposed standalone so verdict-row oracles
+    (q60 'clf') can reproduce the draw and band its comparison."""
+    u = (
+        F.conv(
+            F.substring(F.md5(seed_col.cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32 + 2))
+    return F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+
+
 def pareto_sample_condition(
     score: Column, alpha: float = 9.0, seed_col: Column | None = None
 ) -> Column:
@@ -204,21 +219,13 @@ def pareto_sample_condition(
     the score itself), so retries and partition layout cannot change
     the selection (the engine's no-rand() rule).
 
-    u = md5-uniform in (0, 1); pareto = u**(-1/alpha) - 1 — the exact
-    inverse-CDF of numpy's Lomax ``pareto(alpha)``. High-scoring docs
-    are almost always kept; low-scoring ones survive occasionally,
+    See ``pareto_draw`` for the draw itself. High-scoring docs are
+    almost always kept; low-scoring ones survive occasionally,
     preserving the tail diversity the paper wanted.
     """
     if seed_col is None:
         seed_col = score
-    u = (
-        F.conv(
-            F.substring(F.md5(seed_col.cast("string")), 1, 8), 16, 10
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(float(2**32 + 2))
-    pareto = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
-    return pareto > (F.lit(1.0) - score)
+    return pareto_draw(seed_col, alpha) > (F.lit(1.0) - score)
 
 
 def quality_score_from_text(

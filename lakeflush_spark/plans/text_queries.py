@@ -99,8 +99,15 @@ _SQL_DUP3_4DP = (
 
 
 # ---- Gopher-rule twins (operators/quality.py; exact BIGINT counters,
-# integer threshold comparisons — no float knife-edges) ---------------------
+# integer threshold comparisons — no float knife-edges). Word-based
+# counters split on WHITESPACE RUNS (functions/text.words — the
+# paper's word notion), not the corpus single-space tokens. ------------------
 
+from lakeflush_spark.functions.text import WORD_SEP_RE
+
+_WORDS = f"regexp_split_to_array(text, '{WORD_SEP_RE}')"
+_SQL_NW = f"len({_WORDS})::BIGINT"
+_SQL_LW = f"list_sum(list_transform({_WORDS}, t -> length(t)))::BIGINT"
 _SQL_SYM = (
     "(len(regexp_extract_all(text, '#'))"
     " + len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT"
@@ -115,7 +122,7 @@ _SQL_ELLIPSIS = (
     f"len(list_filter({_SQL_LINES},"
     " l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::BIGINT"
 )
-_SQL_ALPHA = f"len(list_filter({_TOKS}, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT"
+_SQL_ALPHA = f"len(list_filter({_WORDS}, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT"
 # duplicate line/paragraph fractions read the structured views' CTE
 # arrays (vls = token-per-line vtext lines, qps = token-pair qtext
 # paragraphs): the raw corpus is single-line with near-unique multi-token
@@ -293,17 +300,17 @@ def _sql_gopher_stops() -> str:
     from lakeflush_spark.functions.text import GOPHER_STOPWORDS
 
     lit = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
-    return f"len(list_filter({lit}, w -> list_contains({_TOKS}, w)))::BIGINT"
+    return f"len(list_filter({lit}, w -> list_contains({_WORDS}, w)))::BIGINT"
 
 
 def _sql_gopher_flags() -> str:
     from lakeflush_spark.operators.quality import MAX_WORDS, MIN_WORDS
 
-    n, li = _SQL_NI, _SQL_LI
+    n, lw = _SQL_NW, _SQL_LW
     return f"""(
       CASE WHEN {n} < {MIN_WORDS} OR {n} > {MAX_WORDS} THEN 1 ELSE 0 END
-      + CASE WHEN {li} < 3 * {n} OR {li} > 10 * {n} THEN 2 ELSE 0 END
-      + CASE WHEN 10 * {_SQL_SYM} >= {n} THEN 4 ELSE 0 END
+      + CASE WHEN {lw} < 3 * {n} OR {lw} > 10 * {n} THEN 2 ELSE 0 END
+      + CASE WHEN 10 * {_SQL_SYM} > {n} THEN 4 ELSE 0 END
       + CASE WHEN 10 * {_SQL_BULLETS} > 9 * {_SQL_NLINES} THEN 8 ELSE 0 END
       + CASE WHEN 10 * {_SQL_ELLIPSIS} > 3 * {_SQL_NLINES} THEN 16 ELSE 0 END
       + CASE WHEN 5 * {_SQL_ALPHA} < 4 * {n} THEN 32 ELSE 0 END
@@ -386,12 +393,12 @@ def _sql_lang_case() -> str:
            {_SQL_DUP3_4DP} AS dup3_ratio,
            {_sql_arr_fingerprint(_TOKS)} AS doc_fp,
            {_sql_arr_fingerprint(_SQL_SHINGLES)} AS shingle_fp,
-           {_sql_round_half_up_div(f"10000 * {_SQL_SYM}", _SQL_NI)} AS sym_ratio,
+           {_sql_round_half_up_div(f"10000 * {_SQL_SYM}", _SQL_NW)} AS sym_ratio,
            {_sql_round_half_up_div(f"10000 * {_SQL_BULLETS}", _SQL_NLINES)}
                AS bullet_ratio,
            {_sql_round_half_up_div(f"10000 * {_SQL_ELLIPSIS}", _SQL_NLINES)}
                AS ellipsis_ratio,
-           {_sql_round_half_up_div(f"10000 * {_SQL_ALPHA}", _SQL_NI)} AS alpha_ratio,
+           {_sql_round_half_up_div(f"10000 * {_SQL_ALPHA}", _SQL_NW)} AS alpha_ratio,
            {_sql_dup_ratio_4dp("vls")} AS dup_line_ratio,
            {_sql_dup_char_ratio_4dp("vls")} AS dup_line_char_ratio,
            {_sql_dup_ratio_4dp("qps")} AS dup_para_ratio,
@@ -714,6 +721,81 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Map-only filter; at 100 TB this is a pushed-down scan predicate.
 # ---------------------------------------------------------------------------
 _SAMPLE_PCT = 10
+#: epoch-target multiplier: 2.6 ⇒ two full epochs + a 0.6 fractional
+#: one under the default cap (4), and a BINDING cap for max_epochs=2
+_EPOCH_MULT = 2.6
+
+#: FROZEN classifier weights for the 'clf' verdict labels — trained
+#: ONCE via operators/quality_classifier.train_quality_classifier on
+#: the sf0.01 documents table (reference = top half by the composite
+#: quality heuristic, raw = bottom half), then inlined as literals so
+#: the contract entry is deterministic and engine-replayable (training
+#: itself stays unit-tested in tests/test_quality_classifier.py).
+#: Scores over the corpus spread across (0, 1) — p10≈0, p50≈0.6,
+#: p90≈0.99 — so both the threshold gate and the Pareto acceptance
+#: genuinely discriminate; min |score−0.5| and min |pareto−(1−score)|
+#: measured ≥1e-3 at sf0.001/sf0.01, six orders above the 1e-9 band.
+_CLF_WEIGHTS = {
+    "n_tokens": 2.4646814373552575,
+    "n_chars": 2.353895853090293,
+    "n_bpe_tokens": 2.4646814373552575,
+    "avg_tok_len": 0.2994502445903788,
+    "stop_ratio": -15.289998058051095,
+    "distinct_ratio": -7.302822022171852,
+    "dup3_ratio": 34.970335303612295,
+    "dup_line_ratio": 0.0,
+    "dup_line_char_ratio": 0.0,
+    "dup_para_ratio": 0.0,
+    "dup_para_char_ratio": 0.0,
+    "top2_char_ratio": -9.242218997556126,
+    "top3_char_ratio": -11.849831237303533,
+    "top4_char_ratio": -9.872637371916657,
+    "__intercept__": -27.69857521309514,
+}
+_CLF_THRESHOLD = 0.5
+_CLF_ALPHA = 9.0
+#: decision band: rows within 1e-9 of a decision boundary are counted
+#: as 'clf_mask' instead of decided — exp/pow are not bit-specified
+#: across engines, but measured cross-engine score drift is ~1e-15,
+#: so banded decisions agree deterministically
+_CLF_BAND = 1e-9
+
+
+def _sql_clf_z() -> str:
+    """The sigmoid pre-activation as DuckDB SQL, generated from the
+    SAME frozen dict and in the SAME left-to-right feature order (zero
+    weights skipped) as quality_score_from_text — float addition order
+    matters, so the twin mirrors the engine's loop exactly."""
+    from lakeflush_spark.operators.quality_classifier import (
+        FEATURE_COLS,
+        INTERCEPT_KEY,
+        _LOG_FEATURES,
+    )
+
+    feat_sql = {
+        "n_tokens": f"{_SQL_NI}::DOUBLE",
+        "n_chars": "length(text)::DOUBLE",
+        "n_bpe_tokens": (
+            f"len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))::DOUBLE"
+        ),
+        "avg_tok_len": _SQL_AVG_TOK_LEN_4DP,
+        "stop_ratio": _SQL_STOP_RATIO_4DP,
+        "distinct_ratio": _SQL_DISTINCT_RATIO_4DP,
+        "dup3_ratio": _SQL_DUP3_4DP,
+        "top2_char_ratio": _sql_topk_4dp("cov2"),
+        "top3_char_ratio": _sql_topk_4dp("cov3"),
+        "top4_char_ratio": _sql_topk_4dp("cov4"),
+    }
+    z = f"({_CLF_WEIGHTS[INTERCEPT_KEY]!r})"
+    for c in FEATURE_COLS:
+        w = float(_CLF_WEIGHTS.get(c, 0.0))
+        if w == 0.0:
+            continue
+        f = feat_sql[c]
+        if c in _LOG_FEATURES:
+            f = f"ln(1.0 + {f})"
+        z += f" + ({w!r}) * ({f})"
+    return z
 
 
 @declare(
@@ -732,7 +814,7 @@ _SAMPLE_PCT = 10
                CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
         FROM d GROUP BY source),
     alltok AS (SELECT SUM(src_tokens) AS all_tokens FROM srctok),
-    f0 AS (SELECT source, text,
+    f0 AS (SELECT doc_id, source, text,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                   string_split(text, ' ') AS toks
            FROM documents),
@@ -759,6 +841,39 @@ _SAMPLE_PCT = 10
                   {_sql_c4_flags_on("text")} AS cf,
                   {_sql_mt_rep_flags()} AS mf
            FROM fA),
+    fClf AS (SELECT source,
+                    1.0 / (1.0 + exp(-({_sql_clf_z()}))) AS cs,
+                    pow((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+                          ::BIGINT::DOUBLE + 1.0) / 4294967298.0,
+                        {-1.0 / _CLF_ALPHA!r}) - 1.0 AS cp
+             FROM fA),
+    ept AS (SELECT CAST(FLOOR({_EPOCH_MULT} * SUM(src_tokens)::DOUBLE)
+                        AS BIGINT) AS tgt,
+                   SUM(src_tokens)::DOUBLE AS td
+            FROM srctok),
+    epf AS (SELECT least(4.0, tgt::DOUBLE / td) AS fac,
+                   least(2.0, tgt::DOUBLE / td) AS fac2,
+                   tgt::DOUBLE / td AS facu
+            FROM ept),
+    epp AS (SELECT source, n_docs, src_tokens,
+                   CAST(FLOOR(fac * src_tokens::DOUBLE) AS BIGINT) AS planned,
+                   CAST(FLOOR(fac) AS BIGINT) AS efull,
+                   CAST(FLOOR(fac2 * src_tokens::DOUBLE) AS BIGINT) AS planned2,
+                   CAST(FLOOR(facu * src_tokens::DOUBLE) AS BIGINT) AS desired
+            FROM srctok CROSS JOIN epf),
+    epfrac AS (
+        SELECT source, COUNT(*)::BIGINT AS fn,
+               CAST(SUM(n_tokens) AS BIGINT) AS ft
+        FROM (SELECT d.source, d.n_tokens,
+                     epp.planned - epp.efull * epp.src_tokens AS fb,
+                     COALESCE(SUM(d.n_tokens) OVER (
+                         PARTITION BY d.source
+                         ORDER BY md5('0:' || epp.efull::VARCHAR || ':'
+                                      || d.doc_id::VARCHAR), d.doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS prec
+              FROM d JOIN epp USING (source))
+        WHERE prec < fb GROUP BY source),
     langpred AS (SELECT source, {_sql_lang_case()} AS lp FROM documents),
     lmode AS (
         SELECT source, lp, cnt, tot FROM (
@@ -835,6 +950,36 @@ _SAMPLE_PCT = 10
                CAST(COALESCE(SUM(n_tokens) FILTER (WHERE mf <> 0), 0)
                     AS BIGINT)
         FROM fB GROUP BY source
+        UNION ALL
+        -- 'clf'/'clf_mask' (r10): the classifier gate's banded
+        -- ACCEPT decisions — threshold accepts (n_docs) and Pareto
+        -- accepts (sum_tokens) among rows farther than 1e-9 from the
+        -- decision boundary; 'clf_mask' counts the banded-out rows
+        -- (measured 0 — pins the band itself)
+        SELECT 'clf', source,
+               CAST(COUNT(*) FILTER (WHERE abs(cs - {_CLF_THRESHOLD!r}) > {_CLF_BAND!r}
+                                       AND cs >= {_CLF_THRESHOLD!r}) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE abs(cp - (1.0 - cs)) > {_CLF_BAND!r}
+                                       AND cp > 1.0 - cs) AS BIGINT)
+        FROM fClf GROUP BY source
+        UNION ALL
+        SELECT 'clf_mask', source,
+               CAST(COUNT(*) FILTER (WHERE abs(cs - {_CLF_THRESHOLD!r}) <= {_CLF_BAND!r}) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE abs(cp - (1.0 - cs)) <= {_CLF_BAND!r}) AS BIGINT)
+        FROM fClf GROUP BY source
+        UNION ALL
+        -- 'epochs' (r10): delivered docs/tokens of the materialized
+        -- multi-epoch plan — efull full passes + the fractional-epoch
+        -- prefix under the md5(seed:epoch:id) order
+        SELECT 'epochs', source,
+               epp.efull * epp.n_docs + COALESCE(fn, 0),
+               epp.efull * epp.src_tokens + COALESCE(ft, 0)
+        FROM epp LEFT JOIN epfrac USING (source)
+        UNION ALL
+        -- 'epochs_plan' (r10): binding-cap (max_epochs=2) plan +
+        -- shortfall report (desired = uncapped proportional ask)
+        SELECT 'epochs_plan', source, planned2, desired - planned2
+        FROM epp
     ) ORDER BY kind, key
     """,
     "Deterministic sampling & training-mix suite, three strategies "
@@ -861,7 +1006,22 @@ _SAMPLE_PCT = 10
     "gopher/c4/mt) flagged-doc counts and token mass, the oracle "
     "replaying all three bitmasks including the top-k-gram coverage "
     "chain. Only the float-summation averages stay outside the hash "
-    "(unit-tested; see report.py).",
+    "(unit-tested; see report.py). r10 adds 'epochs'/'epochs_plan': "
+    "the data-constrained multi-epoch EXECUTION path — "
+    "materialize_epochs realizes a plan_epochs plan as ⌊e⌋ full "
+    "passes plus a fractional-epoch token-budget prefix under the "
+    "md5(seed:epoch:id) key, delivered docs/tokens verified per "
+    "source with the oracle replaying the full arithmetic (target = "
+    "floor(2.6×total), factor = min(cap, target/total), planned = "
+    "floor(factor×available), window prefix) — and the binding-cap "
+    "(max_epochs=2) plan's planned-vs-shortfall report "
+    "(epoch_shortfall), all exact integers. r10 also adds "
+    "'clf'/'clf_mask': the GPT-3-style classifier gate's decisions "
+    "driver-verified with FROZEN trained weights — both engines "
+    "recompute the exact 4dp feature panel, their own sigmoid and "
+    "deterministic Pareto draw, and compare BANDED accept counts "
+    "(threshold + Pareto) per source; rows within 1e-9 of a boundary "
+    "count under 'clf_mask' (measured 0).",
 )
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.mixing import mix_sources, take_token_budget
@@ -1010,6 +1170,79 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"t{c}").alias("sum_tokens"),
         )
         card_flags = part if card_flags is None else card_flags.unionByName(part)
+    # 'clf'/'clf_mask' (r10): driver-level verification of the
+    # classifier gate (operators/quality_classifier) — the last LLM
+    # operator family that was unit-only. Weights are FROZEN literals
+    # (_CLF_WEIGHTS, provenance above); both engines recompute the
+    # exact 4dp feature panel, their own float sigmoid and Pareto
+    # draw, and compare only BANDED decisions: rows within _CLF_BAND
+    # of a boundary count as 'clf_mask' instead (measured 0 — the
+    # cross-engine exp/pow drift is ~1e-15, six orders under the
+    # band, so the decision counts are deterministic).
+    from lakeflush_spark.operators.quality_classifier import (
+        pareto_draw,
+        quality_score_from_text,
+    )
+
+    clf_sc = load_table(spark, sf_dir, "documents").select(
+        "source",
+        quality_score_from_text(_CLF_WEIGHTS).alias("_s"),
+        pareto_draw(F.col("doc_id"), _CLF_ALPHA).alias("_p"),
+    )
+    thr_gap = F.abs(F.col("_s") - F.lit(_CLF_THRESHOLD))
+    par_gap = F.abs(F.col("_p") - (F.lit(1.0) - F.col("_s")))
+    cagg = clf_sc.groupBy("source").agg(
+        F.sum(
+            ((thr_gap > _CLF_BAND) & (F.col("_s") >= _CLF_THRESHOLD)).cast("bigint")
+        ).alias("_thr_acc"),
+        F.sum(
+            ((par_gap > _CLF_BAND) & (F.col("_p") > F.lit(1.0) - F.col("_s")))
+            .cast("bigint")
+        ).alias("_par_acc"),
+        F.sum((thr_gap <= _CLF_BAND).cast("bigint")).alias("_thr_m"),
+        F.sum((par_gap <= _CLF_BAND).cast("bigint")).alias("_par_m"),
+    )
+    clf = cagg.select(
+        F.lit("clf").alias("kind"),
+        F.col("source").alias("key"),
+        F.col("_thr_acc").alias("n_docs"),
+        F.col("_par_acc").alias("sum_tokens"),
+    )
+    clf_mask = cagg.select(
+        F.lit("clf_mask").alias("kind"),
+        F.col("source").alias("key"),
+        F.col("_thr_m").alias("n_docs"),
+        F.col("_par_m").alias("sum_tokens"),
+    )
+    # 'epochs'/'epochs_plan' (r10): the multi-epoch EXECUTION path —
+    # materialize_epochs realizes a plan_epochs plan (⌊e⌋ full passes
+    # + a fractional-epoch budget prefix under the md5(seed:epoch:id)
+    # key), and the oracle replays the whole integer/float arithmetic:
+    # target = floor(2.6 × total), factor = min(cap, target/total),
+    # per-source planned = floor(factor × available), delivered =
+    # full·available + the window-prefix sum — all engine-exact.
+    # 'epochs_plan' uses a BINDING cap (max_epochs=2 < 2.6) so the
+    # shortfall report is exercised with nonzero values.
+    from lakeflush_spark.operators.mixing import (
+        epoch_shortfall,
+        materialize_epochs,
+        plan_epochs,
+    )
+
+    ecard = d.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    total_tokens = int(ecard.agg(F.sum("n_tokens")).first()[0])
+    target = int(_EPOCH_MULT * total_tokens)
+    plan_a = plan_epochs(ecard, target, key_col="source")
+    epochs = agg(materialize_epochs(d, plan_a), "epochs", "source")
+    plan_b = plan_epochs(ecard, target, max_epochs=2.0, key_col="source")
+    epochs_plan = epoch_shortfall(plan_b, target).select(
+        F.lit("epochs_plan").alias("kind"),
+        F.col("key"),
+        F.col("planned_tokens").alias("n_docs"),
+        F.col("shortfall_tokens").alias("sum_tokens"),
+    )
     return (
         strat.unionByName(mixed)
         .unionByName(budget)
@@ -1018,5 +1251,9 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(card_q)
         .unionByName(temp)
         .unionByName(card_flags)
+        .unionByName(clf)
+        .unionByName(clf_mask)
+        .unionByName(epochs)
+        .unionByName(epochs_plan)
         .orderBy("kind", "key")
     )

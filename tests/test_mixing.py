@@ -295,3 +295,151 @@ def test_plan_epochs(spark):
     assert sum(r.planned_tokens for r in capped.values()) < 40_000
     with pytest.raises(ValueError):
         plan_epochs(card, 0)
+
+
+def test_epoch_shortfall_report(spark):
+    """desired = uncapped proportional ask; shortfall positive exactly
+    when the cap binds, zero when data is plentiful."""
+    from lakeflush_spark.operators.mixing import epoch_shortfall, plan_epochs
+
+    card = spark.createDataFrame(
+        [("a", 1000), ("b", 3000)], "source string, n_tokens long"
+    )
+    plenty = {r.key: r for r in
+              epoch_shortfall(plan_epochs(card, 2000), 2000).collect()}
+    assert all(r.shortfall_tokens == 0 for r in plenty.values())
+    assert plenty["a"].desired_tokens == 500
+    capped = {r.key: r for r in
+              epoch_shortfall(plan_epochs(card, 40_000), 40_000).collect()}
+    # 40000 of 4000 available -> uncapped factor 10, capped at 4
+    assert capped["a"].desired_tokens == 10_000
+    assert capped["a"].shortfall_tokens == 10_000 - 4000
+    assert capped["b"].shortfall_tokens == 30_000 - 12_000
+    import pytest
+
+    with pytest.raises(ValueError):
+        epoch_shortfall(plan_epochs(card, 10), 0)
+
+
+def _epoch_corpus(spark, n_per_source=40):
+    rows = []
+    for s, base in (("a", 0), ("b", 1000), ("c", 2000)):
+        for i in range(n_per_source):
+            rows.append((base + i, s, 5 + (base + i) % 7))
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+
+def test_materialize_epochs_delivers_planned_tokens(spark):
+    """Delivered tokens match planned within one document per source —
+    including epochs > 1, the case take_token_budget cannot execute."""
+    from lakeflush_spark.operators.mixing import materialize_epochs, plan_epochs
+
+    df = _epoch_corpus(spark)
+    card = df.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+    avail = {r.source: r.n_tokens for r in card.collect()}
+    total = sum(avail.values())
+    target = int(2.6 * total)  # factor 2.6: 2 full epochs + 0.6 fractional
+    plan = plan_epochs(card, target, key_col="source")
+    planned = {r.key: r.planned_tokens for r in plan.collect()}
+    out = materialize_epochs(df, plan)
+    got = {r.source: (r.n, r.t) for r in
+           out.groupBy("source").agg(
+               F.count("*").alias("n"), F.sum("n_tokens").alias("t")
+           ).collect()}
+    max_doc = 11  # max n_tokens in the corpus
+    for s in avail:
+        n, t = got[s]
+        assert planned[s] > avail[s], "test must exercise epochs > 1"
+        assert t >= planned[s], f"{s}: under-delivered {t} < {planned[s]}"
+        assert t < planned[s] + max_doc, f"{s}: overshoot beyond one doc"
+
+
+def test_materialize_epochs_permutations_and_determinism(spark):
+    """Each epoch is a FULL copy under a distinct permutation (not a
+    replay of one order); the selection is layout- and seed-stable;
+    sharded plan == single-window reference bit-for-bit."""
+    from lakeflush_spark.operators.mixing import (
+        epoch_shuffle_key,
+        materialize_epochs,
+        plan_epochs,
+    )
+
+    df = _epoch_corpus(spark)
+    card = df.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+    total = sum(r.n_tokens for r in card.collect())
+    plan = plan_epochs(card, int(2.5 * total), key_col="source")
+
+    out = materialize_epochs(df, plan).withColumn(
+        "k", epoch_shuffle_key("epoch", "doc_id")
+    )
+    rows = out.collect()
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    # full epochs 0 and 1 contain every doc exactly once
+    n_docs = df.count()
+    assert len(by_epoch[0]) == n_docs and len(by_epoch[1]) == n_docs
+    assert len(by_epoch[2]) < n_docs  # fractional
+    # distinct permutations: the key-order of epoch 0 differs from 1
+    o0 = [r.doc_id for r in sorted(by_epoch[0], key=lambda r: (r.k, r.doc_id))]
+    o1 = [r.doc_id for r in sorted(by_epoch[1], key=lambda r: (r.k, r.doc_id))]
+    assert sorted(o0) == sorted(o1) and o0 != o1
+
+    key = {(r.source, r.doc_id, r.epoch) for r in rows}
+    # layout determinism: a different partitioning selects identically
+    again = materialize_epochs(df.repartition(13), plan).collect()
+    assert {(r.source, r.doc_id, r.epoch) for r in again} == key
+    # window reference (shards=1) is bit-identical
+    ref = materialize_epochs(df, plan, shards=1).collect()
+    assert {(r.source, r.doc_id, r.epoch) for r in ref} == key
+    # a different seed changes the fractional selection (same sizes)
+    seeded = materialize_epochs(df, plan, seed="7").collect()
+    assert {(r.source, r.doc_id, r.epoch) for r in seeded} != key
+    assert len(seeded) == len(rows) or abs(len(seeded) - len(rows)) <= 3
+
+
+def test_materialize_epochs_sub_one_epoch_matches_budget_prefix(spark):
+    """epochs < 1 degenerates to take_token_budget with the epoch-0
+    salted key: a plain budget prefix, delivered <= planned + one doc."""
+    from lakeflush_spark.operators.mixing import materialize_epochs, plan_epochs
+
+    df = _epoch_corpus(spark)
+    card = df.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+    total = sum(r.n_tokens for r in card.collect())
+    plan = plan_epochs(card, total // 3, key_col="source")
+    out = materialize_epochs(df, plan)
+    assert out.where(F.col("epoch") != 0).count() == 0
+    got = {r.source: r.t for r in
+           out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()}
+    planned = {r.key: r.planned_tokens for r in plan.collect()}
+    for s, t in got.items():
+        assert t >= min(planned[s], 1) - 1
+        assert t < planned[s] + 11
+
+
+def test_materialize_epochs_rejects_epoch_column_clash(spark):
+    import pytest
+
+    from lakeflush_spark.operators.mixing import materialize_epochs, plan_epochs
+
+    df = _epoch_corpus(spark).withColumn("epoch", F.lit(0))
+    card = df.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+    plan = plan_epochs(card, 100, key_col="source")
+    with pytest.raises(ValueError, match="epoch"):
+        materialize_epochs(df, plan)
+
+
+def test_temperature_weights_zero_sum_raises(spark):
+    """All-zero weights (counts too small for the scale) raise instead
+    of emitting NULL shares; the 2**53 exactness bound also raises."""
+    import pytest
+
+    from lakeflush_spark.operators.mixing import temperature_weights
+
+    df = spark.createDataFrame([("a", 0), ("b", 0)], "source string, n long")
+    with pytest.raises(Exception, match="weight sum is 0"):
+        temperature_weights(df, "n").collect()
+    # scale so large that 2*scale*weight blows the exactness bound
+    big = spark.createDataFrame([("a", 4), ("b", 9)], "source string, n long")
+    with pytest.raises(Exception, match="2\\*\\*53"):
+        temperature_weights(big, "n", scale=10**15).collect()

@@ -101,23 +101,25 @@ def test_flags_match_oracle_arithmetic(spark):
     ]
 
     def model(text: str) -> int:
-        toks = text.split(" ")
-        n = len(toks)
-        total = sum(len(t.replace("\n", "n")) for t in toks)
-        # NOTE: tokens() splits on ' ' only — newlines stay inside
-        # tokens, so length counts them; replicate exactly
-        total = sum(len(t) for t in toks)
+        import re
+
+        # word-based counters split on WHITESPACE RUNS (the Gopher
+        # paper's word notion — functions/text.words), bit 2 is STRICT
+        # > 0.1 per Rae et al. A1.1
+        ws = re.split(r"[ \t\n\r]+", text)
+        n = len(ws)
+        total = sum(len(t) for t in ws)
         sym = text.count("#") + _nonoverlap(text, "...")
         lines = text.split("\n")
         nl = len(lines)
         bullets = sum(bool(l.lstrip()[:1] in ("-", "*", "•")) and bool(l.lstrip()) for l in lines)
         ell = sum(l.rstrip().endswith(("...", "…")) for l in lines)
-        alpha = sum(any(c.isascii() and c.isalpha() for c in t) for t in toks)
-        stops = sum(w in toks for w in GOPHER_STOPWORDS)
+        alpha = sum(any(c.isascii() and c.isalpha() for c in t) for t in ws)
+        stops = sum(w in ws for w in GOPHER_STOPWORDS)
         f = 0
         f |= (n < 50 or n > 100_000) and 1
         f |= (total < 3 * n or total > 10 * n) and 2
-        f |= (10 * sym >= n) and 4
+        f |= (10 * sym > n) and 4
         f |= (10 * bullets > 9 * nl) and 8
         f |= (10 * ell > 3 * nl) and 16
         f |= (5 * alpha < 4 * n) and 32

@@ -242,11 +242,15 @@ def _count_nonoverlap(s: str, sub: str) -> int:
 
 
 def _gopher_model(text: str) -> int:
+    import re
+
     from lakeflush_spark.functions.text import GOPHER_STOPWORDS
 
-    toks = text.split(" ")
-    n = len(toks)
-    total = sum(len(t) for t in toks)
+    # word counters: WHITESPACE-RUN split (functions/text.words — the
+    # Gopher paper's word notion); bit 2 strict > per Rae et al. A1.1
+    ws = re.split(r"[ \t\n\r]+", text)
+    n = len(ws)
+    total = sum(len(t) for t in ws)
     sym = text.count("#") + _count_nonoverlap(text, "...")
     lines = text.split("\n")
     nl = len(lines)
@@ -254,12 +258,12 @@ def _gopher_model(text: str) -> int:
         l.lstrip(" ").startswith(("-", "*", "•")) for l in lines
     )
     ell = sum(l.rstrip(" ").endswith(("...", "…")) for l in lines)
-    alpha = sum(any(c.isascii() and c.isalpha() for c in t) for t in toks)
-    stops = sum(w in toks for w in GOPHER_STOPWORDS)
+    alpha = sum(any(c.isascii() and c.isalpha() for c in t) for t in ws)
+    stops = sum(w in ws for w in GOPHER_STOPWORDS)
     f = 0
     f |= 1 if (n < 50 or n > 100_000) else 0
     f |= 2 if (total < 3 * n or total > 10 * n) else 0
-    f |= 4 if 10 * sym >= n else 0
+    f |= 4 if 10 * sym > n else 0
     f |= 8 if 10 * bullets > 9 * nl else 0
     f |= 16 if 10 * ell > 3 * nl else 0
     f |= 32 if 5 * alpha < 4 * n else 0

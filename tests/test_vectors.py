@@ -572,3 +572,19 @@ def test_int8_roundtrip_verdict_passes_and_flips(spark):
         ).alias("ok")
     )
     assert not zbad.collect()[0].ok
+
+
+def test_int8_roundtrip_verdict_zero_dv_is_false_not_null(spark):
+    """ADVICE r9: a planted all-zero dv against a UNIT nv makes
+    dot/dnrm = 0/0 = NULL — the verdict must coalesce to False, never
+    let a NULL slip through the hash-verified boolean column."""
+    from lakeflush_spark.functions.vectors import int8_roundtrip_verdict
+
+    df = spark.createDataFrame([([float(x) for x in range(1, 9)],)], "v array<double>")
+    rows = df.select(
+        int8_roundtrip_verdict(
+            l2_normalize(F.transform("v", lambda x: x.cast("double"))),
+            F.transform("v", lambda x: F.lit(0.0)),
+        ).alias("ok")
+    ).collect()
+    assert rows[0].ok is False  # False, not None

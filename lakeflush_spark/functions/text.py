@@ -160,24 +160,26 @@ def doc_fingerprint(text: Column | str) -> Column:
     return arr_fingerprint(tokens(text))
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
-    """Word k-grams joined by a single space (for MinHash/Jaccard).
-
+def grams_from(tk: Column, k: int) -> Column:
+    """Word k-gram array from a BOUND token array (the ``shingles``
+    core, exposed so fused panels share one token materialization).
     Empty array for docs shorter than k tokens (guard needed: Spark's
     ``sequence(1, n)`` with n<1 would count DOWN, not return empty).
+    """
+    n = F.size(tk)
+    idx = F.sequence(F.lit(1), n - (k - 1))  # 1-based start positions
+    grams = F.transform(idx, lambda i: F.concat_ws(TOKEN_SEP, F.slice(tk, i, k)))
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-grams joined by a single space (for MinHash/Jaccard).
 
     The token array is ``bind``-ed so the underlying split runs once
     per row, not once per gram position (see ``bind``); each gram is a
     ``slice`` + ``concat_ws`` over the bound array.
     """
-
-    def build(tk: Column) -> Column:
-        n = F.size(tk)
-        idx = F.sequence(F.lit(1), n - (k - 1))  # 1-based start positions
-        grams = F.transform(idx, lambda i: F.concat_ws(TOKEN_SEP, F.slice(tk, i, k)))
-        return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
-
-    return bind(tokens(text), build)
+    return bind(tokens(text), lambda tk: grams_from(tk, k))
 
 
 # --------------------------------------------------------------------------
@@ -660,91 +662,96 @@ def top_kgram_coverage(text: Column | str, k: int) -> Column:
     """
 
     def build(tk: Column) -> Column:
-        n = F.size(tk)
-        starts = F.sequence(F.lit(1), n - (k - 1))
-        grams_raw = F.transform(
-            starts, lambda i: F.concat_ws(TOKEN_SEP, F.slice(tk, i, k))
-        )
-
-        def with_grams(grams: Column) -> Column:
-            zero = F.struct(
-                F.lit("").alias("prev"),
-                F.lit(0).cast("bigint").alias("run"),
-                F.lit(0).cast("bigint").alias("maxc"),
-                F.array().cast("array<string>").alias("cands"),
-            )
-
-            def step(acc: Column, x: Column) -> Column:
-                same = acc["prev"] == x
-                keep = same | (acc["run"] == 0)
-                c = acc["run"]
-                # cands only needs runs with count >= 2 (the maxc<=1
-                # consumer short-circuits to longest-gram): without
-                # the guard every count-1 run of a mostly-unique long
-                # doc appends — O(n^2) array copying (measured 2.3 ->
-                # 7.7 s/doc going 8k -> 16k tokens)
-                return F.struct(
-                    x.alias("prev"),
-                    F.when(same, acc["run"] + 1)
-                    .otherwise(F.lit(1).cast("bigint"))
-                    .alias("run"),
-                    F.when(keep, acc["maxc"])
-                    .otherwise(F.greatest(acc["maxc"], c))
-                    .alias("maxc"),
-                    F.when(keep | (c < 2), acc["cands"])
-                    .when(c > acc["maxc"], F.array(acc["prev"]))
-                    .when(c == acc["maxc"], F.array_append(acc["cands"], acc["prev"]))
-                    .otherwise(acc["cands"])
-                    .alias("cands"),
-                )
-
-            def finish(acc: Column) -> Column:
-                c = acc["run"]
-                return F.struct(
-                    F.greatest(acc["maxc"], c).alias("maxc"),
-                    F.when(c < 2, acc["cands"])
-                    .when(c > acc["maxc"], F.array(acc["prev"]))
-                    .when(c == acc["maxc"], F.array_append(acc["cands"], acc["prev"]))
-                    .otherwise(acc["cands"])
-                    .alias("cands"),
-                )
-
-            mc = F.aggregate(F.array_sort(grams), zero, step, finish)
-
-            def union_cov(cand: Column) -> Column:
-                occ = F.filter(
-                    starts, lambda i: F.element_at(grams, i) == cand
-                )
-                covered = F.array_distinct(
-                    F.flatten(
-                        F.transform(
-                            occ, lambda s: F.sequence(s, s + F.lit(k - 1))
-                        )
-                    )
-                )
-                return _union_chars(covered, tk)
-
-            def with_mc(m: Column) -> Column:
-                max_len = F.coalesce(
-                    F.array_max(
-                        F.transform(grams, lambda x: F.length(x).cast("bigint"))
-                    ),
-                    F.lit(0).cast("bigint"),
-                )
-                return F.when(m["maxc"] <= 1, max_len).otherwise(
-                    F.coalesce(
-                        F.array_max(F.transform(m["cands"], union_cov)),
-                        F.lit(0).cast("bigint"),
-                    )
-                )
-
-            return bind(mc, with_mc)
-
-        return F.when(n >= k, bind(grams_raw, with_grams)).otherwise(
-            F.lit(0).cast("bigint")
+        return bind(
+            grams_from(tk, k), lambda g: top_kgram_cov_from(tk, g, k)
         )
 
     return bind(tokens(text), build)
+
+
+def top_kgram_cov_from(tk: Column, grams: Column, k: int) -> Column:
+    """``top_kgram_coverage``'s core over a BOUND token array and its
+    BOUND ``grams_from(tk, k)`` array — fused panels build each gram
+    array once and feed both this and the dup-gram counters."""
+    starts = F.sequence(F.lit(1), F.size(grams))
+
+    def with_grams(grams: Column) -> Column:
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("maxc"),
+            F.array().cast("array<string>").alias("cands"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            same = acc["prev"] == x
+            keep = same | (acc["run"] == 0)
+            c = acc["run"]
+            # cands only needs runs with count >= 2 (the maxc<=1
+            # consumer short-circuits to longest-gram): without
+            # the guard every count-1 run of a mostly-unique long
+            # doc appends — O(n^2) array copying (measured 2.3 ->
+            # 7.7 s/doc going 8k -> 16k tokens)
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, acc["run"] + 1)
+                .otherwise(F.lit(1).cast("bigint"))
+                .alias("run"),
+                F.when(keep, acc["maxc"])
+                .otherwise(F.greatest(acc["maxc"], c))
+                .alias("maxc"),
+                F.when(keep | (c < 2), acc["cands"])
+                .when(c > acc["maxc"], F.array(acc["prev"]))
+                .when(c == acc["maxc"], F.array_append(acc["cands"], acc["prev"]))
+                .otherwise(acc["cands"])
+                .alias("cands"),
+            )
+
+        def finish(acc: Column) -> Column:
+            c = acc["run"]
+            return F.struct(
+                F.greatest(acc["maxc"], c).alias("maxc"),
+                F.when(c < 2, acc["cands"])
+                .when(c > acc["maxc"], F.array(acc["prev"]))
+                .when(c == acc["maxc"], F.array_append(acc["cands"], acc["prev"]))
+                .otherwise(acc["cands"])
+                .alias("cands"),
+            )
+
+        mc = F.aggregate(F.array_sort(grams), zero, step, finish)
+
+        def union_cov(cand: Column) -> Column:
+            occ = F.filter(
+                starts, lambda i: F.element_at(grams, i) == cand
+            )
+            covered = F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        occ, lambda s: F.sequence(s, s + F.lit(k - 1))
+                    )
+                )
+            )
+            return _union_chars(covered, tk)
+
+        def with_mc(m: Column) -> Column:
+            max_len = F.coalesce(
+                F.array_max(
+                    F.transform(grams, lambda x: F.length(x).cast("bigint"))
+                ),
+                F.lit(0).cast("bigint"),
+            )
+            return F.when(m["maxc"] <= 1, max_len).otherwise(
+                F.coalesce(
+                    F.array_max(F.transform(m["cands"], union_cov)),
+                    F.lit(0).cast("bigint"),
+                )
+            )
+
+        return bind(mc, with_mc)
+
+    return F.when(F.size(grams) >= 1, with_grams(grams)).otherwise(
+        F.lit(0).cast("bigint")
+    )
 
 
 def top_kgram_char_ratio_4dp(text: Column | str, k: int) -> Column:
@@ -809,65 +816,68 @@ def dup_kgram_char_coverage(text: Column | str, k: int) -> Column:
     """
 
     def build(tk: Column) -> Column:
-        n = F.size(tk)
-        starts = F.sequence(F.lit(1), n - (k - 1))
-        grams_raw = F.transform(
-            starts, lambda i: F.concat_ws(TOKEN_SEP, F.slice(tk, i, k))
+        return bind(
+            grams_from(tk, k), lambda g: dup_kgram_cov_from(tk, g, k)
         )
-
-        def with_grams(grams: Column) -> Column:
-            zero = F.struct(
-                F.lit("").alias("prev"),
-                F.lit(0).cast("bigint").alias("run"),
-                F.array().cast("array<string>").alias("dups"),
-            )
-
-            def step(acc: Column, x: Column) -> Column:
-                same = acc["prev"] == x
-                return F.struct(
-                    x.alias("prev"),
-                    F.when(same, acc["run"] + 1)
-                    .otherwise(F.lit(1).cast("bigint"))
-                    .alias("run"),
-                    F.when(
-                        ~same & (acc["run"] >= 2),
-                        F.array_append(acc["dups"], acc["prev"]),
-                    )
-                    .otherwise(acc["dups"])
-                    .alias("dups"),
-                )
-
-            def finish(acc: Column) -> Column:
-                return F.when(
-                    acc["run"] >= 2, F.array_append(acc["dups"], acc["prev"])
-                ).otherwise(acc["dups"])
-
-            dupvals = F.aggregate(F.array_sort(grams), zero, step, finish)
-
-            def with_dupvals(dv: Column) -> Column:
-                dup_starts = F.filter(
-                    starts,
-                    lambda i: F.array_contains(dv, F.element_at(grams, i)),
-                )
-                covered = F.array_distinct(
-                    F.flatten(
-                        F.transform(
-                            dup_starts,
-                            lambda s: F.sequence(s, s + F.lit(k - 1)),
-                        )
-                    )
-                )
-
-                return _union_chars(covered, tk)
-
-            return bind(dupvals, with_dupvals)
-
-        gated = F.when(n >= k, bind(grams_raw, with_grams)).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        return gated
 
     return bind(tokens(text), build)
+
+
+def dup_kgram_cov_from(tk: Column, grams: Column, k: int) -> Column:
+    """``dup_kgram_char_coverage``'s core over a BOUND token array and
+    its BOUND ``grams_from(tk, k)`` array (see top_kgram_cov_from)."""
+    starts = F.sequence(F.lit(1), F.size(grams))
+
+    def with_grams(grams: Column) -> Column:
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.array().cast("array<string>").alias("dups"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            same = acc["prev"] == x
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, acc["run"] + 1)
+                .otherwise(F.lit(1).cast("bigint"))
+                .alias("run"),
+                F.when(
+                    ~same & (acc["run"] >= 2),
+                    F.array_append(acc["dups"], acc["prev"]),
+                )
+                .otherwise(acc["dups"])
+                .alias("dups"),
+            )
+
+        def finish(acc: Column) -> Column:
+            return F.when(
+                acc["run"] >= 2, F.array_append(acc["dups"], acc["prev"])
+            ).otherwise(acc["dups"])
+
+        dupvals = F.aggregate(F.array_sort(grams), zero, step, finish)
+
+        def with_dupvals(dv: Column) -> Column:
+            dup_starts = F.filter(
+                starts,
+                lambda i: F.array_contains(dv, F.element_at(grams, i)),
+            )
+            covered = F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        dup_starts,
+                        lambda s: F.sequence(s, s + F.lit(k - 1)),
+                    )
+                )
+            )
+
+            return _union_chars(covered, tk)
+
+        return bind(dupvals, with_dupvals)
+
+    return F.when(F.size(grams) >= 1, with_grams(grams)).otherwise(
+        F.lit(0).cast("bigint")
+    )
 
 
 def dup_kgram_char_ratio_4dp(text: Column | str, k: int) -> Column:
@@ -886,3 +896,126 @@ def strip_duplicate_paragraphs(text: Column | str) -> Column:
     """Keep only the FIRST occurrence of each paragraph (the
     paragraph-level twin of ``strip_duplicate_lines``); map-only."""
     return F.concat_ws("\n\n", F.array_distinct(doc_paragraphs(text)))
+
+
+# --------------------------------------------------------------------------
+# Bound-array panel cores — every *_from takes ALREADY-MATERIALIZED
+# arrays (lambda-bound via ``bind`` or an inline() source struct), so
+# a fused quality panel (operators/quality.text_quality_profile)
+# computes each split/gram array ONCE per row and feeds all consumers.
+# Same arithmetic as the text-based functions above — values are
+# bit-identical; only the evaluation sharing changes.
+# --------------------------------------------------------------------------
+
+
+def arr_len_sum(arr: Column) -> Column:
+    """Σ length(element) over a bound string array (BIGINT)."""
+    return F.aggregate(
+        F.transform(arr, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def avg_token_len_4dp_from(tk: Column) -> Column:
+    n = F.size(tk).cast("bigint")
+    return _round_half_up_div(F.lit(10000) * arr_len_sum(tk), n).cast(
+        "double"
+    ) / F.lit(10000.0)
+
+
+def stopword_ratio_4dp_from(
+    tk: Column, stopwords: tuple[str, ...] = STOPWORDS
+) -> Column:
+    n = F.size(tk).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(
+        F.filter(tk, lambda t: F.array_contains(stop_arr, t))
+    ).cast("bigint")
+    return _round_half_up_div(F.lit(10000) * hits, n).cast("double") / F.lit(
+        10000.0
+    )
+
+
+def distinct_token_ratio_4dp_from(tk: Column) -> Column:
+    n = F.size(tk).cast("bigint")
+    d = F.size(F.array_distinct(tk)).cast("bigint")
+    return _round_half_up_div(F.lit(10000) * d, n).cast("double") / F.lit(10000.0)
+
+
+def dup_gram_ratio_4dp_from(g: Column) -> Column:
+    """Duplicate-gram occurrence fraction over a bound gram array
+    (``dup_3gram_ratio_4dp``'s core); 0.0 for an empty array."""
+    tot = F.size(g).cast("bigint")
+    dup = tot - F.size(F.array_distinct(g)).cast("bigint")
+    return F.when(
+        tot > 0,
+        _round_half_up_div(F.lit(10000) * dup, tot).cast("double")
+        / F.lit(10000.0),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_unit_ratio_4dp_from(units: Column) -> Column:
+    """Duplicate line/paragraph fraction over bound units."""
+    n = F.size(units).cast("bigint")
+    return _round_half_up_div(
+        F.lit(10000) * dup_unit_count(units), n
+    ).cast("double") / F.lit(10000.0)
+
+
+def dup_unit_char_ratio_4dp_from(units: Column) -> Column:
+    """Characters-in-repeated-occurrences fraction over bound units;
+    0.0 for all-empty units."""
+    tot = unit_char_total(units)
+    dup = dup_unit_char_count(units)
+    return F.when(
+        tot > 0,
+        _round_half_up_div(F.lit(10000) * dup, tot).cast("double")
+        / F.lit(10000.0),
+    ).otherwise(F.lit(0.0))
+
+
+def top_kgram_char_ratio_4dp_from(cov: Column, nch: Column) -> Column:
+    """top-k-gram coverage / doc chars, 4dp half-up, from a bound
+    coverage value and char count."""
+    return F.when(
+        (cov > 0) & (nch > 0),
+        _round_half_up_div(F.lit(10000) * cov, nch).cast("double")
+        / F.lit(10000.0),
+    ).otherwise(F.lit(0.0))
+
+
+def lang_id_from(tk: Column) -> Column:
+    """``lang_id`` over a bound token array (one membership filter per
+    language profile instead of one token split per profile)."""
+    scores = {
+        lang: _profile_hits(tk, words_) for lang, words_ in LANG_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_PROFILES)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def stopword_hits_from(
+    tk: Column, stopwords: tuple[str, ...] = STOPWORDS
+) -> Column:
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(
+        F.filter(tk, lambda t: F.array_contains(stop_arr, t))
+    ).cast("bigint")
+
+
+def quality_score_4dp_from(tk: Column) -> Column:
+    """``quality_score_4dp`` over a bound token array (same qnum
+    rational, same half-up rounding)."""
+    n = F.size(tk).cast("bigint")
+    s = stopword_hits_from(tk)
+    total = arr_len_sum(tk)
+    qnum = (
+        F.lit(40) * F.least(n, F.lit(100).cast("bigint")) * n
+        + F.lit(3000) * (n - s)
+        + F.lit(375) * F.least(F.lit(8) * n, total)
+    )
+    return _round_half_up_div(qnum, n).cast("double") / F.lit(10000.0)

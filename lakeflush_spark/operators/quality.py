@@ -268,6 +268,119 @@ def gopher_filter(
     return kept if keep_flags else kept.drop("gopher_flags")
 
 
+def _bit(i: int, failed: Column) -> Column:
+    return F.when(failed, F.lit(1 << i)).otherwise(F.lit(0)).cast("bigint")
+
+
+def _gopher_flags_from(raw: Column, ws: Column, ls: Column) -> Column:
+    """``gopher_flags`` over BOUND word/line arrays (fused-panel core;
+    same counters and integer thresholds)."""
+    from lakeflush_spark.functions.text import (
+        BULLET_RE,
+        ELLIPSIS_RE,
+        GOPHER_STOPWORDS,
+        arr_len_sum,
+        symbol_hits,
+    )
+
+    n = F.size(ws).cast("bigint")
+    total_len = arr_len_sum(ws)
+    sym = symbol_hits(raw)
+    nlines = F.size(ls).cast("bigint")
+    bullets = F.size(F.filter(ls, lambda l: F.ltrim(l).rlike(BULLET_RE))).cast(
+        "bigint"
+    )
+    ell = F.size(F.filter(ls, lambda l: F.rtrim(l).rlike(ELLIPSIS_RE))).cast(
+        "bigint"
+    )
+    alpha = F.size(F.filter(ws, lambda t: t.rlike("[A-Za-z]"))).cast("bigint")
+    stops = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(ws, w),
+        )
+    ).cast("bigint")
+    return (
+        _bit(0, (n < MIN_WORDS) | (n > MAX_WORDS))
+        + _bit(1, (total_len < 3 * n) | (total_len > 10 * n))
+        + _bit(2, 10 * sym > n)
+        + _bit(3, 10 * bullets > 9 * nlines)
+        + _bit(4, 10 * ell > 3 * nlines)
+        + _bit(5, 5 * alpha < 4 * n)
+        + _bit(6, stops < 2)
+    )
+
+
+def _c4_flags_from_lines(ls: Column, raw: Column) -> Column:
+    """``c4_flags`` over a BOUND line array (fused-panel core)."""
+    from lakeflush_spark.functions.text import c4_keep_line
+
+    clean = F.concat_ws("\n", F.filter(ls, c4_keep_line))
+    return _c4_flags_from(clean, raw)
+
+
+def _mt_flags_from(
+    raw: Column,
+    tk: Column,
+    ls: Column,
+    ps: Column,
+    cov2: Column,
+    cov3: Column,
+    cov4: Column,
+    full_table: bool = False,
+) -> Column:
+    """``massivetext_repetition_flags`` over BOUND arrays and PRE-BUILT
+    top-k-gram coverages (fused-panel core — the covs are shared with
+    the top2/3/4_char_ratio columns instead of recomputed)."""
+    from lakeflush_spark.functions.text import (
+        bind,
+        dup_kgram_cov_from,
+        dup_unit_char_count,
+        dup_unit_count,
+        grams_from,
+        unit_char_total,
+    )
+
+    nch = F.length(raw).cast("bigint")
+
+    def unit_bits(us: Column, frac_bit: int, char_bit: int) -> Column:
+        n = F.size(us).cast("bigint")
+        return _bit(frac_bit, 10 * dup_unit_count(us) > 3 * n) + _bit(
+            char_bit, 5 * dup_unit_char_count(us) > unit_char_total(us)
+        )
+
+    flags = (
+        unit_bits(ls, 0, 2)
+        + unit_bits(ps, 1, 3)
+        + _bit(4, 5 * cov2 > nch)
+        + _bit(5, 50 * cov3 > 9 * nch)
+        + _bit(6, 25 * cov4 > 4 * nch)
+    )
+    if full_table:
+        # factory, NOT a `k=k` default on the lambda: pyspark derives
+        # the HOF lambda's ARITY from the Python signature, and a
+        # 2-param lambda gets the (element, index) variant — the index
+        # (0) would silently shadow k
+        def cov_for(k: int) -> Column:
+            return bind(
+                grams_from(tk, k), lambda g: dup_kgram_cov_from(tk, g, k)
+            )
+
+        for i, (k, pct) in enumerate(sorted(MT_DUP_KGRAM_PCT.items())):
+            flags = flags + _bit(7 + i, 100 * cov_for(k) > pct * nch)
+    return flags
+
+
+#: the columns text_quality_profile appends
+PROFILE_COLUMNS: tuple[str, ...] = (
+    "n_tokens", "n_bpe_tokens", "n_chars", "avg_tok_len",
+    "stop_ratio", "distinct_ratio", "dup3_ratio", "dup_line_ratio",
+    "dup_line_char_ratio", "dup_para_ratio", "dup_para_char_ratio",
+    "top2_char_ratio", "top3_char_ratio", "top4_char_ratio",
+    "lang_pred", "gopher_flags", "c4_flags", "mt_rep_flags",
+)
+
+
 def text_quality_profile(
     docs: DataFrame,
     text_col: str = "text",
@@ -284,63 +397,113 @@ def text_quality_profile(
     bitmasks (gopher_flags, c4_flags, mt_rep_flags — the latter the
     full 13-rule table with ``full_table=True``).
 
-    Everything is a map-only JVM Column (functions/text.py) — one
-    projection pass, no shuffle, scan speed at any scale. Feed it to a
-    quality-classifier trainer, a data-card audit, or threshold it
-    directly (the curation gates apply the same bitmasks).
+    FUSED evaluation (r10): the whole panel is ONE ``inline()``
+    generator whose child materializes the shared token/word/line/
+    paragraph arrays, the 2/3/4-gram arrays, and the three top-k-gram
+    coverages exactly once per row and feeds every column from the
+    bound values — Spark's interpreted HOF path has no common-
+    subexpression elimination across output columns, so the naive
+    18-column projection re-split the text ~20× and ran the expensive
+    coverage folds twice (once for the ratio columns, once inside the
+    mt bitmask). Same arithmetic, bit-identical values (the generator
+    evaluates its child once per row). Measured ≥1.5× at sf0.1.
+
+    Still map-only JVM (no Python, no shuffle) — scan speed at any
+    scale. Feed it to a quality-classifier trainer, a data-card audit,
+    or threshold it directly (the curation gates apply the same
+    bitmasks).
     """
     from lakeflush_spark.functions.text import (
-        avg_token_len_4dp,
+        avg_token_len_4dp_from,
+        bind,
         bpe_token_count,
-        distinct_token_ratio_4dp,
-        dup_3gram_ratio_4dp,
-        dup_line_char_ratio_4dp,
-        dup_line_ratio_4dp,
-        dup_para_char_ratio_4dp,
-        dup_para_ratio_4dp,
-        lang_id,
-        stopword_ratio_4dp,
-        token_count,
-        top_kgram_char_ratio_4dp,
+        distinct_token_ratio_4dp_from,
+        doc_lines,
+        doc_paragraphs,
+        dup_gram_ratio_4dp_from,
+        dup_unit_char_ratio_4dp_from,
+        dup_unit_ratio_4dp_from,
+        grams_from,
+        lang_id_from,
+        stopword_ratio_4dp_from,
+        tokens,
+        top_kgram_char_ratio_4dp_from,
+        top_kgram_cov_from,
+        words,
     )
 
     tc = text_col
-    added = {
-        "n_tokens", "n_bpe_tokens", "n_chars", "avg_tok_len",
-        "stop_ratio", "distinct_ratio", "dup3_ratio", "dup_line_ratio",
-        "dup_line_char_ratio", "dup_para_ratio", "dup_para_char_ratio",
-        "top2_char_ratio", "top3_char_ratio", "top4_char_ratio",
-        "lang_pred", "gopher_flags", "c4_flags", "mt_rep_flags",
-    }
-    clash = added & set(docs.columns)
+    clash = set(PROFILE_COLUMNS) & set(docs.columns)
     if clash:
-        # select("*", alias) would create duplicate names that later
+        # select("*", inline) would create duplicate names that later
         # F.col() references cannot resolve — fail with guidance
         # instead of a downstream AMBIGUOUS_REFERENCE
         raise ValueError(
             "text_quality_profile: input already has profile column(s) "
             f"{sorted(clash)} — drop or rename them first"
         )
-    return docs.select(
-        "*",
-        token_count(tc).alias("n_tokens"),
-        bpe_token_count(tc).alias("n_bpe_tokens"),
-        F.length(tc).cast("bigint").alias("n_chars"),
-        avg_token_len_4dp(tc).alias("avg_tok_len"),
-        stopword_ratio_4dp(tc).alias("stop_ratio"),
-        distinct_token_ratio_4dp(tc).alias("distinct_ratio"),
-        dup_3gram_ratio_4dp(tc).alias("dup3_ratio"),
-        dup_line_ratio_4dp(tc).alias("dup_line_ratio"),
-        dup_line_char_ratio_4dp(tc).alias("dup_line_char_ratio"),
-        dup_para_ratio_4dp(tc).alias("dup_para_ratio"),
-        dup_para_char_ratio_4dp(tc).alias("dup_para_char_ratio"),
-        top_kgram_char_ratio_4dp(tc, 2).alias("top2_char_ratio"),
-        top_kgram_char_ratio_4dp(tc, 3).alias("top3_char_ratio"),
-        top_kgram_char_ratio_4dp(tc, 4).alias("top4_char_ratio"),
-        lang_id(tc).alias("lang_pred"),
-        gopher_flags(tc).alias("gopher_flags"),
-        c4_flags(tc).alias("c4_flags"),
-        massivetext_repetition_flags(tc, full_table=full_table).alias(
-            "mt_rep_flags"
-        ),
+    src = F.struct(
+        (F.col(tc) if isinstance(tc, str) else tc).alias("raw"),
+        tokens(tc).alias("tk"),
+        words(tc).alias("ws"),
+        doc_lines(tc).alias("ls"),
+        doc_paragraphs(tc).alias("ps"),
     )
+
+    def panel(s: Column) -> Column:
+        raw, tk, ws, ls, ps = s["raw"], s["tk"], s["ws"], s["ls"], s["ps"]
+        gsrc = F.struct(
+            grams_from(tk, 2).alias("g2"),
+            grams_from(tk, 3).alias("g3"),
+            grams_from(tk, 4).alias("g4"),
+        )
+
+        def with_grams(g: Column) -> Column:
+            csrc = F.struct(
+                top_kgram_cov_from(tk, g["g2"], 2).alias("c2"),
+                top_kgram_cov_from(tk, g["g3"], 3).alias("c3"),
+                top_kgram_cov_from(tk, g["g4"], 4).alias("c4"),
+                dup_gram_ratio_4dp_from(g["g3"]).alias("d3"),
+            )
+
+            def with_covs(c: Column) -> Column:
+                nch = F.length(raw).cast("bigint")
+                return F.struct(
+                    F.size(tk).cast("bigint").alias("n_tokens"),
+                    bpe_token_count(raw).alias("n_bpe_tokens"),
+                    nch.alias("n_chars"),
+                    avg_token_len_4dp_from(tk).alias("avg_tok_len"),
+                    stopword_ratio_4dp_from(tk).alias("stop_ratio"),
+                    distinct_token_ratio_4dp_from(tk).alias("distinct_ratio"),
+                    c["d3"].alias("dup3_ratio"),
+                    dup_unit_ratio_4dp_from(ls).alias("dup_line_ratio"),
+                    dup_unit_char_ratio_4dp_from(ls).alias(
+                        "dup_line_char_ratio"
+                    ),
+                    dup_unit_ratio_4dp_from(ps).alias("dup_para_ratio"),
+                    dup_unit_char_ratio_4dp_from(ps).alias(
+                        "dup_para_char_ratio"
+                    ),
+                    top_kgram_char_ratio_4dp_from(c["c2"], nch).alias(
+                        "top2_char_ratio"
+                    ),
+                    top_kgram_char_ratio_4dp_from(c["c3"], nch).alias(
+                        "top3_char_ratio"
+                    ),
+                    top_kgram_char_ratio_4dp_from(c["c4"], nch).alias(
+                        "top4_char_ratio"
+                    ),
+                    lang_id_from(tk).alias("lang_pred"),
+                    _gopher_flags_from(raw, ws, ls).alias("gopher_flags"),
+                    _c4_flags_from_lines(ls, raw).alias("c4_flags"),
+                    _mt_flags_from(
+                        raw, tk, ls, ps, c["c2"], c["c3"], c["c4"],
+                        full_table=full_table,
+                    ).alias("mt_rep_flags"),
+                )
+
+            return bind(csrc, with_covs)
+
+        return bind(gsrc, with_grams)
+
+    return docs.select("*", F.inline(F.transform(F.array(src), panel)))

@@ -23,6 +23,14 @@ per-batch wall seconds from the progress feed. Batch 0 pays
 training/bootstrap; later batches are steady state.
 
 Usage: python scripts/curate_steady.py [replicas] [n_batches] [sem_cells] [sf_dir]
+
+``sem_cells=0`` runs the stream WITHOUT the semantic stage (quality +
+exact dedup + LSH near-dup + stores only) — the r10 trigger-size
+amortization curve uses this mode, because the per-batch FIXED
+overhead (store reads/writes + stats append) is what trigger size
+amortizes, while the semantic verify term grows with batch size and
+is governed by cell occupancy instead (see the r7 notes).
+
 Prints one JSON line per measurement; findings go in bench.py notes.
 """
 
@@ -103,6 +111,17 @@ def main() -> int:
             shutil.copy(
                 os.path.join(stage, part), os.path.join(src, f"b{b}.parquet")
             )
+        sem_kw = (
+            dict(
+                embedding_col="embedding",
+                sem_vec_dir=os.path.join(work, "semvecs"),
+                sem_cent_dir=os.path.join(work, "semcents"),
+                sem_threshold=0.95,
+                sem_n_cells=SEM_CELLS,
+            )
+            if SEM_CELLS > 0
+            else {}
+        )
         cfg = CurationStreamConfig(
             source_dir=src,
             dest_dir=os.path.join(work, "dest"),
@@ -111,12 +130,8 @@ def main() -> int:
             stats_dir=os.path.join(work, "stats"),
             checkpoint_dir=os.path.join(work, "ckpt"),
             min_tokens=1,
-            embedding_col="embedding",
-            sem_vec_dir=os.path.join(work, "semvecs"),
-            sem_cent_dir=os.path.join(work, "semcents"),
-            sem_threshold=0.95,
-            sem_n_cells=SEM_CELLS,
             max_files_per_trigger=1,
+            **sem_kw,
         )
         t0 = time.time()
         q = curate_stream(spark, cfg)

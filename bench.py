@@ -306,6 +306,37 @@ MB/s (5.6x baseline 7.4), gzip 10.5 (2.7x), json 19.4k files/s
 (1.8x) — so the engine-vs-baseline gate is comfortably green
 regardless of box state.
 
+r10: the emitted JSON gains a `labels` map (per-label timings for
+q41/q55/q60/q62 + column-group timings for q18 — see LABELED_ENTRIES
+below) so label growth vs regression is mechanical; per the r9
+verdict, these recorded numbers are the adjudication basis and the
+notes carry no warm-isolated side-readings that the suite numbers
+don't reproduce.
+
+r10 panel fusion (functions/text.py *_from cores + inline()
+generators in operators/quality.text_quality_profile and the q18
+builder): Spark's interpreted HOF path has no cross-column CSE, so
+the 18-column panel re-split the text ~20x and ran the top-k-gram
+coverage folds TWICE (ratio columns + mt bitmask). Fused, warm
+interleaved A/B on sf0.1 (8 trials each, same session, noop sink):
+legacy 1.11 s min / 1.20 med vs fused 0.58 min / 0.66 med — 1.8-1.9x,
+values bit-identical (column-for-column A/B + oracle hashes green).
+q18 warm isolated 4.4-4.9 s (was 5.6-5.8 adjudicated in r9). q60
+grows by the r10 labels ('clf'/'clf_mask' = one more flags-scale scan
+with the sigmoid + Pareto; 'epochs' = a 2.6x explode + sharded
+fractional prefix; 'epochs_plan' = plan-frame arithmetic) — per-label
+costs now recorded in the labels map instead of reverse-engineered.
+
+r10 trigger-size amortization curve (scripts/curate_steady.py with
+sem_cells=0 — quality + exact + LSH + stores; the semantic stage is
+governed by cell occupancy, not trigger size, see SURVEY §8): warm
+docs/s at 500 / 5k / 50k-doc triggers = 73.5 / 399.1 / 789.5
+(warm batches ~6.1-9.0 s / ~11.5-13.6 s / 63.3 s). Decomposition:
+fixed per-batch overhead ~6 s (store reads/writes + stats append +
+commit), marginal ~1.2-1.3 ms/doc — crossover where fixed ~= marginal
+lands near 5k docs/batch; overhead < 20% from ~25-50k docs/batch.
+Playbook guidance recorded in SURVEY §8.
+
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions
 crossover above): a 3-doc trickle batch against a directly-preloaded

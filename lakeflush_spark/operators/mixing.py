@@ -412,11 +412,15 @@ def epoch_shortfall(plan: DataFrame, target_tokens: int) -> DataFrame:
     arithmetic as ``plan_epochs``: divide first, then scale, so the
     numbers are bit-identical to an oracle replay);
     ``shortfall_tokens`` = desired − planned, positive exactly when
-    the cap binds. All on the |sources|-row plan frame: one 1-row
-    broadcast total, nothing corpus-sized.
+    the cap binds. All on the |sources|-row plan frame — coalesced to
+    ONE partition first (the temperature_weights trick: a 1-partition
+    child already satisfies the total agg's AllTuples, so no
+    SinglePartition exchange), then one 1-row broadcast total;
+    nothing corpus-sized moves.
     """
     if target_tokens <= 0:
         raise ValueError("target_tokens must be positive")
+    plan = plan.coalesce(1)
     tot = plan.agg(
         F.sum("available_tokens").cast("double").alias("_tot")
     )

@@ -398,3 +398,73 @@ def test_text_quality_profile_name_clash_raises(spark):
                                "doc_id long, text string, n_tokens long")
     with pytest.raises(ValueError, match="n_tokens"):
         text_quality_profile(df)
+
+
+def test_fused_panel_matches_legacy_columns(spark):
+    """The r10 fused inline() panel must stay bit-identical to the
+    un-fused per-column functions — on adversarial shapes too (empty
+    text, sub-k-token docs, newlines/bullets, repeated blocks)."""
+    import pyspark.sql.functions as F
+
+    from lakeflush_spark.functions.text import (
+        avg_token_len_4dp,
+        bpe_token_count,
+        distinct_token_ratio_4dp,
+        dup_3gram_ratio_4dp,
+        dup_line_char_ratio_4dp,
+        dup_line_ratio_4dp,
+        dup_para_char_ratio_4dp,
+        dup_para_ratio_4dp,
+        lang_id,
+        stopword_ratio_4dp,
+        token_count,
+        top_kgram_char_ratio_4dp,
+    )
+    from lakeflush_spark.operators.quality import (
+        c4_flags,
+        massivetext_repetition_flags,
+        text_quality_profile,
+    )
+
+    docs = [
+        "",
+        "a",
+        "a b",
+        "the quick brown fox jumps over that lazy dog " * 8,
+        "loop loop loop loop loop loop",
+        "- bullet one\n- bullet two\nplain...\n\npara\n\npara",
+        "x y " * 3 + "x y",
+        "the\na of\n\nand",
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    tc = "text"
+    legacy = df.select(
+        "doc_id",
+        token_count(tc).alias("n_tokens"),
+        bpe_token_count(tc).alias("n_bpe_tokens"),
+        F.length(tc).cast("bigint").alias("n_chars"),
+        avg_token_len_4dp(tc).alias("avg_tok_len"),
+        stopword_ratio_4dp(tc).alias("stop_ratio"),
+        distinct_token_ratio_4dp(tc).alias("distinct_ratio"),
+        dup_3gram_ratio_4dp(tc).alias("dup3_ratio"),
+        dup_line_ratio_4dp(tc).alias("dup_line_ratio"),
+        dup_line_char_ratio_4dp(tc).alias("dup_line_char_ratio"),
+        dup_para_ratio_4dp(tc).alias("dup_para_ratio"),
+        dup_para_char_ratio_4dp(tc).alias("dup_para_char_ratio"),
+        top_kgram_char_ratio_4dp(tc, 2).alias("top2_char_ratio"),
+        top_kgram_char_ratio_4dp(tc, 3).alias("top3_char_ratio"),
+        top_kgram_char_ratio_4dp(tc, 4).alias("top4_char_ratio"),
+        lang_id(tc).alias("lang_pred"),
+        gopher_flags(tc).alias("gopher_flags"),
+        c4_flags(tc).alias("c4_flags"),
+        massivetext_repetition_flags(tc, full_table=True).alias("mt_rep_flags"),
+    )
+    fused = text_quality_profile(df, full_table=True).select(*legacy.columns)
+    lrows = {r.doc_id: r.asDict() for r in legacy.collect()}
+    frows = {r.doc_id: r.asDict() for r in fused.collect()}
+    for i in lrows:
+        assert frows[i] == lrows[i], (
+            f"doc {i} ({docs[i]!r}): fused {frows[i]} != legacy {lrows[i]}"
+        )

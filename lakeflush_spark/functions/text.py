@@ -1019,3 +1019,29 @@ def quality_score_4dp_from(tk: Column) -> Column:
         + F.lit(375) * F.least(F.lit(8) * n, total)
     )
     return _round_half_up_div(qnum, n).cast("double") / F.lit(10000.0)
+
+
+def stopword_ratio_from(
+    tk: Column, stopwords: tuple[str, ...] = STOPWORDS
+) -> Column:
+    """Unrounded stopword ratio over a bound token array (the
+    ``stopword_ratio`` twin corpus_report's averages are built on)."""
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(tk, lambda t: F.array_contains(stop_arr, t)))
+    return hits.cast("double") / F.size(tk).cast("double")
+
+
+def avg_token_len_from(tk: Column) -> Column:
+    """Unrounded mean token length over a bound token array."""
+    return arr_len_sum(tk).cast("double") / F.size(tk).cast("double")
+
+
+def quality_score_from(tk: Column) -> Column:
+    """``quality_score`` over a bound token array — same arithmetic,
+    same evaluation order, bit-identical doubles."""
+    n = F.size(tk).cast("bigint").cast("double")
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - stopword_ratio_from(tk))
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_token_len_from(tk) / F.lit(8.0))
+    )

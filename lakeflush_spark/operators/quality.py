@@ -371,6 +371,84 @@ def _mt_flags_from(
     return flags
 
 
+def quality_views_inline(build, text_col: str = "text", covs: bool = True):
+    """array<struct> for ``F.inline()``: binds the shared text views
+    ONCE per row — raw text, tokens, Gopher words, lines, paragraphs,
+    and (with ``covs``) the 2/3/4-gram arrays plus their top-k-gram
+    union coverages — then calls ``build(v)`` with the bound values to
+    produce the output struct. ``v`` maps: raw, tk, ws, ls, ps (+
+    g2/g3/g4, c2/c3/c4 when ``covs``).
+
+    The fusion primitive behind corpus_report's annotation scan and
+    q60's flag scan: Spark's interpreted HOF path has no cross-column
+    CSE, so any multi-column projection over these views pays each
+    split/fold once per COLUMN unless routed through one generator.
+    """
+    from lakeflush_spark.functions.text import (
+        bind,
+        doc_lines,
+        doc_paragraphs,
+        grams_from,
+        tokens,
+        top_kgram_cov_from,
+        words,
+    )
+
+    tc = text_col
+    src = F.struct(
+        (F.col(tc) if isinstance(tc, str) else tc).alias("raw"),
+        tokens(tc).alias("tk"),
+        words(tc).alias("ws"),
+        doc_lines(tc).alias("ls"),
+        doc_paragraphs(tc).alias("ps"),
+    )
+
+    def panel(s: Column) -> Column:
+        v = {k: s[k] for k in ("raw", "tk", "ws", "ls", "ps")}
+        if not covs:
+            return build(v)
+        gsrc = F.struct(
+            grams_from(v["tk"], 2).alias("g2"),
+            grams_from(v["tk"], 3).alias("g3"),
+            grams_from(v["tk"], 4).alias("g4"),
+        )
+
+        def with_g(g: Column) -> Column:
+            csrc = F.struct(
+                top_kgram_cov_from(v["tk"], g["g2"], 2).alias("c2"),
+                top_kgram_cov_from(v["tk"], g["g3"], 3).alias("c3"),
+                top_kgram_cov_from(v["tk"], g["g4"], 4).alias("c4"),
+            )
+
+            def with_c(c: Column) -> Column:
+                return build(
+                    {
+                        **v,
+                        "g2": g["g2"],
+                        "g3": g["g3"],
+                        "g4": g["g4"],
+                        "c2": c["c2"],
+                        "c3": c["c3"],
+                        "c4": c["c4"],
+                    }
+                )
+
+            return bind(csrc, with_c)
+
+        return bind(gsrc, with_g)
+
+    return F.transform(F.array(src), panel)
+
+
+def _mt_flags_from_views(v: dict, full_table: bool = False) -> Column:
+    """``massivetext_repetition_flags`` (default structured view) from
+    a ``quality_views_inline`` dict — covs shared, nothing re-split."""
+    return _mt_flags_from(
+        v["raw"], v["tk"], v["ls"], v["ps"], v["c2"], v["c3"], v["c4"],
+        full_table=full_table,
+    )
+
+
 #: the columns text_quality_profile appends
 PROFILE_COLUMNS: tuple[str, ...] = (
     "n_tokens", "n_bpe_tokens", "n_chars", "avg_tok_len",

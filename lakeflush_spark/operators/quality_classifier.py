@@ -66,41 +66,47 @@ def _feature_expr(name: str) -> Column:
     return F.col(name).cast("double")
 
 
-def _text_feature_exprs(text_col: str) -> dict[str, Column]:
-    """Each feature as a raw-TEXT expression (functions/text) — the
-    single source both the featurizer and quality_score_from_text
-    substitute from, so training and gate scoring cannot drift."""
+def _view_feature_exprs(v: dict, name: str) -> Column:
+    """Feature ``name`` from a ``quality_views_inline`` bound-view
+    dict — the single source both the featurizer and
+    quality_score_from_text substitute from, so training and gate
+    scoring cannot drift. Built lazily PER FEATURE so callers with
+    zero-weight features never construct (or bind) what they skip."""
     from lakeflush_spark.functions.text import (
-        avg_token_len_4dp,
+        avg_token_len_4dp_from,
         bpe_token_count,
-        distinct_token_ratio_4dp,
-        dup_3gram_ratio_4dp,
-        dup_line_char_ratio_4dp,
-        dup_line_ratio_4dp,
-        dup_para_char_ratio_4dp,
-        dup_para_ratio_4dp,
-        stopword_ratio_4dp,
-        token_count,
-        top_kgram_char_ratio_4dp,
+        distinct_token_ratio_4dp_from,
+        dup_gram_ratio_4dp_from,
+        dup_unit_char_ratio_4dp_from,
+        dup_unit_ratio_4dp_from,
+        stopword_ratio_4dp_from,
+        top_kgram_char_ratio_4dp_from,
     )
 
-    tc = text_col
-    return {
-        "n_tokens": token_count(tc).cast("double"),
-        "n_chars": F.length(tc).cast("double"),
-        "n_bpe_tokens": bpe_token_count(tc).cast("double"),
-        "avg_tok_len": avg_token_len_4dp(tc),
-        "stop_ratio": stopword_ratio_4dp(tc),
-        "distinct_ratio": distinct_token_ratio_4dp(tc),
-        "dup3_ratio": dup_3gram_ratio_4dp(tc),
-        "dup_line_ratio": dup_line_ratio_4dp(tc),
-        "dup_line_char_ratio": dup_line_char_ratio_4dp(tc),
-        "dup_para_ratio": dup_para_ratio_4dp(tc),
-        "dup_para_char_ratio": dup_para_char_ratio_4dp(tc),
-        "top2_char_ratio": top_kgram_char_ratio_4dp(tc, 2),
-        "top3_char_ratio": top_kgram_char_ratio_4dp(tc, 3),
-        "top4_char_ratio": top_kgram_char_ratio_4dp(tc, 4),
+    nch = lambda: F.length(v["raw"]).cast("bigint")  # noqa: E731
+    builders = {
+        "n_tokens": lambda: F.size(v["tk"]).cast("bigint").cast("double"),
+        "n_chars": lambda: F.length(v["raw"]).cast("double"),
+        "n_bpe_tokens": lambda: bpe_token_count(v["raw"]).cast("double"),
+        "avg_tok_len": lambda: avg_token_len_4dp_from(v["tk"]),
+        "stop_ratio": lambda: stopword_ratio_4dp_from(v["tk"]),
+        "distinct_ratio": lambda: distinct_token_ratio_4dp_from(v["tk"]),
+        "dup3_ratio": lambda: dup_gram_ratio_4dp_from(v["g3"]),
+        "dup_line_ratio": lambda: dup_unit_ratio_4dp_from(v["ls"]),
+        "dup_line_char_ratio": lambda: dup_unit_char_ratio_4dp_from(v["ls"]),
+        "dup_para_ratio": lambda: dup_unit_ratio_4dp_from(v["ps"]),
+        "dup_para_char_ratio": lambda: dup_unit_char_ratio_4dp_from(v["ps"]),
+        "top2_char_ratio": lambda: top_kgram_char_ratio_4dp_from(v["c2"], nch()),
+        "top3_char_ratio": lambda: top_kgram_char_ratio_4dp_from(v["c3"], nch()),
+        "top4_char_ratio": lambda: top_kgram_char_ratio_4dp_from(v["c4"], nch()),
     }
+    return builders[name]()
+
+
+#: features needing the gram/coverage bind level of quality_views_inline
+_COV_FEATURES = frozenset(
+    {"dup3_ratio", "top2_char_ratio", "top3_char_ratio", "top4_char_ratio"}
+)
 
 
 def _scaled(name: str, feat: Column) -> Column:
@@ -111,11 +117,22 @@ def _featurized(docs: DataFrame, text_col: str) -> DataFrame:
     """``_f_*`` feature columns computed straight from the text — NOT
     via text_quality_profile, so an input frame already carrying
     profile-named columns (curate_documents output keeps n_tokens /
-    stop_ratio / lang_pred) composes without AMBIGUOUS_REFERENCE."""
-    exprs = _text_feature_exprs(text_col)
+    stop_ratio / lang_pred) composes without AMBIGUOUS_REFERENCE.
+    FUSED (r10): one inline() generator over the shared text views —
+    each split/gram/coverage evaluates once per row instead of once
+    per feature column. Values bit-identical to the un-fused form."""
+    from lakeflush_spark.operators.quality import quality_views_inline
+
+    def build(v: dict) -> Column:
+        return F.struct(
+            *[
+                _scaled(c, _view_feature_exprs(v, c)).alias(f"_f_{c}")
+                for c in FEATURE_COLS
+            ]
+        )
+
     return docs.select(
-        "*",
-        *[_scaled(c, exprs[c]).alias(f"_f_{c}") for c in FEATURE_COLS],
+        "*", F.inline(quality_views_inline(build, text_col))
     )
 
 
@@ -235,13 +252,28 @@ def quality_score_from_text(
     feature substituted by its functions/text expression, for gates
     that run before any profile projection exists (the curation
     pipelines' quality stage). Same model, same result as
-    ``quality_score_col`` on a profile frame; costs one evaluation of
-    each weighted feature's expression per doc (map-only)."""
-    exprs = _text_feature_exprs(text_col)
-    z = F.lit(float(weights.get(INTERCEPT_KEY, 0.0)))
-    for c in FEATURE_COLS:
-        w = float(weights.get(c, 0.0))
-        if w == 0.0:
-            continue
-        z = z + F.lit(w) * _scaled(c, exprs[c])
-    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    ``quality_score_col`` on a profile frame.
+
+    FUSED (r10): the weighted features evaluate over ONE bound set of
+    shared text views (split/gram/coverage arrays materialize once per
+    row, not once per feature); the gram/coverage bind level is
+    skipped entirely when no active feature needs it. Zero-weight
+    features are skipped exactly as before — bit-identical scores."""
+    active = [c for c in FEATURE_COLS if float(weights.get(c, 0.0)) != 0.0]
+
+    from lakeflush_spark.operators.quality import quality_views_inline
+
+    def build(v: dict) -> Column:
+        z = F.lit(float(weights.get(INTERCEPT_KEY, 0.0)))
+        for c in active:
+            z = z + F.lit(float(weights[c])) * _scaled(
+                c, _view_feature_exprs(v, c)
+            )
+        return F.struct(
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("s")
+        )
+
+    need_covs = bool(_COV_FEATURES & set(active))
+    return F.element_at(
+        quality_views_inline(build, text_col, covs=need_covs), 1
+    )["s"]

@@ -25,12 +25,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from lakeflush_spark.functions.text import (
-    lang_id,
-    quality_score,
-    stopword_ratio,
-    token_count,
-)
 
 
 def sketch_quantile_verdicts(
@@ -111,29 +105,50 @@ def corpus_report(
     (10_000 ⇒ ~0.01% rank error — sketch memory is O(accuracy), not
     O(corpus)). Deterministic given the input (no sampling).
     """
+    import pyspark.sql.functions as F2
+
+    from lakeflush_spark.functions.text import (
+        lang_id_from,
+        quality_score_from,
+        stopword_ratio_from,
+    )
     from lakeflush_spark.operators.quality import (
-        c4_flags,
-        gopher_flags,
-        massivetext_repetition_flags,
+        _c4_flags_from_lines,
+        _gopher_flags_from,
+        _mt_flags_from_views,
+        quality_views_inline,
     )
 
     tc = F.col("_nt")
-    flag_cols = (
-        [
-            (gopher_flags(text_col) != 0).alias("_gf"),
-            (c4_flags(text_col) != 0).alias("_cf"),
-            (massivetext_repetition_flags(text_col) != 0).alias("_mf"),
-        ]
-        if flag_profile
-        else [F.lit(False).alias(c) for c in ("_gf", "_cf", "_mf")]
-    )
+
+    # FUSED per-doc scan (r10): one inline() generator binds the shared
+    # token/word/line/paragraph arrays (and, with the flag profile, the
+    # gram arrays + top-k coverages) once per row — the un-fused
+    # seven-column projection re-split the text per column and ran the
+    # coverage folds inside the mt bitmask from scratch. Values are
+    # bit-identical (same arithmetic over bound views); the q60
+    # 'card'/'card_top'/'card_flags' oracle hashes pin that.
+    def build(v: dict) -> F2.Column:
+        flags = (
+            [
+                (_gopher_flags_from(v["raw"], v["ws"], v["ls"]) != 0).alias("_gf"),
+                (_c4_flags_from_lines(v["ls"], v["raw"]) != 0).alias("_cf"),
+                (_mt_flags_from_views(v) != 0).alias("_mf"),
+            ]
+            if flag_profile
+            else [F.lit(False).alias(c) for c in ("_gf", "_cf", "_mf")]
+        )
+        return F.struct(
+            F.size(v["tk"]).cast("bigint").alias("_nt"),
+            stopword_ratio_from(v["tk"]).alias("_sw"),
+            quality_score_from(v["tk"]).alias("_q"),
+            lang_id_from(v["tk"]).alias("_lang"),
+            *flags,
+        )
+
     annotated = docs.select(
         F.col(source_col).alias("source"),
-        token_count(text_col).alias("_nt"),
-        stopword_ratio(text_col).alias("_sw"),
-        quality_score(text_col).alias("_q"),
-        lang_id(text_col).alias("_lang"),
-        *flag_cols,
+        F.inline(quality_views_inline(build, text_col, covs=flag_profile)),
     )
 
     def _flagged(flag: str, name: str) -> list:

@@ -42,7 +42,6 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from lakeflush_spark.functions.text import lang_id, stopword_ratio, token_count
 from lakeflush_spark.operators.decontaminate import decontaminate
 from lakeflush_spark.operators.dedup import exact_dedup_by_hash, minhash_near_dups
 
@@ -189,6 +188,95 @@ def _classifier_pass(
     return quality_score_from_text(weights, text_col) >= threshold
 
 
+def quality_gate_inline(
+    text_col: str,
+    *,
+    c4: bool = False,
+    gopher: bool = False,
+    mt: bool = False,
+    mt_full: bool = False,
+    clf_weights: "dict[str, float] | None" = None,
+    clf_threshold: float = 0.5,
+    metrics_prefix: str = "",
+):
+    """THE quality stage's annotation as ONE fused generator (r10):
+    ``array<struct>`` for ``F.inline()`` producing the metric columns
+    ``{prefix}n_tokens / {prefix}stop_ratio / {prefix}lang_pred`` plus
+    (per enabled gate) ``_c4_clean``+``_q_cf``, ``_q_gf``, ``_q_mf``,
+    and the classifier boolean ``_q_clf`` — all evaluated over ONE
+    bound set of shared text views (tokens/words/lines/paragraphs and,
+    only when a gate needs them, the gram arrays + top-k coverages).
+
+    Shared by batch (``curate_documents``) and stream
+    (``streaming/curation.py``) so the two gates cannot drift — and so
+    neither pays the un-fused cost: with gopher+c4+mt+classifier on,
+    the old inline expressions re-split the text per gate and ran the
+    coverage folds up to three times (mt bits, clf top-k features).
+    Values are bit-identical to the un-fused expressions (same
+    arithmetic over bound views; the A/B and oracle hashes pin the
+    building blocks).
+    """
+    from lakeflush_spark.functions.text import (
+        c4_keep_line,
+        lang_id_from,
+        stopword_ratio_from,
+    )
+    from lakeflush_spark.operators.quality import (
+        _c4_flags_from,
+        _gopher_flags_from,
+        _mt_flags_from_views,
+        quality_views_inline,
+    )
+    from lakeflush_spark.operators.quality_classifier import (
+        _COV_FEATURES,
+        _scaled,
+        _view_feature_exprs,
+        FEATURE_COLS,
+        INTERCEPT_KEY,
+    )
+
+    clf_active = [
+        c
+        for c in FEATURE_COLS
+        if clf_weights and float(clf_weights.get(c, 0.0)) != 0.0
+    ]
+    need_covs = mt or bool(_COV_FEATURES & set(clf_active))
+
+    def build(v: dict) -> "F.Column":
+        fields = [
+            F.size(v["tk"]).cast("bigint").alias(f"{metrics_prefix}n_tokens"),
+            stopword_ratio_from(v["tk"]).alias(f"{metrics_prefix}stop_ratio"),
+            lang_id_from(v["tk"]).alias(f"{metrics_prefix}lang_pred"),
+        ]
+        if c4:
+            clean = F.concat_ws("\n", F.filter(v["ls"], c4_keep_line))
+            fields.append(clean.alias("_c4_clean"))
+            fields.append(_c4_flags_from(clean, v["raw"]).alias("_q_cf"))
+        if gopher:
+            fields.append(
+                _gopher_flags_from(v["raw"], v["ws"], v["ls"]).alias("_q_gf")
+            )
+        if mt:
+            fields.append(
+                _mt_flags_from_views(v, full_table=mt_full).alias("_q_mf")
+            )
+        if clf_weights is not None:
+            z = F.lit(float(clf_weights.get(INTERCEPT_KEY, 0.0)))
+            for c in clf_active:
+                z = z + F.lit(float(clf_weights[c])) * _scaled(
+                    c, _view_feature_exprs(v, c)
+                )
+            score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            fields.append((score >= clf_threshold).alias("_q_clf"))
+        return F.struct(*fields)
+
+    return quality_views_inline(build, text_col, covs=need_covs)
+
+
+#: gate-internal columns quality_gate_inline may add — drop post-filter
+GATE_COLS = ("_q_gf", "_q_cf", "_q_mf", "_q_clf")
+
+
 def lm_keep_condition(avg_logprob: "F.Column", threshold: float) -> "F.Column":
     """THE LM-gate predicate, shared by the batch quantile gate and the
     stream's absolute-threshold gate: NULL scores (< 2 tokens) PASS —
@@ -330,25 +418,25 @@ def curate_documents(
     drop-set lineages; write it in the same job as the curated corpus.
     """
     tc = cfg.text_col
-    from lakeflush_spark.operators.quality import (
-        _c4_flags_from,
-        gopher_flags,
-        massivetext_repetition_flags,
+    # FUSED gate annotation (r10): metrics + every enabled gate's
+    # bitmask/score from ONE generator over shared text views — see
+    # quality_gate_inline. The single _c4_clean source-of-truth
+    # property is preserved: the flags bit and the survivor rewrite
+    # both read the generator's clean field.
+    annotated = docs.select(
+        "*",
+        F.inline(
+            quality_gate_inline(
+                tc,
+                c4=cfg.c4_rules,
+                gopher=cfg.gopher_rules,
+                mt=cfg.mt_repetition_rules,
+                mt_full=cfg.mt_full_table,
+                clf_weights=cfg.classifier_weights,
+                clf_threshold=cfg.classifier_threshold,
+            )
+        ),
     )
-
-    annot_cols = [
-        token_count(tc).alias("n_tokens"),
-        stopword_ratio(tc).alias("stop_ratio"),
-        lang_id(tc).alias("lang_pred"),
-    ]
-    if cfg.c4_rules:
-        # single source of the cleaned-text expression: the flags bit
-        # and the survivor rewrite read the same _c4_clean alias (see
-        # _c4_flags_from on the physical-plan cost)
-        from lakeflush_spark.functions.text import c4_clean
-
-        annot_cols.append(c4_clean(tc).alias("_c4_clean"))
-    annotated = docs.select("*", *annot_cols)
 
     keep = quality_keep_condition(
         F.col("n_tokens"),
@@ -358,20 +446,14 @@ def curate_documents(
         cfg.max_tokens,
         cfg.max_stopword_ratio,
         cfg.allowed_langs,
-        gopher_flags_col=gopher_flags(tc) if cfg.gopher_rules else None,
-        c4_flags_col=(
-            _c4_flags_from(F.col("_c4_clean"), F.col(tc))
-            if cfg.c4_rules else None
-        ),
-        mt_rep_flags_col=(
-            massivetext_repetition_flags(tc, full_table=cfg.mt_full_table)
-            if cfg.mt_repetition_rules else None
-        ),
-        classifier_pass_col=_classifier_pass(
-            cfg.classifier_weights, cfg.classifier_threshold, tc
+        gopher_flags_col=F.col("_q_gf") if cfg.gopher_rules else None,
+        c4_flags_col=F.col("_q_cf") if cfg.c4_rules else None,
+        mt_rep_flags_col=F.col("_q_mf") if cfg.mt_repetition_rules else None,
+        classifier_pass_col=(
+            F.col("_q_clf") if cfg.classifier_weights is not None else None
         ),
     )
-    filtered = annotated.where(keep)
+    filtered = annotated.where(keep).drop(*GATE_COLS)
     if cfg.c4_rules:
         # survivors carry the C4 line-cleaned text into every dedup
         # stage (shingles/digests key on the cleaned form); the

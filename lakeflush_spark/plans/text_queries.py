@@ -1136,7 +1136,11 @@ def _sql_clf_z() -> str:
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.mixing import mix_sources, take_token_budget
 
-    d = load_table(spark, sf_dir, "documents").select(
+    # every per-doc scan below is expression-heavy and the testdata
+    # parquet is one row group — spread once so the whole suite of
+    # labels computes on all cores (identity at real scale; see io.py)
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    d = docs.select(
         "doc_id", "lang", "source", token_count("text").alias("n_tokens")
     )
     bucket = F.conv(
@@ -1171,7 +1175,11 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0-dp round is engine-safe).
     from lakeflush_spark.operators.report import corpus_report
 
-    rep = corpus_report(load_table(spark, sf_dir, "documents"))
+    # flag_profile=False: the 'card'/'card_top' labels read only the
+    # count/share columns, so the three-bitmask profile (incl. the
+    # top-k-gram coverage folds) would be pure waste here — the flags
+    # surface is hash-verified by 'card_flags' from its own fused scan
+    rep = corpus_report(docs, flag_profile=False)
     card = rep.select(
         F.lit("card").alias("kind"),
         F.col("source").alias("key"),
@@ -1244,18 +1252,43 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rather than projected from `rep`, which carries the 1-row
     # token-share total — see the card_q SinglePartition-budget note).
     from lakeflush_spark.operators.quality import (
-        c4_flags,
-        gopher_flags,
-        massivetext_repetition_flags,
+        _c4_flags_from_lines,
+        _gopher_flags_from,
+        _mt_flags_from_views,
+        quality_views_inline,
     )
 
-    fl = load_table(spark, sf_dir, "documents").select(
-        "source",
-        token_count("text").alias("n_tokens"),
-        (gopher_flags("text") != 0).alias("_gf"),
-        (c4_flags("text") != 0).alias("_cf"),
-        (massivetext_repetition_flags("text") != 0).alias("_mf"),
+    def _fl_build(v: dict) -> F.Column:
+        # FUSED (r10): the three bitmasks AND the classifier score
+        # share one set of bound views (tokens/words/lines/paragraphs
+        # + the top-k coverage folds) in ONE scan — building the
+        # coverage machinery once also halves the py4j expression-
+        # construction cost of this query's plan
+        from lakeflush_spark.operators.quality_classifier import (
+            FEATURE_COLS as _FC,
+            INTERCEPT_KEY as _IK,
+            _scaled as _sc,
+            _view_feature_exprs as _vf,
+        )
+
+        z = F.lit(float(_CLF_WEIGHTS.get(_IK, 0.0)))
+        for c in _FC:
+            w = float(_CLF_WEIGHTS.get(c, 0.0))
+            if w == 0.0:
+                continue
+            z = z + F.lit(w) * _sc(c, _vf(v, c))
+        return F.struct(
+            F.size(v["tk"]).cast("bigint").alias("n_tokens"),
+            (_gopher_flags_from(v["raw"], v["ws"], v["ls"]) != 0).alias("_gf"),
+            (_c4_flags_from_lines(v["ls"], v["raw"]) != 0).alias("_cf"),
+            (_mt_flags_from_views(v) != 0).alias("_mf"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("_s"),
+        )
+
+    flclf = docs.select(
+        "source", "doc_id", F.inline(quality_views_inline(_fl_build, "text"))
     )
+    fl = flclf
     fams = {"gopher": "_gf", "c4": "_cf", "mt": "_mf"}
     fagg = fl.groupBy("source").agg(
         *[
@@ -1289,15 +1322,10 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of a boundary count as 'clf_mask' instead (measured 0 — the
     # cross-engine exp/pow drift is ~1e-15, six orders under the
     # band, so the decision counts are deterministic).
-    from lakeflush_spark.operators.quality_classifier import (
-        pareto_draw,
-        quality_score_from_text,
-    )
+    from lakeflush_spark.operators.quality_classifier import pareto_draw
 
-    clf_sc = load_table(spark, sf_dir, "documents").select(
-        "source",
-        quality_score_from_text(_CLF_WEIGHTS).alias("_s"),
-        pareto_draw(F.col("doc_id"), _CLF_ALPHA).alias("_p"),
+    clf_sc = flclf.select(
+        "source", "_s", pareto_draw(F.col("doc_id"), _CLF_ALPHA).alias("_p")
     )
     thr_gap = F.abs(F.col("_s") - F.lit(_CLF_THRESHOLD))
     par_gap = F.abs(F.col("_p") - (F.lit(1.0) - F.col("_s")))
@@ -1339,8 +1367,15 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan_epochs,
     )
 
-    ecard = d.groupBy("source").agg(
-        F.sum("n_tokens").cast("bigint").alias("n_tokens")
+    # the plan-frame lineage stays on the UNSPREAD scan: plan_epochs
+    # and the target computation run DRIVER-SIDE jobs at build time,
+    # and a tiny one-partition agg beats paying the compute-spread
+    # repartition shuffle three times per query construction
+    ecard = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", token_count("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("bigint").alias("n_tokens"))
     )
     total_tokens = int(ecard.agg(F.sum("n_tokens")).first()[0])
     target = int(_EPOCH_MULT * total_tokens)

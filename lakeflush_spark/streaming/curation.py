@@ -58,7 +58,6 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from lakeflush_spark.functions.text import lang_id, stopword_ratio, token_count
 from lakeflush_spark.operators.decontaminate import ngram_hash_set
 from lakeflush_spark.operators.dedup import content_digest, with_minhash
 from lakeflush_spark.streaming.dedup import (
@@ -330,56 +329,55 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        # 1. quality filters (map-only) — THE shared predicate from the
-        # batch pipeline (pipelines.quality_keep_condition), evaluated
-        # ONCE per row into a pinned flag column: the gate's HOF
-        # expressions (stopword filter, lang profiles) each re-split
-        # the text and sit outside codegen, so the stats agg and the
-        # filter below must read the flag, not re-run the expressions
-        from lakeflush_spark.operators.quality import (
-            _c4_flags_from,
-            gopher_flags,
-            massivetext_repetition_flags,
-        )
+        # 1. quality filters (map-only) — THE shared FUSED gate from
+        # the batch pipeline (pipelines.quality_gate_inline): metrics
+        # and every enabled bitmask/score from ONE generator over
+        # shared text views, evaluated ONCE per row into pinned
+        # columns — the old inline expressions each re-split the text
+        # per gate and sat outside codegen. Stream metric columns use
+        # the _q_ prefix so an input batch already carrying
+        # n_tokens/stop_ratio/lang_pred composes without duplicate
+        # names; all gate columns drop before the sink (dest schema
+        # unchanged).
         from lakeflush_spark.pipelines import (
-            _classifier_pass,
+            GATE_COLS,
+            quality_gate_inline,
             quality_keep_condition,
         )
 
         input_cols = list(batch_df.columns)  # dest schema (pre-helper)
-        if cfg.c4_rules:
-            # shared _c4_clean alias feeds BOTH the flags bit and the
-            # survivor rewrite (the batch pipeline's recipe; see
-            # _c4_flags_from on the physical-plan cost)
-            from lakeflush_spark.functions.text import c4_clean
-
-            batch_df = batch_df.withColumn(
-                "_c4_clean", c4_clean(cfg.text_col)
-            )
+        batch_df = batch_df.select(
+            "*",
+            F.inline(
+                quality_gate_inline(
+                    cfg.text_col,
+                    c4=cfg.c4_rules,
+                    gopher=cfg.gopher_rules,
+                    mt=cfg.mt_repetition_rules,
+                    mt_full=cfg.mt_full_table,
+                    clf_weights=cfg.classifier_weights,
+                    clf_threshold=cfg.classifier_threshold,
+                    metrics_prefix="_q_",
+                )
+            ),
+        )
         cond = quality_keep_condition(
-            token_count(cfg.text_col),
-            stopword_ratio(cfg.text_col),
-            lang_id(cfg.text_col),
+            F.col("_q_n_tokens"),
+            F.col("_q_stop_ratio"),
+            F.col("_q_lang_pred"),
             cfg.min_tokens,
             cfg.max_tokens,
             cfg.max_stopword_ratio,
             cfg.allowed_langs,
-            gopher_flags_col=(
-                gopher_flags(cfg.text_col) if cfg.gopher_rules else None
-            ),
-            c4_flags_col=(
-                _c4_flags_from(F.col("_c4_clean"), F.col(cfg.text_col))
-                if cfg.c4_rules else None
-            ),
+            gopher_flags_col=F.col("_q_gf") if cfg.gopher_rules else None,
+            c4_flags_col=F.col("_q_cf") if cfg.c4_rules else None,
             mt_rep_flags_col=(
-                massivetext_repetition_flags(
-                    cfg.text_col, full_table=cfg.mt_full_table
-                )
-                if cfg.mt_repetition_rules else None
+                F.col("_q_mf") if cfg.mt_repetition_rules else None
             ),
-            classifier_pass_col=_classifier_pass(
-                cfg.classifier_weights, cfg.classifier_threshold,
-                cfg.text_col,
+            classifier_pass_col=(
+                F.col("_q_clf")
+                if cfg.classifier_weights is not None
+                else None
             ),
         )
         # every per-batch persist registers here; the outer finally
@@ -402,7 +400,10 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             ).first()
             n_in, n_q_kept = int(counts.n_in), int(counts.n_kept)
             n_filtered_in = n_q_kept
-            kept = src.where(F.col("_q_keep")).drop("_q_keep")
+            kept = src.where(F.col("_q_keep")).drop(
+                "_q_keep", "_q_n_tokens", "_q_stop_ratio", "_q_lang_pred",
+                *GATE_COLS,
+            )
             if cfg.c4_rules:
                 # batch-pipeline parity: survivors carry the C4
                 # line-cleaned text into every dedup stage

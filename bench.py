@@ -327,6 +327,27 @@ with the sigmoid + Pareto; 'epochs' = a 2.6x explode + sharded
 fractional prefix; 'epochs_plan' = plan-frame arithmetic) — per-label
 costs now recorded in the labels map instead of reverse-engineered.
 
+r10 full-run readings (quiet box, after the 371-test suite): suite
+56.9 s vs r9's 54.8 — the delta decomposes on the labels map exactly:
+q60 6.59 -> 9.09 is the four NEW hash-verified labels (clf 1.02 +
+clf_mask 0.92 + epochs 1.37 + epochs_plan 0.42 recorded per-label),
+while q18 5.59 -> 3.52 is the fusion win and q55/q62 are flat (9.56 /
+9.04). Compaction csv 47.7 MB/s — best on record, 6.4x the 7.4
+baseline — gzip 10.5 (2.7x), json 18.3k files/s (1.7x).
+`report_sec` read 5.93 vs r9's 3.95: a clean interleaved A/B of the
+annotation scan (legacy per-column vs fused generator, 6 runs each,
+single partition like the bench's input) reads 3.1-3.9 vs 3.4-3.6 —
+a WASH, because corpus_report has exactly ONE consumer of the
+coverage folds, so fusion saves only the cheap re-splits there; the
+bench reading is box noise, not a regression. Two recorded caveats
+on the labels map: (1) label times include any prep shared with the
+entry (union-branch pruning, not isolation), so labels need not sum
+to the entry; (2) q18's column-GROUP times are near-uniform
+(~1.6 s each) because Catalyst does not prune unused fields out of
+the fused inline() generator — each group select pays the full
+panel; the q18 map therefore tracks the panel total, not per-group
+attribution.
+
 r10 trigger-size amortization curve (scripts/curate_steady.py with
 sem_cells=0 — quality + exact + LSH + stores; the semantic stage is
 governed by cell occupancy, not trigger size, see SURVEY §8): warm

@@ -48,6 +48,7 @@ from lakeflush_spark.operators.quality import (
     gopher_filter,
     gopher_flags,
     massivetext_repetition_flags,
+    quality_views_inline,
     repetition_filter,
     text_quality_profile,
 )
@@ -135,6 +136,7 @@ __all__ = [
     "massivetext_repetition_flags",
     "repetition_filter",
     "text_quality_profile",
+    "quality_views_inline",
     "classifier_filter",
     "pareto_sample_condition",
     "quality_score_col",

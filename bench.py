@@ -358,6 +358,19 @@ commit), marginal ~1.2-1.3 ms/doc — crossover where fixed ~= marginal
 lands near 5k docs/batch; overhead < 20% from ~25-50k docs/batch.
 Playbook guidance recorded in SURVEY §8.
 
+r10 scale-smoke after the fusions (scripts/scale_smoke.py, quiet box,
+20x = 100k docs / 40k vecs vs 4x = 20k / 8k): q18 12.2 vs 8.1 s and
+q60 17.5 vs 11.8 s — 1.5x time for 5x data, the fused generators stay
+pure map-side (absolute q60 level includes the four r10 labels); q24
+52.2 vs 7.4 s with pair rows 14,653 vs 2,952 (~5x — linear in data,
+matching the r7/r9 readings on this chain); q55 12.1 vs 11.8 (flat,
+per-label verification surface); q41 4.3 vs 2.6; q62 22.5 at 20x —
+exactly the r9 reading (its 4x number, 35.0, is stream-bootstrap
+variance: three in-builder StreamingQueries dominate at small N).
+ivf_assign re-confirms: build flat in n_cells (0.37 s @1024),
+two-level assignment 1.76 s at n_cells=1024/coarse=32 vs 17.5 s flat
+(9.9x). No super-linear stage in any registered shape.
+
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions
 crossover above): a 3-doc trickle batch against a directly-preloaded

@@ -443,3 +443,44 @@ def test_temperature_weights_zero_sum_raises(spark):
     big = spark.createDataFrame([("a", 4), ("b", 9)], "source string, n long")
     with pytest.raises(Exception, match="2\\*\\*53"):
         temperature_weights(big, "n", scale=10**15).collect()
+
+
+def test_epoch_mix_composition_end_to_end(spark):
+    """The full data-constrained mixing story composes: plan ->
+    materialize -> per-epoch shuffle order -> budget-bin packing.
+    Delivered tokens hit the plan within one doc per source, the
+    global md5(seed:epoch:id) order INTERLEAVES epochs rather than
+    replaying epoch 0 then epoch 1, and the packed bins are
+    budget-bounded."""
+    from lakeflush_spark.operators.mixing import (
+        epoch_shuffle_key,
+        materialize_epochs,
+        plan_epochs,
+    )
+
+    df = _epoch_corpus(spark)
+    card = df.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+    total = sum(r.n_tokens for r in card.collect())
+    plan = plan_epochs(card, int(2.4 * total), key_col="source")
+    out = materialize_epochs(df, plan).withColumn(
+        "k", epoch_shuffle_key("epoch", "doc_id")
+    )
+    rows = sorted(out.collect(), key=lambda r: (r.k, r.doc_id))
+    # interleaving: the first quarter of the global order already
+    # mixes at least two epochs (a per-epoch-sequential order would
+    # hold epoch 0 for the first ~38%)
+    head = rows[: len(rows) // 4]
+    assert len({r.epoch for r in head}) >= 2
+    # packing: greedy running-sum bins over the shuffled order stay
+    # within budget + one doc
+    budget, max_doc = 97, 11
+    acc = bins = 0
+    for r in rows:
+        if acc >= budget:
+            bins += 1
+            acc = 0
+        acc += r.n_tokens
+    assert bins >= 2
+    total_out = sum(r.n_tokens for r in rows)
+    planned = sum(r.planned_tokens for r in plan.collect())
+    assert planned <= total_out < planned + 3 * max_doc

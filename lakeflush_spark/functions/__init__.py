@@ -19,6 +19,8 @@ from lakeflush_spark.functions.text import (  # noqa: F401
     token_count,
     token_hash,
     tokens,
+    word_count,
+    words,
 )
 from lakeflush_spark.functions.vectors import (  # noqa: F401
     cosine_similarity,

@@ -423,6 +423,15 @@ def curate_documents(
     # quality_gate_inline. The single _c4_clean source-of-truth
     # property is preserved: the flags bit and the survivor rewrite
     # both read the generator's clean field.
+    clash = {"n_tokens", "stop_ratio", "lang_pred"} & set(docs.columns)
+    if clash:
+        # e.g. re-curating a frame this pipeline already annotated —
+        # fail with guidance instead of a downstream
+        # AMBIGUOUS_REFERENCE on the duplicate names
+        raise ValueError(
+            "curate_documents: input already has metric column(s) "
+            f"{sorted(clash)} — drop or rename them first"
+        )
     annotated = docs.select(
         "*",
         F.inline(

@@ -458,3 +458,58 @@ def test_curation_mt_full_table_gate(spark):
         spark, docs, CurationConfig(**base, mt_full_table=True))
     assert {r.doc_id for r in seven.collect()} == {1}   # 7-rule passes
     assert {r.doc_id for r in full.collect()} == set()  # dup-5 bit drops
+
+
+def test_quality_gate_inline_direct(spark):
+    """The fused gate generator as a first-class API: all gates on
+    emit the metric + gate columns from one pass, values matching the
+    standalone operators; prefixed metrics compose with inputs that
+    already carry n_tokens; re-curating an annotated frame fails with
+    guidance instead of AMBIGUOUS_REFERENCE."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from lakeflush_spark.operators.quality import c4_flags, gopher_flags
+    from lakeflush_spark.pipelines import (
+        CurationConfig,
+        curate_documents,
+        quality_gate_inline,
+    )
+
+    good = "the quick brown fox jumps over that lazy sleeping dog again " * 6
+    df = spark.createDataFrame(
+        [(1, good.strip()), (2, "too short."), (3, "if (x) { y } " + good)],
+        "doc_id long, text string",
+    )
+    w = {"n_tokens": 1.0, "__intercept__": -3.0}
+    out = df.select(
+        "*",
+        F.inline(
+            quality_gate_inline(
+                "text", c4=True, gopher=True, mt=True, clf_weights=w
+            )
+        ),
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    ref = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            gopher_flags("text").alias("gf"),
+            c4_flags("text").alias("cf"),
+        ).collect()
+    }
+    for i, r in rows.items():
+        assert r._q_gf == ref[i].gf and r._q_cf == ref[i].cf
+        assert r.n_tokens >= 1 and r.lang_pred is not None
+        assert isinstance(r._q_clf, bool)
+    # prefixed metrics: no clash with an existing n_tokens column
+    pre = df.withColumn("n_tokens", F.lit(7))
+    prefixed = pre.select(
+        "*", F.inline(quality_gate_inline("text", metrics_prefix="_q_"))
+    )
+    assert "_q_n_tokens" in prefixed.columns
+    assert prefixed.count() == 3
+    # batch pipeline guard: clear error on metric-column clash
+    with pytest.raises(ValueError, match="metric column"):
+        curate_documents(spark, pre, CurationConfig(min_tokens=1))

@@ -481,21 +481,19 @@ LABELED_ENTRIES = {
     "q62_repeated_passage": "method",
 }
 
-#: q18 has no label column (one wide per-doc panel) — attribute by
-#: column group instead; generator/column pruning drops the unselected
-#: panel fields, so each group pays its own expressions + shared views
+#: q18 has no label column (one wide per-doc panel, r10-fused into a
+#: single inline() generator). Catalyst does NOT prune unused fields
+#: out of the generator, so ANY column subset pays the full panel —
+#: per-group attribution is not mechanically separable. Two probes
+#: are kept as the uniformity witness (cheap group ≈ expensive group
+#: ≈ the panel total): if they ever diverge, field pruning started
+#: working and finer groups become meaningful again.
 Q18_GROUPS = {
     "counts": ["n_tokens", "n_bpe_tokens", "n_chars_m", "avg_tok_len",
                "punct_cnt", "stop_ratio", "quality", "distinct_ratio"],
-    "fingerprints": ["doc_fp", "shingle_fp", "dup3_ratio"],
-    "gopher": ["gopher_flags", "sym_ratio", "bullet_ratio",
-               "ellipsis_ratio", "alpha_ratio"],
-    "c4": ["c4_kept_ratio", "c4_flags", "c4_clean_md5"],
     "mt_top": ["top2_char_ratio", "top3_char_ratio", "top4_char_ratio",
                "mt_rep_flags", "dup_line_ratio", "dup_line_char_ratio",
                "dup_para_ratio", "dup_para_char_ratio"],
-    "dup5": ["dup5_char_ratio"],
-    "lang": ["lang_pred"],
 }
 
 

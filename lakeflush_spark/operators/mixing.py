@@ -1,5 +1,8 @@
 """Training-data mixing: deterministic shuffle, weighted source
-sampling, token-budget selection.
+sampling, token-budget selection, and multi-epoch materialization
+(``plan_epochs`` → ``materialize_epochs`` → ``epoch_shuffle_key``
+order — the data-constrained repetition recipe, executable end to
+end; ``epoch_shortfall`` reports the gap when the cap binds).
 
 The last mile of an LLM data pipeline (after curation/dedup, before
 sequence packing): decide HOW MUCH of each source goes into the run

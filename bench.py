@@ -358,6 +358,15 @@ commit), marginal ~1.2-1.3 ms/doc — crossover where fixed ~= marginal
 lands near 5k docs/batch; overhead < 20% from ~25-50k docs/batch.
 Playbook guidance recorded in SURVEY §8.
 
+r10 closing run (after the 373-test suite + scale smoke, second
+full-bench of the session): suite 64.3 s with UNIFORM +10-15% over
+the same-day quiet run (q18 4.71 vs 3.52, q55 10.0 vs 9.6, q24 3.99
+vs 3.34) — the contended-box signature; the 56.9-s quiet run above
+and its per-label maps are the adjudication basis per this file's
+standing rule. Compaction stays comfortably green in the same
+closing run: csv 39.2 MB/s (5.3x baseline), gzip 10.9 (2.8x), json
+18.5k files/s (1.8x).
+
 r10 scale-smoke after the fusions (scripts/scale_smoke.py, quiet box,
 20x = 100k docs / 40k vecs vs 4x = 20k / 8k): q18 12.2 vs 8.1 s and
 q60 17.5 vs 11.8 s — 1.5x time for 5x data, the fused generators stay

@@ -562,3 +562,67 @@ def test_coverage_values_match_python_model(spark, docs):
         assert r.t3 == topcov(3), f"t3 {r.text!r}"
         assert r.d5 == _dup_union_cov(toks, 5), f"d5 {r.text!r}"
         assert r.d6 == _dup_union_cov(toks, 6), f"d6 {r.text!r}"
+
+
+# ---- r10 fused panel vs legacy per-column functions -----------------------
+
+_panel_unit = st.one_of(
+    st.sampled_from(
+        ["the", "of", "loop loop", "a\nb", "p\n\np", "", "x y x y",
+         "- lead", "end...", "…", "12345", "mixed#sym"]
+    ),
+    st.text(alphabet=list("ab- \n."), min_size=0, max_size=8)
+    .filter(lambda t: " " not in t),
+)
+_panel_doc = st.lists(_panel_unit, min_size=1, max_size=25).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_panel_doc, min_size=1, max_size=6))
+def test_fused_panel_property_matches_legacy(spark, docs):
+    """text_quality_profile's fused inline() generator stays
+    bit-identical to the un-fused per-column functions on generated
+    text with embedded newlines, paragraph breaks, bullets, symbols,
+    empty tokens, and sub-k-token docs."""
+    import pyspark.sql.functions as F
+
+    from lakeflush_spark.functions.text import (
+        distinct_token_ratio_4dp,
+        dup_3gram_ratio_4dp,
+        dup_line_char_ratio_4dp,
+        dup_para_ratio_4dp,
+        lang_id,
+        top_kgram_char_ratio_4dp,
+    )
+    from lakeflush_spark.operators.quality import (
+        c4_flags,
+        gopher_flags,
+        massivetext_repetition_flags,
+        text_quality_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    legacy = df.select(
+        "doc_id",
+        distinct_token_ratio_4dp("text").alias("distinct_ratio"),
+        dup_3gram_ratio_4dp("text").alias("dup3_ratio"),
+        dup_line_char_ratio_4dp("text").alias("dup_line_char_ratio"),
+        dup_para_ratio_4dp("text").alias("dup_para_ratio"),
+        top_kgram_char_ratio_4dp("text", 2).alias("top2_char_ratio"),
+        top_kgram_char_ratio_4dp("text", 4).alias("top4_char_ratio"),
+        lang_id("text").alias("lang_pred"),
+        gopher_flags("text").alias("gopher_flags"),
+        c4_flags("text").alias("c4_flags"),
+        massivetext_repetition_flags("text").alias("mt_rep_flags"),
+    )
+    fused = text_quality_profile(df).select(*legacy.columns)
+    lrows = {r.doc_id: r.asDict() for r in legacy.collect()}
+    frows = {r.doc_id: r.asDict() for r in fused.collect()}
+    for i, want in lrows.items():
+        assert frows[i] == want, f"doc {docs[i]!r}: {frows[i]} != {want}"

@@ -33,6 +33,7 @@ from lakeflush_spark.operators.mixing import (
     materialize_epochs,
     mix_sources,
     sample_fraction,
+    select_training_mix,
     plan_epochs,
     sharded_prefix_sum,
     take_token_budget,
@@ -124,6 +125,7 @@ __all__ = [
     "epoch_shortfall",
     "epoch_shuffle_key",
     "materialize_epochs",
+    "select_training_mix",
     "take_token_budget",
     "temperature_weights",
     "train_bigram_lm",

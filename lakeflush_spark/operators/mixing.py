@@ -548,3 +548,43 @@ def materialize_epochs(
         - F.floor(F.col("_me_epochs")).cast("bigint") * F.col("_me_avail")
     ).select(*keep_cols)
     return keepers.unionByName(frac_kept)
+
+
+def select_training_mix(
+    df: DataFrame,
+    target_tokens: int,
+    max_epochs: float = 4.0,
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "0",
+    shards: int = 64,
+    epoch_col: str = "epoch",
+) -> tuple[DataFrame, DataFrame]:
+    """One-call data-constrained mix selection: build the per-source
+    card from ``df`` itself, plan epochs under the repetition cap, and
+    materialize the selection — returns ``(selected, plan)`` where
+    ``selected`` carries ``df``'s columns plus ``epoch_col`` (order it
+    by ``epoch_shuffle_key(epoch_col, id_col, seed)`` for the global
+    shuffle) and ``plan`` is the ``plan_epochs`` frame (feed it to
+    ``epoch_shortfall`` for the go-find-more-data report).
+
+    Composition sugar over ``plan_epochs`` → ``materialize_epochs`` —
+    same determinism and scale shape (the card aggregation is the only
+    extra cost: one map-side-combined groupBy of |sources| rows).
+    """
+    card = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_col).cast("bigint").alias("n_tokens")
+    )
+    plan = plan_epochs(card, target_tokens, max_epochs=max_epochs)
+    selected = materialize_epochs(
+        df,
+        plan,
+        token_col=token_col,
+        source_col=source_col,
+        id_col=id_col,
+        seed=seed,
+        shards=shards,
+        epoch_col=epoch_col,
+    )
+    return selected, plan

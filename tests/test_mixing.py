@@ -484,3 +484,24 @@ def test_epoch_mix_composition_end_to_end(spark):
     total_out = sum(r.n_tokens for r in rows)
     planned = sum(r.planned_tokens for r in plan.collect())
     assert planned <= total_out < planned + 3 * max_doc
+
+
+def test_select_training_mix_one_call(spark):
+    """The composition sugar delivers the same selection as the
+    explicit plan -> materialize chain and returns the plan frame."""
+    from lakeflush_spark.operators.mixing import (
+        materialize_epochs,
+        plan_epochs,
+        select_training_mix,
+    )
+
+    df = _epoch_corpus(spark)
+    selected, plan = select_training_mix(df, target_tokens=5000)
+    card = df.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+    want = materialize_epochs(df, plan_epochs(card, 5000)).collect()
+    got = selected.collect()
+    key = lambda r: (r.source, r.doc_id, r.epoch)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert set(plan.columns) == {
+        "key", "available_tokens", "epochs", "planned_tokens"
+    }

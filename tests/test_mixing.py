@@ -505,3 +505,42 @@ def test_select_training_mix_one_call(spark):
     assert set(plan.columns) == {
         "key", "available_tokens", "epochs", "planned_tokens"
     }
+
+
+def test_materialize_epochs_heterogeneous_plan(spark):
+    """A hand-built plan with DIFFERENT epochs per source (sub-one,
+    exact-integer, and fractional-multi) materializes each source
+    independently: exact-integer epochs emit no fractional pass, and
+    every source delivers planned tokens within one document."""
+    from lakeflush_spark.operators.mixing import materialize_epochs
+
+    df = _epoch_corpus(spark)
+    avail = {r.source: r.n_tokens for r in
+             df.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+             .collect()}
+    spec = {"a": 0.5, "b": 2.0, "c": 3.3}
+    plan = spark.createDataFrame(
+        [(s, avail[s], e, int(e * avail[s])) for s, e in spec.items()],
+        "key string, available_tokens long, epochs double, planned_tokens long",
+    )
+    out = materialize_epochs(df, plan)
+    rows = out.collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    n_docs = {s: sum(1 for r in df.collect() if r.source == s)
+              for s in spec}
+    # a: sub-one epoch -> only epoch 0, a strict prefix
+    assert {r.epoch for r in by_src["a"]} == {0}
+    assert len(by_src["a"]) < n_docs["a"]
+    # b: exact 2.0 epochs -> exactly two FULL copies, no fractional
+    assert {r.epoch for r in by_src["b"]} == {0, 1}
+    assert len(by_src["b"]) == 2 * n_docs["b"]
+    # c: 3 full + fractional epoch 3
+    assert {r.epoch for r in by_src["c"]} == {0, 1, 2, 3}
+    assert sum(1 for r in by_src["c"] if r.epoch < 3) == 3 * n_docs["c"]
+    # delivered within one doc of planned, per source
+    for s, e in spec.items():
+        t = sum(r.n_tokens for r in by_src[s])
+        planned = int(e * avail[s])
+        assert planned <= t < planned + 12, (s, t, planned)

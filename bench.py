@@ -515,24 +515,32 @@ def bench_labels(spark) -> dict[str, dict[str, float]]:
     for name, col in LABELED_ENTRIES.items():
         # ONE builder call per entry (q62's in-builder StreamingQueries
         # run here, outside the per-label timings; the label filters
-        # then only re-execute the batch side)
-        df = QUERIES[name].builder(spark, SF_DIR)
-        labels = sorted(
-            r[0] for r in df.select(col).distinct().collect() if r[0]
-        )
-        times: dict[str, float] = {}
-        for v in labels:
+        # then only re-execute the batch side). Attribution is a
+        # diagnostic: a renamed label column or failed sub-frame must
+        # degrade to an error marker, not kill the bench run.
+        try:
+            df = QUERIES[name].builder(spark, SF_DIR)
+            labels = sorted(
+                r[0] for r in df.select(col).distinct().collect() if r[0]
+            )
+            times: dict[str, float] = {}
+            for v in labels:
+                t0 = time.time()
+                _materialize(df.where(F.col(col) == v))
+                times[v] = round(time.time() - t0, 3)
+            out[name] = times
+        except Exception as exc:  # noqa: BLE001
+            out[name] = {"__error__": str(exc)[:200]}
+    try:
+        df = QUERIES["q18_text_metrics"].builder(spark, SF_DIR)
+        times = {}
+        for g, cols in Q18_GROUPS.items():
             t0 = time.time()
-            _materialize(df.where(F.col(col) == v))
-            times[v] = round(time.time() - t0, 3)
-        out[name] = times
-    df = QUERIES["q18_text_metrics"].builder(spark, SF_DIR)
-    times = {}
-    for g, cols in Q18_GROUPS.items():
-        t0 = time.time()
-        _materialize(df.select(*cols))
-        times[g] = round(time.time() - t0, 3)
-    out["q18_text_metrics"] = times
+            _materialize(df.select(*cols))
+            times[g] = round(time.time() - t0, 3)
+        out["q18_text_metrics"] = times
+    except Exception as exc:  # noqa: BLE001
+        out["q18_text_metrics"] = {"__error__": str(exc)[:200]}
     return out
 
 

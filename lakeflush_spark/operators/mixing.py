@@ -588,3 +588,84 @@ def select_training_mix(
         epoch_col=epoch_col,
     )
     return selected, plan
+
+
+def unimax_allocations(
+    card: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    tokens_col: str = "n_tokens",
+    key_col: str = "source",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): distribute a
+    token budget as UNIFORMLY as possible across sources subject to a
+    per-source repetition cap — the fairer alternative to
+    ``plan_epochs``' proportional scaling when low-resource sources
+    should not be starved.
+
+    The published greedy, in EXACT integer arithmetic (every division
+    is an integer floor, so the DuckDB oracle's recursive-CTE replay
+    is bit-identical): visit sources in ascending (available, key)
+    order; at each step the tentative fair share is
+    ``u = floor(remaining_budget / remaining_sources)``. A source
+    whose cap ``max_epochs * available`` is <= u takes its whole cap
+    (it cannot absorb a fair share); the first source whose cap
+    exceeds u stops the walk, and the remaining budget splits equally
+    over ALL remaining sources — ``u`` each plus one extra token to
+    the first ``remaining_budget % remaining`` of them (deterministic
+    remainder order = the walk order).
+
+    Properties: Σ allocation = min(budget, max_epochs × Σ available)
+    exactly; no source exceeds its cap; all uncapped sources receive
+    within one token of each other.
+
+    Returns the ``plan_epochs`` shape — (key, available_tokens,
+    ``epochs`` double = allocation/available, ``planned_tokens`` =
+    allocation) — so ``materialize_epochs`` executes it directly.
+
+    Scale stance: the card is a |sources|-row driver-scale frame (same
+    contract as ``plan_epochs``); the greedy is a sequential walk, so
+    it runs driver-side on the collected card — nothing corpus-sized
+    moves.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if max_epochs < 1 or int(max_epochs) != max_epochs:
+        raise ValueError(
+            "max_epochs must be a positive INTEGER — the cap enters the "
+            "exact integer arithmetic (use plan_epochs for fractional caps)"
+        )
+    max_epochs = int(max_epochs)
+    rows = sorted(
+        (
+            (r[key_col], int(r[tokens_col]))
+            for r in card.select(key_col, tokens_col).collect()
+        ),
+        key=lambda kv: (kv[1], kv[0]),
+    )
+    if not rows:
+        raise ValueError("card is empty")
+    n = len(rows)
+    rem = int(budget_tokens)
+    alloc: dict = {}
+    for i, (key, avail) in enumerate(rows):
+        r = n - i
+        u = rem // r
+        cap = max_epochs * avail
+        if cap <= u:
+            alloc[key] = cap
+            rem -= cap
+        else:
+            extra = rem % r
+            for j, (key2, _) in enumerate(rows[i:]):
+                alloc[key2] = u + (1 if j < extra else 0)
+            break
+    spark = card.sparkSession
+    out = spark.createDataFrame(
+        [
+            (key, avail, (alloc[key] / avail) if avail else 0.0, alloc[key])
+            for key, avail in rows
+        ],
+        "key string, available_tokens long, epochs double, planned_tokens long",
+    )
+    return out

@@ -834,6 +834,10 @@ _SAMPLE_PCT = 10
 #: epoch-target multiplier: 2.6 ⇒ two full epochs + a 0.6 fractional
 #: one under the default cap (4), and a BINDING cap for max_epochs=2
 _EPOCH_MULT = 2.6
+#: UniMax budget fraction: 0.95 of the corpus at a 1-epoch cap makes
+#: below-fair-share sources cap out while the rest split equally —
+#: both greedy branches exercised
+_UNIMAX_FRAC = 0.95
 
 #: FROZEN classifier weights for the 'clf' verdict labels — trained
 #: ONCE via operators/quality_classifier.train_quality_classifier on
@@ -911,7 +915,7 @@ def _sql_clf_z() -> str:
 @declare(
     "q60_stratified_sample",
     f"""
-    WITH d AS (
+    WITH RECURSIVE d AS (
         SELECT doc_id, lang, source,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS b100,
@@ -984,6 +988,43 @@ def _sql_clf_z() -> str:
                        0) AS prec
               FROM d JOIN epp USING (source))
         WHERE prec < fb GROUP BY source),
+    uranked AS (
+        SELECT source, src_tokens,
+               row_number() OVER (ORDER BY src_tokens, source) AS rk,
+               COUNT(*) OVER () AS un
+        FROM srctok),
+    ubud AS (SELECT CAST(FLOOR({_UNIMAX_FRAC} * SUM(src_tokens)::DOUBLE)
+                         AS BIGINT) AS b
+             FROM srctok),
+    uwalk AS (
+        SELECT 0::BIGINT AS rk, (SELECT b FROM ubud) AS rem,
+               CAST(NULL AS BIGINT) AS stop_rk
+        UNION ALL
+        SELECT r.rk,
+               CASE WHEN w.stop_rk IS NOT NULL THEN w.rem
+                    WHEN r.src_tokens <= w.rem // (r.un - r.rk + 1)
+                         THEN w.rem - r.src_tokens
+                    ELSE w.rem END,
+               CASE WHEN w.stop_rk IS NOT NULL THEN w.stop_rk
+                    WHEN r.src_tokens <= w.rem // (r.un - r.rk + 1)
+                         THEN CAST(NULL AS BIGINT)
+                    ELSE r.rk END
+        FROM uwalk w JOIN uranked r ON r.rk = w.rk + 1),
+    ustop AS (SELECT MIN(stop_rk) AS srk FROM uwalk),
+    ustopb AS (SELECT COALESCE(
+                   (SELECT u.rem FROM uwalk u, ustop s WHERE u.rk = s.srk),
+                   0) AS stopb),
+    ualloc AS (
+        SELECT r.source,
+               CASE WHEN s.srk IS NULL OR r.rk < s.srk
+                    THEN r.src_tokens
+                    ELSE b.stopb // (r.un - s.srk + 1)
+                         + CASE WHEN r.rk - s.srk <
+                                     b.stopb % (r.un - s.srk + 1)
+                                THEN 1 ELSE 0 END
+               END AS alloc,
+               r.src_tokens AS ucap
+        FROM uranked r, ustop s, ustopb b),
     langpred AS (SELECT source, {_sql_lang_case()} AS lp FROM documents),
     lmode AS (
         SELECT source, lp, cnt, tot FROM (
@@ -1090,6 +1131,10 @@ def _sql_clf_z() -> str:
         -- shortfall report (desired = uncapped proportional ask)
         SELECT 'epochs_plan', source, planned2, desired - planned2
         FROM epp
+        UNION ALL
+        -- 'unimax' (r10): the UniMax greedy (ascending walk, integer
+        -- floors) replayed by the recursive CTE above
+        SELECT 'unimax', source, alloc, ucap FROM ualloc
     ) ORDER BY kind, key
     """,
     "Deterministic sampling & training-mix suite, three strategies "
@@ -1131,7 +1176,11 @@ def _sql_clf_z() -> str:
     "recompute the exact 4dp feature panel, their own sigmoid and "
     "deterministic Pareto draw, and compare BANDED accept counts "
     "(threshold + Pareto) per source; rows within 1e-9 of a boundary "
-    "count under 'clf_mask' (measured 0).",
+    "count under 'clf_mask' (measured 0). And 'unimax' (r10): "
+    "the UniMax budget allocator (Chung et al. 2023) — ascending "
+    "greedy with per-source epoch caps in exact integer floors, "
+    "budget 0.95x corpus at a 1-epoch cap; the oracle replays the "
+    "walk with a recursive CTE, hash-exact.",
 )
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.mixing import mix_sources, take_token_budget
@@ -1388,6 +1437,22 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("planned_tokens").alias("n_docs"),
         F.col("shortfall_tokens").alias("sum_tokens"),
     )
+    # 'unimax' (r10): the UniMax budget allocator (Chung et al. 2023)
+    # in exact integer arithmetic — budget floor(0.95 × total) at a
+    # 1-epoch cap, so small sources cap out and the rest split the
+    # remainder equally; the oracle replays the greedy walk with a
+    # recursive CTE, every step an integer floor — hash-exact.
+    from lakeflush_spark.operators.mixing import unimax_allocations
+
+    uplan = unimax_allocations(
+        ecard, int(_UNIMAX_FRAC * total_tokens), max_epochs=1
+    )
+    unimax = uplan.select(
+        F.lit("unimax").alias("kind"),
+        F.col("key"),
+        F.col("planned_tokens").alias("n_docs"),
+        F.col("available_tokens").alias("sum_tokens"),
+    )
     return (
         strat.unionByName(mixed)
         .unionByName(budget)
@@ -1400,5 +1465,6 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(clf_mask)
         .unionByName(epochs)
         .unionByName(epochs_plan)
+        .unionByName(unimax)
         .orderBy("kind", "key")
     )

@@ -544,3 +544,61 @@ def test_materialize_epochs_heterogeneous_plan(spark):
         t = sum(r.n_tokens for r in by_src[s])
         planned = int(e * avail[s])
         assert planned <= t < planned + 12, (s, t, planned)
+
+
+def test_unimax_allocations_model(spark):
+    """UniMax greedy vs hand arithmetic: small sources take their full
+    epoch cap, the rest split the remainder equally (within one token,
+    deterministic remainder order); sum hits the budget exactly; a
+    budget above the total cap allocates every cap (data-constrained)."""
+    import pytest
+
+    from lakeflush_spark.operators.mixing import unimax_allocations
+
+    card = spark.createDataFrame(
+        [("tiny", 10), ("small", 50), ("mid", 400), ("big", 1000)],
+        "source string, n_tokens long",
+    )
+    # budget 600, cap 2 epochs: walk ascending = tiny(20) small(100)
+    # mid(800) big(2000). u=150 -> tiny capped 20; u=(580//3)=193 ->
+    # small capped 100; u=480//2=240 < mid cap 800 -> stop: mid/big get
+    # 240 each (480 % 2 == 0)
+    a = {r.key: r for r in unimax_allocations(card, 600, 2).collect()}
+    assert a["tiny"].planned_tokens == 20 and a["small"].planned_tokens == 100
+    assert a["mid"].planned_tokens == 240 and a["big"].planned_tokens == 240
+    assert sum(r.planned_tokens for r in a.values()) == 600
+    assert a["tiny"].epochs == 2.0 and a["big"].epochs == 0.24
+    # remainder goes to the earlier of the equal-share sources
+    b = {r.key: r.planned_tokens
+         for r in unimax_allocations(card, 601, 2).collect()}
+    assert b["mid"] == 241 and b["big"] == 240  # mid ranks before big
+    # budget above the total cap: everyone capped, short of budget
+    c = {r.key: r.planned_tokens
+         for r in unimax_allocations(card, 10_000, 2).collect()}
+    assert c == {"tiny": 20, "small": 100, "mid": 800, "big": 2000}
+    with pytest.raises(ValueError, match="INTEGER"):
+        unimax_allocations(card, 100, max_epochs=1.5)
+    with pytest.raises(ValueError):
+        unimax_allocations(card, 0)
+
+
+def test_unimax_plan_is_materializable(spark):
+    """The UniMax plan frame feeds materialize_epochs directly —
+    delivered tokens per source match the allocation within one doc."""
+    from lakeflush_spark.operators.mixing import (
+        materialize_epochs,
+        unimax_allocations,
+    )
+
+    df = _epoch_corpus(spark)
+    card = df.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+    plan = unimax_allocations(card, 500, max_epochs=2)
+    out = materialize_epochs(df, plan)
+    got = {r.source: r.t for r in
+           out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()}
+    planned = {r.key: r.planned_tokens for r in plan.collect()}
+    for s, p in planned.items():
+        if p == 0:
+            assert s not in got
+            continue
+        assert p <= got[s] < p + 12, (s, got[s], p)

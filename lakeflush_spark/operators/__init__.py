@@ -35,6 +35,7 @@ from lakeflush_spark.operators.mixing import (
     sample_fraction,
     select_training_mix,
     plan_epochs,
+    unimax_allocations,
     sharded_prefix_sum,
     take_token_budget,
     temperature_weights,
@@ -126,6 +127,7 @@ __all__ = [
     "epoch_shuffle_key",
     "materialize_epochs",
     "select_training_mix",
+    "unimax_allocations",
     "take_token_budget",
     "temperature_weights",
     "train_bigram_lm",

@@ -346,7 +346,13 @@ to the entry; (2) q18's column-GROUP times are near-uniform
 (~1.6 s each) because Catalyst does not prune unused fields out of
 the fused inline() generator — each group select pays the full
 panel; the q18 map therefore tracks the panel total, not per-group
-attribution.
+attribution. A third recorded residual: ~4-5 s of every q60
+measurement is QUERY CONSTRUCTION, not execution — py4j assembly of
+the fused coverage-fold expression trees plus three driver-side
+planning jobs (plan_epochs x2 + the target total) — a per-build
+constant independent of data size (build 4.2-5.9 s / materialize
+7.1-7.6 s split measured at sf0.1; r10 also added the 'unimax'
+label, a |sources|-row local-relation join, negligible).
 
 r10 trigger-size amortization curve (scripts/curate_steady.py with
 sem_cells=0 — quality + exact + LSH + stores; the semantic stage is

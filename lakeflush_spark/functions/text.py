@@ -105,8 +105,16 @@ def words(text: Column | str) -> Column:
     (single-space, the corpus storage contract). Use this for the
     word-based quality counters; keep ``tokens`` for fingerprints,
     shingles and packing, whose oracles are pinned to the single-space
-    split."""
-    return F.split(F.col(text) if isinstance(text, str) else text, WORD_SEP_RE)
+    split.
+
+    Boundary empties are FILTERED: ``F.split`` (limit -1) keeps the
+    empty strings a leading/trailing whitespace run produces, which
+    would give every '\\n'-terminated doc a phantom extra "word" and
+    skew the Gopher word-count / mean-word-length / alpha-ratio
+    counters. Dropping them matches Python's ``str.split()`` (the
+    paper's whitespace-split semantics): ``words('') == []``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, WORD_SEP_RE), lambda w: w != F.lit(""))
 
 
 def word_count(text: Column | str) -> Column:

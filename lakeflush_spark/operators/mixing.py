@@ -444,18 +444,37 @@ def epoch_shortfall(plan: DataFrame, target_tokens: int) -> DataFrame:
 def epoch_shuffle_key(
     epoch_col: Column | str, id_col: Column | str, seed: str = "0"
 ) -> Column:
-    """Deterministic per-epoch shuffle key: md5(seed:epoch:id).
+    """Deterministic per-epoch shuffle key:
+    md5(len(seed):seed:epoch:tagged_id).
 
     Each epoch of a materialized multi-epoch selection gets an
     INDEPENDENT-looking permutation (the epoch number salts the key),
     so repeated data never replays in the same order — the property
     data-constrained training runs rely on. Order the output of
     ``materialize_epochs`` by this key for the global shuffle.
+
+    The encoding is UNAMBIGUOUS for every (seed, epoch, id) triple —
+    a plain ``concat_ws(':')`` would skip NULL ids and let a ':' in
+    the seed or id alias distinct triples onto one key, quietly
+    correlating permutations that must be independent. Here the seed
+    is length-prefixed (so a ':' inside it can't shift the epoch
+    boundary), the epoch is digits-only and ':'-terminated, and the
+    id is tagged 'n' (NULL) or 'v'+value, so NULL, '' and ':'-bearing
+    ids all hash apart. ``epoch_col`` itself must be non-NULL (it is
+    generated by ``materialize_epochs``, never NULL there).
     """
     e = F.col(epoch_col) if isinstance(epoch_col, str) else epoch_col
     c = F.col(id_col) if isinstance(id_col, str) else id_col
+    cs = c.cast("string")
     return F.md5(
-        F.concat_ws(":", F.lit(seed), e.cast("string"), c.cast("string"))
+        F.concat(
+            F.lit(f"{len(seed)}:{seed}:"),
+            e.cast("string"),
+            F.lit(":"),
+            F.when(cs.isNull(), F.lit("n")).otherwise(
+                F.concat(F.lit("v"), cs)
+            ),
+        )
     )
 
 
@@ -468,12 +487,21 @@ def materialize_epochs(
     seed: str = "0",
     shards: int = 64,
     epoch_col: str = "epoch",
+    strict: bool = False,
 ) -> DataFrame:
     """EXECUTE a ``plan_epochs`` plan: emit, per source with planned
     epochs e, ⌊e⌋ full copies of every document plus a fractional
     final epoch selected as a seeded-shuffle token-budget prefix — so
     the delivered token count equals ``planned_tokens`` within one
     document per source (the prefix overshoots by at most one doc).
+
+    Join semantics are INNER on source==plan.key: input rows whose
+    source has no plan row are dropped (a plan IS the keep-list), and
+    a plan key absent from ``df`` delivers nothing for that source.
+    Pass ``strict=True`` to instead RAISE when the two key sets
+    differ — two anti-join counts against the tiny plan frame (one
+    distinct-scan of ``df``'s source column), so mismatches surface
+    as an error instead of silent under-delivery.
 
     Output = ``df``'s columns plus ``epoch_col`` (0-based BIGINT).
     Every copy carries its epoch number; order downstream by
@@ -504,6 +532,28 @@ def materialize_epochs(
         F.col("epochs").cast("double").alias("_me_epochs"),
         F.col("planned_tokens").cast("bigint").alias("_me_planned"),
     )
+    if strict:
+        src = df.select(
+            F.col(source_col).alias("_me_src")
+        ).distinct()  # map-side-combined agg on |sources| keys
+        unplanned = [
+            r._me_src
+            for r in src.join(
+                p, F.col("_me_src").eqNullSafe(F.col("_me_key")), "left_anti"
+            ).collect()
+        ]
+        undelivered = [
+            r._me_key
+            for r in p.join(
+                src, F.col("_me_key").eqNullSafe(F.col("_me_src")), "left_anti"
+            ).collect()
+        ]
+        if unplanned or undelivered:
+            raise ValueError(
+                "materialize_epochs(strict=True): plan/input source "
+                f"mismatch — sources with no plan row: {sorted(unplanned, key=str)!r}; "
+                f"plan keys absent from input: {sorted(undelivered, key=str)!r}"
+            )
     # eqNullSafe: a NULL source key is a real group in the plan
     joined = df.join(
         F.broadcast(p), F.col(source_col).eqNullSafe(F.col("_me_key"))

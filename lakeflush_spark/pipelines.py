@@ -277,6 +277,33 @@ def quality_gate_inline(
 GATE_COLS = ("_q_gf", "_q_cf", "_q_mf", "_q_clf")
 
 
+def gate_clash_check(
+    caller: str, columns: list[str], metrics_prefix: str = "", extra: tuple = ()
+) -> None:
+    """Fail fast if the input frame already carries ANY column the
+    fused gate will add — the metric columns, the gate bitmasks
+    (GATE_COLS), and the ``_c4_clean`` rewrite field. Without this, a
+    frame from an aborted run that kept e.g. ``_c4_clean`` produces
+    duplicate names and a downstream AMBIGUOUS_REFERENCE far from the
+    cause. Reserves ALL gate names regardless of which gates are
+    enabled: the cheap guard beats a config-dependent one that stops
+    protecting when a gate is toggled off."""
+    reserved = {
+        f"{metrics_prefix}n_tokens",
+        f"{metrics_prefix}stop_ratio",
+        f"{metrics_prefix}lang_pred",
+        "_c4_clean",
+        *GATE_COLS,
+        *extra,
+    }
+    clash = reserved & set(columns)
+    if clash:
+        raise ValueError(
+            f"{caller}: input already has gate/metric column(s) "
+            f"{sorted(clash)} — drop or rename them first"
+        )
+
+
 def lm_keep_condition(avg_logprob: "F.Column", threshold: float) -> "F.Column":
     """THE LM-gate predicate, shared by the batch quantile gate and the
     stream's absolute-threshold gate: NULL scores (< 2 tokens) PASS —
@@ -423,15 +450,10 @@ def curate_documents(
     # quality_gate_inline. The single _c4_clean source-of-truth
     # property is preserved: the flags bit and the survivor rewrite
     # both read the generator's clean field.
-    clash = {"n_tokens", "stop_ratio", "lang_pred"} & set(docs.columns)
-    if clash:
-        # e.g. re-curating a frame this pipeline already annotated —
-        # fail with guidance instead of a downstream
-        # AMBIGUOUS_REFERENCE on the duplicate names
-        raise ValueError(
-            "curate_documents: input already has metric column(s) "
-            f"{sorted(clash)} — drop or rename them first"
-        )
+    # e.g. re-curating a frame this pipeline already annotated (or an
+    # aborted run that kept _c4_clean / a gate bitmask) — fail with
+    # guidance instead of a downstream AMBIGUOUS_REFERENCE
+    gate_clash_check("curate_documents", docs.columns)
     annotated = docs.select(
         "*",
         F.inline(

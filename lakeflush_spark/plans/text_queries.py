@@ -105,7 +105,12 @@ _SQL_DUP3_4DP = (
 
 from lakeflush_spark.functions.text import WORD_SEP_RE
 
-_WORDS = f"regexp_split_to_array(text, '{WORD_SEP_RE}')"
+# boundary empties filtered, mirroring functions/text.words (Python
+# str.split() semantics — a trailing '\n' must not add a phantom word)
+_WORDS = (
+    f"list_filter(regexp_split_to_array(text, '{WORD_SEP_RE}'),"
+    " w -> w != '')"
+)
 _SQL_NW = f"len({_WORDS})::BIGINT"
 _SQL_LW = f"list_sum(list_transform({_WORDS}, t -> length(t)))::BIGINT"
 _SQL_SYM = (
@@ -982,7 +987,7 @@ def _sql_clf_z() -> str:
                      epp.planned - epp.efull * epp.src_tokens AS fb,
                      COALESCE(SUM(d.n_tokens) OVER (
                          PARTITION BY d.source
-                         ORDER BY md5('0:' || epp.efull::VARCHAR || ':'
+                         ORDER BY md5('1:0:' || epp.efull::VARCHAR || ':v'
                                       || d.doc_id::VARCHAR), d.doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0) AS prec

@@ -287,6 +287,17 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             f"bp_action must be 'strip' or 'drop', got {cfg.bp_action!r}"
         )
     stream = _cfg_stream(spark, cfg, schema)
+    # fail at stream START, not inside batch 0's foreachBatch, if the
+    # arriving schema already carries a column the fused gate will add
+    # (the stream uses the _q_ metric prefix, plus its _q_keep marker)
+    from lakeflush_spark.pipelines import gate_clash_check
+
+    gate_clash_check(
+        "curate_stream",
+        stream.columns,
+        metrics_prefix="_q_",
+        extra=("_q_keep",),
+    )
     run = _run_tag(cfg.checkpoint_dir)
 
     # the eval-gram frame is STATIC: build (and pin) it once at stream

@@ -602,3 +602,64 @@ def test_unimax_plan_is_materializable(spark):
             assert s not in got
             continue
         assert p <= got[s] < p + 12, (s, got[s], p)
+
+
+def test_epoch_shuffle_key_unambiguous_encoding(spark):
+    """Distinct (seed, epoch, id) triples hash APART even with ':' in
+    the seed/id and NULL or empty ids — the pathological aliases a
+    plain concat_ws(':') would collapse (ADVICE r10)."""
+    from lakeflush_spark.operators.mixing import epoch_shuffle_key
+
+    df = spark.createDataFrame(
+        [(0, "1:2"), (0, "1"), (0, ""), (0, None), (1, "x"), (11, "x")],
+        "epoch long, doc_id string",
+    )
+    # within one seed: every (epoch, id) pair keys uniquely
+    keys = [
+        r.k
+        for r in df.select(
+            epoch_shuffle_key("epoch", "doc_id", "s").alias("k")
+        ).collect()
+    ]
+    assert len(set(keys)) == len(keys)
+    # across seeds engineered to alias under ':'-joining:
+    # seed='a:1' epoch=2 vs seed='a' with id carrying the rest
+    a = spark.createDataFrame([(2, "x")], "epoch long, doc_id string")
+    b = spark.createDataFrame([(1, "2:x")], "epoch long, doc_id string")
+    ka = a.select(epoch_shuffle_key("epoch", "doc_id", "a:1").alias("k")).first().k
+    kb = b.select(epoch_shuffle_key("epoch", "doc_id", "a").alias("k")).first().k
+    assert ka != kb
+
+
+def test_materialize_epochs_strict_mode(spark):
+    """strict=True raises on plan/input source mismatch in BOTH
+    directions; strict=False keeps the documented inner-join drop."""
+    import pytest
+
+    from lakeflush_spark.operators.mixing import materialize_epochs, plan_epochs
+
+    df = _epoch_corpus(spark)
+    card = df.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+    plan = plan_epochs(card, 300, key_col="source")
+
+    # matched sets: strict passes and equals the default output
+    ok = materialize_epochs(df, plan, strict=True)
+    assert ok.count() == materialize_epochs(df, plan).count()
+
+    # input source with no plan row
+    extra = df.union(
+        spark.createDataFrame(
+            [(9999, "ghost", 5)], "doc_id long, source string, n_tokens long"
+        )
+    )
+    with pytest.raises(ValueError, match="ghost"):
+        materialize_epochs(extra, plan, strict=True)
+    # default: silently dropped (documented), row count unchanged
+    assert (
+        materialize_epochs(extra, plan).where(F.col("source") == "ghost").count()
+        == 0
+    )
+
+    # plan key absent from the input
+    with pytest.raises(ValueError, match="absent from input"):
+        materialize_epochs(df.where(F.col("source") != "a"), plan, strict=True)

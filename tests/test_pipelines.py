@@ -513,3 +513,42 @@ def test_quality_gate_inline_direct(spark):
     # batch pipeline guard: clear error on metric-column clash
     with pytest.raises(ValueError, match="metric column"):
         curate_documents(spark, pre, CurationConfig(min_tokens=1))
+
+
+def test_gate_clash_guard_covers_internal_columns(spark):
+    """The clash guard rejects frames already carrying the gate's
+    INTERNAL columns (_c4_clean, GATE_COLS), not just the metric
+    names — the aborted-run re-processing failure mode (ADVICE r10)."""
+    import pytest
+
+    from lakeflush_spark.pipelines import (
+        CurationConfig,
+        curate_documents,
+        gate_clash_check,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    for bad in ("_c4_clean", "_q_gf", "_q_cf", "_q_mf", "_q_clf"):
+        with pytest.raises(ValueError, match="gate/metric"):
+            curate_documents(
+                spark,
+                df.withColumn(bad, F.lit("x")),
+                CurationConfig(min_tokens=1),
+            )
+    # the stream variant reserves the _q_-prefixed metrics + _q_keep
+    with pytest.raises(ValueError, match="_q_n_tokens"):
+        gate_clash_check(
+            "curate_stream", ["text", "_q_n_tokens"], metrics_prefix="_q_"
+        )
+    with pytest.raises(ValueError, match="_q_keep"):
+        gate_clash_check(
+            "curate_stream",
+            ["text", "_q_keep"],
+            metrics_prefix="_q_",
+            extra=("_q_keep",),
+        )
+    # clean frames pass
+    gate_clash_check("curate_documents", ["doc_id", "text", "n_tok"])

@@ -105,8 +105,9 @@ def test_flags_match_oracle_arithmetic(spark):
 
         # word-based counters split on WHITESPACE RUNS (the Gopher
         # paper's word notion — functions/text.words), bit 2 is STRICT
-        # > 0.1 per Rae et al. A1.1
-        ws = re.split(r"[ \t\n\r]+", text)
+        # > 0.1 per Rae et al. A1.1; boundary empties dropped like
+        # Python str.split()
+        ws = [w for w in re.split(r"[ \t\n\r]+", text) if w]
         n = len(ws)
         total = sum(len(t) for t in ws)
         sym = text.count("#") + _nonoverlap(text, "...")

@@ -247,8 +247,9 @@ def _gopher_model(text: str) -> int:
     from lakeflush_spark.functions.text import GOPHER_STOPWORDS
 
     # word counters: WHITESPACE-RUN split (functions/text.words — the
-    # Gopher paper's word notion); bit 2 strict > per Rae et al. A1.1
-    ws = re.split(r"[ \t\n\r]+", text)
+    # Gopher paper's word notion); bit 2 strict > per Rae et al. A1.1;
+    # boundary empties dropped like Python str.split()
+    ws = [w for w in re.split(r"[ \t\n\r]+", text) if w]
     n = len(ws)
     total = sum(len(t) for t in ws)
     sym = text.count("#") + _count_nonoverlap(text, "...")
@@ -626,3 +627,33 @@ def test_fused_panel_property_matches_legacy(spark, docs):
     frows = {r.doc_id: r.asDict() for r in fused.collect()}
     for i, want in lrows.items():
         assert frows[i] == want, f"doc {docs[i]!r}: {frows[i]} != {want}"
+
+
+def test_words_drops_boundary_empties(spark):
+    """words() matches Python str.split(): a trailing newline or
+    leading spaces must not add phantom empty-string words that skew
+    the Gopher word counters (ADVICE r10)."""
+    from lakeflush_spark.functions.text import word_count, words
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three\n"),
+            (2, "  lead and trail  "),
+            (3, ""),
+            (4, "\n\t \n"),
+            (5, "solo"),
+        ],
+        "i long, text string",
+    )
+    got = {
+        r.i: (r.n, r.ws)
+        for r in df.select(
+            "i",
+            word_count("text").alias("n"),
+            words("text").alias("ws"),
+        ).collect()
+    }
+    for i, text in [(1, "one two three\n"), (2, "  lead and trail  "),
+                    (3, ""), (4, "\n\t \n"), (5, "solo")]:
+        assert got[i][0] == len(text.split()), (i, got[i])
+        assert got[i][1] == text.split(), (i, got[i])

@@ -888,6 +888,15 @@ def main() -> int:
         "curation": curation,
         "wall_sec": round(time.time() - t_all, 1),
     }
+    # Self-contained artifact: the driver captures only a stdout TAIL,
+    # which truncated the (now labels-bearing) JSON line mid-q04 in
+    # r10 — write the full result object to its own file so the record
+    # never depends on stdout archaeology.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH.out.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
     print(json.dumps(result))
     return 0
 

@@ -610,23 +610,45 @@ def select_training_mix(
     seed: str = "0",
     shards: int = 64,
     epoch_col: str = "epoch",
+    strategy: str = "proportional",
 ) -> tuple[DataFrame, DataFrame]:
     """One-call data-constrained mix selection: build the per-source
     card from ``df`` itself, plan epochs under the repetition cap, and
     materialize the selection — returns ``(selected, plan)`` where
     ``selected`` carries ``df``'s columns plus ``epoch_col`` (order it
     by ``epoch_shuffle_key(epoch_col, id_col, seed)`` for the global
-    shuffle) and ``plan`` is the ``plan_epochs`` frame (feed it to
-    ``epoch_shortfall`` for the go-find-more-data report).
+    shuffle) and ``plan`` is the ``plan_epochs``-shaped frame (feed it
+    to ``epoch_shortfall`` for the go-find-more-data report).
 
-    Composition sugar over ``plan_epochs`` → ``materialize_epochs`` —
-    same determinism and scale shape (the card aggregation is the only
-    extra cost: one map-side-combined groupBy of |sources| rows).
+    ``strategy`` picks the allocator: ``'proportional'`` scales every
+    source by the same factor under the cap (``plan_epochs``);
+    ``'unimax'`` distributes the budget as uniformly as the caps allow
+    (``unimax_allocations`` — Chung et al. 2023), the fairer choice
+    when low-resource sources must not be starved. UniMax's greedy is
+    integer-exact, so its ``max_epochs`` must be a whole number.
+
+    Composition sugar over ``plan_epochs``/``unimax_allocations`` →
+    ``materialize_epochs`` — same determinism and scale shape (the
+    card aggregation is the only extra cost: one map-side-combined
+    groupBy of |sources| rows).
     """
     card = df.groupBy(F.col(source_col).alias("source")).agg(
         F.sum(token_col).cast("bigint").alias("n_tokens")
     )
-    plan = plan_epochs(card, target_tokens, max_epochs=max_epochs)
+    if strategy == "proportional":
+        plan = plan_epochs(card, target_tokens, max_epochs=max_epochs)
+    elif strategy == "unimax":
+        if max_epochs != int(max_epochs):
+            raise ValueError(
+                "select_training_mix(strategy='unimax'): max_epochs must "
+                f"be a whole number (integer-exact greedy), got {max_epochs}"
+            )
+        plan = unimax_allocations(card, target_tokens, int(max_epochs))
+    else:
+        raise ValueError(
+            "select_training_mix: strategy must be 'proportional' or "
+            f"'unimax', got {strategy!r}"
+        )
     selected = materialize_epochs(
         df,
         plan,

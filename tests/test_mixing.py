@@ -663,3 +663,43 @@ def test_materialize_epochs_strict_mode(spark):
     # plan key absent from the input
     with pytest.raises(ValueError, match="absent from input"):
         materialize_epochs(df.where(F.col("source") != "a"), plan, strict=True)
+
+
+def test_select_training_mix_unimax_strategy(spark):
+    """strategy='unimax' routes the one-call path through the greedy:
+    delivered tokens per source match unimax_allocations within one
+    doc, and invalid strategies / fractional caps raise."""
+    import pytest
+
+    from lakeflush_spark.operators.mixing import (
+        select_training_mix,
+        unimax_allocations,
+    )
+
+    df = _epoch_corpus(spark)
+    card = df.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+    want = {
+        r.key: r.planned_tokens
+        for r in unimax_allocations(card, 500, max_epochs=2).collect()
+    }
+    selected, plan = select_training_mix(
+        df, 500, max_epochs=2, strategy="unimax"
+    )
+    assert {r.key: r.planned_tokens for r in plan.collect()} == want
+    got = {
+        r.source: r.t
+        for r in selected.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    max_doc = 11  # _epoch_corpus token range 5..11
+    for s, p in want.items():
+        if p == 0:
+            assert s not in got
+            continue
+        assert p <= got[s] <= p + max_doc, (s, got[s], p)
+
+    with pytest.raises(ValueError, match="whole number"):
+        select_training_mix(df, 500, max_epochs=2.5, strategy="unimax")
+    with pytest.raises(ValueError, match="strategy"):
+        select_training_mix(df, 500, strategy="fair")

@@ -129,3 +129,29 @@ def local_path(path_str: str) -> str | None:
         if not rest.startswith("/"):
             return None  # non-empty authority: not this machine
     return rest or "/"
+
+
+def local_rows_df(
+    spark: SparkSession, rows: list, schema, slices: int = 1
+) -> DataFrame:
+    """``createDataFrame`` for small DRIVER-SIDE row lists, pre-sized
+    to ``slices`` partitions (default ONE).
+
+    ``SparkSession.createDataFrame(list)`` chops even a one-row list
+    into ``defaultParallelism`` pickled slices; any later
+    ``coalesce(1)`` — or any single-task consumer — then evaluates
+    every slice SERIALLY through its own Python-worker round-trip
+    (~160 ms each; measured ~5 s per call on a local[32] session —
+    this was the curation stream's per-batch stats-write tax and the
+    metastore's per-put tax). An explicit one-slice ``parallelize``
+    makes the local frame ONE python partition: one round-trip, one
+    output file, and ``coalesce(1)`` downstream is a no-op.
+
+    Falls back to plain ``createDataFrame`` where no SparkContext is
+    exposed (Spark Connect).
+    """
+    try:
+        sc = spark.sparkContext
+    except Exception:  # Spark Connect: no local RDD path
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(sc.parallelize(rows, max(1, slices)), schema)

@@ -60,7 +60,13 @@ class ParquetMetastore:
             return self.spark.createDataFrame([], _SCHEMA)
 
     def _append(self, rows: list[tuple]) -> None:
-        self.spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode("append").parquet(
+        # one-slice local frame (io.local_rows_df): a plain
+        # createDataFrame().coalesce(1) evaluates defaultParallelism
+        # pickled slices serially through python workers — a measured
+        # ~5 s tax PER PUT on local[32]
+        from lakeflush_spark.io import local_rows_df
+
+        local_rows_df(self.spark, rows, _SCHEMA).write.mode("append").parquet(
             self.path
         )
 

@@ -319,29 +319,19 @@ def _c4_flags_from_lines(ls: Column, raw: Column) -> Column:
     return _c4_flags_from(clean, raw)
 
 
-def _mt_flags_from(
-    raw: Column,
-    tk: Column,
-    ls: Column,
-    ps: Column,
-    cov2: Column,
-    cov3: Column,
-    cov4: Column,
-    full_table: bool = False,
-) -> Column:
-    """``massivetext_repetition_flags`` over BOUND arrays and PRE-BUILT
-    top-k-gram coverages (fused-panel core — the covs are shared with
-    the top2/3/4_char_ratio columns instead of recomputed)."""
+def _mt_unit_bits_from(ls: Column, ps: Column) -> Column:
+    """The CHEAP half of ``massivetext_repetition_flags`` — bits 0-3
+    (duplicate line/paragraph fractions and char fractions) over bound
+    line/paragraph arrays. No gram arrays, no coverage folds: one
+    dup-count + char-sum fold per unit array. Combined with
+    :func:`_mt_cov_bits_from` the sum is exactly ``_mt_flags_from``;
+    splitting lets the staged curation gate test these bits BEFORE
+    paying the coverage folds (pipelines.quality_gate_stages)."""
     from lakeflush_spark.functions.text import (
-        bind,
-        dup_kgram_cov_from,
         dup_unit_char_count,
         dup_unit_count,
-        grams_from,
         unit_char_total,
     )
-
-    nch = F.length(raw).cast("bigint")
 
     def unit_bits(us: Column, frac_bit: int, char_bit: int) -> Column:
         n = F.size(us).cast("bigint")
@@ -349,10 +339,27 @@ def _mt_flags_from(
             char_bit, 5 * dup_unit_char_count(us) > unit_char_total(us)
         )
 
+    return unit_bits(ls, 0, 2) + unit_bits(ps, 1, 3)
+
+
+def _mt_cov_bits_from(
+    raw: Column,
+    tk: Column,
+    cov2: Column,
+    cov3: Column,
+    cov4: Column,
+    full_table: bool = False,
+) -> Column:
+    """The EXPENSIVE half of ``massivetext_repetition_flags`` — bits
+    4-6 (top 2/3/4-gram char fractions, from PRE-BUILT coverages) and,
+    with ``full_table``, bits 7-12 (dup 5..10-gram positional-union
+    char fractions — a per-doc gram pass each). The staged gate
+    evaluates this only on documents that survived every cheap rule."""
+    from lakeflush_spark.functions.text import bind, dup_kgram_cov_from, grams_from
+
+    nch = F.length(raw).cast("bigint")
     flags = (
-        unit_bits(ls, 0, 2)
-        + unit_bits(ps, 1, 3)
-        + _bit(4, 5 * cov2 > nch)
+        _bit(4, 5 * cov2 > nch)
         + _bit(5, 50 * cov3 > 9 * nch)
         + _bit(6, 25 * cov4 > 4 * nch)
     )
@@ -369,6 +376,26 @@ def _mt_flags_from(
         for i, (k, pct) in enumerate(sorted(MT_DUP_KGRAM_PCT.items())):
             flags = flags + _bit(7 + i, 100 * cov_for(k) > pct * nch)
     return flags
+
+
+def _mt_flags_from(
+    raw: Column,
+    tk: Column,
+    ls: Column,
+    ps: Column,
+    cov2: Column,
+    cov3: Column,
+    cov4: Column,
+    full_table: bool = False,
+) -> Column:
+    """``massivetext_repetition_flags`` over BOUND arrays and PRE-BUILT
+    top-k-gram coverages (fused-panel core — the covs are shared with
+    the top2/3/4_char_ratio columns instead of recomputed). Sum of the
+    cheap unit bits and the coverage bits — the staged gate tests the
+    two halves separately (same bitmask by construction)."""
+    return _mt_unit_bits_from(ls, ps) + _mt_cov_bits_from(
+        raw, tk, cov2, cov3, cov4, full_table=full_table
+    )
 
 
 def quality_views_inline(build, text_col: str = "text", covs: bool = True):
@@ -449,6 +476,14 @@ def _mt_flags_from_views(v: dict, full_table: bool = False) -> Column:
     )
 
 
+#: memoized text_quality_profile generator Columns, keyed by
+#: (text_col, full_table) for string column names (r11, VERDICT r10
+#: #5): the generator is a large pure expression tree — py4j assembly
+#: measured ~2 s per build — and an unresolved Column is valid for any
+#: frame in the same JVM, so repeat builds (bench warmup/timed/label
+#: passes, interactive reuse) reuse the first tree
+_PROFILE_GEN_MEMO: dict = {}
+
 #: the columns text_quality_profile appends
 PROFILE_COLUMNS: tuple[str, ...] = (
     "n_tokens", "n_bpe_tokens", "n_chars", "avg_tok_len",
@@ -520,6 +555,9 @@ def text_quality_profile(
             "text_quality_profile: input already has profile column(s) "
             f"{sorted(clash)} — drop or rename them first"
         )
+    memo_key = (tc, full_table) if isinstance(tc, str) else None
+    if memo_key is not None and memo_key in _PROFILE_GEN_MEMO:
+        return docs.select("*", F.inline(_PROFILE_GEN_MEMO[memo_key]))
     src = F.struct(
         (F.col(tc) if isinstance(tc, str) else tc).alias("raw"),
         tokens(tc).alias("tk"),
@@ -584,4 +622,7 @@ def text_quality_profile(
 
         return bind(gsrc, with_grams)
 
-    return docs.select("*", F.inline(F.transform(F.array(src), panel)))
+    gen = F.transform(F.array(src), panel)
+    if memo_key is not None:
+        _PROFILE_GEN_MEMO[memo_key] = gen
+    return docs.select("*", F.inline(gen))

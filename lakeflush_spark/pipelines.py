@@ -242,6 +242,15 @@ def quality_gate_inline(
     ]
     need_covs = mt or bool(_COV_FEATURES & set(clf_active))
 
+    def clf_field(v: dict) -> "F.Column":
+        z = F.lit(float(clf_weights.get(INTERCEPT_KEY, 0.0)))
+        for c in clf_active:
+            z = z + F.lit(float(clf_weights[c])) * _scaled(
+                c, _view_feature_exprs(v, c)
+            )
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        return (score >= clf_threshold).alias("_q_clf")
+
     def build(v: dict) -> "F.Column":
         fields = [
             F.size(v["tk"]).cast("bigint").alias(f"{metrics_prefix}n_tokens"),
@@ -261,6 +270,137 @@ def quality_gate_inline(
                 _mt_flags_from_views(v, full_table=mt_full).alias("_q_mf")
             )
         if clf_weights is not None:
+            fields.append(clf_field(v))
+        return F.struct(*fields)
+
+    return quality_views_inline(build, text_col, covs=need_covs)
+
+
+def quality_gate_stages(
+    text_col: str,
+    *,
+    c4: bool = False,
+    gopher: bool = False,
+    mt: bool = False,
+    mt_full: bool = False,
+    clf_weights: "dict[str, float] | None" = None,
+    clf_threshold: float = 0.5,
+    metrics_prefix: str = "",
+):
+    """STAGED (short-circuit) form of the curation quality gate —
+    returns ``(stage1_cols, stage2_gen, clf_in_stage2)``.
+
+    Stage 1 is every CHEAP rule — the metric columns, the Gopher and
+    C4 bitmasks, the MT duplicate-line/paragraph bits (``_q_mf`` —
+    bits 0-3 only), and the classifier when none of its nonzero
+    weights reads a gram coverage — as a list of DIRECT column
+    expressions (attach with ``df.select("*", *stage1_cols)``), NOT a
+    fused generator: the r11 A/B measured the ``inline()`` generator
+    4x slower per row than direct expressions on this cheap field set
+    (the interpreted array<struct> boxing costs more than the token
+    re-splits it saves), and in the stream its fat subtree re-entered
+    every per-batch action's plan analysis. Direct expressions restore
+    the pre-fusion fast path and stay codegen-eligible. Stage 2 (None
+    when nothing expensive is enabled) holds the coverage-dependent
+    rules: the MT top-k-gram bits as ``_q_mf2`` (bits 4-6, plus the
+    full 13-rule table's dup-k-gram bits) and the classifier when it
+    needs coverage features (``clf_in_stage2`` tells the caller which
+    stage scored it) — THERE the fused generator stays, because the
+    gram arrays and coverage folds dominate per-row cost and are
+    shared across the MT bits and classifier features.
+
+    Filtering on stage 1 BEFORE attaching stage 2 means the coverage
+    folds — the dominant per-doc curation compute at 100 TB — run only
+    on documents that survived every cheap rule; most dropped docs
+    fail a cheap rule, so the saving is roughly (1 - survivor
+    fraction) of the expensive panel. The kept set is IDENTICAL to the
+    single-pass gate: the gate is a pure conjunction and the bitmask
+    split is exact (``_q_mf + _q_mf2 == massivetext_repetition_flags``
+    by construction — operators/quality._mt_unit_bits_from /
+    _mt_cov_bits_from). The stage-1 Filter sits below the stage-2
+    Generate, and Catalyst cannot (and must not) reorder a generator
+    above a filter on columns the generator doesn't produce.
+    """
+    from lakeflush_spark.functions.text import (
+        bind,
+        c4_clean,
+        doc_lines,
+        doc_paragraphs,
+        lang_id,
+        stopword_ratio,
+        token_count,
+    )
+    from lakeflush_spark.operators.quality import (
+        _c4_flags_from,
+        _mt_cov_bits_from,
+        _mt_unit_bits_from,
+        gopher_flags,
+        quality_views_inline,
+    )
+    from lakeflush_spark.operators.quality_classifier import (
+        _COV_FEATURES,
+        _scaled,
+        _view_feature_exprs,
+        FEATURE_COLS,
+        INTERCEPT_KEY,
+        quality_score_from_text,
+    )
+
+    clf_active = [
+        c
+        for c in FEATURE_COLS
+        if clf_weights and float(clf_weights.get(c, 0.0)) != 0.0
+    ]
+    clf_in_stage2 = clf_weights is not None and bool(
+        _COV_FEATURES & set(clf_active)
+    )
+
+    raw = F.col(text_col) if isinstance(text_col, str) else text_col
+    cols1 = [
+        token_count(text_col).alias(f"{metrics_prefix}n_tokens"),
+        stopword_ratio(text_col).alias(f"{metrics_prefix}stop_ratio"),
+        lang_id(text_col).alias(f"{metrics_prefix}lang_pred"),
+    ]
+    if c4:
+        # the shared clean expression feeds BOTH the flags bit and the
+        # survivor rewrite (single source of truth; Catalyst inlines it
+        # through filter pushdown — the documented pre-fusion floor)
+        clean = c4_clean(text_col)
+        cols1.append(clean.alias("_c4_clean"))
+        cols1.append(_c4_flags_from(clean, raw).alias("_q_cf"))
+    if gopher:
+        cols1.append(gopher_flags(text_col).alias("_q_gf"))
+    if mt:
+        cols1.append(
+            bind(
+                doc_lines(text_col),
+                lambda ls: bind(
+                    doc_paragraphs(text_col),
+                    lambda ps: _mt_unit_bits_from(ls, ps),
+                ),
+            ).alias("_q_mf")
+        )
+    if clf_weights is not None and not clf_in_stage2:
+        cols1.append(
+            (
+                quality_score_from_text(clf_weights, text_col)
+                >= clf_threshold
+            ).alias("_q_clf")
+        )
+
+    if not mt and not clf_in_stage2:
+        return cols1, None, False
+
+    def build2(v: dict) -> "F.Column":
+        fields = []
+        if mt:
+            fields.append(
+                _mt_cov_bits_from(
+                    v["raw"], v["tk"], v["c2"], v["c3"], v["c4"],
+                    full_table=mt_full,
+                ).alias("_q_mf2")
+            )
+        if clf_in_stage2:
             z = F.lit(float(clf_weights.get(INTERCEPT_KEY, 0.0)))
             for c in clf_active:
                 z = z + F.lit(float(clf_weights[c])) * _scaled(
@@ -270,11 +410,24 @@ def quality_gate_inline(
             fields.append((score >= clf_threshold).alias("_q_clf"))
         return F.struct(*fields)
 
-    return quality_views_inline(build, text_col, covs=need_covs)
+    return cols1, quality_views_inline(build2, text_col, covs=True), clf_in_stage2
 
 
-#: gate-internal columns quality_gate_inline may add — drop post-filter
-GATE_COLS = ("_q_gf", "_q_cf", "_q_mf", "_q_clf")
+def stage2_keep_condition(mt: bool, clf_in_stage2: bool) -> "F.Column":
+    """The stage-2 keep predicate matching
+    :func:`quality_gate_stages`'s second generator — shared by batch
+    and stream so the staged gates cannot drift."""
+    keep = F.lit(True)
+    if mt:
+        keep = keep & (F.col("_q_mf2") == 0)
+    if clf_in_stage2:
+        keep = keep & F.col("_q_clf")
+    return keep
+
+
+#: gate-internal columns quality_gate_inline / quality_gate_stages may
+#: add — drop post-filter (_q_mf2 is the staged gate's coverage bits)
+GATE_COLS = ("_q_gf", "_q_cf", "_q_mf", "_q_mf2", "_q_clf")
 
 
 def gate_clash_check(
@@ -445,29 +598,29 @@ def curate_documents(
     drop-set lineages; write it in the same job as the curated corpus.
     """
     tc = cfg.text_col
-    # FUSED gate annotation (r10): metrics + every enabled gate's
-    # bitmask/score from ONE generator over shared text views — see
-    # quality_gate_inline. The single _c4_clean source-of-truth
-    # property is preserved: the flags bit and the survivor rewrite
-    # both read the generator's clean field.
+    # STAGED gate annotation (r11): every CHEAP rule (metrics,
+    # gopher/c4 bitmasks, MT unit bits, a coverage-free classifier) is
+    # a direct column expression and filters FIRST; only survivors pay
+    # the coverage-dependent stage-2 fused generator (MT top-k-gram
+    # bits, a coverage-reading classifier).
+    # Kept set identical to the single-pass gate (pure conjunction,
+    # exact bitmask split — see quality_gate_stages). The single
+    # _c4_clean source-of-truth property is preserved: the flags bit
+    # and the survivor rewrite both read the stage-1 clean field.
     # e.g. re-curating a frame this pipeline already annotated (or an
     # aborted run that kept _c4_clean / a gate bitmask) — fail with
     # guidance instead of a downstream AMBIGUOUS_REFERENCE
     gate_clash_check("curate_documents", docs.columns)
-    annotated = docs.select(
-        "*",
-        F.inline(
-            quality_gate_inline(
-                tc,
-                c4=cfg.c4_rules,
-                gopher=cfg.gopher_rules,
-                mt=cfg.mt_repetition_rules,
-                mt_full=cfg.mt_full_table,
-                clf_weights=cfg.classifier_weights,
-                clf_threshold=cfg.classifier_threshold,
-            )
-        ),
+    cols1, gen2, clf_in_stage2 = quality_gate_stages(
+        tc,
+        c4=cfg.c4_rules,
+        gopher=cfg.gopher_rules,
+        mt=cfg.mt_repetition_rules,
+        mt_full=cfg.mt_full_table,
+        clf_weights=cfg.classifier_weights,
+        clf_threshold=cfg.classifier_threshold,
     )
+    annotated = docs.select("*", *cols1)
 
     keep = quality_keep_condition(
         F.col("n_tokens"),
@@ -479,12 +632,22 @@ def curate_documents(
         cfg.allowed_langs,
         gopher_flags_col=F.col("_q_gf") if cfg.gopher_rules else None,
         c4_flags_col=F.col("_q_cf") if cfg.c4_rules else None,
-        mt_rep_flags_col=F.col("_q_mf") if cfg.mt_repetition_rules else None,
+        mt_rep_flags_col=(
+            F.col("_q_mf") if cfg.mt_repetition_rules else None
+        ),
         classifier_pass_col=(
-            F.col("_q_clf") if cfg.classifier_weights is not None else None
+            F.col("_q_clf")
+            if cfg.classifier_weights is not None and not clf_in_stage2
+            else None
         ),
     )
-    filtered = annotated.where(keep).drop(*GATE_COLS)
+    stage2 = keep2 = None
+    if gen2 is None:
+        filtered = annotated.where(keep).drop(*GATE_COLS)
+    else:
+        stage2 = annotated.where(keep).select("*", F.inline(gen2))
+        keep2 = stage2_keep_condition(cfg.mt_repetition_rules, clf_in_stage2)
+        filtered = stage2.where(keep2).drop(*GATE_COLS)
     if cfg.c4_rules:
         # survivors carry the C4 line-cleaned text into every dedup
         # stage (shingles/digests key on the cleaned form); the
@@ -504,10 +667,13 @@ def curate_documents(
             ids.select(F.col(cfg.id_col), F.lit(stage).alias("stage"))
         )
 
-    # NULL keep (e.g. NULL text) is dropped by where(keep) — mark it
+    # NULL keep (e.g. NULL text) is dropped by where(keep) — mark it;
+    # staged runs also mark stage-2 failures (coverage rules)
     _mark(
         annotated.where(~F.coalesce(keep, F.lit(False))), "quality"
     )
+    if stage2 is not None:
+        _mark(stage2.where(~F.coalesce(keep2, F.lit(False))), "quality")
 
     # Exact dedup: digests-only shuffle with a deterministic min-id
     # winner (operators/dedup.exact_dedup_by_hash) — document bodies
@@ -552,12 +718,23 @@ def curate_documents(
     _mark(losers, "near_dup")
     curated = exact.join(losers, cfg.id_col, "left_anti")
 
-    # Stage counts: input/filter/exact from ONE aggregation pass over
-    # flags; the near-dup stage needs its own count (post-join).
+    # Stage counts: input/filter from ONE aggregation pass over flags
+    # (cheap stage-1 panel only); a staged run pays one more agg over
+    # the stage-2 frame — the coverage panel there runs on stage-1
+    # survivors only, which is the point of staging. The near-dup
+    # stage needs its own count (post-join).
     agg = annotated.select(
         F.count(F.lit(1)).alias("n_in"),
         F.sum(keep.cast("long")).alias("n_filt"),
     ).first()
+    n_filt = int(agg.n_filt or 0)
+    if stage2 is not None:
+        n_filt = int(
+            stage2.select(
+                F.sum(keep2.cast("long")).alias("n_filt")
+            ).first().n_filt
+            or 0
+        )
     n_exact = exact.count()
     # the LM and SemDedup stages each traverse `curated` several times
     # (LM train + score + quantile cut; centroid draw + assignment +
@@ -701,7 +878,7 @@ def curate_documents(
             int(hb.n_rows_over_cap),
         )
     stats = CurationStats(
-        int(agg.n_in), int(agg.n_filt), n_exact, n_near, n_final,
+        int(agg.n_in), n_filt, n_exact, n_near, n_final,
         near_dup_hot_buckets=hot_b,
         near_dup_hot_rows_in=hot_in,
         near_dup_rows_over_cap=hot_over,

@@ -61,6 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 from lakeflush_spark.operators.decontaminate import ngram_hash_set
 from lakeflush_spark.operators.dedup import content_digest, with_minhash
 from lakeflush_spark.streaming.dedup import (
+    _STORE_ROWS_PER_FILE,
     _bands_long,
     _cfg_stream,
     _read_store,
@@ -330,7 +331,28 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 frame.unpersist()
         raise
 
-    def _writer(df: DataFrame, dest: str, parts: tuple = ("run", "batch")):
+    def _writer(
+        df: DataFrame,
+        dest: str,
+        parts: tuple = ("run", "batch"),
+        nrows: int | None = None,
+    ):
+        # size output FILES to the data, not to the batch's task count
+        # (r11): every store write otherwise inherits the micro-batch's
+        # partitioning and emits one near-empty parquet file per task
+        # per (run, batch) — measured as the dominant per-batch cost
+        # (the 'writes' phase: 5 stores × 32 tiny files × commit
+        # renames ≈ 10-12 s/batch at sf0.1), and the classic streaming
+        # small-file sin: every later history read and dest scan pays
+        # the file count forever. When the caller knows the row count
+        # (already counted for stats — no extra job), coalesce to
+        # ceil(nrows / _STORE_ROWS_PER_FILE) write tasks; frames are
+        # pinned upstream, so the coalesce merges cached partitions
+        # without losing compute parallelism.
+        if nrows is not None:
+            df = df.coalesce(
+                max(1, -(-int(nrows) // _STORE_ROWS_PER_FILE))
+            )
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -340,38 +362,57 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        # 1. quality filters (map-only) — THE shared FUSED gate from
-        # the batch pipeline (pipelines.quality_gate_inline): metrics
-        # and every enabled bitmask/score from ONE generator over
-        # shared text views, evaluated ONCE per row into pinned
-        # columns — the old inline expressions each re-split the text
-        # per gate and sat outside codegen. Stream metric columns use
-        # the _q_ prefix so an input batch already carrying
-        # n_tokens/stop_ratio/lang_pred composes without duplicate
-        # names; all gate columns drop before the sink (dest schema
-        # unchanged).
+        # env-gated phase timings (one stderr JSON line per batch):
+        # each mark is the wall delta since the previous ACTION, so the
+        # numbers attribute batch time to gate/dedup/semantic/write
+        # phases without guessing from triggerExecution
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        _dbg = _os.environ.get("LAKEFLUSH_STREAM_PHASES") == "1"
+        _tprev = _time.monotonic()
+        _phases: dict = {}
+
+        def _mark(name: str) -> None:
+            nonlocal _tprev
+            if _dbg:
+                now = _time.monotonic()
+                _phases[name] = round(now - _tprev, 2)
+                _tprev = now
+        # 1. quality filters (map-only) — THE shared STAGED gate from
+        # the batch pipeline (pipelines.quality_gate_stages): every
+        # cheap rule (metrics, gopher/c4 bitmasks, MT unit bits, a
+        # coverage-free classifier) as DIRECT column expressions —
+        # codegen-eligible, no generator subtree fattening each
+        # per-batch action's plan (the r10 fused gate cost this stream
+        # 20-38% throughput; measured in the r11 interleaved A/B) —
+        # filtering first; only survivors pay the coverage-dependent
+        # stage-2 fused generator. Kept set identical to the
+        # single-pass gate (pure conjunction, exact bitmask split).
+        # Stream metric columns use the _q_ prefix so an input batch
+        # already carrying n_tokens/stop_ratio/lang_pred composes
+        # without duplicate names; all gate columns drop before the
+        # sink (dest schema unchanged).
         from lakeflush_spark.pipelines import (
             GATE_COLS,
-            quality_gate_inline,
+            quality_gate_stages,
             quality_keep_condition,
+            stage2_keep_condition,
         )
 
         input_cols = list(batch_df.columns)  # dest schema (pre-helper)
-        batch_df = batch_df.select(
-            "*",
-            F.inline(
-                quality_gate_inline(
-                    cfg.text_col,
-                    c4=cfg.c4_rules,
-                    gopher=cfg.gopher_rules,
-                    mt=cfg.mt_repetition_rules,
-                    mt_full=cfg.mt_full_table,
-                    clf_weights=cfg.classifier_weights,
-                    clf_threshold=cfg.classifier_threshold,
-                    metrics_prefix="_q_",
-                )
-            ),
+        cols1, gen2, clf_in_stage2 = quality_gate_stages(
+            cfg.text_col,
+            c4=cfg.c4_rules,
+            gopher=cfg.gopher_rules,
+            mt=cfg.mt_repetition_rules,
+            mt_full=cfg.mt_full_table,
+            clf_weights=cfg.classifier_weights,
+            clf_threshold=cfg.classifier_threshold,
+            metrics_prefix="_q_",
         )
+        batch_df = batch_df.select("*", *cols1)
         cond = quality_keep_condition(
             F.col("_q_n_tokens"),
             F.col("_q_stop_ratio"),
@@ -387,7 +428,7 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             ),
             classifier_pass_col=(
                 F.col("_q_clf")
-                if cfg.classifier_weights is not None
+                if cfg.classifier_weights is not None and not clf_in_stage2
                 else None
             ),
         )
@@ -410,11 +451,27 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 F.count(F.when(F.col("_q_keep"), 1)).alias("n_kept"),
             ).first()
             n_in, n_q_kept = int(counts.n_in), int(counts.n_kept)
-            n_filtered_in = n_q_kept
+            _mark("gate")
             kept = src.where(F.col("_q_keep")).drop(
                 "_q_keep", "_q_n_tokens", "_q_stop_ratio", "_q_lang_pred",
                 *GATE_COLS,
             )
+            if gen2 is not None:
+                # stage 2: coverage-dependent rules on stage-1
+                # survivors only (read from the pinned batch) — BEFORE
+                # the c4 rewrite, matching the batch pipeline (the
+                # single-pass gate also read the pre-rewrite text)
+                kept = _pin(
+                    kept.select("*", F.inline(gen2))
+                    .where(
+                        stage2_keep_condition(
+                            cfg.mt_repetition_rules, clf_in_stage2
+                        )
+                    )
+                    .drop(*GATE_COLS)
+                )
+                n_q_kept = kept.count()
+            n_filtered_in = n_q_kept
             if cfg.c4_rules:
                 # batch-pipeline parity: survivors carry the C4
                 # line-cleaned text into every dedup stage
@@ -480,8 +537,16 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                         "_dp", F.lpad(F.col("_dp").cast("string"), 2, "0")
                     )
                 seen = seen.where(F.col("_dp").isin(prefixes))
-            fresh = _pin(against_history_exact(fresh, seen))
+            # localCheckpoint (not _pin) for the same reason as `out`
+            # below: everything downstream — minhash/bands, the
+            # semantic stage, the boilerplate stage, decontam — plans
+            # on top of this frame, and truncating the gate+history
+            # lineage here keeps every later action's Catalyst/AQE
+            # pass milliseconds instead of seconds. Eager: doubles as
+            # the materialization the old pin+count pair did.
+            fresh = against_history_exact(fresh, seen).localCheckpoint()
             n_exact = fresh.count()
+            _mark("exact")
 
             # 3. near-dup vs the band/signature store; the id-only drop
             # set (bounded by batch size) feeds the anti-join AND stats
@@ -505,6 +570,7 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 )
             )
             nd_count = nd_dropped.count()
+            _mark("neardup")
             # cap observability (r6): what the hot-bucket cap trimmed
             # THIS batch (None columns when no cap is configured)
             n_hot = n_hot_over = None
@@ -564,14 +630,15 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     sp, cfg.sem_cent_dir, n_cells, sem_vecs
                 )
                 if sem_cents is not None:
-                    sem_indexed = _pin(
-                        assign_cells(
-                            sem_vecs,
-                            sem_cents,
-                            cfg.sem_coarse_cells,
-                            cfg.sem_coarse_probe,
-                        )
-                    )
+                    # localCheckpoint: consumed by the verify join,
+                    # the drop count, AND the store write — see the
+                    # `fresh`/`out` lineage-cut notes
+                    sem_indexed = assign_cells(
+                        sem_vecs,
+                        sem_cents,
+                        cfg.sem_coarse_cells,
+                        cfg.sem_coarse_probe,
+                    ).localCheckpoint()
                     sem_hist = _read_store(sp, cfg.sem_vec_dir, batch_id, run)
                     sem_hist_cells = (
                         pruned_history(
@@ -594,6 +661,7 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                         )
                     )
                     n_sem = sem_dropped.count()
+                    _mark("semantic")
                     sigged = sigged.join(
                         F.broadcast(
                             sem_dropped.withColumnRenamed("vid", cfg.id_col)
@@ -704,17 +772,29 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 )
 
             # `_sh` (the shingle array, roughly body-sized) is read by
-            # no downstream consumer — drop it before pinning
-            out = _pin(
+            # no downstream consumer — drop it before materializing.
+            # localCheckpoint, NOT persist (r11): `out` fans into FOUR
+            # store writes plus the count, and a persisted frame keeps
+            # its full logical lineage — every one of those actions
+            # re-ran Catalyst+AQE over the entire batch plan (the
+            # ~250-node gate/dedup/semantic tree), measured 2-4.5 s of
+            # DRIVER time per write. The checkpoint truncates lineage
+            # to a Scan ExistingRDD, so each write plans in
+            # milliseconds; blocks are executor-resident and freed on
+            # GC (the pipelines.py localCheckpoint convention).
+            out = (
                 sigged.drop("_sh")
                 .withColumn("run", F.lit(run))
                 .withColumn("batch", F.lit(int(batch_id)))
+                .localCheckpoint()
             )
             n_out = out.count()
+            _mark("out_count")
             body_cols = [c for c in input_cols] + ["run", "batch"]
             if "n_stripped" in out.columns:
                 body_cols.insert(-2, "n_stripped")
-            _writer(out.select(*body_cols), cfg.dest_dir)
+            _writer(out.select(*body_cols), cfg.dest_dir, nrows=n_out)
+            _mark("w_dest")
             if bp_counts is not None:
                 # PERSISTED counts cover only ADMITTED docs' (pre-strip)
                 # passages — the stores-describe-the-corpus principle: a
@@ -743,6 +823,9 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     ),
                     cfg.bp_fp_dir,
                     parts=("run", "batch", *bp_extra),
+                    # fp rows per admitted doc are bounded (anchor
+                    # stride) — n_out is a sizing proxy, not a count
+                    nrows=n_out,
                 )
             if cfg.digest_prefix_partitions:
                 _writer(
@@ -751,15 +834,25 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     ),
                     cfg.digest_dir,
                     parts=("run", "batch", "_dp"),
+                    nrows=n_out,
                 )
             else:
-                _writer(out.select("_digest", "run", "batch"), cfg.digest_dir)
+                _writer(
+                    out.select("_digest", "run", "batch"),
+                    cfg.digest_dir,
+                    nrows=n_out,
+                )
+            _mark("w_digest")
+            from lakeflush_spark.operators.dedup import MINHASH_BANDS
+
             _writer(
                 _bands_long(out, cfg.id_col)
                 .withColumn("run", F.lit(run))
                 .withColumn("batch", F.lit(int(batch_id))),
                 cfg.sig_dir,
+                nrows=n_out * MINHASH_BANDS,
             )
+            _mark("w_sig")
             if sem_indexed is not None:
                 # vector store rows for ADMITTED docs only (out — i.e.
                 # survivors of the semantic AND decontam stages): the
@@ -780,8 +873,14 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     ),
                     cfg.sem_vec_dir,
                     parts=("run", "batch", *sem_extra),
+                    # admitted vectors ⊆ out
+                    nrows=n_out,
                 )
-            stats = sp.createDataFrame(
+                _mark("w_sem")
+            from lakeflush_spark.io import local_rows_df
+
+            stats = local_rows_df(
+                sp,
                 [
                     (
                         run,
@@ -808,7 +907,18 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 "n_sem_dup long, n_boilerplate long, n_contaminated long, "
                 "n_out long, n_hot_buckets long, n_hot_rows_trimmed long",
             )
-            _writer(stats, cfg.stats_dir)
+            _writer(stats, cfg.stats_dir, nrows=1)
+            _mark("w_stats")
+            _mark("writes")
+            if _dbg:
+                import json as _json
+
+                print(
+                    "STREAM_PHASES "
+                    + _json.dumps({"batch": int(batch_id), **_phases}),
+                    file=_sys.stderr,
+                    flush=True,
+                )
         finally:
             for p in reversed(pins):
                 p.unpersist()

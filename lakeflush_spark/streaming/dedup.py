@@ -151,6 +151,28 @@ def _read_store(
 #: writes), text covers raw line lakes
 _SOURCE_FORMATS = ("parquet", "json", "csv", "text")
 
+#: target rows per written store/dest FILE (r11): micro-batch store
+#: writes otherwise inherit the batch's task partitioning and emit one
+#: near-empty parquet file per task per (run, batch) — measured as the
+#: dominant per-batch cost of the composed curation stream (~10-12 s
+#: of an ~18 s batch at sf0.1 went to 5 stores × 32 tiny files ×
+#: commit renames), and the classic streaming small-file sin: every
+#: later history read pays the accumulated file count. Writers
+#: coalesce pinned frames to ceil(nrows / this) tasks — file count
+#: tracks DATA size, so a genuinely large batch still fans out.
+_STORE_ROWS_PER_FILE = 65_536
+
+
+def _sized(df: DataFrame, nrows: int | None) -> DataFrame:
+    """Coalesce a PINNED output frame to ceil(nrows/_STORE_ROWS_PER_FILE)
+    write tasks (see _STORE_ROWS_PER_FILE). Only for frames whose
+    compute is already materialized (persisted/checkpointed): coalesce
+    propagates upstream, so on an unpinned frame it would also shrink
+    the producing computation's parallelism."""
+    if nrows is None:
+        return df
+    return df.coalesce(max(1, -(-int(nrows) // _STORE_ROWS_PER_FILE)))
+
 
 def open_file_stream(
     spark: SparkSession,
@@ -279,13 +301,21 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
                 keyed.unpersist()
 
     def _write_outputs(fresh: DataFrame, batch_id: int) -> None:
-        # persist: consumed by BOTH writes, and the digest write must
-        # see a snapshot computed BEFORE it starts replacing files
-        # under the digest dir it was derived from
+        # localCheckpoint: consumed by BOTH writes, and the digest
+        # write must see a snapshot computed BEFORE it starts
+        # replacing files under the digest dir it was derived from.
+        # Checkpoint rather than persist (r11): a persisted frame
+        # keeps full logical lineage and each write re-runs
+        # Catalyst/AQE over the whole batch plan (seconds of driver
+        # time per write, measured on the curation stream); the
+        # truncated plan writes in milliseconds. Blocks are
+        # executor-resident and freed on GC; a failed batch replays
+        # whole via the streaming checkpoint, so no lineage is needed
+        # for recovery.
         out = (
             fresh.withColumn("run", F.lit(run))
             .withColumn("batch", F.lit(int(batch_id)))
-            .persist()
+            .localCheckpoint()
         )
         store_parts = ["run", "batch"]
         store = out.select("_digest", "run", "batch")
@@ -293,21 +323,26 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
             store = store.withColumn("_dp", F.substring("_digest", 1, 2))
             store_parts = ["run", "batch", "_dp"]
         try:
+            # one cached count sizes both writes (and materializes the
+            # pin before the first write starts replacing files)
+            n_out = out.count()
             (
-                out.drop("_digest")
+                _sized(out.drop("_digest"), n_out)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("run", "batch")
                 .parquet(cfg.dest_dir)
             )
             (
-                store.write.mode("overwrite")
+                _sized(store, n_out)
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*store_parts)
                 .parquet(cfg.digest_dir)
             )
         finally:
-            out.unpersist()
+            # checkpointed blocks free on GC — drop the reference
+            del out
 
     return (
         stream.writeStream.foreachBatch(write_batch)
@@ -622,33 +657,38 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
         # drop the shingle array before persisting: neither the body
         # write nor the sig-store write reads `_sh`, and it is roughly
         # body-sized per doc — dead cache weight otherwise
+        # localCheckpoint, not persist — the _write_outputs rationale
         out = (
             keyed.join(F.broadcast(dropped), cfg.id_col, "left_anti")
             .drop("_sh")
             .withColumn("run", F.lit(run))
             .withColumn("batch", F.lit(int(batch_id)))
-            .persist()
+            .localCheckpoint()
         )
         try:
             body_cols = [c for c in batch_df.columns] + ["run", "batch"]
+            n_out = out.count()
             (
-                out.select(*body_cols)
+                _sized(out.select(*body_cols), n_out)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("run", "batch")
                 .parquet(cfg.dest_dir)
             )
             (
-                _bands_long(out, cfg.id_col)
-                .withColumn("run", F.lit(run))
-                .withColumn("batch", F.lit(int(batch_id)))
+                _sized(
+                    _bands_long(out, cfg.id_col)
+                    .withColumn("run", F.lit(run))
+                    .withColumn("batch", F.lit(int(batch_id))),
+                    n_out * MINHASH_BANDS,
+                )
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("run", "batch")
                 .parquet(cfg.sig_dir)
             )
         finally:
-            out.unpersist()
+            del out
 
     return (
         stream.writeStream.foreachBatch(write_batch)

@@ -54,7 +54,12 @@ from lakeflush_spark.operators.similarity import (
     centroid_frame,
     prepare_vectors,
 )
-from lakeflush_spark.streaming.dedup import _cfg_stream, _read_store, _run_tag
+from lakeflush_spark.streaming.dedup import (
+    _cfg_stream,
+    _read_store,
+    _run_tag,
+    _sized,
+)
 
 
 @dataclass
@@ -520,9 +525,13 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
             and batch_id % cfg.occupancy_check_batches == 0
         ):
             _warn_if_cells_overfull(sp, cfg, cents)
+        # localCheckpoint, not persist — truncating the assignment
+        # lineage keeps the verify join, the drop count, and both
+        # writes from re-planning the whole batch tree (see
+        # streaming/dedup._write_outputs)
         indexed = assign_cells(
             vecs, cents, cfg.assign_coarse_cells, cfg.assign_coarse_probe
-        ).persist()
+        ).localCheckpoint()
         dropped = None
         try:
             hist = _read_store(sp, cfg.vec_dir, batch_id, run)
@@ -551,6 +560,9 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
                 .persist()
             )
             out = indexed.join(F.broadcast(dropped), "vid", "left_anti")
+            # one cached count sizes both writes (file count tracks
+            # data, not task count — streaming/dedup._sized note)
+            n_out = out.count()
             store, extra_parts = store_frame(
                 out, cfg.quantize_store, cfg.cell_partitions
             )
@@ -558,7 +570,8 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
                 "batch", F.lit(int(batch_id))
             )
             (
-                store.write.mode("overwrite")
+                _sized(store, n_out)
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("run", "batch", *extra_parts)
                 .parquet(cfg.vec_dir)
@@ -569,15 +582,19 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
                 "left_anti",
             )
             (
-                survivors.withColumn("run", F.lit(run))
-                .withColumn("batch", F.lit(int(batch_id)))
+                _sized(
+                    survivors.withColumn("run", F.lit(run)).withColumn(
+                        "batch", F.lit(int(batch_id))
+                    ),
+                    n_out,
+                )
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("run", "batch")
                 .parquet(cfg.dest_dir)
             )
         finally:
-            indexed.unpersist()
+            del indexed  # checkpointed blocks free on GC
             if dropped is not None:
                 dropped.unpersist()
 

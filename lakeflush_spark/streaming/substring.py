@@ -65,7 +65,12 @@ from lakeflush_spark.operators.substring_dedup import (
     anchored_span_fps,
     strip_spans_against,
 )
-from lakeflush_spark.streaming.dedup import _cfg_stream, _read_store, _run_tag
+from lakeflush_spark.streaming.dedup import (
+    _cfg_stream,
+    _read_store,
+    _run_tag,
+    _sized,
+)
 
 
 @dataclass
@@ -255,6 +260,9 @@ def boilerplate_stream(
                 window=cfg.window,
                 stride=cfg.stride,
             )
+            # size store files to data (streaming/dedup._sized note);
+            # batch_counts is pinned, so its count is a cache scan
+            n_fp = batch_counts.count()
             (
                 out.withColumn("run", F.lit(run))
                 .withColumn("batch", F.lit(int(batch_id)))
@@ -267,8 +275,12 @@ def boilerplate_stream(
                 batch_counts, cfg.fp_prefix_partitions
             )
             (
-                store_rows.withColumn("run", F.lit(run))
-                .withColumn("batch", F.lit(int(batch_id)))
+                _sized(
+                    store_rows.withColumn("run", F.lit(run)).withColumn(
+                        "batch", F.lit(int(batch_id))
+                    ),
+                    n_fp,
+                )
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("run", "batch", *extra_parts)

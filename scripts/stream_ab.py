@@ -16,6 +16,10 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("AB_REPS", "2"))
+#: comma list of blocks to run: report,semdd,warm (default all)
+BLOCKS = set(
+    os.environ.get("AB_BLOCKS", "report,semdd,warm").split(",")
+)
 
 
 def main():
@@ -32,7 +36,7 @@ def main():
 
     from lakeflush_spark.operators.report import corpus_report
 
-    for r in range(REPS):
+    for r in range(REPS if "report" in BLOCKS else 0):
         t0 = time.time()
         corpus_report(docs).collect()
         out.setdefault("report_sec", []).append(round(time.time() - t0, 2))
@@ -42,7 +46,7 @@ def main():
         semdedup_stream,
     )
 
-    for r in range(REPS):
+    for r in range(REPS if "semdd" in BLOCKS else 0):
         work = tempfile.mkdtemp(prefix="ab_semdd_")
         try:
             src = os.path.join(work, "src")
@@ -71,7 +75,7 @@ def main():
     joined = docs.join(
         emb.withColumnRenamed("vec_id", "doc_id"), "doc_id"
     ).select("doc_id", "text", "embedding")
-    for r in range(REPS):
+    for r in range(REPS if "warm" in BLOCKS else 0):
         work = tempfile.mkdtemp(prefix="ab_curatew_")
         try:
             src = os.path.join(work, "src")

@@ -552,3 +552,71 @@ def test_gate_clash_guard_covers_internal_columns(spark):
         )
     # clean frames pass
     gate_clash_check("curate_documents", ["doc_id", "text", "n_tok"])
+
+
+def test_staged_gate_matches_single_pass(spark):
+    """quality_gate_stages (r11): stage-1 direct expressions + the
+    stage-2 coverage generator keep EXACTLY the single-pass fused
+    gate's rows, for every gate combination incl. the full 13-rule MT
+    table and a coverage-reading classifier (clf_in_stage2)."""
+    import pyspark.sql.functions as F
+
+    from lakeflush_spark.pipelines import (
+        quality_gate_inline,
+        quality_gate_stages,
+        stage2_keep_condition,
+    )
+
+    good = "the quick brown fox jumps over that lazy sleeping dog again " * 6
+    repeats = "spam ham " * 40
+    df = spark.createDataFrame(
+        [
+            (1, good.strip()),
+            (2, "too short."),
+            (3, "if (x) { y } " + good),
+            (4, repeats.strip()),
+            (5, good.strip() + " lorem ipsum"),
+        ],
+        "doc_id long, text string",
+    )
+    cov_w = {"top2_char_ratio": -8.0, "n_tokens": 1.2, "__intercept__": -1.0}
+    cheap_w = {"n_tokens": 1.0, "__intercept__": -3.0}
+    for kw, expect_stage2, expect_clf2 in (
+        (dict(c4=True, gopher=True, mt=True, clf_weights=cheap_w), True, False),
+        (dict(mt=True, mt_full=True), True, False),
+        (dict(clf_weights=cov_w), True, True),
+        (dict(gopher=True, clf_weights=cheap_w), False, False),
+        (dict(), False, False),
+    ):
+        fused = df.select(
+            "*", F.inline(quality_gate_inline("text", **kw))
+        )
+        keep_cols = [
+            c for c in ("_q_gf", "_q_cf", "_q_mf", "_q_clf")
+            if c in fused.columns
+        ]
+        cond = F.lit(True)
+        for c in ("_q_gf", "_q_cf", "_q_mf"):
+            if c in fused.columns:
+                cond = cond & (F.col(c) == 0)
+        if "_q_clf" in fused.columns:
+            cond = cond & F.col("_q_clf")
+        want = {r.doc_id for r in fused.where(cond).select("doc_id").collect()}
+
+        cols1, gen2, clf2 = quality_gate_stages("text", **kw)
+        assert (gen2 is not None) == expect_stage2, kw
+        assert clf2 == expect_clf2, kw
+        s1 = df.select("*", *cols1)
+        cond1 = F.lit(True)
+        for c in ("_q_gf", "_q_cf", "_q_mf"):
+            if c in s1.columns:
+                cond1 = cond1 & (F.col(c) == 0)
+        if "_q_clf" in s1.columns:
+            cond1 = cond1 & F.col("_q_clf")
+        staged = s1.where(cond1)
+        if gen2 is not None:
+            staged = staged.select("*", F.inline(gen2)).where(
+                stage2_keep_condition(kw.get("mt", False), clf2)
+            )
+        got = {r.doc_id for r in staged.select("doc_id").collect()}
+        assert got == want, (kw, got, want)

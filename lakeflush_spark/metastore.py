@@ -160,5 +160,10 @@ class ParquetMetastore:
             (r["key"], r["value"], int(r["version"]), False, float(r["updated_at"]))
             for r in latest
         ]
-        df = self.spark.createDataFrame(rows, _SCHEMA)
-        df.coalesce(1).write.mode("overwrite").parquet(self.path)
+        from lakeflush_spark.io import local_rows_df
+
+        # one-slice local frame: createDataFrame().coalesce(1) would
+        # evaluate defaultParallelism pickled slices serially through
+        # python workers (io.local_rows_df note)
+        df = local_rows_df(self.spark, rows, _SCHEMA)
+        df.write.mode("overwrite").parquet(self.path)

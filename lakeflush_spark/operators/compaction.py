@@ -855,8 +855,10 @@ def read_increment(
             # a years-long trickle consumer's set would otherwise be
             # re-sent as a giant isin literal each cycle — ship it as
             # an ordinary broadcast-anti-join build side instead
-            consumed = spark.createDataFrame(
-                [(r,) for r in cursor.run_ids], "run_id string"
+            from lakeflush_spark.io import local_rows_df
+
+            consumed = local_rows_df(
+                spark, [(r,) for r in cursor.run_ids], "run_id string"
             )
             audit = audit.join(F.broadcast(consumed), "run_id", "left_anti")
         else:
@@ -943,8 +945,10 @@ def compact_audit(
     archive_path = audit_path + "_archive"
     _recover_audit_swap(spark, audit_path)
     audit = audit_table(spark, dest_dir)
-    consumed_df = spark.createDataFrame(
-        [(r,) for r in cursor.run_ids], "run_id string"
+    from lakeflush_spark.io import local_rows_df
+
+    consumed_df = local_rows_df(
+        spark, [(r,) for r in cursor.run_ids], "run_id string"
     )
     # archive FIRST (append): a crash between the two writes leaves
     # duplicate archived rows, never a lost audit row

@@ -733,11 +733,16 @@ def unimax_allocations(
                 alloc[key2] = u + (1 if j < extra else 0)
             break
     spark = card.sparkSession
-    out = spark.createDataFrame(
+    from lakeflush_spark.io import local_rows_df
+
+    # one-slice local frame (io.local_rows_df): the plan is
+    # |sources|-row driver data; downstream coalesce(1)/broadcast
+    # consumers must not pay a 32-slice python-worker walk
+    return local_rows_df(
+        spark,
         [
             (key, avail, (alloc[key] / avail) if avail else 0.0, alloc[key])
             for key, avail in rows
         ],
         "key string, available_tokens long, epochs double, planned_tokens long",
     )
-    return out

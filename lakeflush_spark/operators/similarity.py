@@ -259,7 +259,10 @@ def _cells_as_one_row(spark, cent_rows: list) -> DataFrame:
     agg's tiny job produces an ordinary broadcast-able row. Empty
     list → one row holding an empty array (downstream explode yields
     the empty result)."""
-    cent = spark.createDataFrame(
+    from lakeflush_spark.io import local_rows_df
+
+    cent = local_rows_df(
+        spark,
         [(int(c), [float(x) for x in v], float(n)) for c, v, n in cent_rows],
         "cell_id long, cv array<double>, cnrm double",
     )

@@ -398,7 +398,10 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("token").alias("w"), "cnt"
         ),
     )
-    bpe_label = spark.createDataFrame(
+    from lakeflush_spark.io import local_rows_df
+
+    bpe_label = local_rows_df(
+        spark,
         [(i, l, r) for i, (l, r) in enumerate(merges)],
         "rk long, l string, r string",
     ).select(

@@ -1474,9 +1474,12 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
         _Q60_ECARD_MEMO[sf_dir] = ecard_rows
-    ecard = spark.createDataFrame(
-        ecard_rows, "source string, n_tokens bigint"
-    )
+    # one-slice local frame: epoch_shortfall coalesce(1)s the plan
+    # frame, and a default createDataFrame would make that a serial
+    # 32-python-worker evaluation (io.local_rows_df note)
+    from lakeflush_spark.io import local_rows_df
+
+    ecard = local_rows_df(spark, ecard_rows, "source string, n_tokens bigint")
     total_tokens = sum(n for _, n in ecard_rows)
     target = int(_EPOCH_MULT * total_tokens)
     plan_a = plan_epochs(ecard, target, key_col="source")

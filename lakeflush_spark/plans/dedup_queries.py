@@ -152,6 +152,11 @@ assert "WITH RECURSIVE" in _MINHASH_CTES_RECURSIVE, (
 )
 
 
+#: per-source-block doc cap for q24's 'blocked' demo label — see the
+#: entry docstring; md5-rank-deterministic, mirrored in the SQL twin
+_BLOCK_CAP = 512
+
+
 @declare(
     "q24_neardup_pairs",
     _MINHASH_CTES_RECURSIVE
@@ -186,13 +191,22 @@ assert "WITH RECURSIVE" in _MINHASH_CTES_RECURSIVE, (
         UNION ALL
         SELECT 'blocked' AS method, id1, id2, jaccard FROM (
             SELECT a.doc_id AS id1, b2.doc_id AS id2, round({_SQL_JACCARD}, 4) AS jaccard
-            FROM h a JOIN h b2 ON a.source = b2.source AND a.doc_id < b2.doc_id
+            FROM hb a JOIN hb b2 ON a.source = b2.source AND a.doc_id < b2.doc_id
             ORDER BY jaccard DESC, id1, id2
             LIMIT 20
         )
     )
     ORDER BY method, id1, id2
-    """,
+    """.replace(
+        "cands AS (",
+        f"""hb AS (
+        SELECT * FROM h QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) <= {_BLOCK_CAP}
+    ),
+    cands AS (""",
+    ),
     "Near-dup pair detection and resolution, three strategies labeled in "
     "one frame: MinHash+LSH candidates verified by exact Jaccard (finds "
     "the 25 planted pairs; the only wide shuffle is the band-bucket "
@@ -204,9 +218,17 @@ assert "WITH RECURSIVE" in _MINHASH_CTES_RECURSIVE, (
     "CurationConfig.cluster_resolution keep-one-per-cluster recipe; "
     "DuckDB twin is a recursive reachability CTE + MIN); and brute-force "
     "3-gram Jaccard within source blocks (attribute blocking bounds the "
-    "pair count). (r2: merged q24+q27; r5: added cluster resolution.)",
+    "pair count, and blocks are additionally capped at a deterministic "
+    "md5-ranked 512 docs — the r11 fix for the smoke's super-linear "
+    "curve: block size grows with the corpus, so the uncapped demo "
+    "label was quadratic in N while the production LSH path measured "
+    "~1.4x time for 5x data; the cap is NOT binding at contract scale, "
+    "so hashes are unchanged). (r2: merged q24+q27; r5: added cluster "
+    "resolution; r11: block cap.)",
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from lakeflush_spark.operators.dedup import near_dup_clusters
 
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
@@ -222,7 +244,24 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("id2"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    blocked_docs = docs.select("doc_id", "source", shingle_hash_set("text").alias("hs"))
+    # deterministic per-block cap (md5 rank, the _cap_hot_buckets
+    # 'sample' recipe): within-block all-pairs is quadratic in block
+    # SIZE, and block size grows with the corpus — uncapped, this demo
+    # label dominated the scale smoke (25x pairs for 5x data) while
+    # the LSH path above stayed ~linear. Not binding at contract scale
+    # (blocks ≪ 512 docs), so the oracle twin applies the same rank.
+    blocked_docs = (
+        docs.withColumn(
+            "_brank",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+                )
+            ),
+        )
+        .where(F.col("_brank") <= _BLOCK_CAP)
+        .select("doc_id", "source", shingle_hash_set("text").alias("hs"))
+    )
     a, b = blocked_docs.alias("a"), blocked_docs.alias("b")
     blocked = (
         a.join(

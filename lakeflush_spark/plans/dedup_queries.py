@@ -152,8 +152,9 @@ assert "WITH RECURSIVE" in _MINHASH_CTES_RECURSIVE, (
 )
 
 
-#: per-source-block doc cap for q24's 'blocked' demo label — see the
-#: entry docstring; md5-rank-deterministic, mirrored in the SQL twin
+#: per-source-block doc cap for q24's 'blocked' demo label — enforced
+#: by a deterministic proportional md5-bucket filter (exactly keep-all
+#: when a block is under the cap); mirrored in the SQL twin
 _BLOCK_CAP = 512
 
 
@@ -199,11 +200,11 @@ _BLOCK_CAP = 512
     ORDER BY method, id1, id2
     """.replace(
         "cands AS (",
-        f"""hb AS (
-        SELECT * FROM h QUALIFY row_number() OVER (
-            PARTITION BY source
-            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-        ) <= {_BLOCK_CAP}
+        f"""bc AS (SELECT source, COUNT(*) AS bn FROM h GROUP BY source),
+    hb AS (
+        SELECT h.* FROM h JOIN bc USING (source)
+        WHERE ('0x' || substring(md5(CAST(h.doc_id AS VARCHAR)), 1, 4))::BIGINT
+              < least(65536, ({65536 * _BLOCK_CAP} + bn - 1) // bn)
     ),
     cands AS (""",
     ),
@@ -218,17 +219,16 @@ _BLOCK_CAP = 512
     "CurationConfig.cluster_resolution keep-one-per-cluster recipe; "
     "DuckDB twin is a recursive reachability CTE + MIN); and brute-force "
     "3-gram Jaccard within source blocks (attribute blocking bounds the "
-    "pair count, and blocks are additionally capped at a deterministic "
-    "md5-ranked 512 docs — the r11 fix for the smoke's super-linear "
-    "curve: block size grows with the corpus, so the uncapped demo "
-    "label was quadratic in N while the production LSH path measured "
-    "~1.4x time for 5x data; the cap is NOT binding at contract scale, "
-    "so hashes are unchanged). (r2: merged q24+q27; r5: added cluster "
-    "resolution; r11: block cap.)",
+    "pair count, and blocks are additionally capped at ~512 docs by a "
+    "deterministic proportional md5-bucket filter — the r11 fix for "
+    "the smoke's super-linear curve: block size grows with the corpus, "
+    "so the uncapped demo label was quadratic in N while the "
+    "production LSH path measured ~1.4x time for 5x data; under-cap "
+    "blocks keep EVERY doc (threshold folds to the full bucket range), "
+    "so contract-scale results and hashes are unchanged). (r2: merged "
+    "q24+q27; r5: added cluster resolution; r11: block cap.)",
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from lakeflush_spark.operators.dedup import near_dup_clusters
 
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
@@ -250,16 +250,28 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     # label dominated the scale smoke (25x pairs for 5x data) while
     # the LSH path above stayed ~linear. Not binding at contract scale
     # (blocks ≪ 512 docs), so the oracle twin applies the same rank.
+    # proportional md5-bucket block cap: keep a doc when its 16-bit
+    # content bucket falls under ceil(65536 × cap / block_size) — a
+    # deterministic ~_BLOCK_CAP-row sample per source, with NO rank
+    # window (a row_number cap measured ~3 s of sort/exchange per run
+    # even when not binding) and keep-ALL exactly when the block is
+    # already under the cap (threshold folds to 65536), so contract-
+    # scale results are byte-identical to the uncapped label. Exact
+    # arithmetic: 65536×cap + bn < 2^26 ≪ 2^53, so the float floor
+    # equals DuckDB's integer division.
+    bcounts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_bn"))
+    bucket16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    bthresh = F.least(
+        F.lit(65536).cast("bigint"),
+        F.floor(
+            (F.lit(65536 * _BLOCK_CAP) + F.col("_bn") - 1) / F.col("_bn")
+        ).cast("bigint"),
+    )
     blocked_docs = (
-        docs.withColumn(
-            "_brank",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy(
-                    F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-                )
-            ),
-        )
-        .where(F.col("_brank") <= _BLOCK_CAP)
+        docs.join(F.broadcast(bcounts), "source")
+        .where(bucket16 < bthresh)
         .select("doc_id", "source", shingle_hash_set("text").alias("hs"))
     )
     a, b = blocked_docs.alias("a"), blocked_docs.alias("b")

@@ -386,6 +386,86 @@ ivf_assign re-confirms: build flat in n_cells (0.37 s @1024),
 two-level assignment 1.76 s at n_cells=1024/coarse=32 vs 17.5 s flat
 (9.9x). No super-linear stage in any registered shape.
 
+r11 adjudication of the r10 streaming/curation drop (VERDICT r10 #1 —
+the round's one weak mark): NOT box state. The interleaved A/B
+(scripts/stream_ab.py, HEAD vs the pre-fusion commit in a scratch
+worktree, same session) plus per-phase instrumentation
+(LAKEFLUSH_STREAM_PHASES=1, kept wired) pinned four DRIVER-side
+mechanisms, all fixed in commit 0bc285d:
+(1) store writes from persisted frames re-ran Catalyst/AQE over the
+whole ~250-node batch plan per write (2-4.5 s x 4 writes/batch) —
+the write fan-out frames now localCheckpoint, so each write plans in
+milliseconds (batch replay via the streaming checkpoint covers
+recovery); (2) createDataFrame chops even a 1-row list into
+defaultParallelism pickled slices which single-task consumers
+(coalesce(1)/broadcast) then evaluate SERIALLY through python
+workers (~160 ms each, ~5 s/call on local[32]) — io.local_rows_df
+builds one-slice local frames, applied to every small driver-side
+relation (per-batch stats rows, metastore puts, plan/card frames,
+centroid packs); (3) store writes inherited the batch's 32-task
+layout and wrote 32 near-empty files per store per (run,batch) —
+writers now coalesce pinned frames to ceil(rows/65536) files;
+(4) the r10 fused inline() gate measured ~4x slower per row than
+direct expressions on CHEAP field sets (no cross-column CSE to
+amortize when only the cheap rules are consumed) and fattened every
+per-batch plan — pipelines.quality_gate_stages replaces it: stage 1
+= every cheap rule as direct codegen-eligible expressions + filter,
+stage 2 = the coverage-fold generator on SURVIVORS only; exact
+bitmask split, kept sets identical (equivalence test in
+tests/test_pipelines.py). Staged-gate trade measured
+(scripts/staged_gate_ab.py): at 0% stage-1 survivors ~3x faster
+(8.5-11 -> 2.8-3.5 s over sf0.1 — the coverage folds are skipped
+entirely); at 100% survivors parity (7.9-10 vs 8.9-10.7 s); kept
+sets identical in every config. The PANEL entries (q18/q60) still
+compute all columns — only the curation GATES stage.
+
+r11 streaming recovery, recorded in the same-session full runs:
+curate_warm_docs_s 25.5 (r10) -> 100.1-105.3 (r9: 40.9 — 2.4x the
+pre-regression level, the lineage cuts + one-slice frames + sized
+writes compounding past the r9 baseline), neardup_docs_s 1735 ->
+2025-2469 (r9: 2241; the 2469 closing read is best on record),
+curate_sem_docs_s 237 -> 324-379 (r9: 325), semdd_stream_vecs_s 735
+-> 675-794 (cold single-batch bootstrap measure; within the 650-840
+band this number has read since r6 — the warm multi-batch trend
+lines above remain the steady-state evidence).
+
+r11 q24 time-vs-data adjudication (VERDICT r10 #3, the
+three-round-running 7x mystery): the PRODUCTION chain was never the
+problem — the per-stage 4x/20x decomposition
+(scripts/q24_stage_decomp.py) reads sig flat 2.5 s, band join
+3.2 -> 4.6 s, Jaccard verify +1.3 -> +2.0 s, CC flat 1.3 s, sort
+0.3 s = 1.37x time for 5x data. The super-linear term was the
+'blocked' DEMO label — brute-force within-source all-pairs Jaccard,
+quadratic in block size BY CONSTRUCTION (25x pairs for 5x data).
+Blocks are now capped at 512 docs by a deterministic proportional
+md5-bucket filter (keep a doc when its 16-bit content bucket <
+ceil(65536 x cap / block_size), per-block sizes broadcast from a
+tiny agg) — map-side, folds to keep-ALL exactly when a block is
+under the cap, so contract-scale results are byte-identical (oracle
+twin replays the same integer arithmetic; hashes green). A first
+rank-window cap implementation cost ~3 s of sort/exchange per run
+even when NOT binding (the interim same-day full run read q24
+9.76 s) — replaced by the proportional filter: warm entry back to
+3.6-3.8 s, replicated smoke 5.7-6.3 s at 4x -> 9.8 s at 20x (1.6x
+time for 5x data, vs 7x uncapped).
+
+r11 build-constant memoization (VERDICT r10 #5): the pure fused
+generator Column trees and the |sources|-row epoch card (previously
+re-scanned 4x per build) are memoized at module level — repeat q60
+builds 6.1 -> 3.5 s, q18 2.4 -> 0.4 s measured.
+
+r11 full-run readings (after the q24 cap fix, same session as the
+interim run): suite 51.3 s — the first round-over-round suite DROP
+while surface GREW (r10 quiet: 56.9): q18 3.52 -> 1.94 s (the build
+memo + staged gates), q41 4.0 -> 3.05, q55 9.6 -> 8.96, q60 9.09 ->
+8.65, q62 9.04 -> 8.32, q24 3.76 with the cap in place; per-label
+maps level with r10 (q60 'epochs' 1.57, 'card_flags' 1.95; q18
+groups ~1.7-1.9 each = the panel total, the documented
+no-field-pruning uniformity witness). Compaction csv 38.0 MB/s
+(5.1x the 7.4 baseline), gzip 8.9 (2.3x), json 20.9k files/s (2.0x)
+— the engine-vs-baseline gate green in both same-day runs (interim:
+csv 46.1 / gzip 10.5 / json 18.9k).
+
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions
 crossover above): a 3-doc trickle batch against a directly-preloaded

@@ -235,10 +235,15 @@ def read_stats(spark: SparkSession, stats_dir: str) -> DataFrame:
     on which batch's file won — the ``audit_table`` pattern
     (``operators/compaction.py``). Merged columns are NULL for rows
     written before the column existed."""
-    return (
+    df = (
         spark.read.option("mergeSchema", "true")
         .option("basePath", stats_dir)
         .parquet(stats_dir)
+    )
+    # stable partition-column types regardless of inference (see
+    # dedup._read_store)
+    return df.withColumn("run", F.col("run").cast("string")).withColumn(
+        "batch", F.col("batch").cast("bigint")
     )
 
 

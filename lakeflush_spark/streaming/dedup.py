@@ -122,7 +122,15 @@ def _run_tag(checkpoint_dir: str) -> str:
         if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:/", checkpoint_dir)
         else os.path.abspath(checkpoint_dir)
     )
-    return hashlib.md5(p.encode()).hexdigest()[:12]
+    # the 'r' prefix keeps the tag NON-NUMERIC by construction: a bare
+    # 12-hex tag is all-digits for ~1 in 280 checkpoints, and once every
+    # run dir of a store is all-digits, partition-column type inference
+    # types `run` as BIGINT — the next lettered tag then fails the
+    # replay-exclusion comparison at ANALYSIS time (CAST_INVALID_INPUT),
+    # and an all-digit tag with a leading zero would round-trip to a
+    # DIFFERENT partition name. _read_store additionally cast-normalizes
+    # for stores written before the prefix existed.
+    return "r" + hashlib.md5(p.encode()).hexdigest()[:12]
 
 
 def _read_store(
@@ -141,6 +149,18 @@ def _read_store(
         # PATH_NOT_FOUND (no store yet) / UNABLE_TO_INFER_SCHEMA
         # (dir exists but holds no data files yet)
         return None
+    # inference-proof types: on a store written before the _run_tag
+    # 'r' prefix whose run dirs are ALL all-digit hex, partition-type
+    # inference types `run` BIGINT — comparing it against a lettered
+    # tag would fail the cast at analysis. Cast both partition columns
+    # to their contract types so the exclusion (and every downstream
+    # consumer) sees stable types regardless of what inference did.
+    # (Known legacy corner: an all-digit tag with a LEADING ZERO loses
+    # it under BIGINT inference, so its replay exclusion cannot match —
+    # impossible for prefixed tags, ~1 in 2800 for pre-prefix stores.)
+    df = df.withColumn("run", F.col("run").cast("string")).withColumn(
+        "batch", F.col("batch").cast("bigint")
+    )
     return df.where(
         ~((F.col("run") == run) & (F.col("batch") == int(batch_id)))
     )
@@ -595,6 +615,11 @@ def compact_store(
     working against the compacted copy.
     """
     df = spark.read.option("basePath", store_dir).parquet(store_dir)
+    # stable partition-column types regardless of inference (see
+    # _read_store) so the rewritten layout matches the original
+    df = df.withColumn("run", F.col("run").cast("string")).withColumn(
+        "batch", F.col("batch").cast("bigint")
+    )
     capped = _cap_hot_buckets(
         df, ["band_idx", "bh"], max_bucket, mode=mode, doc_col="doc"
     )

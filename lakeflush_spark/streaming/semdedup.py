@@ -419,6 +419,11 @@ def compact_vec_store(
     from lakeflush_spark.operators.dedup import _cap_hot_buckets
 
     df = spark.read.option("basePath", vec_dir).parquet(vec_dir)
+    # stable partition-column types regardless of inference (see
+    # dedup._read_store) so the rewritten layout matches the original
+    df = df.withColumn("run", F.col("run").cast("string")).withColumn(
+        "batch", F.col("batch").cast("bigint")
+    )
     capped = _cap_hot_buckets(df, ["cell_id"], max_cell, mode=mode, doc_col="vid")
     parts = ["run", "batch"] + (["_cp"] if "_cp" in df.columns else [])
     capped.write.mode("error").partitionBy(*parts).parquet(dest_dir)
@@ -460,6 +465,11 @@ def retrain_quantizer(
     import math
 
     df = spark.read.option("basePath", vec_dir).parquet(vec_dir)
+    # stable partition-column types regardless of inference (see
+    # dedup._read_store) — run/batch carry over row-for-row
+    df = df.withColumn("run", F.col("run").cast("string")).withColumn(
+        "batch", F.col("batch").cast("bigint")
+    )
     quantized = "qv" in df.columns
     cell_parted = "_cp" in df.columns
     keep = ["vid", "nrm", "run", "batch"]

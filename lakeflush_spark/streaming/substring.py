@@ -190,6 +190,12 @@ def compact_fp_store(spark: SparkSession, fp_dir: str, dest_dir: str) -> None:
     (recomputed for merged rows), so partition elimination keeps
     working against the compacted copy."""
     df = spark.read.option("basePath", fp_dir).parquet(fp_dir)
+    # stable partition-column types regardless of inference (see
+    # dedup._read_store) — the max-batch window and the rewritten
+    # layout both assume the contract types
+    df = df.withColumn("run", F.col("run").cast("string")).withColumn(
+        "batch", F.col("batch").cast("bigint")
+    )
     has_fp_parts = "_fp" in df.columns
     maxb = df.groupBy("run").agg(F.max("batch").alias("_mb"))
     tagged = df.join(F.broadcast(maxb), "run")

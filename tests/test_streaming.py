@@ -647,6 +647,34 @@ def test_run_tag_uri_paths_are_cwd_independent():
         os.chdir(cwd)
     # local scheme-less paths still normalize (relative == absolute)
     assert _run_tag("/tmp/x/ck") == _run_tag("/tmp/x/../x/ck")
+    # tags are non-numeric BY CONSTRUCTION: a store whose run dirs are
+    # all all-digit would make partition inference type `run` BIGINT,
+    # breaking the next lettered tag's replay exclusion at analysis
+    assert _run_tag("/tmp/x/ck").startswith("r")
+
+
+def test_read_store_survives_all_digit_legacy_run_dirs(spark, tmp_path):
+    # legacy stores (pre-'r'-prefix tags) can hold ONLY all-digit run
+    # dirs (~1 in 280 checkpoints); inference then types `run` BIGINT
+    # and comparing it against a lettered tag used to fail with
+    # CAST_INVALID_INPUT at analysis — the flaky
+    # test_semdedup_stream_incremental_against_history failure
+    from lakeflush_spark.streaming.dedup import _read_store
+
+    store = str(tmp_path / "store")
+    legacy = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id bigint, payload string"
+    ).withColumn("run", F.lit("123456789012")).withColumn("batch", F.lit(0))
+    legacy.write.partitionBy("run", "batch").parquet(store)
+
+    hist = _read_store(spark, store, batch_id=0, run="rdf65c8f40a95")
+    # lettered tag matches nothing -> full legacy history visible,
+    # with contract types regardless of what inference did
+    assert hist.count() == 2
+    assert dict(hist.dtypes)["run"] == "string"
+    assert dict(hist.dtypes)["batch"] == "bigint"
+    # replay exclusion still works against the legacy store's own tag
+    assert _read_store(spark, store, batch_id=0, run="123456789012").count() == 0
 
 
 def test_stream_dedup_digest_prefix_partitions(spark, tmp_path):

@@ -1,0 +1,192 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al., 2023).
+
+Published recipe for picking pretraining data that "looks like" a
+target domain: featurize every document as a bag of HASHED n-grams
+(unigrams + bigrams into ``B`` buckets), fit two bag-of-words models —
+one on a small target corpus, one on the raw pool — and resample raw
+documents with probability proportional to the importance weight
+
+    w(x) = p_target(x) / p_raw(x)
+         = prod over grams g of  p_t(h(g)) / p_r(h(g))
+
+i.e. ``log w = sum_g [log p_t - log p_r]`` with add-alpha smoothing.
+Selection is Gumbel-perturbed thresholding (sampling without
+replacement in the Gumbel top-k formulation): keep x when
+``log w(x) + Gumbel(u_x) > tau``.
+
+Spark-first shapes (100 TB stance):
+
+- Both count tables are BOUNDED by ``buckets`` rows (default 2^16) —
+  they broadcast; the corpus-sized gram frame never joins anything
+  bigger than itself.
+- Scoring is explode -> broadcast-join -> map-side-combinable groupBy
+  on the doc id: bodies never shuffle, only (id, h) pairs.
+- Selection is pure map-side row-local math on the scored frame; the
+  "randomness" is a deterministic md5-derived uniform (no RNG, same
+  doc -> same draw on any cluster / any retry).
+
+Cross-engine notes (the q63 oracle twin): gram hashing uses the
+engine-wide md5 bucket trick (``functions.text.token_hash``) so DuckDB
+rebuilds identical ids; the integer cores (gram counts, per-doc
+matched-count sums) verify exactly; the float wrap (log sums + the
+Gumbel key) is row-local IEEE math verified under the q60-style 1e-9
+decision band — per-doc float sums drift ~1e-13 across engines
+(summation order), four orders below the band.
+
+Ids must be non-NULL (the draw hashes ``seed || ':' || id``; the
+documents contract guarantees a non-NULL BIGINT ``doc_id``).
+
+The reference has no analog (opaque string records end-to-end).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from lakeflush_spark.functions.text import TOKEN_SEP, token_hash, tokens
+
+#: default hashed feature space — the paper's bucketed n-gram space
+DSIR_BUCKETS = 1 << 16
+
+
+def _hashed_grams(
+    docs: DataFrame, id_col: str, text_col: str, buckets: int
+) -> DataFrame:
+    """(_id, h) rows: one per unigram and per adjacent bigram, hashed
+    into ``[0, buckets)``. Bigrams join tokens with the corpus token
+    separator so the string fed to md5 is rebuildable in SQL."""
+    tk = tokens(text_col)
+    heads = F.when(F.size(tk) >= 2, F.slice(tk, 1, F.size(tk) - 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+    bigrams = F.transform(
+        heads, lambda t, i: F.concat(t, F.lit(TOKEN_SEP), F.get(tk, i + 1))
+    )
+    grams = F.concat(tk, bigrams)
+    return docs.select(
+        F.col(id_col).alias("_id"), F.explode(grams).alias("_g")
+    ).select("_id", F.pmod(token_hash(F.col("_g")), F.lit(buckets)).alias("h"))
+
+
+def hashed_gram_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Hashed-gram count table ``(h, c)`` — the bag-of-words model for
+    one corpus. At most ``buckets`` rows regardless of corpus size
+    (ONE map-side-combined groupBy), so it broadcasts downstream."""
+    return (
+        _hashed_grams(docs, id_col, text_col, buckets)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Attach the DSIR importance weight to every doc in ``docs``.
+
+    Adds ``n_grams`` / ``sum_ct`` / ``sum_cr`` (exact-integer join
+    witnesses: gram count and the summed matched counts under each
+    model) and ``log_weight``::
+
+        log w = sum_g [ln(ct(g)+a) - ln(cr(g)+a)]
+                + n_grams * [ln(Nr + a*B) - ln(Nt + a*B)]
+
+    the add-alpha smoothed log-likelihood ratio (Nt/Nr = total gram
+    mass of each model, attached via one-row broadcast aggregates —
+    no driver collect). Docs with zero grams get NULLs.
+
+    ``buckets`` must match the value the count tables were built with.
+    """
+    grams = _hashed_grams(docs, id_col, text_col, buckets)
+    a = float(alpha)
+    joined = (
+        grams.join(F.broadcast(target_counts.withColumnRenamed("c", "_ct")), "h", "left")
+        .join(F.broadcast(raw_counts.withColumnRenamed("c", "_cr")), "h", "left")
+        .select(
+            "_id",
+            F.coalesce("_ct", F.lit(0)).alias("_ct"),
+            F.coalesce("_cr", F.lit(0)).alias("_cr"),
+        )
+    )
+    per_doc = joined.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("_ct").alias("sum_ct"),
+        F.sum("_cr").alias("sum_cr"),
+        F.sum(F.log(F.col("_ct") + F.lit(a))).alias("_lt"),
+        F.sum(F.log(F.col("_cr") + F.lit(a))).alias("_lr"),
+    )
+    ab = a * buckets
+    nt = target_counts.agg(F.sum("c").alias("_nt"))
+    nr = raw_counts.agg(F.sum("c").alias("_nr"))
+    scored = (
+        per_doc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "_id",
+            "n_grams",
+            "sum_ct",
+            "sum_cr",
+            (
+                F.col("_lt")
+                - F.col("_lr")
+                + F.col("n_grams")
+                * (F.log(F.col("_nr") + F.lit(ab)) - F.log(F.col("_nt") + F.lit(ab)))
+            ).alias("log_weight"),
+        )
+    )
+    return docs.join(
+        scored.withColumnRenamed("_id", id_col), id_col, "left"
+    )
+
+
+def dsir_select(
+    scored: DataFrame,
+    threshold: float,
+    seed: str = "0",
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+    band: float = 1e-9,
+) -> DataFrame:
+    """Gumbel-perturbed threshold selection — the resampling step.
+
+    Adds ``dsir_key`` = ``log_weight + Gumbel(u)`` where the uniform
+    ``u = (md5_32(seed || ':' || id) + 0.5) / 2^32`` is deterministic
+    per (seed, id); ``dsir_selected`` = key > threshold; and
+    ``dsir_banded`` = |key - threshold| <= band (the q60-style
+    decision band: banded rows should be counted separately by
+    callers that need cross-engine-stable decision counts). Rows with
+    NULL weight get NULL key / false selected. Pure map-side."""
+    u = (
+        token_hash(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    key = F.col(weight_col) - F.log(-F.log(u))
+    return (
+        scored.withColumn("dsir_key", key)
+        .withColumn(
+            "dsir_banded",
+            F.coalesce(
+                F.abs(F.col("dsir_key") - F.lit(float(threshold))) <= F.lit(float(band)),
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "dsir_selected",
+            F.coalesce(
+                (F.col("dsir_key") > F.lit(float(threshold))) & ~F.col("dsir_banded"),
+                F.lit(False),
+            ),
+        )
+    )

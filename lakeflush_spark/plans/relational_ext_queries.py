@@ -207,6 +207,26 @@ _BPE_MERGES = 12
 _BPE_MAX_WORDS = 2000
 _BPE_EOW_HEX = "</w>".encode().hex().upper()
 
+# DSIR labels (r11): importance resampling (operators/dsir.py — Xie et
+# al. 2023) joins the hashed-ngram suite. 'dsir_t' = top-50 of the
+# TARGET bag-of-words count table; 'dsir_w' = per-doc exact-integer
+# scoring-join witnesses (gram count + matched-count sums under both
+# models); 'dsir_sel'/'dsir_mask' = the Gumbel-perturbed threshold
+# decisions per source under the q60-'clf' banding recipe — both
+# engines recompute the full float chain (log-likelihood-ratio weight
+# + the md5-uniform Gumbel draw) and rows within 1e-9 of the frozen
+# threshold count under 'dsir_mask' (measured 0; nearest key measured
+# 0.10 away at sf0.001/0.01 — eight orders above the band, and the
+# cross-engine drift itself is ~1e-13 summation-order noise).
+_DSIR_B = 1 << 16
+_DSIR_TARGET = ("src0", "src1")
+#: frozen selection threshold — calibrated once at sf0.01 (median key
+#: ~ -168; ~40% of the raw pool selects)
+_DSIR_TAU = -140.0
+_DSIR_BAND = 1e-9
+_DSIR_WIT_LIM = 120
+_DSIR_TGT_SQL = "('src0','src1')"
+
 
 def _bpe_replay_ctes(n_merges: int, max_words: int) -> tuple[str, str]:
     """(CTE text, UNION-branch SQL) for the DuckDB merge-loop replay.
@@ -263,7 +283,7 @@ _BPE_CTES, _BPE_BRANCH = _bpe_replay_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
 @declare(
     "q41_wordcount_topk",
     f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
     bgl AS (
         SELECT doc_id,
                unnest(CASE WHEN len(toks) >= 2 THEN
@@ -275,6 +295,39 @@ _BPE_CTES, _BPE_BRANCH = _bpe_replay_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
     bg AS (SELECT doc_id, p.h1 AS h1, p.h2 AS h2 FROM bgl),
     counts AS (SELECT h1, h2, COUNT(*)::BIGINT AS c12 FROM bg GROUP BY h1, h2),
     ctx AS (SELECT h1, SUM(c12)::BIGINT AS c1 FROM counts GROUP BY h1),
+    dz_g0 AS (
+        SELECT doc_id, source, unnest(toks) AS gram FROM t
+        UNION ALL
+        SELECT doc_id, source, unnest(CASE WHEN len(toks) >= 2 THEN
+            list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+          ELSE [] END) FROM t),
+    dz_g AS (SELECT doc_id, source,
+                    ('0x' || substring(md5(gram), 1, 8))::BIGINT % {_DSIR_B} AS h
+             FROM dz_g0),
+    dz_tc AS (SELECT h, COUNT(*)::BIGINT AS c FROM dz_g
+              WHERE source IN {_DSIR_TGT_SQL} GROUP BY h),
+    dz_rc AS (SELECT h, COUNT(*)::BIGINT AS c FROM dz_g
+              WHERE source NOT IN {_DSIR_TGT_SQL} GROUP BY h),
+    dz_nt AS (SELECT SUM(c)::BIGINT AS v FROM dz_tc),
+    dz_nr AS (SELECT SUM(c)::BIGINT AS v FROM dz_rc),
+    dz_pd AS (
+        SELECT dz_g.doc_id, ANY_VALUE(dz_g.source) AS source,
+               COUNT(*)::BIGINT AS n_grams,
+               SUM(COALESCE(dz_tc.c, 0))::BIGINT AS sum_ct,
+               SUM(COALESCE(dz_rc.c, 0))::BIGINT AS sum_cr,
+               SUM(ln(COALESCE(dz_tc.c, 0) + 1.0))
+                 - SUM(ln(COALESCE(dz_rc.c, 0) + 1.0))
+                 + COUNT(*) * (ln((SELECT v FROM dz_nr) + {float(_DSIR_B)})
+                               - ln((SELECT v FROM dz_nt) + {float(_DSIR_B)})) AS logw
+        FROM dz_g LEFT JOIN dz_tc ON dz_g.h = dz_tc.h
+                  LEFT JOIN dz_rc ON dz_g.h = dz_rc.h
+        WHERE dz_g.source NOT IN {_DSIR_TGT_SQL}
+        GROUP BY dz_g.doc_id),
+    dz_k AS (
+        SELECT *, logw - ln(-ln(
+                   ((('0x' || substring(md5('0:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     + 0.5) / 4294967296.0))) AS key
+        FROM dz_pd),
     {_BPE_CTES}
     SELECT method, k1, k2, n1, n2, n3 FROM (
         SELECT 'word' AS method, token AS k1, '' AS k2,
@@ -304,6 +357,26 @@ _BPE_CTES, _BPE_BRANCH = _bpe_replay_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
         WHERE bg.doc_id < {_LM_DOC_LIMIT}
         GROUP BY bg.doc_id
         UNION ALL
+        SELECT 'dsir_t', h::VARCHAR, '', c, NULL::BIGINT, NULL::BIGINT
+        FROM (SELECT h, c FROM dz_tc ORDER BY c DESC, h LIMIT 50)
+        UNION ALL
+        SELECT 'dsir_w', doc_id::VARCHAR, '', n_grams, sum_ct, sum_cr
+        FROM dz_pd WHERE doc_id < {_DSIR_WIT_LIM}
+        UNION ALL
+        SELECT 'dsir_sel', source, '',
+               COUNT_IF(key > {_DSIR_TAU}
+                        AND abs(key - ({_DSIR_TAU})) > {_DSIR_BAND}),
+               SUM(CASE WHEN key > {_DSIR_TAU}
+                         AND abs(key - ({_DSIR_TAU})) > {_DSIR_BAND}
+                        THEN n_grams ELSE 0 END)::BIGINT,
+               NULL::BIGINT
+        FROM dz_k GROUP BY source
+        UNION ALL
+        SELECT 'dsir_mask', source, '',
+               COUNT_IF(abs(key - ({_DSIR_TAU})) <= {_DSIR_BAND}),
+               NULL::BIGINT, NULL::BIGINT
+        FROM dz_k GROUP BY source
+        UNION ALL
         {_BPE_BRANCH}
     )
     ORDER BY method, k1, k2, n1
@@ -322,7 +395,16 @@ _BPE_CTES, _BPE_BRANCH = _bpe_replay_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
     f"merge table ({_BPE_MERGES} merges over the {_BPE_MAX_WORDS}-word "
     "capped histogram), with the oracle replaying the complete merge "
     "loop in unrolled MATERIALIZED CTEs — hex-wrapped symbol strings "
-    "where SQL replace() IS the greedy left-to-right merge.",
+    "where SQL replace() IS the greedy left-to-right merge. r11 adds "
+    "the DSIR quartet (operators/dsir.py — Xie et al. 2023 importance "
+    "resampling): 'dsir_t' = top-50 of the target hashed-unigram+bigram "
+    "count table; 'dsir_w' = per-doc exact-integer scoring-join "
+    "witnesses (gram count + matched-count sums under both bag-of-words "
+    "models); 'dsir_sel'/'dsir_mask' = Gumbel-perturbed threshold "
+    "selection per source under the q60-'clf' banding recipe (both "
+    "engines recompute the full log-likelihood-ratio + md5-uniform "
+    "Gumbel float chain; rows within 1e-9 of the frozen threshold "
+    "count under 'dsir_mask' — measured 0).",
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.lm_filter import _hashed_bigrams, train_bigram_lm
@@ -412,6 +494,78 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n2"),
         F.lit(None).cast("bigint").alias("n3"),
     )
+    # DSIR labels (r11): the importance-resampling pipeline end-to-end
+    # (operators/dsir.py). Count tables are bucket-bounded; the slim
+    # scored projection (ids + integer witnesses + weight, no bodies)
+    # localCheckpoints because it feeds the witness label AND both
+    # decision labels — without it the explode->broadcast-join->groupBy
+    # chain replays three times (verified via explain).
+    from lakeflush_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_select,
+        hashed_gram_counts,
+    )
+
+    is_target = F.col("source").isin(*_DSIR_TARGET)
+    dz_tc = hashed_gram_counts(
+        docs.where(is_target), buckets=_DSIR_B
+    ).localCheckpoint()
+    dz_rc = hashed_gram_counts(
+        docs.where(~is_target), buckets=_DSIR_B
+    ).localCheckpoint()
+    dsir_t = (
+        dz_tc.orderBy(F.desc("c"), "h")
+        .limit(50)
+        .select(
+            F.lit("dsir_t").alias("method"),
+            F.col("h").cast("string").alias("k1"),
+            F.lit("").alias("k2"),
+            F.col("c").alias("n1"),
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("bigint").alias("n3"),
+        )
+    )
+    dz_scored = (
+        dsir_log_weights(docs.where(~is_target), dz_tc, dz_rc, buckets=_DSIR_B)
+        .select("doc_id", "source", "n_grams", "sum_ct", "sum_cr", "log_weight")
+        .localCheckpoint()
+    )
+    dsir_w = dz_scored.where(F.col("doc_id") < _DSIR_WIT_LIM).select(
+        F.lit("dsir_w").alias("method"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n_grams").alias("n1"),
+        F.col("sum_ct").alias("n2"),
+        F.col("sum_cr").alias("n3"),
+    )
+    dz_agg = (
+        dsir_select(dz_scored, _DSIR_TAU, seed="0", band=_DSIR_BAND)
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("dsir_selected"), 1).otherwise(0)).alias("_n_sel"),
+            F.sum(
+                F.when(F.col("dsir_selected"), F.col("n_grams")).otherwise(0)
+            ).alias("_g_sel"),
+            F.sum(F.when(F.col("dsir_banded"), 1).otherwise(0)).alias("_n_band"),
+        )
+    )
+    dsir_sel = dz_agg.select(
+        F.lit("dsir_sel").alias("method"),
+        F.col("source").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("_n_sel").cast("bigint").alias("n1"),
+        F.col("_g_sel").cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+    )
+    dsir_mask = dz_agg.select(
+        F.lit("dsir_mask").alias("method"),
+        F.col("source").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("_n_band").cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+    )
+
     # n1 tie-break: the same (left, right) pair can legally be merged
     # at two ranks (a later merge can recreate the adjacency), and the
     # suite order must stay total
@@ -419,6 +573,10 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         word.unionByName(lm_label)
         .unionByName(doc_label)
         .unionByName(bpe_label)
+        .unionByName(dsir_t)
+        .unionByName(dsir_w)
+        .unionByName(dsir_sel)
+        .unionByName(dsir_mask)
         .orderBy("method", "k1", "k2", "n1")
     )
 

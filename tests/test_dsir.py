@@ -1,0 +1,119 @@
+"""DSIR importance resampling: model shape, weight semantics, selection."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from lakeflush_spark.operators.dsir import (
+    dsir_log_weights,
+    dsir_select,
+    hashed_gram_counts,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_gram_counts_cover_unigrams_and_bigrams(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    # grams: a, b, c, "a b", "b c" -> total mass 5
+    counts = hashed_gram_counts(docs, buckets=1 << 16)
+    assert counts.agg(F.sum("c")).collect()[0][0] == 5
+    # single-token doc contributes exactly its unigram
+    one = hashed_gram_counts(_docs(spark, [(1, "a")]), buckets=1 << 16)
+    assert one.agg(F.sum("c")).collect()[0][0] == 1
+
+
+def test_gram_counts_bounded_by_buckets(spark):
+    docs = _docs(spark, [(i, f"t{i} u{i} v{i}") for i in range(50)])
+    counts = hashed_gram_counts(docs, buckets=8)
+    rows = counts.collect()
+    assert len(rows) <= 8
+    assert all(0 <= r.h < 8 for r in rows)
+    # mass conserved under bucketing: 50 docs x (3 uni + 2 bi)
+    assert sum(r.c for r in rows) == 50 * 5
+
+
+def test_log_weights_favor_target_like_docs(spark):
+    target = _docs(spark, [(i, "alpha beta gamma") for i in range(10)])
+    raw = _docs(
+        spark,
+        [(1, "alpha beta gamma"), (2, "zeta eta theta")],
+    )
+    tc = hashed_gram_counts(target)
+    rc = hashed_gram_counts(raw)
+    scored = {r.doc_id: r for r in dsir_log_weights(raw, tc, rc).collect()}
+    # the target-identical doc outweighs the disjoint one
+    assert scored[1].log_weight > scored[2].log_weight
+    # integer witnesses: doc 2 matches nothing in the target model
+    assert scored[2].sum_ct == 0 and scored[1].sum_ct > 0
+    # both docs have 3 unigrams + 2 bigrams
+    assert scored[1].n_grams == scored[2].n_grams == 5
+
+
+def test_log_weight_value_matches_reference_math(spark):
+    # one-gram corpora keep the closed form small enough to hand-check
+    target = _docs(spark, [(1, "x")])
+    raw = _docs(spark, [(2, "x"), (3, "y")])
+    b = 1 << 16
+    tc = hashed_gram_counts(target, buckets=b)
+    rc = hashed_gram_counts(raw, buckets=b)
+    got = {
+        r.doc_id: r.log_weight
+        for r in dsir_log_weights(raw, tc, rc, buckets=b).collect()
+    }
+    const = math.log(2 + b) - math.log(1 + b)  # ln(Nr+aB) - ln(Nt+aB)
+    # doc 2 ("x"): ct=1, cr=1 -> ln(2) - ln(2) + const
+    assert abs(got[2] - const) < 1e-12
+    # doc 3 ("y"): ct=0, cr=1 -> ln(1) - ln(2) + const
+    assert abs(got[3] - (const - math.log(2.0))) < 1e-12
+
+
+def test_empty_doc_gets_null_weight(spark):
+    target = _docs(spark, [(1, "a b")])
+    raw = _docs(spark, [(2, ""), (3, "a")])
+    tc, rc = hashed_gram_counts(target), hashed_gram_counts(raw)
+    rows = {r.doc_id: r for r in dsir_log_weights(raw, tc, rc).collect()}
+    # "" splits to [''] — one (empty-string) unigram, still scored;
+    # genuinely gram-free docs cannot occur with split semantics, so
+    # assert the weaker contract: every input doc survives the left join
+    assert set(rows) == {2, 3}
+    assert rows[3].log_weight is not None
+
+
+def test_select_is_deterministic_and_seed_sensitive(spark):
+    target = _docs(spark, [(i, f"w{i % 3} common") for i in range(20)])
+    raw = _docs(spark, [(i, f"w{i % 5} common filler{i}") for i in range(40)])
+    tc, rc = hashed_gram_counts(target), hashed_gram_counts(raw)
+    scored = dsir_log_weights(raw, tc, rc)
+    a = {r.doc_id for r in dsir_select(scored, -5.0, seed="s").collect()
+         if r.dsir_selected}
+    b = {r.doc_id for r in dsir_select(scored, -5.0, seed="s").collect()
+         if r.dsir_selected}
+    c = {r.doc_id for r in dsir_select(scored, -5.0, seed="other").collect()
+         if r.dsir_selected}
+    assert a == b                      # same seed -> same sample
+    assert a != c                      # Gumbel draws move with the seed
+    # threshold is monotone: raising it can only shrink the sample
+    hi = {r.doc_id for r in dsir_select(scored, -1.0, seed="s").collect()
+          if r.dsir_selected}
+    assert hi <= a
+
+
+def test_select_band_masks_boundary_rows(spark):
+    target = _docs(spark, [(1, "a")])
+    raw = _docs(spark, [(2, "a"), (3, "b")])
+    tc, rc = hashed_gram_counts(target), hashed_gram_counts(raw)
+    scored = dsir_log_weights(raw, tc, rc)
+    keyed = dsir_select(scored, 0.0, seed="0").collect()
+    # re-threshold exactly AT one row's key: that row lands in the band
+    tau = keyed[0].dsir_key
+    banded = dsir_select(scored, tau, seed="0").collect()
+    hit = [r for r in banded if abs(r.dsir_key - tau) <= 1e-9]
+    assert hit and all(r.dsir_banded and not r.dsir_selected for r in hit)
+    others = [r for r in banded if abs(r.dsir_key - tau) > 1e-9]
+    assert all(
+        r.dsir_selected == (r.dsir_key > tau) and not r.dsir_banded
+        for r in others
+    )

@@ -42,7 +42,7 @@ The reference has no analog (opaque string records end-to-end).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from lakeflush_spark.functions.text import TOKEN_SEP, token_hash, tokens
 
@@ -151,6 +151,17 @@ def dsir_log_weights(
     )
 
 
+def _gumbel_key(id_col: str, weight_col: str, seed: str) -> Column:
+    """``log_weight + Gumbel(u)`` with the deterministic md5 uniform
+    ``u = (md5_32(seed || ':' || id) + 0.5) / 2^32`` — the perturbed
+    key the Gumbel-top-k formulation ranks by. Row-local, no RNG."""
+    u = (
+        token_hash(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    return F.col(weight_col) - F.log(-F.log(u))
+
+
 def dsir_select(
     scored: DataFrame,
     threshold: float,
@@ -168,13 +179,8 @@ def dsir_select(
     decision band: banded rows should be counted separately by
     callers that need cross-engine-stable decision counts). Rows with
     NULL weight get NULL key / false selected. Pure map-side."""
-    u = (
-        token_hash(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 32))
-    key = F.col(weight_col) - F.log(-F.log(u))
     return (
-        scored.withColumn("dsir_key", key)
+        scored.withColumn("dsir_key", _gumbel_key(id_col, weight_col, seed))
         .withColumn(
             "dsir_banded",
             F.coalesce(
@@ -190,3 +196,49 @@ def dsir_select(
             ),
         )
     )
+
+
+def dsir_resample_corpus(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    keep_frac: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = 1.0,
+    seed: str = "0",
+) -> DataFrame:
+    """One-call DSIR: fit both bag-of-words models, score every doc in
+    ``docs``, and keep the top ``keep_frac`` fraction by
+    Gumbel-perturbed key — the paper's sampling-without-replacement
+    selection, sized by fraction instead of a hand-frozen threshold.
+
+    The threshold is calibrated as the exact ``(1 - keep_frac)``
+    percentile of the keys (one aggregation job over the (id, key)
+    projection — a single scalar reaches the driver; deterministic,
+    unlike ``approx_percentile`` whose sketch merges are order-
+    dependent). The scoring chain therefore runs twice (calibration
+    pass + selection pass) — both map-side scans; persist ``docs``
+    upstream if the input itself is expensive to recompute. Gram-less
+    docs (NULL weight) are never selected and do not shift the
+    percentile.
+
+    Returns the selected docs with ``log_weight`` / ``dsir_key`` and
+    the integer witness columns attached. ``0 < keep_frac <= 1``.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    tc = hashed_gram_counts(target_docs, id_col, text_col, buckets)
+    rc = hashed_gram_counts(docs, id_col, text_col, buckets)
+    scored = dsir_log_weights(docs, tc, rc, id_col, text_col, buckets, alpha)
+    keyed = scored.withColumn(
+        "dsir_key", _gumbel_key(id_col, "log_weight", seed)
+    )
+    if keep_frac == 1.0:
+        return keyed.where(F.col("dsir_key").isNotNull())
+    tau = keyed.agg(
+        F.expr(f"percentile(dsir_key, {1.0 - float(keep_frac)!r})")
+    ).collect()[0][0]
+    if tau is None:  # every doc gram-less
+        return keyed.where(F.lit(False))
+    return keyed.where(F.col("dsir_key") > F.lit(float(tau)))

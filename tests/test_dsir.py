@@ -117,3 +117,30 @@ def test_select_band_masks_boundary_rows(spark):
         r.dsir_selected == (r.dsir_key > tau) and not r.dsir_banded
         for r in others
     )
+
+
+def test_resample_corpus_honors_fraction_and_is_deterministic(spark):
+    from lakeflush_spark.operators.dsir import dsir_resample_corpus
+
+    target = _docs(spark, [(i, f"t{i % 4} shared") for i in range(20)])
+    raw = _docs(
+        spark, [(i, f"t{i % 7} shared filler{i % 11}") for i in range(200)]
+    )
+    kept = dsir_resample_corpus(raw, target, keep_frac=0.25, seed="s")
+    ids = {r.doc_id for r in kept.collect()}
+    # exact percentile calibration: strict-> cut keeps <= 25%, and ties
+    # aside it should land within a few docs of the target
+    assert 40 <= len(ids) <= 50
+    # deterministic end-to-end
+    ids2 = {r.doc_id for r in dsir_resample_corpus(
+        raw, target, keep_frac=0.25, seed="s").collect()}
+    assert ids == ids2
+    # selected docs carry the scoring columns
+    row = kept.limit(1).collect()[0]
+    assert row.log_weight is not None and row.dsir_key is not None
+    # keep_frac=1.0 short-circuits to every scored doc
+    assert dsir_resample_corpus(raw, target, keep_frac=1.0).count() == 200
+    # invalid fraction raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dsir_resample_corpus(raw, target, keep_frac=0.0)

@@ -18,6 +18,12 @@ from lakeflush_spark.operators.decontaminate import (
     decontaminate,
     eval_leak_report,
 )
+from lakeflush_spark.operators.dsir import (
+    dsir_log_weights,
+    dsir_resample_corpus,
+    dsir_select,
+    hashed_gram_counts,
+)
 from lakeflush_spark.operators.dedup import (
     exact_dedup,
     exact_dedup_by_hash,
@@ -123,6 +129,10 @@ __all__ = [
     "mix_sources",
     "sample_fraction",
     "plan_epochs",
+    "dsir_log_weights",
+    "dsir_resample_corpus",
+    "dsir_select",
+    "hashed_gram_counts",
     "epoch_shortfall",
     "epoch_shuffle_key",
     "materialize_epochs",

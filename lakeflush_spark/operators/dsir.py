@@ -25,13 +25,15 @@ Spark-first shapes (100 TB stance):
   "randomness" is a deterministic md5-derived uniform (no RNG, same
   doc -> same draw on any cluster / any retry).
 
-Cross-engine notes (the q63 oracle twin): gram hashing uses the
-engine-wide md5 bucket trick (``functions.text.token_hash``) so DuckDB
-rebuilds identical ids; the integer cores (gram counts, per-doc
-matched-count sums) verify exactly; the float wrap (log sums + the
-Gumbel key) is row-local IEEE math verified under the q60-style 1e-9
-decision band — per-doc float sums drift ~1e-13 across engines
-(summation order), four orders below the band.
+Cross-engine notes (the q41 'dsir_*' oracle twin): in ``hash_fn="md5"``
+mode gram hashing uses the engine-wide md5 bucket trick
+(``functions.text.token_hash``) so DuckDB rebuilds identical ids (the
+default ``"xxhash64"`` is the faster production path with identical
+join/count structure — the ``lm_filter`` split); the integer cores
+(gram counts, per-doc matched-count sums) verify exactly; the float
+wrap (log sums + the Gumbel key) is row-local IEEE math verified under
+the q60-style 1e-9 decision band — per-doc float sums drift ~1e-13
+across engines (summation order), four orders below the band.
 
 Ids must be non-NULL (the draw hashes ``seed || ':' || id``; the
 documents contract guarantees a non-NULL BIGINT ``doc_id``).
@@ -51,11 +53,24 @@ DSIR_BUCKETS = 1 << 16
 
 
 def _hashed_grams(
-    docs: DataFrame, id_col: str, text_col: str, buckets: int
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(_id, h) rows: one per unigram and per adjacent bigram, hashed
     into ``[0, buckets)``. Bigrams join tokens with the corpus token
-    separator so the string fed to md5 is rebuildable in SQL."""
+    separator so the hashed string is rebuildable in SQL.
+
+    ``hash_fn``: ``"xxhash64"`` (default) is the fast JVM production
+    path — this hash runs once per gram of the whole corpus, the
+    single hottest expression in the pipeline; ``"md5"`` uses the
+    engine-wide ``conv(substring(md5,1,8),16,10)`` trick so DuckDB
+    rebuilds identical bucket ids (the q41 oracle twin) — the same
+    split ``operators/lm_filter`` uses."""
+    from lakeflush_spark.operators.lm_filter import _tok_hash
+
     tk = tokens(text_col)
     heads = F.when(F.size(tk) >= 2, F.slice(tk, 1, F.size(tk) - 1)).otherwise(
         F.array().cast("array<string>")
@@ -66,7 +81,7 @@ def _hashed_grams(
     grams = F.concat(tk, bigrams)
     return docs.select(
         F.col(id_col).alias("_id"), F.explode(grams).alias("_g")
-    ).select("_id", F.pmod(token_hash(F.col("_g")), F.lit(buckets)).alias("h"))
+    ).select("_id", _tok_hash(F.col("_g"), buckets, hash_fn).alias("h"))
 
 
 def hashed_gram_counts(
@@ -74,12 +89,13 @@ def hashed_gram_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = DSIR_BUCKETS,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Hashed-gram count table ``(h, c)`` — the bag-of-words model for
     one corpus. At most ``buckets`` rows regardless of corpus size
     (ONE map-side-combined groupBy), so it broadcasts downstream."""
     return (
-        _hashed_grams(docs, id_col, text_col, buckets)
+        _hashed_grams(docs, id_col, text_col, buckets, hash_fn)
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -93,6 +109,7 @@ def dsir_log_weights(
     text_col: str = "text",
     buckets: int = DSIR_BUCKETS,
     alpha: float = 1.0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Attach the DSIR importance weight to every doc in ``docs``.
 
@@ -107,9 +124,10 @@ def dsir_log_weights(
     mass of each model, attached via one-row broadcast aggregates —
     no driver collect). Docs with zero grams get NULLs.
 
-    ``buckets`` must match the value the count tables were built with.
+    ``buckets`` and ``hash_fn`` must match the values the count tables
+    were built with (hashes must agree).
     """
-    grams = _hashed_grams(docs, id_col, text_col, buckets)
+    grams = _hashed_grams(docs, id_col, text_col, buckets, hash_fn)
     a = float(alpha)
     joined = (
         grams.join(F.broadcast(target_counts.withColumnRenamed("c", "_ct")), "h", "left")
@@ -207,6 +225,7 @@ def dsir_resample_corpus(
     buckets: int = DSIR_BUCKETS,
     alpha: float = 1.0,
     seed: str = "0",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """One-call DSIR: fit both bag-of-words models, score every doc in
     ``docs``, and keep the top ``keep_frac`` fraction by
@@ -228,9 +247,11 @@ def dsir_resample_corpus(
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
-    tc = hashed_gram_counts(target_docs, id_col, text_col, buckets)
-    rc = hashed_gram_counts(docs, id_col, text_col, buckets)
-    scored = dsir_log_weights(docs, tc, rc, id_col, text_col, buckets, alpha)
+    tc = hashed_gram_counts(target_docs, id_col, text_col, buckets, hash_fn)
+    rc = hashed_gram_counts(docs, id_col, text_col, buckets, hash_fn)
+    scored = dsir_log_weights(
+        docs, tc, rc, id_col, text_col, buckets, alpha, hash_fn
+    )
     keyed = scored.withColumn(
         "dsir_key", _gumbel_key(id_col, "log_weight", seed)
     )

@@ -508,10 +508,10 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     is_target = F.col("source").isin(*_DSIR_TARGET)
     dz_tc = hashed_gram_counts(
-        docs.where(is_target), buckets=_DSIR_B
+        docs.where(is_target), buckets=_DSIR_B, hash_fn="md5"
     ).localCheckpoint()
     dz_rc = hashed_gram_counts(
-        docs.where(~is_target), buckets=_DSIR_B
+        docs.where(~is_target), buckets=_DSIR_B, hash_fn="md5"
     ).localCheckpoint()
     dsir_t = (
         dz_tc.orderBy(F.desc("c"), "h")
@@ -526,7 +526,9 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dz_scored = (
-        dsir_log_weights(docs.where(~is_target), dz_tc, dz_rc, buckets=_DSIR_B)
+        dsir_log_weights(
+            docs.where(~is_target), dz_tc, dz_rc, buckets=_DSIR_B, hash_fn="md5"
+        )
         .select("doc_id", "source", "n_grams", "sum_ct", "sum_cr", "log_weight")
         .localCheckpoint()
     )

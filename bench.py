@@ -466,6 +466,16 @@ no-field-pruning uniformity witness). Compaction csv 38.0 MB/s
 — the engine-vs-baseline gate green in both same-day runs (interim:
 csv 46.1 / gzip 10.5 / json 18.9k).
 
+r11-late q41 growth (pre-adjudicated): the entry gains the DSIR
+quartet ('dsir_t'/'dsir_w'/'dsir_sel'/'dsir_mask' —
+operators/dsir.py importance resampling, hash-verified end-to-end) —
+warm isolated q41 8.5-9.6 s at sf0.1 (was 3.0-4.0): two corpus-wide
+unigram+bigram explodes (target + raw count tables, oracle md5 mode)
+plus the scoring chain and the banded selection scan, all itemized in
+the labels map. Purchased verification surface, not regression; the
+PRODUCTION path defaults to xxhash64 grams (warm interleaved A/B of
+the full scoring chain at sf0.1: md5 3.9 s vs xxhash64 3.0-3.3 s).
+
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions
 crossover above): a 3-doc trickle batch against a directly-preloaded

@@ -427,7 +427,10 @@ writes compounding past the r9 baseline), neardup_docs_s 1735 ->
 curate_sem_docs_s 237 -> 324-379 (r9: 325), semdd_stream_vecs_s 735
 -> 675-794 (cold single-batch bootstrap measure; within the 650-840
 band this number has read since r6 — the warm multi-batch trend
-lines above remain the steady-state evidence).
+lines above remain the steady-state evidence; isolated warm-JVM
+re-measure this round: [324 first-run cold, 706, 809] vecs/s,
+confirming r9's 917 was the band's high outlier, not a level the
+code ever held).
 
 r11 q24 time-vs-data adjudication (VERDICT r10 #3, the
 three-round-running 7x mystery): the PRODUCTION chain was never the
@@ -452,7 +455,13 @@ time for 5x data, vs 7x uncapped).
 r11 build-constant memoization (VERDICT r10 #5): the pure fused
 generator Column trees and the |sources|-row epoch card (previously
 re-scanned 4x per build) are memoized at module level — repeat q60
-builds 6.1 -> 3.5 s, q18 2.4 -> 0.4 s measured.
+builds 6.1 -> 3.5 s, q18 2.4 -> 0.4 s measured. The REMAINING warm
+q60 build constant decomposes (cProfile, this round): ~2.8 s is 9.9k
+py4j round-trips assembling the 13 label frames/unions/card
+arithmetic (~0.23 ms each — irreducible without rewriting the builder
+as SQL text, not worth the hash-stability risk on a 13-label
+contract entry), ~0.6 s the three bounded driver jobs (epoch
+card/plan firsts). Build 2.5-3.4 s / materialize ~6.2 s at sf0.1.
 
 r11 full-run readings (after the q24 cap fix, same session as the
 interim run): suite 51.3 s — the first round-over-round suite DROP
@@ -465,6 +474,20 @@ no-field-pruning uniformity witness). Compaction csv 38.0 MB/s
 (5.1x the 7.4 baseline), gzip 8.9 (2.3x), json 20.9k files/s (2.0x)
 — the engine-vs-baseline gate green in both same-day runs (interim:
 csv 46.1 / gzip 10.5 / json 18.9k).
+
+r11 scale-smoke after the q24 cap + DSIR labels
+(scripts/scale_smoke.py, 20x = 100k docs / 40k vecs vs 4x = 20k /
+8k): q24 9.9 vs 5.4 s with pair rows 14,653 vs 2,952 — 1.84x time for
+exactly-5x rows, the three-round 7x curve closed (the capped demo
+label no longer quadratic); q41 10.1 vs 5.0 s — the new DSIR labels'
+corpus explodes are linear as designed (pre-DSIR the entry was flat
+because label-bounded); q60 16.3 vs 9.2, q18 12.1 vs 3.8 (20x
+absolute level unchanged from r10's 12.2 — the 4x number dropped with
+the build memo), q55 11.7 vs 9.8 (flat), q62 25.0 vs 10.2 (rows
+exactly 5x — matches the r9/r10 readings). ivf_assign re-confirms:
+build flat in n_cells (0.30 s @1024), two-level 1.53 s at
+n_cells=1024/coarse=32 vs 15.0 s flat (9.8x). No super-linear stage
+in any registered shape.
 
 r11-late q41 growth (pre-adjudicated): the entry gains the DSIR
 quartet ('dsir_t'/'dsir_w'/'dsir_sel'/'dsir_mask' —

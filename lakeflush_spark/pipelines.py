@@ -169,6 +169,25 @@ class CurationConfig:
     #: min DISTINCT contaminated grams to drop a doc (see
     #: operators/decontaminate.decontaminate)
     decontam_min_common: int = 1
+    #: optional DSIR targeted-selection stage (operators/dsir.py — Xie
+    #: et al. 2023 importance resampling): as the LAST stage, keep the
+    #: top ``dsir_keep_frac`` fraction of the surviving corpus by
+    #: Gumbel-perturbed importance weight toward the ``dsir_target``
+    #: frame passed to ``curate_documents`` (same id/text columns —
+    #: the in-domain sample the selected corpus should resemble).
+    #: None disables. Batch pipeline only: the selection calibrates a
+    #: global percentile, which has no incremental analog
+    #: (``dsir_select`` with a frozen threshold is the streamable
+    #: form). Selection runs after dedup/decontamination so weights
+    #: are computed over — and the fraction applies to — the CLEAN
+    #: pool.
+    dsir_keep_frac: float | None = None
+    #: hashed feature space for the DSIR bag-of-words models (bounds
+    #: both count tables regardless of corpus size)
+    dsir_buckets: int = 1 << 16
+    dsir_seed: str = "0"
+    #: "xxhash64" (fast JVM path) or "md5" (cross-engine mode)
+    dsir_hash_fn: str = "xxhash64"
     id_col: str = "doc_id"
     text_col: str = "text"
 
@@ -528,6 +547,11 @@ class CurationStats:
     near_dup_hot_buckets: int | None = None
     near_dup_hot_rows_in: int | None = None
     near_dup_rows_over_cap: int | None = None
+    #: count after the optional DSIR targeted-selection stage (r11);
+    #: None when cfg.dsir_keep_frac is off. When on, after_decontam
+    #: still reports the PRE-selection clean-pool size, so the
+    #: realized keep fraction is after_dsir / after_decontam.
+    after_dsir: int | None = None
 
 
 def _iterative_near_dup_losers(pairs: DataFrame, iters: int, id_col: str) -> DataFrame:
@@ -577,6 +601,7 @@ def curate_documents(
     cfg: CurationConfig = CurationConfig(),
     eval_docs: DataFrame | None = None,
     return_provenance: bool = False,
+    dsir_target: DataFrame | None = None,
 ):
     """Run the full curation flow; returns (curated_df, stats), or
     (curated_df, stats, provenance_df) with ``return_provenance``.
@@ -593,9 +618,16 @@ def curate_documents(
     stage that removed each dropped document — 'quality',
     'exact_dup', 'near_dup', 'lm_quality', 'semantic_dup',
     'repeated_passage' (drop mode only; strip rewrites instead of
-    dropping), 'decontaminated' — the per-doc audit trail a corpus
-    release ships beside the stats. Materializing it re-executes the
-    drop-set lineages; write it in the same job as the curated corpus.
+    dropping), 'decontaminated', 'dsir_selection' — the per-doc audit
+    trail a corpus release ships beside the stats. Materializing it
+    re-executes the drop-set lineages; write it in the same job as the
+    curated corpus.
+
+    When ``cfg.dsir_keep_frac`` is set, ``dsir_target`` (same id/text
+    columns) is the in-domain sample and a final DSIR importance-
+    resampling stage keeps that fraction of the clean pool
+    (operators/dsir.py; stats report both the pre-selection and
+    post-selection counts).
     """
     tc = cfg.text_col
     # STAGED gate annotation (r11): every CHEAP rule (metrics,
@@ -854,6 +886,45 @@ def curate_documents(
         )
         _mark(res.contaminated, "decontaminated")
         curated = res.clean
+
+    n_decontam: int | None = None
+    if cfg.dsir_keep_frac is not None:
+        if dsir_target is None:
+            raise ValueError(
+                "cfg.dsir_keep_frac is set but curate_documents received "
+                "no dsir_target frame (the in-domain sample to select "
+                "toward)"
+            )
+        _dsir_cols = {"n_grams", "sum_ct", "sum_cr", "log_weight", "dsir_key"}
+        clash = _dsir_cols & set(curated.columns)
+        if clash:
+            raise ValueError(
+                f"input carries DSIR metric columns {sorted(clash)}; "
+                "rename them before enabling dsir_keep_frac"
+            )
+        from lakeflush_spark.operators.dsir import dsir_resample_corpus
+
+        # pinned: the selection makes two passes over the clean pool
+        # (threshold calibration + the filter) plus the provenance
+        # anti-join — without the checkpoint each would replay the
+        # full curation lineage above
+        curated = curated.localCheckpoint()
+        n_decontam = curated.count()
+        selected = dsir_resample_corpus(
+            curated,
+            dsir_target,
+            cfg.dsir_keep_frac,
+            id_col=cfg.id_col,
+            text_col=tc,
+            buckets=cfg.dsir_buckets,
+            seed=cfg.dsir_seed,
+            hash_fn=cfg.dsir_hash_fn,
+        ).select(*curated.columns)
+        _mark(
+            curated.join(selected.select(cfg.id_col), cfg.id_col, "left_anti"),
+            "dsir_selection",
+        )
+        curated = selected
     n_final = curated.count()
     hot_b = hot_in = hot_over = None
     if cfg.near_dup_max_bucket is not None:
@@ -878,10 +949,12 @@ def curate_documents(
             int(hb.n_rows_over_cap),
         )
     stats = CurationStats(
-        int(agg.n_in), n_filt, n_exact, n_near, n_final,
+        int(agg.n_in), n_filt, n_exact, n_near,
+        n_decontam if n_decontam is not None else n_final,
         near_dup_hot_buckets=hot_b,
         near_dup_hot_rows_in=hot_in,
         near_dup_rows_over_cap=hot_over,
+        after_dsir=n_final if n_decontam is not None else None,
     )
     if not return_provenance:
         return curated, stats

@@ -620,3 +620,42 @@ def test_staged_gate_matches_single_pass(spark):
             )
         got = {r.doc_id for r in staged.select("doc_id").collect()}
         assert got == want, (kw, got, want)
+
+
+def test_curation_dsir_selection_stage(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    cfg = CurationConfig(min_tokens=1, dsir_keep_frac=0.5)
+    curated, stats, prov = curate_documents(
+        spark, docs, cfg, return_provenance=True, dsir_target=target
+    )
+    n_sel = curated.count()
+    # fraction applies to the clean pool; exact-percentile cut keeps <= frac
+    assert stats.after_dsir == n_sel
+    assert 0 < n_sel <= stats.after_decontam
+    assert abs(n_sel / stats.after_decontam - 0.5) < 0.1
+    # selected frame keeps the pipeline contract columns, none of the
+    # DSIR internals leak
+    assert {"n_grams", "sum_ct", "log_weight", "dsir_key"}.isdisjoint(
+        curated.columns
+    )
+    assert {"n_tokens", "stop_ratio", "lang_pred"} <= set(curated.columns)
+    # provenance names the stage for every selected-out doc
+    dropped = {
+        r.doc_id for r in prov.where(F.col("stage") == "dsir_selection").collect()
+    }
+    kept = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert dropped and dropped.isdisjoint(kept)
+    assert len(dropped) + len(kept) == stats.after_decontam
+    # deterministic end to end
+    again, stats2 = curate_documents(spark, docs, cfg, dsir_target=target)
+    assert {r.doc_id for r in again.select("doc_id").collect()} == kept
+    assert stats2.after_dsir == stats.after_dsir
+    # misconfiguration fails loudly
+    with pytest.raises(ValueError, match="dsir_target"):
+        curate_documents(spark, docs, cfg)
+    # stage off -> stats field stays None (back-compat)
+    _, stats_off = curate_documents(spark, docs, CurationConfig(min_tokens=1))
+    assert stats_off.after_dsir is None

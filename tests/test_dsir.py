@@ -144,3 +144,35 @@ def test_resample_corpus_honors_fraction_and_is_deterministic(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dsir_resample_corpus(raw, target, keep_frac=0.0)
+
+
+def test_dsir_composes_with_select_training_mix(spark):
+    # the SURVEY §8 claim: DSIR-select the pool toward a target, then
+    # assemble the token-budget mix from the selected docs
+    import pyspark.sql.functions as F2
+
+    from lakeflush_spark.operators.dsir import dsir_resample_corpus
+    from lakeflush_spark.operators.mixing import select_training_mix
+
+    target = _docs(spark, [(i, "aa bb cc") for i in range(10)])
+    raw = spark.createDataFrame(
+        [
+            (i, f"aa bb word{i % 13} tail{i % 7}", f"s{i % 3}")
+            for i in range(120)
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    kept = dsir_resample_corpus(raw, target, keep_frac=0.5, seed="m")
+    pool = kept.select(
+        "doc_id", "source", F2.size(F2.split("text", " ")).alias("n_tokens")
+    )
+    selected, plan = select_training_mix(pool, target_tokens=100)
+    n_sel = selected.count()
+    assert 0 < n_sel <= pool.count()
+    # the mix draws only from DSIR-selected docs
+    pool_ids = {r.doc_id for r in pool.select("doc_id").collect()}
+    assert {r.doc_id for r in selected.select("doc_id").collect()} <= pool_ids
+    # plan covers exactly the surviving sources
+    assert {r["key"] for r in plan.collect()} == {
+        r.source for r in pool.select("source").distinct().collect()
+    }

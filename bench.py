@@ -550,6 +550,7 @@ HEADLINE = [
     "q62_repeated_passage",
     "q28_embedding_neardup",
     "q41_wordcount_topk",
+    "q63_bm25",
     "q29_ann_topk",
     "q34_session_window",
     "q42_window_analytics",

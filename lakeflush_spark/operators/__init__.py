@@ -50,6 +50,11 @@ from lakeflush_spark.operators.lm_filter import (
     lm_logprob_scores,
     train_bigram_lm,
 )
+from lakeflush_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_topk,
+    tfidf_doc_terms,
+)
 from lakeflush_spark.operators.quality import (
     c4_filter,
     c4_flags,
@@ -170,6 +175,9 @@ __all__ = [
     "sharded_prefix_sum",
     "sketch_quantile_verdicts",
     "simhash_near_dups",
+    "bm25_scores",
+    "bm25_topk",
+    "tfidf_doc_terms",
     "strip_repeated_spans",
     "zorder_write",
 ]

@@ -1,0 +1,252 @@
+"""BM25 / TF-IDF document retrieval over a text corpus.
+
+The missing piece of a training-data pipeline's *targeted selection*
+toolbox next to DSIR (`operators/dsir.py`) and the quality classifier:
+given a small set of keyword queries, score every document with
+Okapi BM25 (Robertson & Sparck Jones; the `ln(1 + (N-df+.5)/(df+.5))`
+idf variant Lucene uses, which is non-negative by construction) and
+take the top-k per query.
+
+Reference parity: none — /root/reference has no text analysis at all
+(SURVEY.md §2.B); this is a declared engine capability, so the DuckDB
+oracle contract is the spec (q63_bm25 in plans/retrieval_queries.py).
+
+Scale shape (the 100 TB stance)
+-------------------------------
+- The query set is TINY (human-curated keywords); its distinct terms
+  broadcast. The corpus-side explode is filtered by that broadcast
+  hash join BEFORE any aggregation, so only postings for query terms
+  ever shuffle — everything else dies map-side.
+- Term frequencies are one map-side-combinable groupBy on
+  ``(term, doc)``; document frequencies re-aggregate that (≤ |terms|
+  rows) and broadcast back. Corpus stats (N, total length) are one
+  map-side-combined 1-row agg.
+- Scoring is a broadcast join + map-only arithmetic; no per-row
+  Python anywhere.
+- Top-k per query uses the salted two-pass ``grouped_top_k``
+  (operators/topk.py) so a query matching a billion documents never
+  funnels through one window partition.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from lakeflush_spark.functions.text import tokens
+from lakeflush_spark.operators.topk import grouped_top_k
+
+#: Okapi defaults (the values every major implementation ships).
+K1 = 1.2
+B = 0.75
+
+
+def query_frame(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
+    """Build a ``(query_id, query)`` frame from driver-side pairs.
+
+    One-slice local frame (io.local_rows_df) — a query set is small by
+    contract and must not pay the defaultParallelism pickle tax.
+    """
+    from lakeflush_spark.io import local_rows_df
+
+    return local_rows_df(
+        spark,
+        [(int(i), str(q)) for i, q in queries],
+        "query_id long, query string",
+    )
+
+
+def _query_terms(queries: DataFrame, query_col: str) -> DataFrame:
+    """Explode queries to distinct ``(query_id, term)`` rows.
+
+    ``array_distinct`` first: BM25 sums over *distinct* query terms —
+    a term repeated in the query string must not double-count.
+    """
+    return queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokens(query_col))).alias("term"),
+    )
+
+
+def bm25_term_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_col: str = "query",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Per ``(query_id, term, doc)`` BM25 term scores with exact-integer
+    witnesses.
+
+    Returns columns ``query_id, term, {id_col}, tf, df, dl, n_docs,
+    total_len, s`` where ``tf/df/dl/n_docs/total_len`` are exact
+    BIGINTs (the hash-verifiable join/agg witnesses) and ``s`` is the
+    double per-term score ``idf * tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))``
+    with ``avgdl = total_len / n_docs``.
+
+    The expression tree is shaped so an ANSI-SQL twin computing the
+    same parenthesization produces bit-identical doubles everywhere
+    except the single ``ln`` (engines may differ by ≤1 ulp — callers
+    that hash scores must band, see plans/retrieval_queries.py).
+    """
+    qterms = _query_terms(queries, query_col)
+    terms = qterms.select("term").distinct()
+
+    d = docs.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+    ).withColumn("dl", F.size("_toks").cast("bigint"))
+
+    # corpus stats: one map-side-combined 1-row agg, broadcast below.
+    stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+
+    # postings for query terms only: broadcast semi-filter BEFORE the
+    # tf groupBy so non-query terms never shuffle.
+    matched = d.select(
+        id_col, "dl", F.explode("_toks").alias("term")
+    ).join(F.broadcast(terms), "term")
+    tf = matched.groupBy("term", id_col, "dl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+    )
+    return scored.select(
+        "query_id",
+        "term",
+        id_col,
+        "tf",
+        "df",
+        "dl",
+        "n_docs",
+        "total_len",
+        (idf * tf_part).alias("s"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_col: str = "query",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Per ``(query_id, doc)`` BM25 scores.
+
+    Returns ``query_id, {id_col}, n_hit, sum_tf, dl, score`` — ``n_hit``
+    is the count of distinct query terms present in the doc, ``sum_tf``
+    their summed term frequency (both exact BIGINT witnesses),
+    ``score`` the double BM25 sum over matched terms.
+    """
+    ts = bm25_term_scores(
+        docs,
+        queries,
+        id_col=id_col,
+        text_col=text_col,
+        query_col=query_col,
+        k1=k1,
+        b=b,
+    )
+    return ts.groupBy("query_id", id_col, "dl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+        F.sum("tf").cast("bigint").alias("sum_tf"),
+        F.sum("s").alias("score"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_col: str = "query",
+    k1: float = K1,
+    b: float = B,
+    shards: int = 32,
+) -> DataFrame:
+    """Top-k documents per query by BM25, salted two-pass (scale path).
+
+    Ties break on ``{id_col}`` ascending, making the ranking a total
+    order (deterministic across runs/retries/cluster sizes).
+    """
+    scores = bm25_scores(
+        docs,
+        queries,
+        id_col=id_col,
+        text_col=text_col,
+        query_col=query_col,
+        k1=k1,
+        b=b,
+    )
+    return grouped_top_k(
+        scores,
+        group_cols=["query_id"],
+        order_cols=[F.col("score").desc(), F.col(id_col).asc()],
+        k=k,
+        salt_cols=[id_col],
+        shards=shards,
+    ).orderBy("query_id", "rank")
+
+
+def tfidf_doc_terms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_terms: int = 5,
+    shards: int = 32,
+) -> DataFrame:
+    """Per-document top TF-IDF terms — keyword extraction for data
+    cards / topic audits.
+
+    ``tf-idf = tf · ln(N / df)`` over the whole corpus vocabulary.
+    Unlike BM25 there is no tiny query set to broadcast, so the full
+    ``(term, doc)`` posting frame shuffles once (map-side combinable);
+    the df table is |vocab| rows and broadcasts. Top terms per doc are
+    salted-two-pass ranked.
+    """
+    d = docs.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
+    tf = d.select(id_col, F.explode("_toks").alias("term")).groupBy(
+        id_col, "term"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = tf.join(F.broadcast(dft), "term").crossJoin(F.broadcast(n_docs))
+    scored = scored.withColumn(
+        "tfidf",
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+    )
+    return grouped_top_k(
+        scored,
+        group_cols=[id_col],
+        order_cols=[F.col("tfidf").desc(), F.col("term").asc()],
+        k=top_terms,
+        salt_cols=["term"],
+        shards=shards,
+    )

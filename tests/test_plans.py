@@ -39,6 +39,9 @@ NLJ_ALLOWED = {
     # divisor is a ONE-row broadcast total crossed into the per-source
     # frame (same bounded 1-row pattern as q58's doc_id-bounds frame)
     "q60_stratified_sample",
+    # r11: BM25's corpus stats (N docs, total length) are a ONE-row
+    # broadcast crossed into the scored postings (same pattern)
+    "q63_bm25",
 }
 
 # queries that run driver-side actions or streaming at build time —

@@ -1,0 +1,119 @@
+"""BM25 / TF-IDF retrieval (operators/retrieval.py) vs a plain-Python model."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from lakeflush_spark.operators.retrieval import (
+    B,
+    K1,
+    bm25_scores,
+    bm25_topk,
+    query_frame,
+    tfidf_doc_terms,
+)
+
+DOCS = [
+    (0, "spark joins tables fast spark spark"),
+    (1, "slow scans read every row"),
+    (2, "joins and scans mix in one plan"),
+    (3, "spark joins spark joins spark joins"),
+    (4, "a tiny doc"),
+    (5, "scans scans scans scans scans scans scans scans"),
+]
+QUERIES = [(0, "spark joins"), (1, "scans"), (2, "missing terms only")]
+
+
+def _py_bm25() -> dict[tuple[int, int], float]:
+    """Reference model: textbook Okapi BM25 over DOCS x QUERIES."""
+    toks = {i: t.split(" ") for i, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df: dict[str, int] = {}
+    for v in toks.values():
+        for term in set(v):
+            df[term] = df.get(term, 0) + 1
+    out: dict[tuple[int, int], float] = {}
+    for qid, q in QUERIES:
+        for did, v in toks.items():
+            s = 0.0
+            hit = False
+            for term in dict.fromkeys(q.split(" ")):
+                tf = v.count(term)
+                if tf == 0:
+                    continue
+                hit = True
+                idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                s += idf * (tf * (K1 + 1.0)) / (
+                    tf + K1 * (1.0 - B + B * (len(v) / avgdl))
+                )
+            if hit:
+                out[(qid, did)] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_scores_match_python_model(spark, docs_df):
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_scores(docs_df, query_frame(spark, QUERIES)).collect()
+    }
+    want = _py_bm25()
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_bm25_witnesses(spark, docs_df):
+    rows = {
+        (r.query_id, r.doc_id): r
+        for r in bm25_scores(docs_df, query_frame(spark, QUERIES)).collect()
+    }
+    # doc 3 matches both query-0 terms, three times each
+    r = rows[(0, 3)]
+    assert (r.n_hit, r.sum_tf, r.dl) == (2, 6, 6)
+    # repeated query terms must not double-count: query 1 is one term
+    r = rows[(1, 5)]
+    assert (r.n_hit, r.sum_tf) == (1, 8)
+    # no row for a query with no matching terms anywhere
+    assert not any(q == 2 for q, _ in rows)
+
+
+def test_bm25_topk_rank_and_ties(spark, docs_df):
+    top = bm25_topk(docs_df, query_frame(spark, QUERIES), k=2).collect()
+    by_q: dict[int, list] = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    want = _py_bm25()
+    for qid, rows in by_q.items():
+        assert [r.rank for r in rows] == [1, 2][: len(rows)]
+        # ranking agrees with the python model under (score desc, id asc)
+        order = sorted(
+            [(d, s) for (q, d), s in want.items() if q == qid],
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert [r.doc_id for r in rows] == [d for d, _ in order[: len(rows)]]
+
+
+def test_bm25_topk_shard_invariance(spark, docs_df):
+    a = bm25_topk(docs_df, query_frame(spark, QUERIES), k=3, shards=1).collect()
+    b = bm25_topk(docs_df, query_frame(spark, QUERIES), k=3, shards=16).collect()
+    key = lambda r: (r.query_id, r.rank, r.doc_id)  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_tfidf_doc_terms(spark, docs_df):
+    rows = tfidf_doc_terms(docs_df, top_terms=1).collect()
+    best = {r.doc_id: r.term for r in rows}
+    # every doc gets exactly one top term; distinctive terms win
+    assert len(rows) == len(DOCS)
+    assert best[5] == "scans"
+    assert best[3] in ("spark", "joins")
+    # 'a'/'tiny'/'doc' all unique to doc 4 with tf=1 -> tie broken by term asc
+    assert best[4] == "a"

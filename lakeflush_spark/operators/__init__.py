@@ -25,8 +25,10 @@ from lakeflush_spark.operators.dsir import (
     hashed_gram_counts,
 )
 from lakeflush_spark.operators.dedup import (
+    cluster_representatives,
     exact_dedup,
     exact_dedup_by_hash,
+    keep_best_per_cluster,
     minhash_near_dups,
     near_dup_clusters,
     simhash_near_dups,
@@ -176,6 +178,8 @@ __all__ = [
     "sketch_quantile_verdicts",
     "simhash_near_dups",
     "bm25_scores",
+    "cluster_representatives",
+    "keep_best_per_cluster",
     "bm25_topk",
     "tfidf_doc_terms",
     "strip_repeated_spans",

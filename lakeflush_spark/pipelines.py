@@ -114,6 +114,14 @@ class CurationConfig:
     #: raises (never silently partial) if the budget is somehow
     #: exceeded.
     cluster_max_iters: int = 20
+    #: with cluster_resolution: name of a column on the input frame to
+    #: keep the BEST member of each cluster by (argmax, min-id ties —
+    #: operators/dedup.cluster_representatives), instead of the min-id
+    #: member. The FineWeb-style refinement: near-dup clusters mix a
+    #: clean original with mangled copies, and the kept doc should be
+    #: the highest-quality one, e.g. a classifier score or n_chars.
+    #: None = keep the min-id member (the published default).
+    cluster_keep_best: str | None = None
     #: bound LSH band buckets at this size before the near-dup
     #: self-join (operators/dedup._cap_hot_buckets): one boilerplate
     #: bucket of B docs otherwise costs O(B²) candidate pairs — the
@@ -736,13 +744,31 @@ def curate_documents(
     )
     if cfg.cluster_resolution and cfg.cc_iterations > 0:
         raise ValueError("cluster_resolution and cc_iterations are mutually exclusive")
+    if cfg.cluster_keep_best is not None and not cfg.cluster_resolution:
+        raise ValueError("cluster_keep_best requires cluster_resolution=True")
     if cfg.cluster_resolution:
-        from lakeflush_spark.operators.dedup import near_dup_clusters
+        from lakeflush_spark.operators.dedup import (
+            cluster_representatives,
+            near_dup_clusters,
+        )
 
         members = near_dup_clusters(pairs, max_iters=cfg.cluster_max_iters)
-        losers = members.where(F.col("id") != F.col("cluster_id")).select(
-            F.col("id").alias(cfg.id_col)
-        )
+        if cfg.cluster_keep_best is not None:
+            if cfg.cluster_keep_best not in exact.columns:
+                raise ValueError(
+                    f"cluster_keep_best column {cfg.cluster_keep_best!r} "
+                    "not on the input frame"
+                )
+            reps = cluster_representatives(
+                exact, members, cfg.cluster_keep_best, id_col=cfg.id_col
+            )
+            losers = members.join(
+                reps.select(F.col(cfg.id_col).alias("id")), "id", "left_anti"
+            ).select(F.col("id").alias(cfg.id_col))
+        else:
+            losers = members.where(F.col("id") != F.col("cluster_id")).select(
+                F.col("id").alias(cfg.id_col)
+            )
     elif cfg.cc_iterations > 0:
         losers = _iterative_near_dup_losers(pairs, cfg.cc_iterations, cfg.id_col)
     else:

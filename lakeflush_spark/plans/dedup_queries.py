@@ -182,13 +182,25 @@ _BLOCK_CAP = 512
         UNION
         SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a
     ),
-    clus AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    clus AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    rep AS (
+        SELECT cluster_id, doc_id FROM (
+            SELECT c.cluster_id, d.doc_id,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+            FROM clus c JOIN documents d ON d.doc_id = c.id)
+        WHERE rn = 1
+    )
     SELECT method, id1, id2, jaccard FROM (
         SELECT 'lsh' AS method, id1, id2, jaccard FROM v
         UNION ALL
         SELECT 'cluster' AS method, id AS id1, cluster_id AS id2,
                NULL::DOUBLE AS jaccard
         FROM clus
+        UNION ALL
+        SELECT 'rep' AS method, cluster_id AS id1, doc_id AS id2,
+               NULL::DOUBLE AS jaccard
+        FROM rep
         UNION ALL
         SELECT 'blocked' AS method, id1, id2, jaccard FROM (
             SELECT a.doc_id AS id1, b2.doc_id AS id2, round({_SQL_JACCARD}, 4) AS jaccard
@@ -225,11 +237,18 @@ _BLOCK_CAP = 512
     "so the uncapped demo label was quadratic in N while the "
     "production LSH path measured ~1.4x time for 5x data; under-cap "
     "blocks keep EVERY doc (threshold folds to the full bucket range), "
-    "so contract-scale results and hashes are unchanged). (r2: merged "
-    "q24+q27; r5: added cluster resolution; r11: block cap.)",
+    "so contract-scale results and hashes are unchanged). 'rep' rows "
+    "(id1=cluster, id2=kept doc) pick the keep-best-per-cluster "
+    "representative — argmax n_chars, min-id ties (operators/dedup."
+    "cluster_representatives; exact-integer argmax, map-side "
+    "combinable). (r2: merged q24+q27; r5: added cluster resolution; "
+    "r11: block cap + representatives.)",
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakeflush_spark.operators.dedup import near_dup_clusters
+    from lakeflush_spark.operators.dedup import (
+        cluster_representatives,
+        near_dup_clusters,
+    )
 
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     # localCheckpoint: the verified pair table (tiny) feeds BOTH the
@@ -238,10 +257,22 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs eagerly at build time anyway.
     pairs = minhash_near_dups(docs, threshold=0.5).localCheckpoint()
     lsh = pairs.select(F.lit("lsh").alias("method"), "id1", "id2", "jaccard")
-    clusters = near_dup_clusters(pairs).select(
+    cl = near_dup_clusters(pairs)
+    clusters = cl.select(
         F.lit("cluster").alias("method"),
         F.col("id").alias("id1"),
         F.col("cluster_id").alias("id2"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    # 'rep' rows (r11): the keep-best-per-cluster representative —
+    # argmax n_chars (exact integer, no float banding needed), ties to
+    # the smallest doc_id (operators/dedup.cluster_representatives,
+    # the FineWeb-style keep-the-clean-copy refinement of min-id
+    # cluster resolution). id1 = cluster, id2 = kept doc.
+    reps = cluster_representatives(docs, cl, "n_chars").select(
+        F.lit("rep").alias("method"),
+        F.col("cluster_id").alias("id1"),
+        F.col("doc_id").alias("id2"),
         F.lit(None).cast("double").alias("jaccard"),
     )
     # deterministic per-block cap (md5 rank, the _cap_hot_buckets
@@ -289,9 +320,9 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.lit("blocked").alias("method"), "id1", "id2", "jaccard")
     )
-    return lsh.unionByName(clusters).unionByName(blocked).orderBy(
-        "method", "id1", "id2"
-    )
+    return lsh.unionByName(clusters).unionByName(reps).unionByName(
+        blocked
+    ).orderBy("method", "id1", "id2")
 
 
 # single source for the simhash bit-extraction SQL: _simhash_bits_sql

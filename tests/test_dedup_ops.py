@@ -303,3 +303,96 @@ def test_minhash_pair_cache_does_not_accumulate(spark):
         assert n_cached() <= base + 1
     unpersist_pair_cache()
     assert n_cached() <= base
+
+
+def test_cluster_representatives_argmax_and_ties(spark):
+    from lakeflush_spark.operators.dedup import (
+        cluster_representatives,
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4), (50, 100)],
+        "doc_id long, q long",
+    )
+    cl = near_dup_clusters(pairs)
+    reps = {
+        r.cluster_id: (r.doc_id, r.q)
+        for r in cluster_representatives(docs, cl, "q").collect()
+    }
+    # cluster {1,2,3}: max q=9 tied between 2 and 3 -> min id 2
+    assert reps[1] == (2, 9)
+    # cluster {10,11}: q tied -> min id 10
+    assert reps[10] == (10, 4)
+    # singleton doc 50 is in no pair, hence in no cluster row
+    assert set(reps) == {1, 10}
+
+
+def test_keep_best_per_cluster(spark):
+    from lakeflush_spark.operators.dedup import keep_best_per_cluster
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 8), (10, 4), (11, 7), (50, 1)],
+        "doc_id long, q long",
+    )
+    kept = sorted(
+        r.doc_id for r in keep_best_per_cluster(docs, pairs, "q").collect()
+    )
+    # best of {1,2,3} is 2; best of {10,11} is 11; singleton 50 kept
+    assert kept == [2, 11, 50]
+
+
+def test_curate_documents_cluster_keep_best(spark):
+    """Pipeline wiring: cluster_keep_best keeps the argmax member."""
+    from lakeflush_spark.pipelines import CurationConfig, curate_documents
+
+    # three near-identical docs (one cluster; pairwise Jaccard ~0.78-
+    # 0.89); doc 2 is longest
+    base = "spark joins tables quickly and cleanly today " * 30
+    docs = spark.createDataFrame(
+        [
+            (1, base + "end"),
+            (2, base + "end extra"),
+            (3, base.strip()),
+            (9, "a completely different tiny doc " * 40),
+        ],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    cfg = CurationConfig(
+        near_dup_threshold=0.5,
+        cluster_resolution=True,
+        cluster_keep_best="n_chars",
+    )
+    curated, _stats = curate_documents(spark, docs, cfg)
+    kept = sorted(r.doc_id for r in curated.select("doc_id").collect())
+    assert kept == [2, 9]
+    # default (min-id) keeps doc 1 instead
+    curated_min, _ = curate_documents(
+        spark,
+        docs,
+        CurationConfig(near_dup_threshold=0.5, cluster_resolution=True),
+    )
+    kept_min = sorted(r.doc_id for r in curated_min.select("doc_id").collect())
+    assert kept_min == [1, 9]
+
+
+def test_cluster_keep_best_requires_resolution(spark):
+    from lakeflush_spark.pipelines import CurationConfig, curate_documents
+
+    docs = spark.createDataFrame([(1, "x", 1)], "doc_id long, text string, q long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cluster_keep_best requires"):
+        curate_documents(spark, docs, CurationConfig(cluster_keep_best="q"))
+    with _pytest.raises(ValueError, match="not on the input frame"):
+        curate_documents(
+            spark,
+            docs,
+            CurationConfig(cluster_resolution=True, cluster_keep_best="zzz"),
+        )

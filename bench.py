@@ -551,6 +551,7 @@ HEADLINE = [
     "q28_embedding_neardup",
     "q41_wordcount_topk",
     "q63_bm25",
+    "q64_phash",
     "q29_ann_topk",
     "q34_session_window",
     "q42_window_analytics",

@@ -52,6 +52,11 @@ from lakeflush_spark.operators.lm_filter import (
     lm_logprob_scores,
     train_bigram_lm,
 )
+from lakeflush_spark.operators.phash import (
+    phash_core_numpy,
+    phash_images,
+    phash_near_dups,
+)
 from lakeflush_spark.operators.retrieval import (
     bm25_scores,
     bm25_topk,
@@ -178,6 +183,9 @@ __all__ = [
     "sketch_quantile_verdicts",
     "simhash_near_dups",
     "bm25_scores",
+    "phash_core_numpy",
+    "phash_images",
+    "phash_near_dups",
     "cluster_representatives",
     "keep_best_per_cluster",
     "bm25_topk",

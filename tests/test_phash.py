@@ -1,0 +1,185 @@
+"""Perceptual hashing (operators/phash.py) vs plain-Python models."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import random
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from lakeflush_spark.operators.phash import (
+    GROUP_SIZE,
+    NOISE_LEVELS,
+    PHASH_BITS,
+    PHASH_N,
+    dct_coeffs,
+    gray16_pattern,
+    phash_chunks,
+    phash_core_numpy,
+    phash_from_gray,
+    phash_images,
+    phash_near_dups,
+    phash_pooled_numpy,
+)
+
+
+def _md5int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+
+def _py_gray(doc_id: int) -> list[int]:
+    """Plain-Python model of gray16_pattern."""
+    g = doc_id // GROUP_SIZE
+    a = 1 + _md5int(f"a:{g}") % 14
+    b = 1 + _md5int(f"b:{g}") % 14
+    f = 1 + _md5int(f"f:{g}") % 3
+    inv = _md5int(f"i:{g}") % 2
+    out = []
+    for p in range(PHASH_N * PHASH_N):
+        r, c = p >> 4, p & 15
+        base = max(0, 230 - f * ((r - a) ** 2 + (c - b) ** 2))
+        if inv:
+            base = 230 - base
+        out.append(base + _md5int(f"{doc_id}:{p}") % NOISE_LEVELS)
+    return out
+
+
+def _py_phash(gray: list[int]) -> int:
+    """Plain-Python model of the integer DCT + packing (no numpy)."""
+    C = dct_coeffs()
+    t = [
+        [sum(C[u][r] * gray[r * 16 + c] for r in range(16)) for c in range(16)]
+        for u in range(8)
+    ]
+    d = [
+        [sum(t[u][c] * C[v][c] for c in range(16)) for v in range(8)]
+        for u in range(8)
+    ]
+    ac = [d[j // 8][j % 8] for j in range(1, 64)]
+    s = sum(ac)
+    return sum(1 << i for i, v in enumerate(ac) if v * PHASH_BITS > s)
+
+
+def test_jvm_expression_matches_python_model(spark):
+    random.seed(11)
+    mats = [[random.randint(0, 255) for _ in range(256)] for _ in range(6)]
+    df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(mats)], "id long, gray array<bigint>"
+    )
+    got = {
+        r.id: r.ph
+        for r in df.select("id", phash_from_gray(F.col("gray")).alias("ph")).collect()
+    }
+    for i, m in enumerate(mats):
+        want = _py_phash(m)
+        assert got[i] == want
+        assert phash_pooled_numpy(np.array(m).reshape(16, 16)) == want
+
+
+def test_gray16_pattern_matches_python_model(spark):
+    ids = list(range(9))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: list(r.g)
+        for r in df.select("doc_id", gray16_pattern("doc_id").alias("g")).collect()
+    }
+    assert got == {i: _py_gray(i) for i in ids}
+
+
+def test_phash_core_pooling_and_brightness_robustness():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 200, size=(64, 48), dtype=np.uint8)
+    h1 = phash_core_numpy(img)
+    # brightness shift: mean-thresholded low frequencies barely move
+    h2 = phash_core_numpy(np.clip(img.astype(np.int64) + 30, 0, 255))
+    assert bin(h1 ^ h2).count("1") <= 6
+    # mild noise: still near
+    noisy = np.clip(
+        img.astype(np.int64) + rng.integers(-6, 7, size=img.shape), 0, 255
+    )
+    assert bin(h1 ^ phash_core_numpy(noisy)).count("1") <= 8
+    # a different image is far
+    other = rng.integers(0, 255, size=(64, 48), dtype=np.uint8)
+    assert bin(h1 ^ phash_core_numpy(other)).count("1") > 12
+    # a 16x16 image is hashed as-is (pooling is identity)
+    small = rng.integers(0, 255, size=(16, 16), dtype=np.uint8)
+    assert phash_core_numpy(small) == phash_pooled_numpy(small.astype(np.int64))
+    # RGB goes through integer luma
+    rgb = np.stack([img, img, img], axis=2)
+    assert phash_core_numpy(rgb) == phash_core_numpy(img)
+
+
+def test_phash_images_png_roundtrip(spark):
+    from lakeflush_spark.operators.png_codec import encode_png
+
+    rng = np.random.default_rng(5)
+    # a smooth blob, its noisy copy, and an unrelated image
+    yy, xx = np.mgrid[0:32, 0:32]
+    blob = np.clip(230 - 2 * ((yy - 10) ** 2 + (xx - 20) ** 2), 0, 255).astype(
+        np.uint8
+    )
+    noisy = np.clip(
+        blob.astype(np.int64) + rng.integers(-5, 6, size=blob.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 255, size=(32, 32), dtype=np.uint8)
+    rows = [
+        (0, bytearray(encode_png(blob))),
+        (1, bytearray(encode_png(noisy))),
+        (2, bytearray(encode_png(other))),
+        (3, bytearray(b"not a png")),  # corrupt: skipped, not fatal
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.phash for r in phash_images(df).collect()}
+    assert set(got) == {0, 1, 2}  # corrupt row dropped
+    assert got[0] == phash_core_numpy(blob)
+    assert bin(got[0] ^ got[1]).count("1") <= 7
+    assert bin(got[0] ^ got[2]).count("1") > 12
+
+
+def test_phash_chunks_partition_all_bits():
+    import pyspark.sql as _  # noqa: F401
+
+    cols = phash_chunks("h", max_hamming=7)
+    assert len(cols) == 8
+    # reconstruct: chunk widths cover exactly PHASH_BITS bits
+    n = 8
+    bounds = [PHASH_BITS * i // n for i in range(n + 1)]
+    assert bounds[0] == 0 and bounds[-1] == PHASH_BITS
+    assert all(b2 > b1 for b1, b2 in zip(bounds, bounds[1:]))
+
+
+def test_phash_near_dups_matches_brute_force(spark):
+    rng = random.Random(17)
+    # seeds + near copies (flip <=7 bits) + unrelated hashes
+    seeds = [rng.getrandbits(PHASH_BITS) for _ in range(8)]
+    rows, next_id = [], 0
+    for s in seeds:
+        rows.append((next_id, s))
+        next_id += 1
+        flip = 0
+        for b in rng.sample(range(PHASH_BITS), rng.randint(1, 7)):
+            flip |= 1 << b
+        rows.append((next_id, s ^ flip))
+        next_id += 1
+    for _ in range(30):
+        rows.append((next_id, rng.getrandbits(PHASH_BITS)))
+        next_id += 1
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    got = {
+        (r.id1, r.id2, r.hamming) for r in phash_near_dups(df).collect()
+    }
+    want = {
+        (a, b, bin(x ^ y).count("1"))
+        for (a, x), (b, y) in itertools.combinations(rows, 2)
+        if bin(x ^ y).count("1") <= 7
+    }
+    assert got == want
+
+
+def test_phash_near_dups_validates_radius(spark):
+    df = spark.createDataFrame([(0, 1)], "media_id long, phash long")
+    with pytest.raises(ValueError, match="max_hamming"):
+        phash_near_dups(df, max_hamming=PHASH_BITS)

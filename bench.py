@@ -550,8 +550,7 @@ HEADLINE = [
     "q62_repeated_passage",
     "q28_embedding_neardup",
     "q41_wordcount_topk",
-    "q63_bm25",
-    "q64_phash",
+    "q26_simhash_neardup",
     "q29_ann_topk",
     "q34_session_window",
     "q42_window_analytics",
@@ -605,6 +604,7 @@ def bench_queries(spark) -> dict[str, float]:
 #: growth-vs-regression signal the round verdicts kept having to
 #: reverse-engineer from notes archaeology.
 LABELED_ENTRIES = {
+    "q26_simhash_neardup": "method",
     "q41_wordcount_topk": "method",
     "q55_ann_ivf": "method",
     "q60_stratified_sample": "kind",

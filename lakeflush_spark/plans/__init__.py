@@ -11,7 +11,5 @@ from lakeflush_spark.plans import streaming_queries as _streaming_queries  # noq
 from lakeflush_spark.plans import relational_ext_queries as _relational_ext_queries  # noqa: F401
 from lakeflush_spark.plans import relational_ext3_queries as _relational_ext3_queries  # noqa: F401
 from lakeflush_spark.plans import udf_queries as _udf_queries  # noqa: F401
-from lakeflush_spark.plans import retrieval_queries as _retrieval_queries  # noqa: F401
-from lakeflush_spark.plans import phash_queries as _phash_queries  # noqa: F401
 
 __all__ = ["QUERIES", "DeclaredQuery"]

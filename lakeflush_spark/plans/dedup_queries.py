@@ -30,6 +30,7 @@ from lakeflush_spark.operators.dedup import (
     simhash,
     with_minhash,
 )
+from lakeflush_spark.plans.phash_queries import PHASH_BRANCHES, PHASH_CTES
 from lakeflush_spark.plans.queries import declare
 
 # ---- SQL fragment twins (DuckDB dialect) ----------------------------------
@@ -339,25 +340,43 @@ sh AS (SELECT doc_id, source, ({_simhash_bits_sql('hs')})::BIGINT AS simhash FRO
 @declare(
     "q26_simhash_neardup",
     _SIMHASH_CTES
-    + """
-    SELECT a.doc_id AS id1, b.doc_id AS id2,
-           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    ORDER BY hamming, id1, id2
-    LIMIT 30
+    + ","
+    + PHASH_CTES.strip().rstrip(",")
+    + f"""
+    SELECT method, id1, id2, hamming FROM (
+        SELECT 'simhash' AS method, id1, id2, hamming FROM (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ORDER BY hamming, id1, id2
+            LIMIT 30
+        )
+        UNION ALL
+        {PHASH_BRANCHES.strip()}
+    )
+    ORDER BY method, id1, id2
     """,
-    "Closest pairs by SimHash Hamming distance. All-pairs here for the "
-    "oracle; the scale path is operators/dedup.simhash_near_dups — the "
-    "pigeonhole chunk equi-join, proven pair-for-pair identical to the "
-    "all-pairs scan in tests/test_dedup_ops.py.",
+    "Hamming-distance near-dup suite, labeled: 'simhash' = closest 30 "
+    "pairs by SimHash distance (all-pairs here for the oracle; the "
+    "scale path is operators/dedup.simhash_near_dups — the pigeonhole "
+    "chunk equi-join, proven pair-for-pair identical to the all-pairs "
+    "scan in tests/test_dedup_ops.py). r11 adds the perceptual-hash "
+    "labels (plans/phash_queries.py + operators/phash.py): 'ph_hash' = "
+    "a 63-bit fixed-point-DCT pHash per synthetic image (md5 blob "
+    "patterns; real images go through phash_images' PNG-decode "
+    "mapInPandas path), 'ph_pairs' = Hamming<=7 pairs over the "
+    "deterministic doc_id<60 subset via the pigeonhole chunk join — "
+    "the whole pipeline exact int64, no float anywhere.",
 )
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeflush_spark.plans.phash_queries import phash_label_frames
+
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark).select(
         "doc_id", simhash("text").alias("simhash")
     )
     a = docs.alias("a")
     b = docs.alias("b")
-    return (
+    sim = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id1"),
@@ -366,6 +385,10 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hamming", "id1", "id2")
         .limit(30)
+        .select(F.lit("simhash").alias("method"), "id1", "id2", "hamming")
+    )
+    return sim.unionByName(phash_label_frames(spark, sf_dir)).orderBy(
+        "method", "id1", "id2"
     )
 
 

@@ -19,6 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from lakeflush_spark.io import load_table
 from lakeflush_spark.plans.queries import declare
+from lakeflush_spark.plans.retrieval_queries import (
+    BM25_BRANCH,
+    BM25_CTES,
+    bm25_label_frame,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -328,6 +333,7 @@ _BPE_CTES, _BPE_BRANCH = _bpe_replay_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
                    ((('0x' || substring(md5('0:' || doc_id::VARCHAR), 1, 8))::BIGINT
                      + 0.5) / 4294967296.0))) AS key
         FROM dz_pd),
+    {BM25_CTES.strip().rstrip(',')},
     {_BPE_CTES}
     SELECT method, k1, k2, n1, n2, n3 FROM (
         SELECT 'word' AS method, token AS k1, '' AS k2,
@@ -376,6 +382,8 @@ _BPE_CTES, _BPE_BRANCH = _bpe_replay_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
                COUNT_IF(abs(key - ({_DSIR_TAU})) <= {_DSIR_BAND}),
                NULL::BIGINT, NULL::BIGINT
         FROM dz_k GROUP BY source
+        UNION ALL
+        {BM25_BRANCH.strip()}
         UNION ALL
         {_BPE_BRANCH}
     )
@@ -579,6 +587,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dsir_w)
         .unionByName(dsir_sel)
         .unionByName(dsir_mask)
+        .unionByName(bm25_label_frame(spark, sf_dir))
         .orderBy("method", "k1", "k2", "n1")
     )
 

@@ -1,22 +1,25 @@
-"""Q63 — BM25 keyword retrieval over the documents corpus.
+"""BM25 keyword retrieval — the 'bm25' label of q41_wordcount_topk.
 
 Targeted-selection surface next to DSIR (q41 'dsir_*') and the quality
 classifier (q60 'clf'): score every document against a fixed keyword
-query set with Okapi BM25 and keep the top 100 per query.
+query set with Okapi BM25 and keep the top 100 per query. Hosted as a
+q41 label (not a standalone entry) because the driver records at most
+50 contract entries — the same consolidation rule every labeled suite
+follows (SURVEY §2.C).
 
 Reference parity: none — /root/reference has no text analysis
 (SURVEY.md §2.B); the DuckDB oracle contract is the spec.
 
 Hash determinism (the q60-'clf' recipe, applied to ranking):
 
-- All join/agg witnesses (``tf``, ``df``, ``dl``, ``n_hit``,
-  ``sum_tf``) are exact BIGINTs.
+- All join/agg witnesses (``tf``, ``df``, ``dl``, ``sum_tf``) are
+  exact BIGINTs.
 - The only transcendental is the idf's single ``ln``; engines may
   differ by ≤1 ulp (measured drift ~1e-15 relative). Per-term scores
   are therefore snapped to an integer 1e-6 grid with half-up rounding
   (``floor(s·1e6 + 0.5)``), and any term whose pre-snap value lies
   within 1e-3 grid units (1e-9 in score units) of a rounding boundary
-  marks the whole (query, doc) row ``masked`` — both engines agree on
+  marks the whole (query, doc) row masked — both engines agree on
   every unmasked value exactly, and masked rows carry NULL scores so
   disagreement is impossible by construction.
 - The per-(query, doc) score is the BIGINT SUM of snapped per-term
@@ -38,7 +41,6 @@ from pyspark.sql import DataFrame, SparkSession
 from lakeflush_spark.io import load_table
 from lakeflush_spark.operators.retrieval import B, K1, bm25_term_scores, query_frame
 from lakeflush_spark.operators.topk import grouped_top_k
-from lakeflush_spark.plans.queries import declare
 
 #: the fixed query set — corpus-vocabulary keywords chosen to exercise
 #: both idf regimes ('dup' is rare, df≈5% of docs; the rest are
@@ -56,85 +58,83 @@ EDGE_BAND = 1e-3
 
 _VALUES = ", ".join(f"({i}, '{q}')" for i, q in QUERIES)
 
-_ORACLE = f"""
-WITH q (query_id, query) AS (VALUES {_VALUES}),
-qt AS (
+#: CTE chain ending in ``bm_fin`` — spliced into q41's WITH list
+#: (bm_-prefixed names to avoid collisions with the host's CTEs).
+BM25_CTES = f"""
+bm_q (query_id, query) AS (VALUES {_VALUES}),
+bm_qt AS (
     SELECT CAST(query_id AS BIGINT) AS query_id,
            unnest(list_distinct(string_split(query, ' '))) AS term
-    FROM q),
-terms AS (SELECT DISTINCT term FROM qt),
-d AS (
+    FROM bm_q),
+bm_terms AS (SELECT DISTINCT term FROM bm_qt),
+bm_d AS (
     SELECT doc_id, string_split(text, ' ') AS toks,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
     FROM documents),
-stats AS (
+bm_stats AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(dl) AS BIGINT) AS total_len
-    FROM d),
-post AS (
+    FROM bm_d),
+bm_post AS (
     SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf
-    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) p
-    JOIN terms USING (term)
+    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM bm_d) p
+    JOIN bm_terms USING (term)
     GROUP BY term, doc_id, dl),
-dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
-ts AS (
-    SELECT qt.query_id, post.doc_id, post.dl, post.tf,
+bm_dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM bm_post GROUP BY term),
+bm_ts AS (
+    SELECT bm_qt.query_id, bm_post.doc_id, bm_post.dl, bm_post.tf,
            (ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
             * ((tf * {K1 + 1.0!r}) /
                (tf + {K1!r} * ({1.0 - B!r} + {B!r} *
                     (dl / (CAST(total_len AS DOUBLE) / n_docs)))))
            ) * 1000000.0 AS s6
-    FROM post JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN stats),
-ts2 AS (
+    FROM bm_post JOIN bm_dft USING (term) JOIN bm_qt USING (term)
+    CROSS JOIN bm_stats),
+bm_ts2 AS (
     SELECT query_id, doc_id, dl, tf,
            CAST(floor(s6 + 0.5) AS BIGINT) AS si,
            (abs(s6 - floor(s6) - 0.5) < {EDGE_BAND!r}) AS edge
-    FROM ts),
-agg AS (
-    SELECT query_id, doc_id, dl,
-           CAST(COUNT(*) AS BIGINT) AS n_hit,
+    FROM bm_ts),
+bm_agg AS (
+    SELECT query_id, doc_id,
            CAST(SUM(tf) AS BIGINT) AS sum_tf,
            CAST(SUM(si) AS BIGINT) AS s_sum,
            bool_or(edge) AS masked
-    FROM ts2 GROUP BY query_id, doc_id, dl),
-fin AS (
-    SELECT query_id, doc_id, n_hit, sum_tf, dl,
+    FROM bm_ts2 GROUP BY query_id, doc_id),
+bm_fin AS (
+    SELECT query_id, doc_id, sum_tf,
            CASE WHEN masked THEN NULL ELSE s_sum END AS score_e6,
-           masked,
            CAST(row_number() OVER (
                 PARTITION BY query_id
                 ORDER BY (CASE WHEN masked THEN NULL ELSE s_sum END)
                          DESC NULLS LAST,
                          doc_id) AS BIGINT) AS rank
-    FROM agg)
-SELECT query_id, doc_id, n_hit, sum_tf, dl, score_e6, masked, rank
-FROM fin
-WHERE rank <= {TOP_K}
-ORDER BY query_id, rank
+    FROM bm_agg)
+"""
+
+#: the q41 UNION ALL branch over the fragment above.
+BM25_BRANCH = f"""
+SELECT 'bm25' AS method, query_id::VARCHAR AS k1, doc_id::VARCHAR AS k2,
+       score_e6 AS n1, rank AS n2, sum_tf AS n3
+FROM bm_fin WHERE rank <= {TOP_K}
 """
 
 
-@declare(
-    "q63_bm25",
-    _ORACLE,
-    "Okapi BM25 keyword retrieval, top-100 per query: broadcast query "
-    "terms prune the corpus explode map-side, exact-integer witnesses, "
-    "1e-6-grid-snapped banded scores, salted two-pass top-k.",
-)
-def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_label_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'bm25' label rows in q41's (method, k1, k2, n1, n2, n3)
+    schema: k1 = query_id, k2 = doc_id, n1 = banded 1e-6-grid score
+    (NULL when masked), n2 = rank, n3 = summed term frequency."""
     docs = load_table(spark, sf_dir, "documents")
     ts = bm25_term_scores(docs, query_frame(spark, QUERIES))
     s6 = F.col("s") * F.lit(1000000.0)
     ts2 = ts.select(
         "query_id",
         "doc_id",
-        "dl",
         "tf",
         F.floor(s6 + F.lit(0.5)).cast("bigint").alias("si"),
         (F.abs(s6 - F.floor(s6) - F.lit(0.5)) < F.lit(EDGE_BAND)).alias("edge"),
     )
-    agg = ts2.groupBy("query_id", "doc_id", "dl").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+    agg = ts2.groupBy("query_id", "doc_id").agg(
         F.sum("tf").cast("bigint").alias("sum_tf"),
         F.sum("si").cast("bigint").alias("s_sum"),
         F.bool_or("edge").alias("masked"),
@@ -153,5 +153,10 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_cols=["doc_id"],
     )
     return top.select(
-        "query_id", "doc_id", "n_hit", "sum_tf", "dl", "score_e6", "masked", "rank"
-    ).orderBy("query_id", "rank")
+        F.lit("bm25").alias("method"),
+        F.col("query_id").cast("string").alias("k1"),
+        F.col("doc_id").cast("string").alias("k2"),
+        F.col("score_e6").alias("n1"),
+        F.col("rank").alias("n2"),
+        F.col("sum_tf").alias("n3"),
+    )

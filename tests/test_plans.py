@@ -39,9 +39,9 @@ NLJ_ALLOWED = {
     # divisor is a ONE-row broadcast total crossed into the per-source
     # frame (same bounded 1-row pattern as q58's doc_id-bounds frame)
     "q60_stratified_sample",
-    # r11: BM25's corpus stats (N docs, total length) are a ONE-row
-    # broadcast crossed into the scored postings (same pattern)
-    "q63_bm25",
+    # r11: q41's 'bm25' label crosses a ONE-row corpus-stats frame
+    # (N docs, total length) into the scored postings (same pattern)
+    "q41_wordcount_topk",
 }
 
 # queries that run driver-side actions or streaming at build time —

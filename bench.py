@@ -499,6 +499,27 @@ the labels map. Purchased verification surface, not regression; the
 PRODUCTION path defaults to xxhash64 grams (warm interleaved A/B of
 the full scoring chain at sf0.1: md5 3.9 s vs xxhash64 3.0-3.3 s).
 
+r11-late label growth (pre-adjudicated, same-session full run +
+4x/20x smokes): q41 gains 'bm25' (Okapi BM25 top-100 per query,
+operators/retrieval.py — warm label 1.3 s at sf0.1; entry 10.5 s in
+the same contended run that read q55 13.3, i.e. suite-entry noise on
+top of the DSIR-era 8.5-9.6 s level; 4x/20x smoke 7.7 -> 26.1 s =
+3.4x time for 5x data, linear-ish: the posting explode is
+query-term-pruned map-side). q26 ENTERS the suite as the labeled
+Hamming trio (3.5 s at sf0.1: ph_hash 0.37 map-only, ph_pairs 0.26
+id-bounded, simhash 0.86 + entry overhead incl. the one-time memoized
+pHash expression build): its 4x/20x smoke reads 11.0 -> 58.2 s — the
+growth is the DOCUMENTED all-pairs 'simhash' demo label (quadratic by
+design, oracle-bounded top-30; production = the pigeonhole
+simhash_near_dups/phash_near_dups chunk joins, which the sf0.1 labels
+time), with the production pHash map pass linear (~0.37 s/5k docs).
+q24 gains 'rep' (keep-best-per-cluster representatives): entry 4.2 s
+in the same run (3.5-3.8 band before), 4x/20x 6.0 -> 11.4 s = 1.9x
+for 5x — the r11 cap reading holds with the new label. Streaming
+metrics in the same run hold the r11 recovery: neardup 2050 docs/s,
+curate_warm 112.5, curate_sem 356, semdd_stream 893; compaction csv
+47.6 MB/s / gzip 10.6 / json 19.3k files/s.
+
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions
 crossover above): a 3-doc trickle batch against a directly-preloaded

@@ -7,8 +7,7 @@ Hamming join to find near-duplicate images without an all-pairs scan.
 
 Reference parity: none — /root/reference has no media processing
 (SURVEY.md §2.B); declared engine capability, oracle contract is the
-spec (q64_phash in plans/multimodal_queries... registered in
-plans/phash_queries.py).
+spec (q26's 'ph_hash'/'ph_pairs' labels, plans/phash_queries.py).
 
 Why an INTEGER DCT
 ------------------
@@ -389,3 +388,36 @@ def phash_near_dups(
         .distinct()
     )
     return cand
+
+
+def dedup_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    decoder=None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Drop near-duplicate images, keeping one per perceptual cluster.
+
+    The one-call composition: :func:`phash_images` (decode + hash,
+    map-only), :func:`phash_near_dups` (pigeonhole chunk join),
+    connected components over the verified pairs
+    (operators/dedup.near_dup_clusters), then an anti-join dropping
+    every non-minimum member. All other columns pass through. Rows
+    whose payload fails to decode are in no pair, so they always
+    survive (corrupt inputs are skipped, not dropped — the O19
+    error-policy analog; run :func:`phash_images` directly to audit
+    which those are).
+    """
+    from lakeflush_spark.operators.dedup import near_dup_clusters
+
+    hashes = phash_images(
+        df, id_col=id_col, payload_col=payload_col, decoder=decoder
+    )
+    pairs = phash_near_dups(hashes, id_col="media_id", max_hamming=max_hamming)
+    clusters = near_dup_clusters(pairs, max_iters=max_iters)
+    losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

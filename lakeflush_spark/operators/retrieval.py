@@ -9,7 +9,8 @@ take the top-k per query.
 
 Reference parity: none — /root/reference has no text analysis at all
 (SURVEY.md §2.B); this is a declared engine capability, so the DuckDB
-oracle contract is the spec (q63_bm25 in plans/retrieval_queries.py).
+oracle contract is the spec (q41's 'bm25' label,
+plans/retrieval_queries.py).
 
 Scale shape (the 100 TB stance)
 -------------------------------
@@ -250,3 +251,157 @@ def tfidf_doc_terms(
         salt_cols=["term"],
         shards=shards,
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index — the build-once / search-many serving
+# pattern (the q55 IVF index's sibling for keyword retrieval).
+# ---------------------------------------------------------------------------
+
+#: term-bucket count for the partitioned postings layout.
+DEFAULT_TERM_BUCKETS = 64
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the JVM ``_tb`` expression below — md5, not
+    xxhash64, precisely so a query's prune values are computable in
+    pure Python with no Spark job."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % n_buckets
+
+
+def _term_bucket_col(term: Column, n_buckets: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(term), 1, 4), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> None:
+    """Materialize an inverted index under ``index_dir``:
+
+    - ``postings/`` — ``(term, {id_col}, tf, dl)`` partitioned by
+      ``_tb = md5_16(term) % n_buckets``;
+    - ``terms/`` — ``(term, df)`` (|vocab| rows), same partitioning;
+    - ``stats/`` — the one-row ``(n_docs, total_len)`` corpus frame.
+
+    Build is ONE corpus explode + a map-side-combinable groupBy (the
+    same shuffle any tf computation pays) plus a |vocab|-row
+    re-aggregate; no driver-side state. At serving time a query's
+    terms map to a handful of ``_tb`` values computed in pure Python
+    (md5, no Spark job), so :func:`bm25_search` reads ONLY those
+    partitions — the 100 TB point: a 3-term query against a trillion
+    postings touches 3/n_buckets of the index, not all of it.
+    """
+    base = index_dir.rstrip("/")
+    d = docs.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).withColumn("dl", F.size("_toks").cast("bigint"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{base}/stats")
+    tf = (
+        d.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    posts = tf.withColumn("_tb", _term_bucket_col(F.col("term"), n_buckets))
+    posts.write.mode("overwrite").partitionBy("_tb").parquet(f"{base}/postings")
+    dft = (
+        spark_read_back(posts.sparkSession, f"{base}/postings")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .withColumn("_tb", _term_bucket_col(F.col("term"), n_buckets))
+    )
+    dft.write.mode("overwrite").partitionBy("_tb").parquet(f"{base}/terms")
+
+
+def spark_read_back(spark: SparkSession, path: str) -> DataFrame:
+    """Read a just-written parquet dir (tiny helper so the df table is
+    derived from the PERSISTED postings, never a recompute of the
+    corpus explode)."""
+    return spark.read.parquet(path)
+
+
+def bm25_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_TERM_BUCKETS,
+    k1: float = K1,
+    b: float = B,
+    shards: int = 32,
+) -> DataFrame:
+    """Top-k BM25 over a :func:`build_bm25_index` index.
+
+    The query terms' ``_tb`` values are computed driver-side (pure
+    Python md5, no job), so both the postings and the term-df reads
+    are partition-PRUNED to the query's buckets before any term
+    filter runs — verified by ``tests/test_retrieval.py`` asserting
+    the pruned scan lists strictly fewer files. Everything after the
+    prune is the standard broadcast-scoring chain of
+    :func:`bm25_topk`.
+    """
+    base = index_dir.rstrip("/")
+    terms: list[str] = []
+    for _, q in queries:
+        terms.extend(dict.fromkeys(str(q).split(" ")))
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("queries contain no terms")
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+    posts = (
+        spark.read.parquet(f"{base}/postings")
+        .where(F.col("_tb").isin(buckets))
+        .where(F.col("term").isin(terms))
+    )
+    dft = (
+        spark.read.parquet(f"{base}/terms")
+        .where(F.col("_tb").isin(buckets))
+        .where(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(f"{base}/stats")
+    qterms = _query_terms(query_frame(spark, queries), "query")
+    scored = (
+        posts.join(F.broadcast(dft), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+    )
+    scores = scored.select(
+        "query_id", id_col, "dl", "tf", (idf * tf_part).alias("s")
+    ).groupBy("query_id", id_col, "dl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+        F.sum("tf").cast("bigint").alias("sum_tf"),
+        F.sum("s").alias("score"),
+    )
+    return grouped_top_k(
+        scores,
+        group_cols=["query_id"],
+        order_cols=[F.col("score").desc(), F.col(id_col).asc()],
+        k=k,
+        salt_cols=[id_col],
+        shards=shards,
+    ).orderBy("query_id", "rank")

@@ -241,6 +241,13 @@ def main() -> int:
             # the builder now boots three real StreamingQueries over
             # the corpus, so smoke it at Nx too
             "q62_repeated_passage",
+            # r11: the Hamming suite — 'simhash' is a deliberate
+            # all-pairs demo (quadratic BY DESIGN, top-30 bounded
+            # output), 'ph_hash' is map-only per-doc (must be linear),
+            # 'ph_pairs' is id-bounded (flat). Watch that the entry's
+            # growth stays attributable to the documented quadratic
+            # label, not the production pHash path.
+            "q26_simhash_neardup",
         ):
             # builders that loop eagerly (q24's CC) build inside the
             # lambda so their driver iterations are timed too

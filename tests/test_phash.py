@@ -183,3 +183,30 @@ def test_phash_near_dups_validates_radius(spark):
     df = spark.createDataFrame([(0, 1)], "media_id long, phash long")
     with pytest.raises(ValueError, match="max_hamming"):
         phash_near_dups(df, max_hamming=PHASH_BITS)
+
+
+def test_dedup_images_keeps_one_per_cluster(spark):
+    from lakeflush_spark.operators.phash import dedup_images
+    from lakeflush_spark.operators.png_codec import encode_png
+
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:32, 0:32]
+    blob = np.clip(230 - 2 * ((yy - 12) ** 2 + (xx - 8) ** 2), 0, 255).astype(
+        np.uint8
+    )
+    noisy = np.clip(
+        blob.astype(np.int64) + rng.integers(-5, 6, size=blob.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 255, size=(32, 32), dtype=np.uint8)
+    rows = [
+        (0, bytearray(encode_png(blob)), "a"),
+        (1, bytearray(encode_png(noisy)), "b"),   # near-dup of 0
+        (2, bytearray(encode_png(other)), "c"),
+        (3, bytearray(b"corrupt"), "d"),          # undecodable: kept
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary, tag string")
+    kept = dedup_images(df).collect()
+    ids = sorted(r.media_id for r in kept)
+    assert ids == [0, 2, 3]
+    # pass-through columns survive
+    assert {r.tag for r in kept} == {"a", "c", "d"}

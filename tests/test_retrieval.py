@@ -117,3 +117,52 @@ def test_tfidf_doc_terms(spark, docs_df):
     assert best[3] in ("spark", "joins")
     # 'a'/'tiny'/'doc' all unique to doc 4 with tf=1 -> tie broken by term asc
     assert best[4] == "a"
+
+
+def test_bm25_index_search_matches_direct(spark, tmp_path):
+    from lakeflush_spark.operators.retrieval import bm25_search, build_bm25_index
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = str(tmp_path / "bm25_idx")
+    build_bm25_index(docs, idx)
+    got = bm25_search(spark, idx, QUERIES, k=3).collect()
+    want = bm25_topk(docs, query_frame(spark, QUERIES), k=3).collect()
+    key = lambda r: (r.query_id, r.rank, r.doc_id)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    for g, w in zip(sorted(got, key=key), sorted(want, key=key)):
+        assert g.score == pytest.approx(w.score, rel=1e-12)
+
+
+def test_bm25_index_partition_pruning(spark, tmp_path):
+    from lakeflush_spark.operators.retrieval import (
+        _term_bucket_py,
+        build_bm25_index,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = str(tmp_path / "bm25_idx2")
+    build_bm25_index(docs, idx, n_buckets=64)
+    all_posts = spark.read.parquet(f"{idx}/postings")
+    buckets = sorted({_term_bucket_py(t, 64) for t in ["spark", "joins"]})
+    pruned = all_posts.where(F.col("_tb").isin(buckets))
+
+    def files_read(df):
+        return df.select(F.input_file_name()).distinct().count()
+
+    # partition elimination: the pruned scan must touch strictly fewer
+    # files than the full index (the 100 TB read-cost claim)
+    assert 0 < files_read(pruned) < files_read(all_posts)
+    # and the pruned read still contains every posting for those terms
+    terms_in = {r.term for r in pruned.select("term").distinct().collect()}
+    assert {"spark", "joins"} <= terms_in
+
+
+def test_bm25_search_rejects_empty_queries(spark, tmp_path):
+    from lakeflush_spark.operators.retrieval import bm25_search, build_bm25_index
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = str(tmp_path / "bm25_idx3")
+    build_bm25_index(docs, idx)
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_search(spark, idx, [])

@@ -28,6 +28,10 @@ from lakeflush_spark.streaming.dedup import (  # noqa: F401
     open_file_stream,
     vacuum_runs,
 )
+from lakeflush_spark.streaming.phash import (  # noqa: F401
+    StreamPhashConfig,
+    phash_dedup_stream,
+)
 from lakeflush_spark.streaming.semdedup import (  # noqa: F401
     StreamSemDedupConfig,
     compact_vec_store,

@@ -1,0 +1,198 @@
+"""Incremental perceptual-image dedup: pHash-match each arriving
+micro-batch against every image ingested before it.
+
+The multimodal face of ``streaming/dedup.py``: text dedup keys on an
+exact content digest, but near-duplicate IMAGES (re-encodes, mild
+noise, brightness shifts) share no bytes — they share a perceptual
+hash neighborhood (operators/phash.py). Per micro-batch:
+
+1. decode + hash the batch (``phash_images`` — Arrow-batched map-only;
+   undecodable payloads get no hash and always survive, the
+   corrupt-input SKIP policy);
+2. within-batch near-dups collapse to the min-id winner per verified
+   pair (single-pass greedy, the batch operator's default resolution);
+3. survivors are Hamming-checked against the persisted HASH STORE — a
+   parquet table of ``(media_id, phash)`` rows, never payloads;
+4. genuinely-new images append to the dest corpus and their hashes to
+   the store, both under ``run=<tag>/batch=<id>`` dynamic-overwrite
+   partitions — the same exactly-once replay recipe as every other
+   dedup-on-arrival store (see streaming/dedup.py).
+
+Scale stance: the history check explodes the HISTORY hashes into
+their ``max_hamming + 1`` pigeonhole chunks MAP-SIDE and probes them
+with a BROADCAST of the batch's chunk table (batch-sized x chunks), so
+history is only ever scanned — never shuffled, never broadcast — and
+the exact ``bit_count`` verify runs on the chunk-collision survivors
+only. Per-batch cost: one history scan + broadcast-sized joins; image
+payloads never shuffle anywhere (only 8-byte hashes and ids move).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from lakeflush_spark.operators.phash import (
+    DEFAULT_MAX_HAMMING,
+    PHASH_BITS,
+    phash_chunks,
+    phash_images,
+    phash_near_dups,
+)
+from lakeflush_spark.streaming.dedup import (
+    _cfg_stream,
+    _read_store,
+    _run_tag,
+    _sized,
+)
+
+
+@dataclass
+class StreamPhashConfig:
+    #: streaming source directory of parquet files with binary payloads
+    source_dir: str
+    #: deduped media destination (parquet, run/batch partitioned)
+    dest_dir: str
+    #: pHash store directory (parquet, run/batch partitioned)
+    hash_dir: str
+    checkpoint_dir: str
+    id_col: str = "media_id"
+    payload_col: str = "payload"
+    #: Hamming radius: batch images within this distance of history
+    #: (or of a smaller-id batch member) are dropped
+    max_hamming: int = DEFAULT_MAX_HAMMING
+    #: ``decoder(bytes) -> numpy array``; None = the pure-Python PNG
+    #: decoder (operators/png_codec)
+    decoder: object = None
+    source_format: str = "parquet"
+    source_options: dict | None = None
+    max_files_per_trigger: int | None = None
+
+
+def against_history_phash(
+    fresh_hashes: DataFrame,
+    hist: DataFrame | None,
+    id_col: str,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+) -> DataFrame:
+    """Batch ids whose pHash is within ``max_hamming`` of any history
+    hash.
+
+    History rows explode into pigeonhole chunks map-side and are
+    probed by the BROADCAST batch chunk table (two near hashes must
+    agree on >=1 of the ``max_hamming + 1`` disjoint chunks) — the
+    history scan never shuffles. The exact ``bit_count`` verify runs
+    only on chunk collisions; output is at most batch-sized.
+    """
+    if hist is None:
+        return fresh_hashes.select(F.col(id_col)).limit(0)
+    bchunks = fresh_hashes.select(
+        F.col(id_col).alias("_bid"),
+        F.col("phash").alias("_bph"),
+        F.posexplode(F.array(*phash_chunks("phash", max_hamming))).alias(
+            "_ci", "_cv"
+        ),
+    )
+    hchunks = hist.select(
+        F.col("phash").alias("_hph"),
+        F.posexplode(F.array(*phash_chunks("phash", max_hamming))).alias(
+            "_ci", "_cv"
+        ),
+    )
+    hits = (
+        hchunks.join(F.broadcast(bchunks), ["_ci", "_cv"])
+        .where(
+            F.bit_count(F.col("_hph").bitwiseXOR(F.col("_bph")))
+            <= F.lit(max_hamming)
+        )
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+    return hits
+
+
+def phash_dedup_stream(
+    spark: SparkSession, cfg: StreamPhashConfig, schema=None
+):
+    """Start the incremental pHash-dedup stream (Trigger.AvailableNow).
+    Returns the StreamingQuery; ``awaitTermination()`` it."""
+    if not 0 <= cfg.max_hamming < PHASH_BITS:
+        raise ValueError("max_hamming must be in [0, 63)")
+    stream = _cfg_stream(spark, cfg, schema)
+    run = _run_tag(cfg.checkpoint_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        # localCheckpoint: the hash frame feeds the within-batch pair
+        # join (both sides), the history probe, and the store write —
+        # without truncation each consumer re-decodes every payload
+        hashes = phash_images(
+            batch_df,
+            id_col=cfg.id_col,
+            payload_col=cfg.payload_col,
+            decoder=cfg.decoder,
+        ).localCheckpoint()
+        try:
+            pairs = phash_near_dups(
+                hashes, id_col="media_id", max_hamming=cfg.max_hamming
+            )
+            # single-pass greedy: drop every id that pairs with a
+            # smaller id (the batch operator's default resolution)
+            within_losers = pairs.select(
+                F.col("id2").alias("media_id")
+            ).distinct()
+            fresh = hashes.join(
+                F.broadcast(within_losers), "media_id", "left_anti"
+            )
+            hist = _read_store(sp, cfg.hash_dir, batch_id, run)
+            hist_losers = against_history_phash(
+                fresh, hist, "media_id", cfg.max_hamming
+            )
+            fresh = fresh.join(
+                F.broadcast(hist_losers), "media_id", "left_anti"
+            ).localCheckpoint()
+            n_new = fresh.count()
+            store = (
+                fresh.select("media_id", "phash")
+                .withColumn("run", F.lit(run))
+                .withColumn("batch", F.lit(int(batch_id)))
+            )
+            (
+                _sized(store, n_new)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run", "batch")
+                .parquet(cfg.hash_dir)
+            )
+            # survivors: everything not dropped — undecodable payloads
+            # have no hash row, join nothing, and pass through (SKIP,
+            # not drop)
+            dropped = within_losers.unionByName(hist_losers).withColumnRenamed(
+                "media_id", cfg.id_col
+            )
+            survivors = batch_df.join(
+                F.broadcast(dropped), cfg.id_col, "left_anti"
+            )
+            (
+                _sized(
+                    survivors.withColumn("run", F.lit(run)).withColumn(
+                        "batch", F.lit(int(batch_id))
+                    ),
+                    n_new,
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run", "batch")
+                .parquet(cfg.dest_dir)
+            )
+        finally:
+            del hashes  # checkpointed blocks free on GC
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

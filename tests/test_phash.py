@@ -210,3 +210,79 @@ def test_dedup_images_keeps_one_per_cluster(spark):
     assert ids == [0, 2, 3]
     # pass-through columns survive
     assert {r.tag for r in kept} == {"a", "c", "d"}
+
+
+def _png_rows(ids_and_arrays):
+    from lakeflush_spark.operators.png_codec import encode_png
+
+    return [(i, bytearray(encode_png(a))) for i, a in ids_and_arrays]
+
+
+def test_phash_dedup_stream_incremental(spark, tmp_path):
+    """pHash dedup-on-arrival: within-batch near-dups collapse to the
+    min id, cross-batch near-dups against ingested history drop, new
+    images pass, and a checkpointed restart ingests nothing twice."""
+    import glob
+    import shutil
+
+    from lakeflush_spark.streaming.phash import (
+        StreamPhashConfig,
+        phash_dedup_stream,
+    )
+
+    rng = np.random.default_rng(21)
+    yy, xx = np.mgrid[0:32, 0:32]
+
+    def blob(cy, cx, noise=0):
+        img = np.clip(230 - 2 * ((yy - cy) ** 2 + (xx - cx) ** 2), 0, 255)
+        if noise:
+            img = np.clip(
+                img + rng.integers(-noise, noise + 1, size=img.shape), 0, 255
+            )
+        return img.astype(np.uint8)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamPhashConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        hash_dir=str(tmp_path / "hashes"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    def add_file(name, rows):
+        stage = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        shutil.copy(
+            glob.glob(str(stage / "part-*.parquet"))[0], str(src / f"{name}.parquet")
+        )
+
+    # batch 1: ids 0/1 are noisy copies of one blob (1 drops), 2 distinct
+    add_file(
+        "b1",
+        _png_rows([(0, blob(8, 8)), (1, blob(8, 8, noise=4)), (2, blob(24, 4))]),
+    )
+    phash_dedup_stream(spark, cfg).awaitTermination(180)
+    assert sorted(
+        r.media_id for r in spark.read.parquet(cfg.dest_dir).collect()
+    ) == [0, 2]
+
+    # batch 2: 10 re-encodes history's blob (drops), 11 is new,
+    # 12 is undecodable (kept: skip-not-drop)
+    add_file(
+        "b2",
+        _png_rows([(10, blob(8, 8, noise=3)), (11, blob(4, 26))])
+        + [(12, bytearray(b"corrupt"))],
+    )
+    phash_dedup_stream(spark, cfg).awaitTermination(180)
+    assert sorted(
+        r.media_id for r in spark.read.parquet(cfg.dest_dir).collect()
+    ) == [0, 2, 11, 12]
+
+    # restart on the same checkpoint: no new input -> no change
+    phash_dedup_stream(spark, cfg).awaitTermination(180)
+    assert spark.read.parquet(cfg.dest_dir).count() == 4
+    # store holds one hash per admitted DECODABLE image
+    assert spark.read.parquet(cfg.hash_dir).count() == 3

@@ -867,6 +867,23 @@ def bench_curation_ops(spark) -> dict[str, float]:
     out["semdedup_sec"] = round(time.time() - t0, 3)
     out["semdedup_pairs"] = n
 
+    # BM25 serving (r11): build the partitioned inverted index once,
+    # then the partition-pruned top-10 search over the q41 query set —
+    # the build-once/search-many split the 100 TB design serves from
+    from lakeflush_spark.operators.retrieval import bm25_search, build_bm25_index
+    from lakeflush_spark.plans.retrieval_queries import QUERIES as BM25_QUERIES
+
+    idx = tempfile.mkdtemp(prefix="lakeflush_bench_bm25_")
+    try:
+        t0 = time.time()
+        build_bm25_index(docs, idx)
+        out["bm25_build_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        bm25_search(spark, idx, BM25_QUERIES, k=10).collect()
+        out["bm25_search_sec"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
     # streaming SemDedup: the sf embeddings arrive as one AvailableNow
     # micro-batch against an empty vector store — vectors/s end to end
     from lakeflush_spark.streaming.semdedup import (

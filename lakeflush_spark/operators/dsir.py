@@ -101,6 +101,35 @@ def hashed_gram_counts(
     )
 
 
+def hashed_gram_counts_split(
+    docs: DataFrame,
+    target_cond: Column,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Both DSIR count tables in ONE corpus pass when the target is a
+    labeled SUBSET of the pool (e.g. a source/quality predicate):
+    ``(h, c_target, c_raw)`` with conditional counting.
+
+    ``hashed_gram_counts`` over ``where(cond)`` + ``where(~cond)``
+    tokenizes/hashes the corpus twice (two scans); here the explode
+    carries the boolean and one map-side-combined groupBy produces
+    both counts — at 100 TB this halves the count-table build. Derive
+    the standard tables with ``.where(c_target > 0)`` /
+    ``.where(c_raw > 0)`` — row-identical to the two-pass build (an h
+    appears in a table iff some doc on that side produced it). For a
+    target corpus that is a SEPARATE frame, use ``hashed_gram_counts``
+    per frame (nothing to fuse).
+    """
+    flagged = docs.withColumn("__dsir_t", target_cond)
+    grams = _hashed_grams(flagged, "__dsir_t", text_col, buckets, hash_fn)
+    return grams.groupBy("h").agg(
+        F.sum(F.when(F.col("_id"), 1).otherwise(0)).cast("bigint").alias("c_target"),
+        F.sum(F.when(F.col("_id"), 0).otherwise(1)).cast("bigint").alias("c_raw"),
+    )
+
+
 def dsir_log_weights(
     docs: DataFrame,
     target_counts: DataFrame,

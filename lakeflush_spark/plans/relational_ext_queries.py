@@ -511,16 +511,20 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.dsir import (
         dsir_log_weights,
         dsir_select,
-        hashed_gram_counts,
+        hashed_gram_counts_split,
     )
 
     is_target = F.col("source").isin(*_DSIR_TARGET)
-    dz_tc = hashed_gram_counts(
-        docs.where(is_target), buckets=_DSIR_B, hash_fn="md5"
+    # r11-late: BOTH count tables from ONE corpus tokenize/hash pass
+    # (hashed_gram_counts_split — row-identical to the two-pass build,
+    # measured ~1.2x at sf0.1; one fewer full-corpus pass at scale)
+    dz = hashed_gram_counts_split(
+        docs, is_target, buckets=_DSIR_B, hash_fn="md5"
     ).localCheckpoint()
-    dz_rc = hashed_gram_counts(
-        docs.where(~is_target), buckets=_DSIR_B, hash_fn="md5"
-    ).localCheckpoint()
+    dz_tc = dz.where(F.col("c_target") > 0).select(
+        "h", F.col("c_target").alias("c")
+    )
+    dz_rc = dz.where(F.col("c_raw") > 0).select("h", F.col("c_raw").alias("c"))
     dsir_t = (
         dz_tc.orderBy(F.desc("c"), "h")
         .limit(50)

@@ -176,3 +176,48 @@ def test_dsir_composes_with_select_training_mix(spark):
     assert {r["key"] for r in plan.collect()} == {
         r.source for r in pool.select("source").distinct().collect()
     }
+
+
+def test_hashed_gram_counts_split_equals_two_pass(spark):
+    """The one-pass conditional build is row-identical to building the
+    target and raw tables with separate corpus passes."""
+    import pyspark.sql.functions as F
+
+    from lakeflush_spark.operators.dsir import (
+        hashed_gram_counts,
+        hashed_gram_counts_split,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c", "t"),
+            (1, "b c d d", "t"),
+            (2, "c d e", "r"),
+            (3, "e", "r"),
+            (4, "", "r"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    cond = F.col("source") == "t"
+    split = hashed_gram_counts_split(docs, cond, buckets=64, hash_fn="md5")
+    tc2 = {
+        (r.h, r.c_target)
+        for r in split.where("c_target > 0").select("h", "c_target").collect()
+    }
+    rc2 = {
+        (r.h, r.c_raw)
+        for r in split.where("c_raw > 0").select("h", "c_raw").collect()
+    }
+    tc1 = {
+        (r.h, r.c)
+        for r in hashed_gram_counts(
+            docs.where(cond), buckets=64, hash_fn="md5"
+        ).collect()
+    }
+    rc1 = {
+        (r.h, r.c)
+        for r in hashed_gram_counts(
+            docs.where(~cond), buckets=64, hash_fn="md5"
+        ).collect()
+    }
+    assert tc1 == tc2 and rc1 == rc2

@@ -508,11 +508,15 @@ top of the DSIR-era 8.5-9.6 s level; 4x/20x smoke 7.7 -> 26.1 s =
 query-term-pruned map-side). q26 ENTERS the suite as the labeled
 Hamming trio (3.5 s at sf0.1: ph_hash 0.37 map-only, ph_pairs 0.26
 id-bounded, simhash 0.86 + entry overhead incl. the one-time memoized
-pHash expression build): its 4x/20x smoke reads 11.0 -> 58.2 s — the
-growth is the DOCUMENTED all-pairs 'simhash' demo label (quadratic by
-design, oracle-bounded top-30; production = the pigeonhole
-simhash_near_dups/phash_near_dups chunk joins, which the sf0.1 labels
-time), with the production pHash map pass linear (~0.37 s/5k docs).
+pHash expression build): its first 4x/20x smoke read
+11.0 -> 58.2 s — the growth was the all-pairs 'simhash' demo label
+(quadratic by construction, like q24's old 'blocked'); the same
+proportional md5-bucket cap now bounds it at ~4096 docs (keep-ALL at
+contract scale — hashes byte-identical, oracle replays the filter),
+and the re-measured smoke reads 8.3 -> 17.1 s = 2.1x time for 5x data,
+the remainder being the linear 100k-doc ph_hash map pass (production =
+the pigeonhole simhash_near_dups/phash_near_dups chunk joins, which
+the sf0.1 labels time).
 q24 gains 'rep' (keep-best-per-cluster representatives): entry 4.2 s
 in the same run (3.5-3.8 band before), 4x/20x 6.0 -> 11.4 s = 1.9x
 for 5x — the r11 cap reading holds with the new label. Streaming

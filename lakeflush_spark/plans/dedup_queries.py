@@ -158,6 +158,14 @@ assert "WITH RECURSIVE" in _MINHASH_CTES_RECURSIVE, (
 #: when a block is under the cap); mirrored in the SQL twin
 _BLOCK_CAP = 512
 
+#: doc cap for q26's all-pairs 'simhash' demo label (r11-late) — same
+#: proportional md5-bucket recipe, global instead of per-source. The
+#: contract corpora (500 docs) are far under the cap, so results are
+#: byte-identical to uncapped; at smoke scale the quadratic demo term
+#: stops growing (4096^2 pairs max) while the production pigeonhole
+#: path stays the uncapped scale answer.
+_SIMHASH_CAP = 4096
+
 
 @declare(
     "q24_neardup_pairs",
@@ -342,12 +350,18 @@ sh AS (SELECT doc_id, source, ({_simhash_bits_sql('hs')})::BIGINT AS simhash FRO
     _SIMHASH_CTES
     + ","
     + PHASH_CTES.strip().rstrip(",")
-    + f"""
+    + f""",
+    shc_n AS (SELECT COUNT(*) AS n FROM sh),
+    shc AS (
+        SELECT sh.* FROM sh CROSS JOIN shc_n
+        WHERE ('0x' || substring(md5(CAST(sh.doc_id AS VARCHAR)), 1, 4))::BIGINT
+              < least(65536, ({65536 * _SIMHASH_CAP} + n - 1) // n)
+    )
     SELECT method, id1, id2, hamming FROM (
         SELECT 'simhash' AS method, id1, id2, hamming FROM (
             SELECT a.doc_id AS id1, b.doc_id AS id2,
                    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            FROM shc a JOIN shc b ON a.doc_id < b.doc_id
             ORDER BY hamming, id1, id2
             LIMIT 30
         )
@@ -357,10 +371,13 @@ sh AS (SELECT doc_id, source, ({_simhash_bits_sql('hs')})::BIGINT AS simhash FRO
     ORDER BY method, id1, id2
     """,
     "Hamming-distance near-dup suite, labeled: 'simhash' = closest 30 "
-    "pairs by SimHash distance (all-pairs here for the oracle; the "
-    "scale path is operators/dedup.simhash_near_dups — the pigeonhole "
-    "chunk equi-join, proven pair-for-pair identical to the all-pairs "
-    "scan in tests/test_dedup_ops.py). r11 adds the perceptual-hash "
+    "pairs by SimHash distance (all-pairs here for the oracle, with "
+    f"the corpus capped at ~{_SIMHASH_CAP} docs by the q24 "
+    "proportional md5-bucket filter — keep-ALL at contract scale, so "
+    "hashes are byte-identical to uncapped, quadratic-term bounded at "
+    "smoke scale; the scale path is operators/dedup.simhash_near_dups "
+    "— the pigeonhole chunk equi-join, proven pair-for-pair identical "
+    "to the all-pairs scan in tests/test_dedup_ops.py). r11 adds the perceptual-hash "
     "labels (plans/phash_queries.py + operators/phash.py): 'ph_hash' = "
     "a 63-bit fixed-point-DCT pHash per synthetic image (md5 blob "
     "patterns; real images go through phash_images' PNG-decode "
@@ -374,8 +391,23 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark).select(
         "doc_id", simhash("text").alias("simhash")
     )
-    a = docs.alias("a")
-    b = docs.alias("b")
+    # proportional md5-bucket cap on the all-pairs DEMO label (the q24
+    # 'blocked' recipe, global): keep-ALL exactly when the corpus is
+    # under _SIMHASH_CAP docs (contract scale), bound the quadratic
+    # term at smoke scale; oracle twin replays the same arithmetic
+    n1 = docs.agg(F.count(F.lit(1)).alias("_n"))
+    bucket16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    thresh = F.least(
+        F.lit(65536).cast("bigint"),
+        F.floor(
+            (F.lit(65536 * _SIMHASH_CAP) + F.col("_n") - 1) / F.col("_n")
+        ).cast("bigint"),
+    )
+    capped = docs.crossJoin(F.broadcast(n1)).where(bucket16 < thresh).drop("_n")
+    a = capped.alias("a")
+    b = capped.alias("b")
     sim = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(

@@ -524,6 +524,18 @@ metrics in the same run hold the r11 recovery: neardup 2050 docs/s,
 curate_warm 112.5, curate_sem 356, semdd_stream 893; compaction csv
 47.6 MB/s / gzip 10.6 / json 19.3k files/s.
 
+r11-late serving/streaming blocks (new official metrics): the BM25
+build-once/search-many split reads bm25_build_sec ~1.4 s /
+bm25_search_sec ~1.1 s at sf0.01 (the search is partition-pruned to
+the query terms' md5 buckets — the pruned-file assertion lives in
+tests/test_retrieval.py); the pHash dedup-on-arrival stream ingests
+2k synthetic 32x32 PNGs (md5-spread blob groups of 4, radius/polarity
+varied) in one AvailableNow batch at ~975-1115 imgs/s end to end
+(decode + hash + pigeonhole join + both writes). phash_stream_kept
+(~278/2000, deterministic) documents the corpus shape, not a bug:
+groups sharing near centers chain-merge under connected components —
+exactly what a perceptual hash is for.
+
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions
 crossover above): a 3-doc trickle batch against a directly-preloaded
@@ -887,6 +899,75 @@ def bench_curation_ops(spark) -> dict[str, float]:
         out["bm25_search_sec"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+    # streaming pHash dedup (r11): 2k synthetic 32x32 PNGs (grouped
+    # blobs -> real near-dups) arrive as one AvailableNow micro-batch
+    # against an empty hash store — decode + hash + pigeonhole join +
+    # both writes, images/s end to end
+    from lakeflush_spark.streaming.phash import (
+        StreamPhashConfig,
+        phash_dedup_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="lakeflush_bench_phash_")
+    try:
+        n_img = 2000
+
+        def _png_batches(batches):
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            from lakeflush_spark.operators.png_codec import encode_png
+
+            yy, xx = np.mgrid[0:32, 0:32]
+            for pdf in batches:
+                rows = []
+                for mid in pdf["media_id"]:
+                    g = int(mid) // 4
+                    # md5-spread blob centers (multiplicative ramps
+                    # cycle and collapse the corpus into a few clusters)
+                    hy = int(hashlib.md5(f"y:{g}".encode()).hexdigest()[:4], 16)
+                    hx = int(hashlib.md5(f"x:{g}".encode()).hexdigest()[:4], 16)
+                    hf = int(hashlib.md5(f"f:{g}".encode()).hexdigest()[:4], 16)
+                    cy, cx = 2 + hy % 28, 2 + hx % 28
+                    f = 1 + hf % 3
+                    inv = hf % 2
+                    rng = np.random.default_rng(int(mid))
+                    base = np.clip(
+                        230 - f * ((yy - cy) ** 2 + (xx - cx) ** 2), 0, 230
+                    )
+                    if inv:
+                        base = 230 - base
+                    img = np.clip(
+                        base + rng.integers(-5, 6, size=(32, 32)), 0, 255
+                    ).astype("uint8")
+                    rows.append((int(mid), bytearray(encode_png(img))))
+                yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+        src = os.path.join(work, "src")
+        (
+            spark.range(n_img)
+            .withColumnRenamed("id", "media_id")
+            .repartition(8)
+            .mapInPandas(_png_batches, "media_id long, payload binary")
+            .write.parquet(src)
+        )
+        pcfg = StreamPhashConfig(
+            source_dir=src,
+            dest_dir=os.path.join(work, "dest"),
+            hash_dir=os.path.join(work, "hashes"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        t0 = time.time()
+        phash_dedup_stream(spark, pcfg).awaitTermination(600)
+        dt = time.time() - t0
+        out["phash_stream_imgs_s"] = round(n_img / dt, 1)
+        out["phash_stream_sec"] = round(dt, 3)
+        out["phash_stream_kept"] = spark.read.parquet(pcfg.dest_dir).count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
     # streaming SemDedup: the sf embeddings arrive as one AvailableNow
     # micro-batch against an empty vector store — vectors/s end to end

@@ -536,6 +536,18 @@ varied) in one AvailableNow batch at ~975-1115 imgs/s end to end
 groups sharing near centers chain-merge under connected components —
 exactly what a perceptual hash is for.
 
+r11 closing full run (sf0.1, after the DSIR one-pass fusion and the
+q26 cap, 420-test suite green): suite 63.4 s with the two new entries
+and all label growth aboard; q41 9.68 s (bm25 1.39 warm; the fused
+hashed_gram_counts_split build replaces two corpus tokenize passes —
+measured 1.2x on the table build, row-identical), q26 3.08 s (ph_hash
+0.38 / ph_pairs 0.33 / simhash 1.20 capped), q24 4.25, q18 1.80, q60
+8.05, q62 8.98, q55 10.15. Compaction csv 41.9 MB/s (5.7x baseline) /
+gzip 9.9 (2.5x) / json 21.4k files/s (2.0x). Streaming holds the r11
+recovery: neardup 1909 docs/s, curate_warm 86.1, curate_sem 317,
+semdd_stream 789; new blocks: bm25_build 2.08 s / bm25_search 1.28 s,
+phash_stream 880 imgs/s (kept 278/2000 deterministic).
+
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions
 crossover above): a 3-doc trickle batch against a directly-preloaded

@@ -527,6 +527,76 @@ def ivf_search(
     return res
 
 
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    per_cell_cap: int,
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+    rank_by: str = "hash",
+    seed: str = "b:",
+    shards: int = 32,
+) -> DataFrame:
+    """Per-cluster quota sampling over an embedding space — the
+    cluster-balanced pruning recipe of Sorscher et al. 2022 ("Beyond
+    neural scaling laws"): cluster the corpus with the coarse
+    quantizer, then keep at most ``per_cell_cap`` examples per cell so
+    no topic/mode dominates the kept set.
+
+    ``corpus`` is a :func:`prepare_vectors` frame; returns
+    ``(vid, cell_id, rank)`` — the kept examples with their 1-based
+    within-cell rank. ``rank_by`` picks WHICH members survive:
+
+    - ``"hash"`` — md5(seed || vid): a deterministic uniform sample
+      per cell (reproducible across runs/retries/cluster sizes, no
+      RNG), exact-integer/string comparisons only so an oracle can
+      replay it bit-for-bit;
+    - ``"prototype"`` — highest cosine to the OWN cell centroid first:
+      keep the most prototypical members (the small-data prescription
+      in the paper);
+    - ``"outlier"`` — lowest centroid cosine first: keep the hardest
+      examples (the paper's big-data prescription).
+
+    Scale shape: assignment is the broadcast map-only centroid pack
+    scan (no corpus shuffle); the quota is the salted two-pass
+    ``grouped_top_k`` over ``cell_id`` — a mega-cell never funnels
+    through one window task. One corpus shuffle total (the top-k
+    re-rank on the <= cap·cells candidate frame is tiny).
+    """
+    if per_cell_cap < 1:
+        raise ValueError("per_cell_cap must be >= 1")
+    if rank_by not in ("hash", "prototype", "outlier"):
+        raise ValueError("rank_by must be hash|prototype|outlier")
+    from lakeflush_spark.operators.topk import grouped_top_k
+
+    cents = centroid_frame(corpus, n_cells, kmeans_iters)
+    indexed = _nearest_cells(corpus, _pack_cells(cents), 1)
+    if rank_by == "hash":
+        key = F.md5(F.concat(F.lit(seed), F.col("vid").cast("string")))
+        ordered = indexed.withColumn("_bk", key)
+        order_cols = [F.col("_bk").asc(), F.col("vid").asc()]
+    else:
+        cos = F.round(
+            dot_product(F.col("v"), F.col("cv"))
+            / (F.col("nrm") * F.col("cnrm")),
+            6,
+        )
+        ordered = indexed.join(F.broadcast(cents), "cell_id").withColumn(
+            "_bk", cos
+        )
+        direction = (
+            F.col("_bk").desc() if rank_by == "prototype" else F.col("_bk").asc()
+        )
+        order_cols = [direction, F.col("vid").asc()]
+    return grouped_top_k(
+        ordered,
+        group_cols=["cell_id"],
+        order_cols=order_cols,
+        k=per_cell_cap,
+        salt_cols=["vid"],
+        shards=shards,
+    ).select("vid", "cell_id", "rank")
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,

@@ -681,6 +681,9 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 4dp-ROUNDED cosine so both engines make bit-identical decisions.
 _SEM_THRESHOLD = 0.4
 _SEM_CELLS = 16
+#: per-cell quota for the q28 'bal' cluster-balanced-sample label
+#: (binding at ~31-vector cells, so the quota genuinely selects)
+_BAL_CAP = 8
 
 _SQL_PAIR_COS = (
     "round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
@@ -739,6 +742,17 @@ _SQL_PAIR_COS = (
         SELECT 'sem_drop' AS method, id2 AS id1, MIN(id1) AS id2,
                NULL::DOUBLE AS cos_sim
         FROM semp GROUP BY id2
+        UNION ALL
+        SELECT 'bal' AS method, vec_id AS id1, cell_id AS id2,
+               NULL::DOUBLE AS cos_sim
+        FROM (
+            SELECT vec_id, cell_id,
+                   row_number() OVER (
+                       PARTITION BY cell_id
+                       ORDER BY md5('b:' || vec_id::VARCHAR), vec_id
+                   ) AS brn
+            FROM cell1
+        ) WHERE brn <= {_BAL_CAP}
     )
     ORDER BY method, id1, id2
     """,
@@ -751,7 +765,13 @@ _SQL_PAIR_COS = (
     "semantic_drop_ids). The oracle rebuilds the identical quantizer, "
     "assignment, pair set, and drop set. At scale n_cells grows with "
     "the corpus so within-cell comparison stays bounded. (r5: folded "
-    "SemDedup into the q28 suite.)",
+    "SemDedup into the q28 suite.) 'bal' (r11) = cluster-balanced "
+    "quota sampling (Sorscher et al. 2022 per-cluster pruning, "
+    "operators/similarity.cluster_balanced_sample): at most 8 members "
+    "per quantizer cell by deterministic md5 rank — exact string/"
+    "integer comparisons, oracle-replayed end to end; the prototype/"
+    "outlier rank modes (keep most-central / hardest members) are "
+    "unit-tested.",
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.similarity import (
@@ -795,6 +815,20 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_of").alias("id2"),
         F.lit(None).cast("double").alias("cos_sim"),
     )
-    return block.unionByName(sem_pair).unionByName(sem_drop).orderBy(
-        "method", "id1", "id2"
+    # 'bal' (r11): cluster-balanced quota sample (Sorscher et al. 2022
+    # per-cluster pruning) in exact md5-hash rank mode — the oracle
+    # replays quantizer, assignment, rank, and quota; the
+    # prototype/outlier rank modes are unit-tested (float ordering)
+    from lakeflush_spark.operators.similarity import cluster_balanced_sample
+
+    bal = cluster_balanced_sample(
+        prepare_vectors(emb_raw), per_cell_cap=_BAL_CAP, n_cells=_SEM_CELLS
+    ).select(
+        F.lit("bal").alias("method"),
+        F.col("vid").alias("id1"),
+        F.col("cell_id").alias("id2"),
+        F.lit(None).cast("double").alias("cos_sim"),
     )
+    return block.unionByName(sem_pair).unionByName(sem_drop).unionByName(
+        bal
+    ).orderBy("method", "id1", "id2")

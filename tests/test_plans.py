@@ -42,6 +42,10 @@ NLJ_ALLOWED = {
     # r11: q41's 'bm25' label crosses a ONE-row corpus-stats frame
     # (N docs, total length) into the scored postings (same pattern)
     "q41_wordcount_topk",
+    # r11: q28's 'bal' label rides _nearest_cells, whose ONE-row
+    # broadcast centroid pack crosses into the vector scan (the same
+    # bounded pattern q55's IVF labels carry)
+    "q28_embedding_neardup",
 }
 
 # queries that run driver-side actions or streaming at build time —

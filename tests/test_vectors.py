@@ -588,3 +588,54 @@ def test_int8_roundtrip_verdict_zero_dv_is_false_not_null(spark):
         ).alias("ok")
     ).collect()
     assert rows[0].ok is False  # False, not None
+
+
+def test_cluster_balanced_sample_modes(spark):
+    """Quota, determinism, and the three rank modes of
+    cluster_balanced_sample (operators/similarity.py)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from lakeflush_spark.operators.similarity import (
+        cluster_balanced_sample,
+        prepare_vectors,
+    )
+
+    rng = np.random.default_rng(13)
+    # two well-separated clusters of different sizes
+    rows = []
+    for i in range(30):
+        rows.append((i, (np.array([10.0, 0.0]) + rng.normal(0, 0.3, 2)).tolist()))
+    for i in range(30, 40):
+        rows.append((i, (np.array([0.0, 10.0]) + rng.normal(0, 0.3, 2)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = prepare_vectors(df)
+
+    kept = cluster_balanced_sample(corpus, per_cell_cap=5, n_cells=2).collect()
+    by_cell = {}
+    for r in kept:
+        by_cell.setdefault(r.cell_id, []).append(r)
+    # quota: at most 5 per cell; both cells represented
+    assert len(by_cell) == 2
+    assert all(len(v) <= 5 for v in by_cell.values())
+    assert all(sorted(r.rank for r in v) == list(range(1, len(v) + 1))
+               for v in by_cell.values())
+    # deterministic: a second run keeps the identical set
+    again = cluster_balanced_sample(corpus, per_cell_cap=5, n_cells=2).collect()
+    assert {(r.vid, r.cell_id, r.rank) for r in kept} == {
+        (r.vid, r.cell_id, r.rank) for r in again
+    }
+    # prototype vs outlier: rank-1 picks opposite extremes of centroid
+    # similarity within each cell
+    proto = {r.cell_id: r.vid for r in cluster_balanced_sample(
+        corpus, per_cell_cap=1, n_cells=2, rank_by="prototype").collect()}
+    outl = {r.cell_id: r.vid for r in cluster_balanced_sample(
+        corpus, per_cell_cap=1, n_cells=2, rank_by="outlier").collect()}
+    assert set(proto) == set(outl) and proto != outl
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="per_cell_cap"):
+        cluster_balanced_sample(corpus, per_cell_cap=0)
+    with _pytest.raises(ValueError, match="rank_by"):
+        cluster_balanced_sample(corpus, per_cell_cap=1, rank_by="zzz")

@@ -213,22 +213,21 @@ def bm25_topk(
     ).orderBy("query_id", "rank")
 
 
-def tfidf_doc_terms(
+def tfidf_term_scores(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    top_terms: int = 5,
-    shards: int = 32,
 ) -> DataFrame:
-    """Per-document top TF-IDF terms — keyword extraction for data
-    cards / topic audits.
+    """Per ``(doc, term)`` TF-IDF scores with exact-integer witnesses:
+    ``{id_col}, term, tf, df, n_docs, tfidf`` where
+    ``tfidf = tf · ln(N / df)``.
 
-    ``tf-idf = tf · ln(N / df)`` over the whole corpus vocabulary.
     Unlike BM25 there is no tiny query set to broadcast, so the full
     ``(term, doc)`` posting frame shuffles once (map-side combinable);
-    the df table is |vocab| rows and broadcasts. Top terms per doc are
-    salted-two-pass ranked.
+    the df table is |vocab| rows and broadcasts. Like
+    :func:`bm25_term_scores`, the expression shape is fixed so an
+    ANSI-SQL twin is bit-identical everywhere but the single ``ln``.
     """
     d = docs.select(
         F.col(id_col), tokens(text_col).alias("_toks")
@@ -239,12 +238,26 @@ def tfidf_doc_terms(
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     scored = tf.join(F.broadcast(dft), "term").crossJoin(F.broadcast(n_docs))
-    scored = scored.withColumn(
+    return scored.withColumn(
         "tfidf",
         F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
     )
+
+
+def tfidf_doc_terms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_terms: int = 5,
+    shards: int = 32,
+) -> DataFrame:
+    """Per-document top TF-IDF terms — keyword extraction for data
+    cards / topic audits. Top terms per doc are salted-two-pass ranked
+    over :func:`tfidf_term_scores`.
+    """
     return grouped_top_k(
-        scored,
+        tfidf_term_scores(docs, id_col=id_col, text_col=text_col),
         group_cols=[id_col],
         order_cols=[F.col("tfidf").desc(), F.col("term").asc()],
         k=top_terms,

@@ -22,7 +22,10 @@ from lakeflush_spark.plans.queries import declare
 from lakeflush_spark.plans.retrieval_queries import (
     BM25_BRANCH,
     BM25_CTES,
+    TFIDF_BRANCH,
+    TFIDF_CTES,
     bm25_label_frame,
+    tfidf_label_frame,
 )
 
 
@@ -334,6 +337,7 @@ _BPE_CTES, _BPE_BRANCH = _bpe_replay_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
                      + 0.5) / 4294967296.0))) AS key
         FROM dz_pd),
     {BM25_CTES.strip().rstrip(',')},
+    {TFIDF_CTES.strip().rstrip(',')},
     {_BPE_CTES}
     SELECT method, k1, k2, n1, n2, n3 FROM (
         SELECT 'word' AS method, token AS k1, '' AS k2,
@@ -385,6 +389,8 @@ _BPE_CTES, _BPE_BRANCH = _bpe_replay_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
         UNION ALL
         {BM25_BRANCH.strip()}
         UNION ALL
+        {TFIDF_BRANCH.strip()}
+        UNION ALL
         {_BPE_BRANCH}
     )
     ORDER BY method, k1, k2, n1
@@ -412,7 +418,16 @@ _BPE_CTES, _BPE_BRANCH = _bpe_replay_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
     "selection per source under the q60-'clf' banding recipe (both "
     "engines recompute the full log-likelihood-ratio + md5-uniform "
     "Gumbel float chain; rows within 1e-9 of the frozen threshold "
-    "count under 'dsir_mask' — measured 0).",
+    "count under 'dsir_mask' — measured 0). r11-late adds 'bm25' "
+    "(operators/retrieval.py + plans/retrieval_queries.py): Okapi "
+    "BM25 top-100 per fixed keyword query — broadcast query terms "
+    "prune the corpus explode map-side, exact-BIGINT tf/df witnesses, "
+    "per-term scores snapped to a 1e-6 integer grid under the 1e-9 "
+    "band (the only transcendental is the idf ln) so the summed score "
+    "is an order-free BIGINT, ranked by the salted two-pass "
+    "grouped_top_k; and 'tfidf' (tfidf_term_scores): per-doc top-3 "
+    "keyword extraction for the first 40 docs, df/N over the whole "
+    "corpus, the same grid/band recipe per term (no summation).",
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.lm_filter import _hashed_bigrams, train_bigram_lm
@@ -592,6 +607,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dsir_sel)
         .unionByName(dsir_mask)
         .unionByName(bm25_label_frame(spark, sf_dir))
+        .unionByName(tfidf_label_frame(spark, sf_dir))
         .orderBy("method", "k1", "k2", "n1")
     )
 

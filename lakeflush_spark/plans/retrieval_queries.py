@@ -39,7 +39,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from lakeflush_spark.io import load_table
-from lakeflush_spark.operators.retrieval import B, K1, bm25_term_scores, query_frame
+from lakeflush_spark.operators.retrieval import (
+    B,
+    K1,
+    bm25_term_scores,
+    query_frame,
+    tfidf_term_scores,
+)
 from lakeflush_spark.operators.topk import grouped_top_k
 
 #: the fixed query set — corpus-vocabulary keywords chosen to exercise
@@ -118,6 +124,83 @@ SELECT 'bm25' AS method, query_id::VARCHAR AS k1, doc_id::VARCHAR AS k2,
        score_e6 AS n1, rank AS n2, sum_tf AS n3
 FROM bm_fin WHERE rank <= {TOP_K}
 """
+
+
+#: 'tfidf' label bounds: per-doc keyword extraction verified for the
+#: first TFIDF_DOC_LIM docs, top TFIDF_K terms each.
+TFIDF_DOC_LIM = 40
+TFIDF_K = 3
+
+#: CTE chain ending in ``tfd_fin`` — spliced into q41's WITH list.
+TFIDF_CTES = f"""
+tfd_tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+    GROUP BY doc_id, term),
+tfd_df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfd_tf GROUP BY term),
+tfd_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tfd_s AS (
+    SELECT doc_id, term, tf,
+           (tf * ln(CAST(n_docs AS DOUBLE) / df)) * 1000000.0 AS s6
+    FROM tfd_tf JOIN tfd_df USING (term) CROSS JOIN tfd_n
+    WHERE doc_id < {TFIDF_DOC_LIM}),
+tfd_g AS (
+    SELECT doc_id, term, tf,
+           CASE WHEN abs(s6 - floor(s6) - 0.5) < {EDGE_BAND!r}
+                THEN NULL ELSE CAST(floor(s6 + 0.5) AS BIGINT) END AS score_e6
+    FROM tfd_s),
+tfd_fin AS (
+    SELECT doc_id, term, tf, score_e6,
+           CAST(row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_e6 DESC NULLS LAST, term) AS BIGINT) AS rank
+    FROM tfd_g)
+"""
+
+#: the q41 UNION ALL branch over the fragment above.
+TFIDF_BRANCH = f"""
+SELECT 'tfidf' AS method, doc_id::VARCHAR AS k1, term AS k2,
+       score_e6 AS n1, rank AS n2, tf AS n3
+FROM tfd_fin WHERE rank <= {TFIDF_K}
+"""
+
+
+def tfidf_label_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'tfidf' label rows in q41's (method, k1, k2, n1, n2, n3)
+    schema: k1 = doc_id, k2 = term, n1 = banded 1e-6-grid tf-idf (NULL
+    when within the band of a rounding boundary — per TERM here, no
+    summation), n2 = rank, n3 = tf. df/N come from the WHOLE corpus
+    (the semantics); only the output is doc-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tfidf_term_scores(docs).where(F.col("doc_id") < TFIDF_DOC_LIM)
+    s6 = F.col("tfidf") * F.lit(1000000.0)
+    g = ts.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.when(
+            F.abs(s6 - F.floor(s6) - F.lit(0.5)) < F.lit(EDGE_BAND),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(F.floor(s6 + F.lit(0.5)).cast("bigint"))
+        .alias("score_e6"),
+    )
+    top = grouped_top_k(
+        g,
+        group_cols=["doc_id"],
+        order_cols=[F.col("score_e6").desc_nulls_last(), F.col("term").asc()],
+        k=TFIDF_K,
+        salt_cols=["term"],
+    )
+    return top.select(
+        F.lit("tfidf").alias("method"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("term").alias("k2"),
+        F.col("score_e6").alias("n1"),
+        F.col("rank").alias("n2"),
+        F.col("tf").alias("n3"),
+    )
 
 
 def bm25_label_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -162,6 +162,16 @@ class CurationConfig:
     #: section comment): bounds the per-vector centroid scan at
     #: ~(coarse + n/coarse); approximate at coarse boundaries
     sem_coarse_cells: int | None = None
+    #: optional cluster-balanced quota (requires embedding_col): after
+    #: the SemDedup stage, keep at most this many docs per quantizer
+    #: cell — the Sorscher et al. 2022 per-cluster pruning recipe, so
+    #: no topic/mode dominates the curated set. Uses sem_n_cells cells.
+    #: None disables.
+    cluster_balance_cap: int | None = None
+    #: member choice within a cell: "hash" (deterministic uniform),
+    #: "prototype" (most central first), "outlier" (hardest first —
+    #: the paper's big-data prescription)
+    cluster_balance_rank: str = "hash"
     #: optional LM-perplexity gate (operators/lm_filter.py, the CCNet
     #: recipe with an in-engine bigram LM): after dedup, train the LM
     #: on the surviving corpus, score every doc, and drop the bottom
@@ -856,6 +866,31 @@ def curate_documents(
         _mark(sem_drops, "semantic_dup")
         # drop set is pair-table-sized — the anti-join broadcasts
         curated = curated.join(sem_drops, cfg.id_col, "left_anti")
+
+    if cfg.cluster_balance_cap is not None:
+        if cfg.embedding_col is None:
+            raise ValueError("cluster_balance_cap requires embedding_col")
+        from lakeflush_spark.operators.similarity import (
+            cluster_balanced_sample,
+            prepare_vectors as _prep_bal,
+        )
+
+        bal_vecs = _prep_bal(
+            curated, id_col=cfg.id_col, vec_col=cfg.embedding_col
+        )
+        kept = cluster_balanced_sample(
+            bal_vecs,
+            per_cell_cap=cfg.cluster_balance_cap,
+            n_cells=cfg.sem_n_cells,
+            rank_by=cfg.cluster_balance_rank,
+        ).select(F.col("vid").alias(cfg.id_col))
+        _mark(
+            curated.select(cfg.id_col).join(kept, cfg.id_col, "left_anti"),
+            "cluster_balance",
+        )
+        # the KEPT set is bounded by cap x cells — semi-join broadcasts
+        # it, unlike an anti-join against the (corpus-sized) drop set
+        curated = curated.join(F.broadcast(kept), cfg.id_col, "left_semi")
 
     if cfg.drop_repeated_passage_window is not None:
         if cfg.repeated_passage_action not in ("drop", "strip"):

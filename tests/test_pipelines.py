@@ -659,3 +659,49 @@ def test_curation_dsir_selection_stage(spark, sf_dir):
     # stage off -> stats field stays None (back-compat)
     _, stats_off = curate_documents(spark, docs, CurationConfig(min_tokens=1))
     assert stats_off.after_dsir is None
+
+
+def test_curate_documents_cluster_balance(spark):
+    """cluster_balance_cap keeps at most cap docs per embedding
+    cluster, with provenance naming the stage."""
+    import numpy as np
+
+    from lakeflush_spark.pipelines import CurationConfig, curate_documents
+
+    rng = np.random.default_rng(23)
+    rows = []
+    # two clusters: 20 docs near [10,0], 6 near [0,10]; distinct texts
+    for i in range(20):
+        rows.append((i, f"alpha doc {i} unique words here number {i}",
+                     (np.array([10.0, 0.0]) + rng.normal(0, 1.2, 2)).tolist()))
+    for i in range(20, 26):
+        rows.append((i, f"beta doc {i} other distinct body text {i}",
+                     (np.array([0.0, 10.0]) + rng.normal(0, 1.2, 2)).tolist()))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, emb array<double>"
+    )
+    cfg = CurationConfig(
+        min_tokens=1,
+        near_dup_threshold=0.99,
+        embedding_col="emb",
+        sem_threshold=0.9999,  # effectively no semantic drops
+        sem_n_cells=2,
+        cluster_balance_cap=5,
+    )
+    curated, stats, prov = curate_documents(
+        spark, docs, cfg, return_provenance=True
+    )
+    kept = sorted(r.doc_id for r in curated.select("doc_id").collect())
+    # each of the two cells keeps at most 5
+    assert len([i for i in kept if i < 20]) <= 5
+    assert len([i for i in kept if i >= 20]) <= 5
+    assert len(kept) >= 2  # both clusters represented
+    stages = {r.stage for r in prov.collect()}
+    assert "cluster_balance" in stages
+    # misconfiguration: cap without embeddings
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires embedding_col"):
+        curate_documents(
+            spark, docs, CurationConfig(cluster_balance_cap=3)
+        )

@@ -140,3 +140,112 @@ def test_select_partitions_rows_exactly(spark, raw, tau):
         assert not (r.dsir_selected and r.dsir_banded)
         if r.dsir_key is not None and not r.dsir_banded:
             assert r.dsir_selected == (r.dsir_key > tau)
+
+
+# ---------------------------------------------------------------------------
+# Late-r11 surfaces: BM25 against a plain-Python Okapi model, and the
+# integer pHash against its pure-Python twin (random matrices, beyond
+# the fixed-seed unit-test instances).
+# ---------------------------------------------------------------------------
+
+_QUERY = st.lists(_WORD, min_size=1, max_size=3).map(" ".join)
+
+
+def _py_bm25_scores(
+    corpus: list[str], queries: list[str], k1: float = 1.2, b: float = 0.75
+) -> dict:
+    n = len(corpus)
+    toks = {i: t.split(" ") for i, t in enumerate(corpus)}
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df: dict[str, int] = {}
+    for v in toks.values():
+        for term in set(v):
+            df[term] = df.get(term, 0) + 1
+    out = {}
+    for qid, q in enumerate(queries):
+        for did, v in toks.items():
+            s, hit = 0.0, False
+            for term in dict.fromkeys(q.split(" ")):
+                tf = v.count(term)
+                if not tf:
+                    continue
+                hit = True
+                idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                s += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * (len(v) / avgdl))
+                )
+            if hit:
+                out[(qid, did)] = s
+    return out
+
+
+@given(corpus=_CORPUS, queries=st.lists(_QUERY, min_size=1, max_size=3))
+@settings(**_SETTINGS)
+def test_bm25_matches_python_model(spark, corpus, queries):
+    from lakeflush_spark.operators.retrieval import bm25_scores, query_frame
+
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_scores(
+            docs, query_frame(spark, list(enumerate(queries)))
+        ).collect()
+    }
+    want = _py_bm25_scores(corpus, queries)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) <= 1e-9 * max(1.0, abs(v))
+
+
+@given(
+    mat=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=256, max_size=256
+    )
+)
+@settings(**_SETTINGS)
+def test_phash_jvm_matches_python_on_random_matrices(spark, mat):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from lakeflush_spark.operators.phash import (
+        phash_from_gray,
+        phash_pooled_numpy,
+    )
+
+    df = spark.createDataFrame([(0, mat)], "id long, gray array<bigint>")
+    got = df.select(phash_from_gray(F.col("gray")).alias("ph")).collect()[0].ph
+    assert got == phash_pooled_numpy(np.array(mat, dtype=np.int64).reshape(16, 16))
+
+
+@given(
+    hashes=st.lists(
+        st.integers(min_value=0, max_value=(1 << 63) - 1),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    ),
+    radius=st.integers(min_value=0, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_phash_near_dups_pigeonhole_complete(spark, hashes, radius):
+    """The chunk join finds EXACTLY the brute-force Hamming pairs for
+    any radius — the pigeonhole argument, property-checked."""
+    import itertools
+
+    from lakeflush_spark.operators.phash import phash_near_dups
+
+    df = spark.createDataFrame(
+        list(enumerate(hashes)), "media_id long, phash long"
+    )
+    got = {
+        (r.id1, r.id2, r.hamming)
+        for r in phash_near_dups(df, max_hamming=radius).collect()
+    }
+    want = {
+        (a, b, bin(x ^ y).count("1"))
+        for (a, x), (b, y) in itertools.combinations(enumerate(hashes), 2)
+        if bin(x ^ y).count("1") <= radius
+    }
+    assert got == want

@@ -548,6 +548,16 @@ recovery: neardup 1909 docs/s, curate_warm 86.1, curate_sem 317,
 semdd_stream 789; new blocks: bm25_build 2.08 s / bm25_search 1.28 s,
 phash_stream 880 imgs/s (kept 278/2000 deterministic).
 
+r11 FINAL full run (sf0.1, 423-test suite green, after the tfidf/bal
+labels and the pipeline cluster-balance stage): suite 62.5 s — q41
+9.39 (per-label: bm25 1.23, tfidf 0.82, bpe 0.34, dsir quartet ~0.52,
+doc 0.36), q28 1.97 (bal 0.52, block 0.33, sem 0.32), q26 3.36, q24
+3.70, q55 9.47, q60 8.00, q62 8.90. Compaction csv 38.1 MB/s (5.1x
+baseline) / gzip 9.9 (2.5x) / json 22.9k files/s (2.2x). Streaming at
+or above every prior level: neardup 2364 docs/s, curate_warm 121.4
+(best on record), curate_sem 387, semdd_stream 907, phash_stream 902
+imgs/s; bm25 build/search 1.78/1.03 s.
+
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions
 crossover above): a 3-doc trickle batch against a directly-preloaded
@@ -654,6 +664,7 @@ def bench_queries(spark) -> dict[str, float]:
 #: reverse-engineer from notes archaeology.
 LABELED_ENTRIES = {
     "q26_simhash_neardup": "method",
+    "q28_embedding_neardup": "method",
     "q41_wordcount_topk": "method",
     "q55_ann_ivf": "method",
     "q60_stratified_sample": "kind",

@@ -5,6 +5,10 @@ only — no Python UDFs in any hot path), so every derived column stays
 inside whole-stage codegen and scales linearly with executors.
 """
 
+from lakeflush_spark.functions.html import (  # noqa: F401
+    html_to_text,
+    html_to_text_sql,
+)
 from lakeflush_spark.functions.text import (  # noqa: F401
     avg_token_len,
     avg_token_len_4dp,

@@ -814,27 +814,58 @@ def _scrub_sql(expr: str) -> str:
     return expr
 
 
+#: deterministic HTML wrapping for the q59 'html_md5' column — the
+#: corpus has no real HTML, so each doc is embedded in a page carrying
+#: every construct the extractor handles (comment, script with a bare
+#: '<', style, entities, block/inline tags). No apostrophes: the
+#: string is embedded in a plain SQL literal on the oracle side.
+_HTML_PRE = (
+    '<html><head><title>t</title>'
+    '<script type="text/javascript">var x = 1 < 2;</script>'
+    '<style>p{color:red}</style></head><body><!-- hidden -->'
+    '<h1>Title &amp; more</h1><p>'
+)
+_HTML_POST = '</p><div>tail&nbsp;bit</div></body></html>'
+
+
+def _html_sql() -> str:
+    from lakeflush_spark.functions.html import html_to_text_sql
+
+    return html_to_text_sql(f"('{_HTML_PRE}' || text || '{_HTML_POST}')")
+
+
 @declare(
     "q59_pii_scrub",
     f"""
     SELECT doc_id,
            md5({_scrub_sql('text')}) AS scrubbed_md5,
-           (length(text) - length({_scrub_sql('text')}))::BIGINT AS delta_len
+           (length(text) - length({_scrub_sql('text')}))::BIGINT AS delta_len,
+           md5({_html_sql()}) AS html_md5
     FROM documents
     ORDER BY doc_id
     """,
-    "Regex PII redaction (emails/phones/IPv4) with md5-of-scrubbed-text oracle.",
+    "Regex text-cleaning scrubbers, md5-verified per doc: PII "
+    "redaction (emails/phones/IPv4) and — r11 — the library-free "
+    "HTML->text extractor (functions/html.py: strip comment/script/"
+    "style blocks, block tags to newlines, entity decode, whitespace "
+    "normalize; one ordered pattern table drives the Java chain AND "
+    "the RE2 oracle twin) applied to each doc deterministically "
+    "wrapped in a full HTML page. Map-only regexp chains, scan speed.",
 )
 def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeflush_spark.functions.html import html_to_text
+
     scrubbed = F.col("text")
     for pat, repl in _PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
     return (
         load_table(spark, sf_dir, "documents")
         .select(
             "doc_id",
             F.md5(scrubbed).alias("scrubbed_md5"),
             (F.length("text") - F.length(scrubbed)).cast("bigint").alias("delta_len"),
+            F.md5(html_to_text(html)).alias("html_md5"),
         )
         .orderBy("doc_id")
     )

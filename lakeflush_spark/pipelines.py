@@ -83,6 +83,12 @@ class CurationConfig:
     #: rewrite (when both are on) and before any dedup stage, so
     #: dedup keys see the scrubbed text. Map-only.
     strip_dup_lines: bool = False
+    #: True = the input text_col holds raw HTML: rewrite it through
+    #: the library-free extractor (functions/html.html_to_text —
+    #: strip comment/script/style blocks, block tags to newlines,
+    #: entity decode, whitespace normalize) BEFORE any metric, gate,
+    #: or dedup stage sees it. Map-only regexp chain, scan speed.
+    html_input: bool = False
     #: optional PRE-TRAINED quality-classifier gate (operators/
     #: quality_classifier.train_quality_classifier's weight dict):
     #: docs scoring below ``classifier_threshold`` drop in the quality
@@ -648,6 +654,13 @@ def curate_documents(
     post-selection counts).
     """
     tc = cfg.text_col
+    if cfg.html_input:
+        # HTML arrives first: every downstream metric/gate/dedup key
+        # must see the EXTRACTED text, so the rewrite happens before
+        # anything else (map-only regexp chain, scan speed)
+        from lakeflush_spark.functions.html import html_to_text
+
+        docs = docs.withColumn(tc, html_to_text(tc))
     # STAGED gate annotation (r11): every CHEAP rule (metrics,
     # gopher/c4 bitmasks, MT unit bits, a coverage-free classifier) is
     # a direct column expression and filters FIRST; only survivors pay

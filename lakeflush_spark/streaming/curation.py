@@ -120,6 +120,10 @@ class CurationStreamConfig:
     #: line (the batch CurationConfig.strip_dup_lines twin; runs after
     #: the C4 rewrite, before any dedup stage)
     strip_dup_lines: bool = False
+    #: True = the input text_col holds raw HTML: rewrite through the
+    #: library-free extractor before any metric/gate/dedup (the batch
+    #: CurationConfig.html_input twin; map-only regexp chain)
+    html_input: bool = False
     #: optional PRE-TRAINED quality-classifier gate (the batch
     #: CurationConfig.classifier_weights twin; same shared predicate)
     classifier_weights: "dict[str, float] | None" = None
@@ -406,6 +410,14 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             stage2_keep_condition,
         )
 
+        if cfg.html_input:
+            # HTML arrives first: extract before any metric/gate/dedup
+            # sees the text (the batch pipeline's html_input twin)
+            from lakeflush_spark.functions.html import html_to_text
+
+            batch_df = batch_df.withColumn(
+                cfg.text_col, html_to_text(cfg.text_col)
+            )
         input_cols = list(batch_df.columns)  # dest schema (pre-helper)
         cols1, gen2, clf_in_stage2 = quality_gate_stages(
             cfg.text_col,

@@ -52,3 +52,67 @@ def test_html_sql_twin_agrees(spark):
         con.execute("CREATE OR REPLACE TABLE h AS SELECT ? AS html", [c])
         want = con.execute(f"SELECT {html_to_text_sql('html')} FROM h").fetchone()[0]
         assert got[i] == want, i
+
+
+def test_curate_documents_html_input(spark):
+    """html_input=True extracts text before metrics/gates/dedup, so
+    two pages with identical CONTENT but different markup dedup."""
+    from lakeflush_spark.pipelines import CurationConfig, curate_documents
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, f"<html><body><p>{body}</p></body></html>"),
+            (2, f"<div><script>x()</script><h1>{body}</h1></div>"),
+            (3, "<p>a completely different page body with other words</p>"),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CurationConfig(min_tokens=1, html_input=True)
+    curated, stats = curate_documents(spark, docs, cfg)
+    rows = {r.doc_id: r.text for r in curated.collect()}
+    # markup variants of the same content collapse to the min id
+    assert sorted(rows) == [1, 3]
+    assert rows[1] == body  # the stored text is the EXTRACTED text
+    assert "<" not in rows[3]
+
+
+def test_curate_stream_html_input(spark, tmp_path):
+    """The streaming twin extracts HTML before its gates/dedup too."""
+    import glob
+    import shutil
+
+    from lakeflush_spark.streaming.curation import (
+        CurationStreamConfig,
+        curate_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    stage = tmp_path / "_stage"
+    spark.createDataFrame(
+        [
+            (1, f"<html><body><p>{body}</p></body></html>"),
+            (2, f"<div><script>x()</script><h1>{body}</h1></div>"),
+            (3, "<p>another page body entirely with different words</p>"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+    shutil.copy(
+        glob.glob(str(stage / "part-*.parquet"))[0], str(src / "b1.parquet")
+    )
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        min_tokens=1,
+        html_input=True,
+    )
+    curate_stream(spark, cfg).awaitTermination(180)
+    rows = {r.doc_id: r.text for r in spark.read.parquet(cfg.dest_dir).collect()}
+    assert sorted(rows) == [1, 3]
+    assert rows[1] == body

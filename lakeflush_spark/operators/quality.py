@@ -626,3 +626,35 @@ def text_quality_profile(
     if memo_key is not None:
         _PROFILE_GEN_MEMO[memo_key] = gen
     return docs.select("*", F.inline(gen))
+
+
+def compression_ratio(text_col: "Column | str" = "text") -> "Column":
+    """zlib-compressed-size / raw-byte-size per document — the
+    compressibility quality signal (RedPajama-v2/Dolma-style):
+    degenerate or highly repetitive text compresses far below prose
+    (ratio << typical ~0.4-0.7), while random noise barely compresses
+    (ratio near or above 1 including the zlib header).
+
+    DELIBERATELY a Python surface: zlib has no JVM expression analog,
+    so this is an Arrow-batched pandas UDF — keep it out of hot
+    curation gates (which stay 0-PY) and use it for corpus audits or
+    as an opt-in extra predicate. Empty documents return NULL (no
+    bytes to characterize, and 0-length division is undefined).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _ratio_series(s):
+        import zlib
+
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return s.map(one)
+
+    _ratio = pandas_udf(_ratio_series, DoubleType())
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return _ratio(c)

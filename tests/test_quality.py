@@ -469,3 +469,38 @@ def test_fused_panel_matches_legacy_columns(spark):
         assert frows[i] == lrows[i], (
             f"doc {i} ({docs[i]!r}): fused {frows[i]} != legacy {lrows[i]}"
         )
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far below prose; noise barely
+    compresses; empty -> NULL (operators/quality.compression_ratio)."""
+    import random
+    import string
+    import zlib
+
+    from lakeflush_spark.operators.quality import compression_ratio
+
+    rng = random.Random(5)
+    noise = "".join(rng.choices(string.ascii_letters + string.digits, k=4000))
+    words = ("river town mild quick brown lazy quiet bridge stone "
+             "meadow harbor lantern copper signal".split())
+    prose = " ".join(
+        f"{words[rng.randrange(len(words))]} {words[rng.randrange(len(words))]}"
+        f" number {rng.randrange(10_000)}"
+        for _ in range(400)
+    )
+    degenerate = "spam " * 800
+    rows = [(0, degenerate), (1, prose), (2, noise), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.cr
+        for r in df.select(
+            "doc_id", compression_ratio("text").alias("cr")
+        ).collect()
+    }
+    # exact agreement with driver-side zlib at the same level
+    for i, t in rows[:3]:
+        raw = t.encode()
+        assert got[i] == len(zlib.compress(raw, 6)) / len(raw)
+    assert got[0] < 0.05 < got[1] < got[2]
+    assert got[3] is None

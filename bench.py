@@ -558,6 +558,13 @@ or above every prior level: neardup 2364 docs/s, curate_warm 121.4
 (best on record), curate_sem 387, semdd_stream 907, phash_stream 902
 imgs/s; bm25 build/search 1.78/1.03 s.
 
+r11 wrap run (sf0.1, 438-test suite green, every late-r11 surface
+aboard incl. q59's html_md5 chain): suite 62.5 s, q41 9.53 / q26 2.89
+/ q28 2.18; compaction csv 57.1 MB/s — best on record, 7.7x the 7.4
+baseline — gzip 10.6 (2.7x), json 21.6k files/s (2.1x); streaming
+neardup 2263 docs/s, curate_warm 115.2, curate_sem 384, semdd 838,
+phash_stream 871 imgs/s.
+
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions
 crossover above): a 3-doc trickle batch against a directly-preloaded

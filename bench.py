@@ -565,6 +565,19 @@ baseline — gzip 10.6 (2.7x), json 21.6k files/s (2.1x); streaming
 neardup 2263 docs/s, curate_warm 115.2, curate_sem 384, semdd 838,
 phash_stream 871 imgs/s.
 
+phash_dedup_stream steady state (scripts/phash_steady.py, r11 —
+the semdd_steady methodology): 8k grouped-blob PNGs in five 1.6k-img
+batches through ONE stream, groups mod-split so warm batches hit
+history. Warm batches 2.3-2.4 s each = 618 imgs/s against a growing
+store (batch 0 pays bootstrap, 3.7 s); phase split of the LAST batch
+vs the final store: decode+hash 0.59 s, within-batch pigeonhole pairs
+0.52 s, history chunk-probe 0.58 s — the remaining ~0.7 s/batch is the
+two dynamic-overwrite writes + per-batch planning. No phase grows
+super-linearly with store size at this scale (the probe broadcasts the
+batch, scans the store once); the 100 TB lever, if the store scan ever
+dominates, is the digest-store prefix-partition recipe applied to a
+hash prefix.
+
 fp_prefix_partitions crossover (scripts/fp_steady.py, r9 — the wired
 knob's measured evidence, same methodology as the cell_partitions
 crossover above): a 3-doc trickle batch against a directly-preloaded

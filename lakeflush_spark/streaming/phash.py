@@ -18,6 +18,12 @@ hash neighborhood (operators/phash.py). Per micro-batch:
    partitions — the same exactly-once replay recipe as every other
    dedup-on-arrival store (see streaming/dedup.py).
 
+Store maintenance: the hash store shares the generic
+``(run, batch)`` layout, so ``streaming/dedup.list_runs`` and
+``vacuum_runs`` work on it unchanged (they operate on the partition
+tree, not the row schema); rows are 16 bytes each, so offline
+compaction is rarely needed before the multi-billion-image regime.
+
 Scale stance: the history check explodes the HISTORY hashes into
 their ``max_hamming + 1`` pigeonhole chunks MAP-SIDE and probes them
 with a BROADCAST of the batch's chunk table (batch-sized x chunks), so

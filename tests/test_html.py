@@ -116,3 +116,56 @@ def test_curate_stream_html_input(spark, tmp_path):
     rows = {r.doc_id: r.text for r in spark.read.parquet(cfg.dest_dir).collect()}
     assert sorted(rows) == [1, 3]
     assert rows[1] == body
+
+
+def test_html_fixed_point_on_plain_text(spark):
+    """Markup-free, entity-free text is a fixed point (modulo the
+    whitespace normalization, which is itself idempotent)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    plain = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F
+        ),
+        min_size=0,
+        max_size=40,
+    )
+
+    @given(words=st.lists(plain, min_size=0, max_size=8))
+    @settings(max_examples=10, deadline=None)
+    def prop(words):
+        t = " ".join(w for w in words if w)
+        df = spark.createDataFrame([(t,)], "html string")
+        got = df.select(html_to_text("html").alias("t")).collect()[0].t
+        assert got == t.strip()
+
+    prop()
+
+
+def test_html_random_tag_soup_leaves_no_tags(spark):
+    """Whatever tag soup comes in, no '<elem ...>' survives and no
+    script/style content leaks into the output."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+    tag = st.sampled_from(
+        ["<p>", "</p>", "<div class='x'>", "</div>", "<b>", "</b>",
+         "<script>SECRET()</script>", "<style>SECRET{}</style>",
+         "<!-- SECRET -->", "<br/>", "<span >", "</span>"]
+    )
+    piece = st.one_of(word, tag)
+
+    @given(pieces=st.lists(piece, min_size=0, max_size=20))
+    @settings(max_examples=10, deadline=None)
+    def prop(pieces):
+        html = " ".join(pieces)
+        df = spark.createDataFrame([(html,)], "html string")
+        got = df.select(html_to_text("html").alias("t")).collect()[0].t
+        assert "SECRET" not in got
+        import re
+
+        assert not re.search(r"<[a-zA-Z!/][^>]*>", got)
+
+    prop()

@@ -30,10 +30,16 @@ mode gram hashing uses the engine-wide md5 bucket trick
 (``functions.text.token_hash``) so DuckDB rebuilds identical ids (the
 default ``"xxhash64"`` is the faster production path with identical
 join/count structure — the ``lm_filter`` split); the integer cores
-(gram counts, per-doc matched-count sums) verify exactly; the float
-wrap (log sums + the Gumbel key) is row-local IEEE math verified under
-the q60-style 1e-9 decision band — per-doc float sums drift ~1e-13
-across engines (summation order), four orders below the band.
+(gram counts, per-doc matched-count sums) verify exactly. r12: the
+scoring chain itself is hash-verifiable — every per-gram ``ln`` term
+is snapped to the 1e-6 integer grid (``functions/grid.py``, the q41
+'bm25' recipe) so the per-doc log weight is an order-free BIGINT sum
+(``log_weight_e6``); rows whose pre-snap value sits within the edge
+band of a rounding boundary are *masked* (``lw_edge``), never
+compared. The float ``log_weight`` column remains the exact IEEE
+chain for ranking/percentile use (``dsir_resample_corpus``) — its
+per-doc sum is order-dependent at ~1e-13 and deliberately kept out of
+hash contracts; ``dsir_select_e6`` is the deterministic decision path.
 
 Ids must be non-NULL (the draw hashes ``seed || ':' || id``; the
 documents contract guarantees a non-NULL BIGINT ``doc_id``).
@@ -118,11 +124,17 @@ def hashed_gram_counts_split(
     both counts — at 100 TB this halves the count-table build. Derive
     the standard tables with ``.where(c_target > 0)`` /
     ``.where(c_raw > 0)`` — row-identical to the two-pass build (an h
-    appears in a table iff some doc on that side produced it). For a
-    target corpus that is a SEPARATE frame, use ``hashed_gram_counts``
-    per frame (nothing to fuse).
+    appears in a table iff some doc on that side produced it). NULL
+    semantics match the two-pass build too: rows where ``target_cond``
+    evaluates to NULL are excluded from BOTH tables, exactly as
+    ``where(cond)`` / ``where(~cond)`` both drop them (r12; previously
+    NULL-cond rows silently inflated ``c_raw``). For a target corpus
+    that is a SEPARATE frame, use ``hashed_gram_counts`` per frame
+    (nothing to fuse).
     """
-    flagged = docs.withColumn("__dsir_t", target_cond)
+    flagged = docs.withColumn("__dsir_t", target_cond).where(
+        F.col("__dsir_t").isNotNull()
+    )
     grams = _hashed_grams(flagged, "__dsir_t", text_col, buckets, hash_fn)
     return grams.groupBy("h").agg(
         F.sum(F.when(F.col("_id"), 1).otherwise(0)).cast("bigint").alias("c_target"),
@@ -153,11 +165,28 @@ def dsir_log_weights(
     mass of each model, attached via one-row broadcast aggregates —
     no driver collect). Docs with zero grams get NULLs.
 
+    Two parallel renditions of the same formula come back (r12):
+
+    - ``log_weight`` (DOUBLE) — the exact IEEE chain. Its per-doc sum
+      is float-summation-order-dependent (~1e-13 run-to-run); use it
+      for ranking and percentile calibration, never in hash contracts.
+    - ``log_weight_e6`` (BIGINT) + ``lw_edge`` (BOOLEAN) — every
+      per-gram ``ln`` term snapped to the 1e-6 integer grid
+      (``functions/grid.py``) and summed as BIGINTs, so the value is
+      bit-identical on any engine / partitioning / summation order.
+      ``lw_edge`` is true when ANY contributing term (per-gram or the
+      normalization lns) sat within the edge band of a rounding
+      boundary — such docs must be counted as masked, not compared.
+
     ``buckets`` and ``hash_fn`` must match the values the count tables
     were built with (hashes must agree).
     """
+    from lakeflush_spark.functions.grid import edge_e6, snap_e6
+
     grams = _hashed_grams(docs, id_col, text_col, buckets, hash_fn)
     a = float(alpha)
+    lt = F.log(F.col("_ct") + F.lit(a))
+    lr = F.log(F.col("_cr") + F.lit(a))
     joined = (
         grams.join(F.broadcast(target_counts.withColumnRenamed("c", "_ct")), "h", "left")
         .join(F.broadcast(raw_counts.withColumnRenamed("c", "_cr")), "h", "left")
@@ -171,10 +200,15 @@ def dsir_log_weights(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum("_ct").alias("sum_ct"),
         F.sum("_cr").alias("sum_cr"),
-        F.sum(F.log(F.col("_ct") + F.lit(a))).alias("_lt"),
-        F.sum(F.log(F.col("_cr") + F.lit(a))).alias("_lr"),
+        F.sum(lt).alias("_lt"),
+        F.sum(lr).alias("_lr"),
+        F.sum(snap_e6(lt)).alias("_lt6"),
+        F.sum(snap_e6(lr)).alias("_lr6"),
+        F.max(edge_e6(lt).cast("int") + edge_e6(lr).cast("int")).alias("_ge"),
     )
     ab = a * buckets
+    lnr = F.log(F.col("_nr") + F.lit(ab))
+    lnt = F.log(F.col("_nt") + F.lit(ab))
     nt = target_counts.agg(F.sum("c").alias("_nt"))
     nr = raw_counts.agg(F.sum("c").alias("_nr"))
     scored = (
@@ -188,9 +222,16 @@ def dsir_log_weights(
             (
                 F.col("_lt")
                 - F.col("_lr")
-                + F.col("n_grams")
-                * (F.log(F.col("_nr") + F.lit(ab)) - F.log(F.col("_nt") + F.lit(ab)))
+                + F.col("n_grams") * (lnr - lnt)
             ).alias("log_weight"),
+            (
+                F.col("_lt6")
+                - F.col("_lr6")
+                + F.col("n_grams") * (snap_e6(lnr) - snap_e6(lnt))
+            ).cast("bigint").alias("log_weight_e6"),
+            (
+                (F.col("_ge") > 0) | edge_e6(lnr) | edge_e6(lnt)
+            ).alias("lw_edge"),
         )
     )
     return docs.join(
@@ -239,6 +280,62 @@ def dsir_select(
             "dsir_selected",
             F.coalesce(
                 (F.col("dsir_key") > F.lit(float(threshold))) & ~F.col("dsir_banded"),
+                F.lit(False),
+            ),
+        )
+    )
+
+
+def dsir_select_e6(
+    scored: DataFrame,
+    threshold: float,
+    seed: str = "0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hash-deterministic Gumbel-perturbed threshold selection (r12) —
+    the integer-grid twin of :func:`dsir_select`, for contracts that
+    hash the decision counts across engines.
+
+    Requires the ``log_weight_e6`` / ``lw_edge`` columns that
+    :func:`dsir_log_weights` attaches. Adds:
+
+    - ``dsir_key_e6`` (BIGINT) = ``log_weight_e6`` + the snapped
+      Gumbel perturbation ``snap_e6(-ln(-ln(u)))`` with the same
+      deterministic md5 uniform ``u`` as :func:`dsir_select` — an
+      order-free integer, bit-identical on any engine / partitioning.
+    - ``dsir_masked`` = ``lw_edge`` OR the Gumbel term's own edge
+      flag: some ``ln`` in this row's chain sat within the edge band
+      of a 1e-6 rounding boundary, so engines may disagree on the
+      snap; masked rows are never selected and must be counted
+      separately (q41's 'dsir_mask' label does).
+    - ``dsir_selected`` = NOT masked AND ``dsir_key_e6 >
+      round(threshold*1e6)`` — an exact BIGINT comparison; no
+      decision anywhere depends on float summation order.
+
+    Rows with NULL weight (gram-less docs) get NULL key, false masked,
+    false selected. Pure map-side.
+    """
+    from lakeflush_spark.functions.grid import edge_e6, py_snap_e6, snap_e6
+
+    u = (
+        token_hash(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    g = -F.log(-F.log(u))
+    tau6 = py_snap_e6(float(threshold))
+    return (
+        scored.withColumn(
+            "dsir_key_e6",
+            (F.col("log_weight_e6") + snap_e6(g)).cast("bigint"),
+        )
+        .withColumn(
+            "dsir_masked",
+            F.coalesce(F.col("lw_edge") | edge_e6(g), F.lit(False)),
+        )
+        .withColumn(
+            "dsir_selected",
+            F.coalesce(
+                ~F.col("dsir_masked") & (F.col("dsir_key_e6") > F.lit(tau6)),
                 F.lit(False),
             ),
         )

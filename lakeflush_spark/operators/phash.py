@@ -307,7 +307,12 @@ def phash_images(
     image path): Arrow-batched mapInPandas, ``decoder(bytes) ->
     numpy (h, w[, ch])`` per row — defaults to the pure-Python PNG
     decoder (operators/png_codec). Rows whose payload fails to decode
-    are dropped (corrupt-input skip, the O19 error-policy analog).
+    are dropped (corrupt-input skip, the O19 error-policy analog) —
+    ANY exception from the decoder counts as a corrupt input (r12: a
+    PNG-signed payload with a truncated IHDR raises struct.error and a
+    corrupt IDAT zlib stream raises zlib.error, not ValueError; a
+    user-supplied decoder can raise anything), so one bad row can
+    never fail the whole task / micro-batch.
     """
     if decoder is None:
         from lakeflush_spark.operators.png_codec import decode_png as decoder
@@ -322,7 +327,7 @@ def phash_images(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     arr = dec(bytes(payload))
-                except ValueError:
+                except Exception:  # noqa: BLE001 — skip-corrupt policy
                     continue
                 out.append((int(mid), phash_core_numpy(arr)))
             yield pd.DataFrame(out, columns=["media_id", "phash"])

@@ -215,25 +215,46 @@ _BPE_MERGES = 12
 _BPE_MAX_WORDS = 2000
 _BPE_EOW_HEX = "</w>".encode().hex().upper()
 
-# DSIR labels (r11): importance resampling (operators/dsir.py — Xie et
-# al. 2023) joins the hashed-ngram suite. 'dsir_t' = top-50 of the
-# TARGET bag-of-words count table; 'dsir_w' = per-doc exact-integer
-# scoring-join witnesses (gram count + matched-count sums under both
-# models); 'dsir_sel'/'dsir_mask' = the Gumbel-perturbed threshold
-# decisions per source under the q60-'clf' banding recipe — both
-# engines recompute the full float chain (log-likelihood-ratio weight
-# + the md5-uniform Gumbel draw) and rows within 1e-9 of the frozen
-# threshold count under 'dsir_mask' (measured 0; nearest key measured
-# 0.10 away at sf0.001/0.01 — eight orders above the band, and the
-# cross-engine drift itself is ~1e-13 summation-order noise).
+# DSIR labels (r11; r12 made the decision chain integer-exact): 'dsir_t'
+# = top-50 of the TARGET bag-of-words count table; 'dsir_w' = per-doc
+# exact-integer scoring-join witnesses (gram count + matched-count sums
+# under both models); 'dsir_sel'/'dsir_mask' = the Gumbel-perturbed
+# threshold decisions per source under the q41-'bm25' integer-grid
+# recipe (functions/grid.py): every ln term — per-gram smoothed counts,
+# the normalization pair, the Gumbel perturbation — is snapped to the
+# 1e-6 grid and the per-doc key is an order-free BIGINT sum, so no
+# value anywhere in the suite depends on float summation order (the r11
+# float chain was ~1e-13 run-to-run and drew the round's one hash
+# flake); rows with any ln within the edge band of a rounding boundary
+# count under 'dsir_mask' instead of being compared (measured 0 at
+# sf0.001/0.01/0.1).
 _DSIR_B = 1 << 16
 _DSIR_TARGET = ("src0", "src1")
 #: frozen selection threshold — calibrated once at sf0.01 (median key
 #: ~ -168; ~40% of the raw pool selects)
 _DSIR_TAU = -140.0
-_DSIR_BAND = 1e-9
 _DSIR_WIT_LIM = 120
 _DSIR_TGT_SQL = "('src0','src1')"
+
+from lakeflush_spark.functions.grid import (  # noqa: E402
+    py_snap_e6,
+    sql_edge_e6,
+    sql_snap_e6,
+)
+
+#: the threshold on the grid — the BIGINT the snapped keys compare to.
+_DSIR_TAU6 = py_snap_e6(_DSIR_TAU)
+#: oracle fragments: per-gram smoothed-count lns, normalization lns,
+#: and the Gumbel term, each snapped/edge-tested exactly as the Spark
+#: chain does (operators/dsir.py dsir_log_weights / dsir_select_e6).
+_DZ_LT = "ln(COALESCE(dz_tc.c, 0) + 1.0)"
+_DZ_LR = "ln(COALESCE(dz_rc.c, 0) + 1.0)"
+_DZ_LNR = f"ln((SELECT v FROM dz_nr) + {float(_DSIR_B)!r})"
+_DZ_LNT = f"ln((SELECT v FROM dz_nt) + {float(_DSIR_B)!r})"
+_DZ_G = (
+    "(-ln(-ln(((('0x' || substring(md5('0:' || doc_id::VARCHAR), 1, 8))::BIGINT"
+    " + 0.5) / 4294967296.0))))"
+)
 
 
 def _bpe_replay_ctes(n_merges: int, max_words: int) -> tuple[str, str]:
@@ -323,18 +344,19 @@ _BPE_CTES, _BPE_BRANCH = _bpe_replay_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
                COUNT(*)::BIGINT AS n_grams,
                SUM(COALESCE(dz_tc.c, 0))::BIGINT AS sum_ct,
                SUM(COALESCE(dz_rc.c, 0))::BIGINT AS sum_cr,
-               SUM(ln(COALESCE(dz_tc.c, 0) + 1.0))
-                 - SUM(ln(COALESCE(dz_rc.c, 0) + 1.0))
-                 + COUNT(*) * (ln((SELECT v FROM dz_nr) + {float(_DSIR_B)})
-                               - ln((SELECT v FROM dz_nt) + {float(_DSIR_B)})) AS logw
+               (SUM({sql_snap_e6(_DZ_LT)}) - SUM({sql_snap_e6(_DZ_LR)})
+                 + COUNT(*) * ({sql_snap_e6(_DZ_LNR)}
+                               - {sql_snap_e6(_DZ_LNT)}))::BIGINT AS logw_e6,
+               (bool_or({sql_edge_e6(_DZ_LT)} OR {sql_edge_e6(_DZ_LR)})
+                 OR {sql_edge_e6(_DZ_LNR)}
+                 OR {sql_edge_e6(_DZ_LNT)}) AS lw_edge
         FROM dz_g LEFT JOIN dz_tc ON dz_g.h = dz_tc.h
                   LEFT JOIN dz_rc ON dz_g.h = dz_rc.h
         WHERE dz_g.source NOT IN {_DSIR_TGT_SQL}
         GROUP BY dz_g.doc_id),
     dz_k AS (
-        SELECT *, logw - ln(-ln(
-                   ((('0x' || substring(md5('0:' || doc_id::VARCHAR), 1, 8))::BIGINT
-                     + 0.5) / 4294967296.0))) AS key
+        SELECT *, (logw_e6 + {sql_snap_e6(_DZ_G)})::BIGINT AS key_e6,
+               (lw_edge OR {sql_edge_e6(_DZ_G)}) AS masked
         FROM dz_pd),
     {BM25_CTES.strip().rstrip(',')},
     {TFIDF_CTES.strip().rstrip(',')},
@@ -374,16 +396,14 @@ _BPE_CTES, _BPE_BRANCH = _bpe_replay_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
         FROM dz_pd WHERE doc_id < {_DSIR_WIT_LIM}
         UNION ALL
         SELECT 'dsir_sel', source, '',
-               COUNT_IF(key > {_DSIR_TAU}
-                        AND abs(key - ({_DSIR_TAU})) > {_DSIR_BAND}),
-               SUM(CASE WHEN key > {_DSIR_TAU}
-                         AND abs(key - ({_DSIR_TAU})) > {_DSIR_BAND}
+               COUNT_IF(NOT masked AND key_e6 > {_DSIR_TAU6}),
+               SUM(CASE WHEN NOT masked AND key_e6 > {_DSIR_TAU6}
                         THEN n_grams ELSE 0 END)::BIGINT,
                NULL::BIGINT
         FROM dz_k GROUP BY source
         UNION ALL
         SELECT 'dsir_mask', source, '',
-               COUNT_IF(abs(key - ({_DSIR_TAU})) <= {_DSIR_BAND}),
+               COUNT_IF(masked),
                NULL::BIGINT, NULL::BIGINT
         FROM dz_k GROUP BY source
         UNION ALL
@@ -415,10 +435,13 @@ _BPE_CTES, _BPE_BRANCH = _bpe_replay_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
     "count table; 'dsir_w' = per-doc exact-integer scoring-join "
     "witnesses (gram count + matched-count sums under both bag-of-words "
     "models); 'dsir_sel'/'dsir_mask' = Gumbel-perturbed threshold "
-    "selection per source under the q60-'clf' banding recipe (both "
-    "engines recompute the full log-likelihood-ratio + md5-uniform "
-    "Gumbel float chain; rows within 1e-9 of the frozen threshold "
-    "count under 'dsir_mask' — measured 0). r11-late adds 'bm25' "
+    "selection per source — r12 moved the whole decision chain onto "
+    "the 'bm25' integer-grid recipe (functions/grid.py): every ln "
+    "(per-gram smoothed counts, normalization pair, Gumbel term) is "
+    "snapped to the 1e-6 grid, the per-doc key is an order-free BIGINT "
+    "sum compared exactly against the snapped threshold, and rows with "
+    "any ln inside the edge band count under 'dsir_mask' (measured 0). "
+    "r11-late adds 'bm25' "
     "(operators/retrieval.py + plans/retrieval_queries.py): Okapi "
     "BM25 top-100 per fixed keyword query — broadcast query terms "
     "prune the corpus explode map-side, exact-BIGINT tf/df witnesses, "
@@ -525,7 +548,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain replays three times (verified via explain).
     from lakeflush_spark.operators.dsir import (
         dsir_log_weights,
-        dsir_select,
+        dsir_select_e6,
         hashed_gram_counts_split,
     )
 
@@ -556,7 +579,10 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_log_weights(
             docs.where(~is_target), dz_tc, dz_rc, buckets=_DSIR_B, hash_fn="md5"
         )
-        .select("doc_id", "source", "n_grams", "sum_ct", "sum_cr", "log_weight")
+        .select(
+            "doc_id", "source", "n_grams", "sum_ct", "sum_cr",
+            "log_weight_e6", "lw_edge",
+        )
         .localCheckpoint()
     )
     dsir_w = dz_scored.where(F.col("doc_id") < _DSIR_WIT_LIM).select(
@@ -568,14 +594,14 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_cr").alias("n3"),
     )
     dz_agg = (
-        dsir_select(dz_scored, _DSIR_TAU, seed="0", band=_DSIR_BAND)
+        dsir_select_e6(dz_scored, _DSIR_TAU, seed="0")
         .groupBy("source")
         .agg(
             F.sum(F.when(F.col("dsir_selected"), 1).otherwise(0)).alias("_n_sel"),
             F.sum(
                 F.when(F.col("dsir_selected"), F.col("n_grams")).otherwise(0)
             ).alias("_g_sel"),
-            F.sum(F.when(F.col("dsir_banded"), 1).otherwise(0)).alias("_n_band"),
+            F.sum(F.when(F.col("dsir_masked"), 1).otherwise(0)).alias("_n_band"),
         )
     )
     dsir_sel = dz_agg.select(

@@ -9,8 +9,11 @@ hash neighborhood (operators/phash.py). Per micro-batch:
 1. decode + hash the batch (``phash_images`` — Arrow-batched map-only;
    undecodable payloads get no hash and always survive, the
    corrupt-input SKIP policy);
-2. within-batch near-dups collapse to the min-id winner per verified
-   pair (single-pass greedy, the batch operator's default resolution);
+2. within-batch near-dups resolve exactly as the batch operator does
+   (``dedup_images``): connected components over the verified pairs,
+   min-id member survives — batch and streaming dedup of the same
+   corpus agree (r12; the CC runs as a driver union-find over the
+   pair list, bounded by the batch size);
 3. survivors are Hamming-checked against the persisted HASH STORE — a
    parquet table of ``(media_id, phash)`` rows, never payloads;
 4. genuinely-new images append to the dest corpus and their hashes to
@@ -144,11 +147,39 @@ def phash_dedup_stream(
             pairs = phash_near_dups(
                 hashes, id_col="media_id", max_hamming=cfg.max_hamming
             )
-            # single-pass greedy: drop every id that pairs with a
-            # smaller id (the batch operator's default resolution)
-            within_losers = pairs.select(
-                F.col("id2").alias("media_id")
-            ).distinct()
+            # within-batch resolution = the batch operator's exactly
+            # (r12): min-id per CONNECTED COMPONENT survives, so
+            # dedup_images(corpus) and streaming the same corpus agree
+            # — e.g. pairs (A,C),(B,C) keep {A} here, not {A,B} as the
+            # r11 drop-any-id2 greedy did. The batch is broadcast-small
+            # by the stream's own invariant (its chunk table broadcasts
+            # into the history probe below), so the pair list — at most
+            # batch-sized ids, never payloads — union-finds on the
+            # driver instead of spinning near_dup_clusters' iterative
+            # job loop once per micro-batch.
+            parent: dict = {}
+
+            def _find(x):
+                while parent.get(x, x) != x:
+                    parent[x] = parent.get(parent[x], parent[x])
+                    x = parent[x]
+                return x
+
+            loser_ids = set()
+            for r in pairs.select("id1", "id2").collect():
+                a, b = _find(r.id1), _find(r.id2)
+                if a != b:
+                    lo, hi = (a, b) if a < b else (b, a)
+                    parent[hi] = lo
+            for node in list(parent):
+                root = _find(node)
+                if node != root:
+                    loser_ids.add(node)
+            from lakeflush_spark.io import local_rows_df
+
+            within_losers = local_rows_df(
+                sp, [(i,) for i in sorted(loser_ids)], "media_id bigint"
+            )
             fresh = hashes.join(
                 F.broadcast(within_losers), "media_id", "left_anti"
             )
@@ -174,19 +205,25 @@ def phash_dedup_stream(
             )
             # survivors: everything not dropped — undecodable payloads
             # have no hash row, join nothing, and pass through (SKIP,
-            # not drop)
+            # not drop). localCheckpoint BEFORE _sized (r12): _sized's
+            # coalesce on an unpinned frame would propagate upstream
+            # and shrink the producing join's parallelism — and the
+            # pin also means the count below is free to reuse. Sizing
+            # uses the ACTUAL survivor count (n_new undercounts:
+            # undecodable pass-through rows have no hash row).
             dropped = within_losers.unionByName(hist_losers).withColumnRenamed(
                 "media_id", cfg.id_col
             )
             survivors = batch_df.join(
                 F.broadcast(dropped), cfg.id_col, "left_anti"
-            )
+            ).localCheckpoint()
+            n_out = survivors.count()
             (
                 _sized(
                     survivors.withColumn("run", F.lit(run)).withColumn(
                         "batch", F.lit(int(batch_id))
                     ),
-                    n_new,
+                    n_out,
                 )
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

@@ -286,3 +286,95 @@ def test_phash_dedup_stream_incremental(spark, tmp_path):
     assert spark.read.parquet(cfg.dest_dir).count() == 4
     # store holds one hash per admitted DECODABLE image
     assert spark.read.parquet(cfg.hash_dir).count() == 3
+
+
+def test_phash_images_skips_png_signed_corrupt_payloads(spark):
+    """r12: corrupt-but-PNG-signed payloads (truncated IHDR ->
+    struct.error; valid chunks but garbage zlib stream in IDAT ->
+    zlib.error) must be SKIPPED like any other corrupt input, not
+    crash the mapInPandas task."""
+    from lakeflush_spark.operators.png_codec import encode_png
+
+    good = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    png = bytes(encode_png(good))
+    truncated_ihdr = png[:12]  # signature + chunk length, no IHDR body
+    # corrupt the IDAT zlib stream in place: flip bytes after the IDAT
+    # tag while keeping signature/IHDR intact (CRCs aren't checked, the
+    # zlib inflate is what fails)
+    idat = png.find(b"IDAT")
+    assert idat > 0
+    bad_idat = png[: idat + 4] + bytes(
+        b ^ 0xFF for b in png[idat + 4 : idat + 12]
+    ) + png[idat + 12 :]
+    rows = [
+        (0, bytearray(png)),
+        (1, bytearray(truncated_ihdr)),
+        (2, bytearray(bad_idat)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id for r in phash_images(df).collect()}
+    assert got == {0}
+
+
+def _chain_triple():
+    """Three images A,B,C with d(A,C)<=7, d(B,C)<=7 but d(A,B)>7 — a
+    chain component where greedy drop-paired-ids and connected-
+    components resolution disagree. C is a pixel-space midpoint of two
+    offset blobs (parameters found by deterministic search; the
+    asserts re-verify the chain shape so a phash change can't silently
+    degrade the test)."""
+    yy, xx = np.mgrid[0:32, 0:32]
+
+    def blob(cy, cx):
+        return np.clip(
+            230 - 2 * ((yy - cy) ** 2 + (xx - cx) ** 2), 0, 255
+        ).astype(np.uint8)
+
+    a, b = blob(16, 20), blob(20, 20)
+    c = np.clip(
+        0.5 * a.astype(np.float64) + 0.5 * b.astype(np.float64), 0, 255
+    ).astype(np.uint8)
+    ha, hb, hc = phash_core_numpy(a), phash_core_numpy(b), phash_core_numpy(c)
+    assert bin(ha ^ hc).count("1") <= 7
+    assert bin(hb ^ hc).count("1") <= 7
+    assert bin(ha ^ hb).count("1") > 7
+    return a, b, c
+
+
+def test_stream_within_batch_resolution_matches_dedup_images(spark, tmp_path):
+    """r12: one batch containing the chain A-C, B-C (A,B not near)
+    must keep ONLY the component minimum — exactly what dedup_images
+    does on the same frame (the r11 greedy kept {A, B})."""
+    import glob
+    import shutil
+
+    from lakeflush_spark.operators.phash import dedup_images
+    from lakeflush_spark.streaming.phash import (
+        StreamPhashConfig,
+        phash_dedup_stream,
+    )
+
+    a, b, c = _chain_triple()
+    rows = _png_rows([(0, a), (1, b), (2, c)])
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    batch_kept = sorted(r.media_id for r in dedup_images(df).collect())
+    assert batch_kept == [0]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    stage = tmp_path / "_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    shutil.copy(
+        glob.glob(str(stage / "part-*.parquet"))[0], str(src / "b1.parquet")
+    )
+    cfg = StreamPhashConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        hash_dir=str(tmp_path / "hashes"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    phash_dedup_stream(spark, cfg).awaitTermination(180)
+    stream_kept = sorted(
+        r.media_id for r in spark.read.parquet(cfg.dest_dir).collect()
+    )
+    assert stream_kept == batch_kept

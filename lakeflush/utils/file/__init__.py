@@ -1,3 +1,8 @@
-from lakeflush_spark.compat.files import FileStatus, FileStore, FileType
+from lakeflush_spark.compat.files import (
+    FileProcessor,
+    FileStatus,
+    FileStore,
+    FileType,
+)
 
-__all__ = ["FileStatus", "FileStore", "FileType"]
+__all__ = ["FileStatus", "FileStore", "FileProcessor", "FileType"]

@@ -78,3 +78,112 @@ class FileStore:
     @classmethod
     def empty(cls, path) -> bool:
         return os.path.getsize(str(path)) == 0
+
+
+class FileProcessor:
+    """Recursive scan of a directory tree yielding files oldest-first
+    by modification time, with optional filename glob filters —
+    reference parity: utils/file/processor.py:9-120.
+
+    Independent implementation with a deliberately STRONGER ordering
+    guarantee: one stat-only walk collects ``(mtime, path)`` tuples
+    (tens of bytes per file), then a single heap drains them in total
+    ``(mtime, path)`` order. The reference's incremental heap only
+    orders within ~``batch_size`` windows; total order is what its
+    callers actually assume (compaction replays bundles in arrival
+    order), so this is parity with the intent. ``batch_size`` is
+    accepted for signature compatibility and does not change the
+    ordering. Unreadable directories/files are skipped, as there.
+
+    This is the plain-Python side; the distributed twin is
+    ``operators/manifest.scan_manifest`` (mtime order as a Spark
+    window over the Hadoop file listing), which is the path that
+    scales past one node.
+    """
+
+    def __init__(self, root_dir, match_patterns=(), batch_size: int = 1000):
+        self.root = Path(root_dir)
+        self.match_patterns = tuple(match_patterns)
+        self.batch_size = int(batch_size)
+        self._ordered = None
+
+    def _matches(self, name: str) -> bool:
+        import fnmatch
+
+        return not self.match_patterns or any(
+            fnmatch.fnmatch(name, p) for p in self.match_patterns
+        )
+
+    def _scan(self):
+        import heapq
+
+        entries = []
+        for dirpath, _dirnames, filenames in os.walk(self.root):
+            for name in filenames:
+                if not self._matches(name):
+                    continue
+                full = os.path.join(dirpath, name)
+                try:
+                    entries.append((os.stat(full).st_mtime, full))
+                except OSError:
+                    continue  # vanished or unreadable: skip, like there
+        heapq.heapify(entries)
+        while entries:
+            _, path = heapq.heappop(entries)
+            yield Path(path)
+
+    def __iter__(self):
+        self._ordered = self._scan()
+        return self
+
+    def __next__(self) -> Path:
+        if self._ordered is None:
+            self._ordered = self._scan()
+        return next(self._ordered)
+
+
+class CSVFileReader:
+    """Chunked CSV bundle reader with one-header semantics across a
+    file SEQUENCE — reference parity: utils/file/reader/csv.py:4-34.
+    The first read of a header-ful sequence yields the header line
+    once and remembers it; every later file's first line is dropped
+    (that is operator O6, header dedup). Body lines stream out in
+    ``batch_size``-line chunks joined verbatim (no CPU-relax sleep —
+    scheduling belongs to the engine)."""
+
+    def __init__(self, header: bool, batch_size: int = 100) -> None:
+        self.header = bool(header)
+        self.header_data = None
+        self.batch_size = int(batch_size)
+
+    def read(self, file_path):
+        with open(file_path, "r") as fh:
+            if self.header:
+                first = fh.readline()
+                if self.header_data is None:
+                    self.header_data = first.strip()
+                    yield self.header_data
+            chunk = []
+            for line in fh:
+                chunk.append(line)
+                if len(chunk) >= self.batch_size:
+                    yield "".join(chunk).strip()
+                    chunk = []
+            if chunk:
+                yield "".join(chunk).strip()
+
+
+class JSONFileReader:
+    """Whole-file JSON bundle reader — reference parity:
+    utils/file/reader/json.py:1-12. Yields the file's full content
+    once when non-empty; ``header_data`` exists (always None) because
+    the collector's reader handling checks it uniformly."""
+
+    def __init__(self) -> None:
+        self.header_data = None
+
+    def read(self, file_path):
+        with open(file_path, "r") as fh:
+            content = fh.read()
+        if content:
+            yield content

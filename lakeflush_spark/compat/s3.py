@@ -92,3 +92,161 @@ def upload_file(local_path: str, dest_uri: str) -> None:
     the reference's S3Store.upload)."""
     bucket, key = parse_s3_uri(dest_uri)
     _boto3().client("s3").upload_file(local_path, bucket, key)
+
+
+class S3Store:
+    """Classmethod S3-client facade — reference parity:
+    utils/s3/store.py:7-46 (setup/paginator/exists/get/upload).
+    ``setup()`` builds the shared boto3 client; every other method
+    degrades with the actionable boto3 error if it was never set up
+    in a boto3-less environment."""
+
+    _client = None
+
+    @classmethod
+    def setup(cls) -> None:
+        cls._client = _boto3().client("s3")
+
+    @classmethod
+    def _get_client(cls):
+        if cls._client is None:
+            cls.setup()
+        return cls._client
+
+    @classmethod
+    def paginator(cls):
+        return cls._get_client().get_paginator("list_objects_v2")
+
+    @classmethod
+    def exists(cls, bucket: str) -> bool:
+        try:
+            cls._get_client().head_bucket(Bucket=bucket)
+            return True
+        except Exception:  # noqa: BLE001 — ClientError family
+            return False
+
+    @classmethod
+    def get(cls, bucket: str, key: str) -> dict:
+        return cls._get_client().get_object(Bucket=bucket, Key=key)
+
+    @classmethod
+    def upload(cls, file_path, bucket: str, key: str):
+        return cls._get_client().upload_file(
+            Filename=str(file_path), Bucket=bucket, Key=key
+        )
+
+
+class S3Processor:
+    """Bucket listing yielding object keys oldest-first by
+    LastModified, with optional key glob filters — reference parity:
+    utils/s3/processor.py:10-112.
+
+    Independent implementation with a stronger guarantee, same as the
+    local ``FileProcessor`` twin: ONE full pagination pass collects
+    ``(LastModified, key)`` tuples, then a heap drains them in total
+    order. (The reference restarts ``paginate()`` from the first page
+    every time its bounded heap drains, so a listing larger than
+    ``batch_size`` re-yields early keys; a single pass is parity with
+    the intent — each key exactly once, oldest first.)
+    """
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str | None = None,
+        s3_batchsize: int = 1000,
+        match_patterns=(),
+        batch_size: int = 1000,
+    ):
+        self.bucket = bucket
+        self.prefix = prefix
+        self.s3_batchsize = int(s3_batchsize)
+        self.match_patterns = tuple(match_patterns)
+        self.batch_size = int(batch_size)
+        self._ordered = None
+
+    def _matches(self, key: str) -> bool:
+        import fnmatch
+
+        return not self.match_patterns or any(
+            fnmatch.fnmatch(key, p) for p in self.match_patterns
+        )
+
+    def _scan(self):
+        import heapq
+
+        params = {
+            "Bucket": self.bucket,
+            "PaginationConfig": {"PageSize": self.s3_batchsize},
+        }
+        if self.prefix:
+            params["Prefix"] = self.prefix
+        entries = []
+        for page in S3Store.paginator().paginate(**params):
+            for obj in page.get("Contents", []):
+                key = obj["Key"]
+                if key.endswith("/") or not self._matches(key):
+                    continue
+                entries.append((obj["LastModified"], key))
+        heapq.heapify(entries)
+        while entries:
+            _, key = heapq.heappop(entries)
+            yield key
+
+    def __iter__(self):
+        self._ordered = self._scan()
+        return self
+
+    def __next__(self) -> str:
+        if self._ordered is None:
+            self._ordered = self._scan()
+        return next(self._ordered)
+
+
+class S3CSVFileReader:
+    """Chunked CSV object reader with the one-header-per-sequence
+    semantics of the local ``CSVFileReader`` — reference parity:
+    utils/s3/reader/csv.py:5-40. Streams the object body line-wise;
+    lines decode to str before joining (the engine's bundle surface
+    is text)."""
+
+    def __init__(self, header: bool, bucket: str, batch_size: int = 100) -> None:
+        self.header = bool(header)
+        self.header_data = None
+        self.batch_size = int(batch_size)
+        self.bucket = bucket
+
+    def read(self, object_key: str):
+        res = S3Store.get(self.bucket, object_key)
+        with res["Body"] as body:
+            lines = (
+                ln.decode("utf-8") if isinstance(ln, bytes) else ln
+                for ln in body.iter_lines()
+            )
+            if self.header:
+                first = next(lines, "")
+                if self.header_data is None:
+                    self.header_data = first.strip()
+                    yield self.header_data
+            chunk = []
+            for line in lines:
+                chunk.append(line)
+                if len(chunk) >= self.batch_size:
+                    yield "\n".join(chunk).strip()
+                    chunk = []
+            if chunk:
+                yield "\n".join(chunk).strip()
+
+
+class S3JSONFileReader:
+    """Whole-object JSON reader — reference parity:
+    utils/s3/reader/json.py:4-15."""
+
+    def __init__(self, bucket: str) -> None:
+        self.header_data = None
+        self.bucket = bucket
+
+    def read(self, object_key: str):
+        res = S3Store.get(self.bucket, object_key)
+        if "Body" in res:
+            yield res["Body"].read()

@@ -39,6 +39,7 @@ def test_q41_one_ordered_hash_across_shuffle_configs(spark):
     (parallelism variation comes from the partition count; the
     local[8]/local[32] axis is covered by the driver + bench runs)."""
     import __spark_entry__ as entry
+    from lakeflush_spark.plans.relational_ext_queries import _Q41_MEMO
     from lakeflush_spark.testing import duckdb_connection
 
     qs, osql = entry.queries(), entry.oracle_sql()
@@ -46,11 +47,15 @@ def test_q41_one_ordered_hash_across_shuffle_configs(spark):
     digests = set()
     try:
         for parts in ("5", "64", "200"):
+            # force a REAL rebuild of the shared artifacts under this
+            # partitioning (the memo would otherwise serve config 1's)
+            _Q41_MEMO.clear()
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             rows = qs["q41_wordcount_topk"](spark, SF).collect()
             digests.add(_ordered_md5_rows([tuple(r) for r in rows]))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _Q41_MEMO.clear()
     assert len(digests) == 1, f"q41 hash varies with shuffle config: {digests}"
     con = duckdb_connection(SF)
     try:

@@ -649,6 +649,11 @@ def _materialize(df) -> None:
 
 WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP_PASSES", "2"))
 
+#: timed passes per compaction variant; the median is reported (r12 —
+#: single-shot compaction readings swung ±40% run to run with an
+#: unchanged code path; see bench_compaction)
+COMPACTION_TRIALS = int(os.environ.get("SPARK_GRAFT_COMPACTION_TRIALS", "3"))
+
 
 def bench_queries(spark) -> dict[str, float]:
     from lakeflush_spark.plans import QUERIES
@@ -807,52 +812,76 @@ def bench_compaction(spark) -> dict[str, float]:
         n_csv, csv_bytes = _explode_driver_side(
             [r.v for r in csv_rows], csv_lake, rows_per_file=1500, ext="csv", header=header
         )
-        dest = os.path.join(work, "csv_out")
-        t0 = time.time()
-        compact(
-            spark,
-            CompactionConfig(
-                source_dir=csv_lake, dest_dir=dest, file_format="csv", max_size_mb=16
-            ),
-        )
-        dt = time.time() - t0
+        # r12 (VERDICT r11 #2): the single-shot readings were noise-
+        # dominated — the compaction path did not change r10->r11 (the
+        # only compaction.py diff touched read_increment/compact_audit,
+        # not compact()), yet identical back-to-back passes in a FRESH
+        # session measured csv 21.8 / 31.3 / 40.6 MB/s (JIT tail +
+        # page-cache + box contention). Each variant now runs
+        # COMPACTION_TRIALS timed passes over the same lake and reports
+        # the MEDIAN, with the raw samples recorded alongside so a
+        # noisy round is visible instead of masquerading as a
+        # regression.
+        def _trials(fn, n=COMPACTION_TRIALS):
+            # one untimed full-lake pass first: the 10%-lake warmup
+            # above leaves a JIT tail that measured as a consistently
+            # ~2x-slow first trial (22.6 / 32.5 / 50.3 MB/s monotone)
+            fn()
+            times = []
+            for _ in range(n):
+                t0 = time.time()
+                fn()
+                times.append(time.time() - t0)
+            return sorted(times)[len(times) // 2], times
+
+        def _csv(tag, **kw):
+            return lambda: compact(
+                spark,
+                CompactionConfig(
+                    source_dir=csv_lake,
+                    dest_dir=os.path.join(work, f"csv_out_{tag}_{time.monotonic_ns()}"),
+                    file_format="csv",
+                    max_size_mb=16,
+                    **kw,
+                ),
+            )
+
+        dt, samples = _trials(_csv("plain"))
         out["csv_mb_s"] = round(csv_bytes / dt / 1e6, 2)
         out["csv_sec"] = round(dt, 3)
+        out["csv_mb_s_samples"] = [round(csv_bytes / t / 1e6, 1) for t in samples]
         out["csv_input_mb"] = round(csv_bytes / 1e6, 1)
         out["csv_n_files"] = n_csv
 
         # --- gzip variant (BASELINE: 3.9 MB/s) ---
-        dest_gz = os.path.join(work, "csv_gz_out")
-        t0 = time.time()
-        compact(
-            spark,
-            CompactionConfig(
-                source_dir=csv_lake,
-                dest_dir=dest_gz,
-                file_format="csv",
-                max_size_mb=16,
-                compress=True,
-            ),
-        )
-        out["csv_gzip_mb_s"] = round(csv_bytes / (time.time() - t0) / 1e6, 2)
+        dt, samples = _trials(_csv("gz", compress=True))
+        out["csv_gzip_mb_s"] = round(csv_bytes / dt / 1e6, 2)
+        out["csv_gzip_mb_s_samples"] = [
+            round(csv_bytes / t / 1e6, 1) for t in samples
+        ]
 
         # --- tiny JSON files (BASELINE: ~10,500 files/s, metadata-bound) ---
         ev = load_table(spark, SF_DIR, "events")
         json_rows = ev.toJSON().collect()
         json_lake = os.path.join(work, "json_lake")
         n_files, _ = _explode_driver_side(json_rows, json_lake, rows_per_file=5, ext="json")
-        dest_j = os.path.join(work, "json_out")
-        t0 = time.time()
-        compact(
-            spark,
-            CompactionConfig(
-                source_dir=json_lake, dest_dir=dest_j, file_format="json", max_size_mb=16
-            ),
-        )
-        dt = time.time() - t0
+
+        def _json():
+            compact(
+                spark,
+                CompactionConfig(
+                    source_dir=json_lake,
+                    dest_dir=os.path.join(work, f"json_out_{time.monotonic_ns()}"),
+                    file_format="json",
+                    max_size_mb=16,
+                ),
+            )
+
+        dt, samples = _trials(_json)
         out["json_files_s"] = round(n_files / dt, 1)
         out["json_n_files"] = n_files
         out["json_sec"] = round(dt, 3)
+        out["json_files_s_samples"] = [round(n_files / t, 1) for t in samples]
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

@@ -61,14 +61,72 @@ def audit_one(plan: str, simple: str) -> dict:
         "python_eval": op(
             r"(?:ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|MapInPandas)"
         ),
-        # driver-funnel detector: every SinglePartition exchange collapses
-        # the job to ONE task. A final global sort/limit for oracle-stable
-        # output legitimately shows one; anything beyond that is a scale
-        # smell worth a docstring justification.
-        "single_partition": len(
+        # driver-funnel detector: a SinglePartition exchange collapses
+        # the job to ONE task — but only when REAL data rides it. The
+        # r11 audit counted every occurrence, and every 1P>1 query
+        # turned out to be global SCALAR aggregates (COUNT/SUM/MIN/MAX
+        # denominators: n_docs, total gram mass, id bounds), whose
+        # final merge is a one-row-per-task exchange of aggregation
+        # buffers — tiny by construction, unavoidable for a global
+        # scalar, and not a smell. r12 classifies: an exchange whose
+        # Input is empty or consists solely of aggregate buffer
+        # columns (count#/sum#/min#/max#/avg#) is counted under
+        # single_partition_scalar; everything else (rows funneled for
+        # a global sort/limit or a driver-sized relation) stays in
+        # single_partition, where ANY nonzero count now deserves a
+        # docstring justification.
+        "single_partition": _real_single_partitions(plan),
+        "single_partition_scalar": len(
             re.findall(r"Arguments: SinglePartition", plan)
-        ),
+        )
+        - _real_single_partitions(plan),
     }
+
+
+_SCALAR_BUFFER = re.compile(r"^(?:count|sum|min|max|avg|n)#\d+", re.I)
+
+
+def _real_single_partitions(plan: str) -> int:
+    """SinglePartition exchanges carrying non-scalar-aggregate data."""
+    real = 0
+    for m in re.finditer(
+        r"Input(?: \[\d+\])?: \[([^\]]*)\]\nArguments: SinglePartition", plan
+    ):
+        cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+        if cols and not all(_SCALAR_BUFFER.match(c) for c in cols):
+            real += 1
+    # occurrences with no parsable Input line count as real (unknown)
+    total = len(re.findall(r"Arguments: SinglePartition", plan))
+    parsed = len(
+        re.findall(
+            r"Input(?: \[\d+\])?: \[[^\]]*\]\nArguments: SinglePartition", plan
+        )
+    )
+    return real + (total - parsed)
+
+
+#: justification for every query whose plan legitimately carries a
+#: REAL SinglePartition exchange (rendered under the summary table so
+#: "1P > 0 without a line here" is the actionable signal)
+SINGLE_PARTITION_JUSTIFICATIONS = {
+    "q17_manifest_order": (
+        "global mtime sort of the FILE LISTING (one row per lake file, "
+        "never file contents) — the operator's contract is a total "
+        "arrival order; bounded by file count, not data volume"
+    ),
+    "q22_exact_dedup": (
+        "one-row corpus stats aggregate whose buffers include a "
+        "collect_set over the tiny source-label domain — scalar merge "
+        "the classifier can't prove tiny because set buffers are "
+        "unbounded in general"
+    ),
+    "q42_window_analytics": (
+        "cumulative window over sharded_prefix_sum's PER-SHARD TOTALS "
+        "(one row per calendar month) — the whole point of the sharded "
+        "global row_number is that only this |shards|-row frame ever "
+        "single-partitions, not the table"
+    ),
+}
 
 
 def main() -> None:
@@ -86,11 +144,15 @@ def main() -> None:
         "columns: BHJ=BroadcastHashJoin, SMJ=SortMergeJoin, NLJ=NestedLoop,",
         "EX=Exchanges(shuffles), PF=scans with pushed filters, WSC=whole-stage",
         "codegen spans, PY=Arrow/pandas Python stages, 1P=SinglePartition",
-        "exchanges (a final global sort/limit for oracle-stable output is the",
-        "one expected occurrence; more than that is a driver-funnel smell).",
+        "exchanges carrying real rows (driver-funnel smell: ANY nonzero",
+        "count needs a docstring justification, e.g. a final global",
+        "sort/limit for oracle-stable output), 1Ps=SinglePartition merges",
+        "of global SCALAR aggregates (one aggregation-buffer row per task —",
+        "tiny by construction, unavoidable for a global COUNT/SUM/MIN/MAX",
+        "denominator; not a smell).",
         "",
-        "| query | BHJ | SMJ | NLJ | EX | PF | WSC | PY | 1P |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | BHJ | SMJ | NLJ | EX | PF | WSC | PY | 1P | 1Ps |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     details = []
     for name, q in sorted(QUERIES.items()):
@@ -106,10 +168,16 @@ def main() -> None:
         lines.append(
             f"| {name} | {a['broadcast_joins']} | {a['sortmerge_joins']} "
             f"| {a['nested_loop_joins']} | {a['exchanges']} | {a['pushed_filters']} "
-            f"| {a['codegen_spans']} | {a['python_eval']} | {a['single_partition']} |"
+            f"| {a['codegen_spans']} | {a['python_eval']} | {a['single_partition']} "
+            f"| {a['single_partition_scalar']} |"
         )
         details.append(f"\n## {name}\n\n```\n{plan}\n```\n")
 
+    lines.append("")
+    lines.append("Real-1P justifications (any 1P > 0 row missing here is a bug):")
+    lines.append("")
+    for qname, why in sorted(SINGLE_PARTITION_JUSTIFICATIONS.items()):
+        lines.append(f"- `{qname}`: {why}")
     with open("PLANS.md", "w") as f:
         f.write("\n".join(lines) + "\n" + "".join(details))
     print("\n".join(lines))

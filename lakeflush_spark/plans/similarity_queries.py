@@ -318,6 +318,45 @@ ORDER BY method, query_id, rank
 )
 
 
+#: per-(session, sf_dir) memo of the PERSISTED index artifacts — the
+#: float index dir, its int8 twin, and the prepared corpus/query
+#: frames. Index building is a one-time serving artifact (the whole
+#: point of build_ivf_index); the SEARCHES are the query's product and
+#: stay live per call — unlike q41's memo, no result frame is cached.
+#: Index dirs live for the session (atexit-cleaned), keyed by
+#: applicationId so a restarted session rebuilds.
+_Q55_IDX_MEMO: dict = {}
+
+
+def _q55_index(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _Q55_IDX_MEMO:
+        return _Q55_IDX_MEMO[key]
+    import atexit
+    import shutil
+    import tempfile
+
+    from lakeflush_spark.operators.similarity import (
+        build_ivf_index,
+        quantize_index,
+    )
+
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark)
+    corpus = prepare_vectors(emb)
+    queries = corpus.where(corpus.vid < N_QUERIES)
+    idx = tempfile.mkdtemp(prefix="q55_ivf_index_")
+    # idx is already a unique path; derive the int8 twin's name from it
+    # (quantize_index requires an ABSENT dest, so no mkdtemp here)
+    idx8 = idx + "_int8"
+    build_ivf_index(corpus, idx, n_cells=_IVF_CELLS)
+    quantize_index(spark, idx, idx8)
+    atexit.register(shutil.rmtree, idx, ignore_errors=True)
+    atexit.register(shutil.rmtree, idx8, ignore_errors=True)
+    _Q55_IDX_MEMO[key] = (corpus, queries, idx, idx8)
+    return _Q55_IDX_MEMO[key]
+
+
+
 @declare(
     "q55_ann_ivf",
     _IVF_SQL,
@@ -343,70 +382,46 @@ ORDER BY method, query_id, rank
     "bit-reproducible in SQL.)",
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
+    from lakeflush_spark.operators.similarity import ivf_search, ivf_topk
 
-    from lakeflush_spark.operators.similarity import (
-        build_ivf_index,
-        ivf_search,
-        ivf_topk,
-    )
-
-    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark)
-    corpus = prepare_vectors(emb)
-    queries = corpus.where(corpus.vid < N_QUERIES)
+    corpus, queries, idx, idx8 = _q55_index(spark, sf_dir)
     flat = ivf_topk(
         corpus, queries, TOP_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
     ).select(F.lit("flat").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank")
-    idx = tempfile.mkdtemp(prefix="q55_ivf_index_")
-    # idx is already a unique path; derive the int8 twin's name from it
-    # (quantize_index requires an ABSENT dest, so no mkdtemp here)
-    idx8 = idx + "_int8"
-    try:
-        build_ivf_index(corpus, idx, n_cells=_IVF_CELLS)
-        # localCheckpoint (eager) materializes the search result so the
-        # temp index can be removed before the driver's collect
-        # materialize=True: eager localCheckpoint + probe-cache release
-        # (the r8 serving-loop hygiene flag) — this builder runs
-        # repeatedly in one long-lived session (bench warmups,
-        # scale-smoke), so each call must leave zero pinned state
-        served_raw = ivf_search(
-            spark, idx, queries, TOP_K, nprobe=_IVF_NPROBE,
-            materialize=True,
-        )
-        served = served_raw.select(
-            F.lit("served").alias("method"),
-            "query_id", "neighbor_id", "cos_sim", "rank",
-        )
-        # 'shuffled' (r9): the broadcast_queries=False serving plan —
-        # the corpus-sized-query-set path — driven for real and
-        # hash-checked against the same flat chain (value-identical)
-        shuffled = ivf_search(
-            spark, idx, queries, TOP_K,
-            nprobe=_IVF_NPROBE, broadcast_queries=False,
-            materialize=True,
-        ).select(
-            F.lit("shuffled").alias("method"),
-            "query_id", "neighbor_id", "cos_sim", "rank",
-        )
-        # 'int8' (r9): the quantized index layout served end-to-end,
-        # verdict-checked (the q10 trick — int8 cosines are not
-        # bit-reproducible in SQL, agreement with the float index is):
-        # per query, >= 80% of the float top-k pairs recur and shared
-        # pairs deviate <= 0.01 in cosine. The int8 index derives from
-        # the float one via quantize_index (one map-only pass — same
-        # cells/assignments by determinism; the test suite proves it
-        # equivalent to a from-scratch quantize=True build)
-        from lakeflush_spark.operators.similarity import quantize_index
-
-        quantize_index(spark, idx, idx8)
-        int8_raw = ivf_search(
-            spark, idx8, queries, TOP_K, nprobe=_IVF_NPROBE,
-            materialize=True,
-        )
-    finally:
-        shutil.rmtree(idx, ignore_errors=True)
-        shutil.rmtree(idx8, ignore_errors=True)
+    # materialize=True: eager localCheckpoint + probe-cache release
+    # (the r8 serving-loop hygiene flag) — this builder runs
+    # repeatedly in one long-lived session (bench warmups,
+    # scale-smoke), so each call must leave zero pinned state
+    served_raw = ivf_search(
+        spark, idx, queries, TOP_K, nprobe=_IVF_NPROBE,
+        materialize=True,
+    )
+    served = served_raw.select(
+        F.lit("served").alias("method"),
+        "query_id", "neighbor_id", "cos_sim", "rank",
+    )
+    # 'shuffled' (r9): the broadcast_queries=False serving plan —
+    # the corpus-sized-query-set path — driven for real and
+    # hash-checked against the same flat chain (value-identical)
+    shuffled = ivf_search(
+        spark, idx, queries, TOP_K,
+        nprobe=_IVF_NPROBE, broadcast_queries=False,
+        materialize=True,
+    ).select(
+        F.lit("shuffled").alias("method"),
+        "query_id", "neighbor_id", "cos_sim", "rank",
+    )
+    # 'int8' (r9): the quantized index layout (built once in the memo
+    # via quantize_index — one map-only pass off the float index; the
+    # test suite proves it equivalent to a from-scratch quantize=True
+    # build) served end-to-end, verdict-checked (the q10 trick — int8
+    # cosines are not bit-reproducible in SQL, agreement with the
+    # float index is): per query, >= 80% of the float top-k pairs
+    # recur and shared pairs deviate <= 0.01 in cosine.
+    int8_raw = ivf_search(
+        spark, idx8, queries, TOP_K, nprobe=_IVF_NPROBE,
+        materialize=True,
+    )
     ov = int8_raw.select(
         "query_id", "neighbor_id", F.col("cos_sim").alias("c8")
     ).join(

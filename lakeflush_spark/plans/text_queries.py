@@ -834,13 +834,56 @@ def _html_sql() -> str:
     return html_to_text_sql(f"('{_HTML_PRE}' || text || '{_HTML_POST}')")
 
 
+#: deterministic messy URL per doc for the q59 'url' columns — the
+#: corpus has no URL column, so each doc synthesizes one exercising
+#: every canonicalization rule (uppercase scheme/host, default port,
+#: userinfo-free authority, utm_/fbclid tracking params, unsorted
+#: survivors, fragment, multi-part co.uk suffix); the oracle rebuilds
+#: the same string and must canonicalize it to the same bytes.
+_URL_SQL_SYNTH = (
+    "('HTTP://WWW.' || source || '.Example.CO.UK:80/' || lang || '/art-' "
+    "|| doc_id::VARCHAR || '?utm_campaign=x&b=' || (doc_id % 3)::VARCHAR "
+    "|| '&fbclid=t&a=1#s')"
+)
+
+
+def _url_synth_col():
+    return F.concat(
+        F.lit("HTTP://WWW."),
+        F.col("source"),
+        F.lit(".Example.CO.UK:80/"),
+        F.col("lang"),
+        F.lit("/art-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_campaign=x&b="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&fbclid=t&a=1#s"),
+    )
+
+
+def _url_sql_cols() -> str:
+    from lakeflush_spark.operators.url import (
+        sql_canonicalize_url,
+        sql_registrable_domain,
+    )
+
+    canon = sql_canonicalize_url(_URL_SQL_SYNTH)
+    auth = f"regexp_extract({_URL_SQL_SYNTH}, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1)"
+    host = f"lower(regexp_extract({auth}, '^(?:[^@]*@)?([^:]*)', 1))"
+    return (
+        f"md5({canon}) AS url_md5,\n           "
+        f"{sql_registrable_domain(host)} AS url_domain"
+    )
+
+
 @declare(
     "q59_pii_scrub",
     f"""
     SELECT doc_id,
            md5({_scrub_sql('text')}) AS scrubbed_md5,
            (length(text) - length({_scrub_sql('text')}))::BIGINT AS delta_len,
-           md5({_html_sql()}) AS html_md5
+           md5({_html_sql()}) AS html_md5,
+           {_url_sql_cols()}
     FROM documents
     ORDER BY doc_id
     """,
@@ -850,15 +893,29 @@ def _html_sql() -> str:
     "style blocks, block tags to newlines, entity decode, whitespace "
     "normalize; one ordered pattern table drives the Java chain AND "
     "the RE2 oracle twin) applied to each doc deterministically "
-    "wrapped in a full HTML page. Map-only regexp chains, scan speed.",
+    "wrapped in a full HTML page. r12 adds the URL-curation columns "
+    "(operators/url.py — the C4/RefinedWeb URL-filtering stage): each "
+    "doc synthesizes a deterministically messy URL (uppercase host, "
+    "default port, tracking params, fragment, co.uk suffix) and the "
+    "contract hashes its canonical form ('url_md5': lowercase scheme/"
+    "host, default-port strip, fragment drop, utm_/tracking-param "
+    "removal, bytewise param sort) plus the registrable domain "
+    "('url_domain', multi-part-suffix aware). Map-only regexp chains, "
+    "scan speed.",
 )
 def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.functions.html import html_to_text
+    from lakeflush_spark.operators.url import (
+        canonicalize_url,
+        parse_url,
+        registrable_domain,
+    )
 
     scrubbed = F.col("text")
     for pat, repl in _PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    url = _url_synth_col()
     return (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -866,6 +923,8 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(scrubbed).alias("scrubbed_md5"),
             (F.length("text") - F.length(scrubbed)).cast("bigint").alias("delta_len"),
             F.md5(html_to_text(html)).alias("html_md5"),
+            F.md5(canonicalize_url(url)).alias("url_md5"),
+            registrable_domain(parse_url(url)["host"]).alias("url_domain"),
         )
         .orderBy("doc_id")
     )

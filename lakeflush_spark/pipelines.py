@@ -193,6 +193,25 @@ class CurationConfig:
     #: min DISTINCT contaminated grams to drop a doc (see
     #: operators/decontaminate.decontaminate)
     decontam_min_common: int = 1
+    #: optional URL-curation stages (operators/url.py — the C4/
+    #: RefinedWeb URL-filtering front gate, r12): name of a URL column
+    #: on the input frame. When set, a ``url_domain`` annotation column
+    #: (registrable domain, multi-part-suffix aware) is attached up
+    #: front and kept on the output for downstream policies. None
+    #: disables both URL stages.
+    url_col: str | None = None
+    #: registrable domains dropped outright BEFORE any other stage
+    #: (map-only filter — the cheapest gate runs first, as crawl
+    #: pipelines do); docs with an unparseable URL are kept (their
+    #: domain is '').
+    url_blocklist: tuple = ()
+    #: keep at most this many docs per registrable domain, decided by
+    #: deterministic md5 order (domain_cap_sample) AFTER the dedup/
+    #: semantic stages — capping the clean pool shuffles far fewer
+    #: rows than capping the raw crawl, and dedup already collapsed
+    #: the mass a mega-domain contributes. None disables.
+    url_domain_cap: int | None = None
+    url_cap_seed: str = "0"
     #: optional DSIR targeted-selection stage (operators/dsir.py — Xie
     #: et al. 2023 importance resampling): as the LAST stage, keep the
     #: top ``dsir_keep_frac`` fraction of the surviving corpus by
@@ -576,6 +595,14 @@ class CurationStats:
     #: still reports the PRE-selection clean-pool size, so the
     #: realized keep fraction is after_dsir / after_decontam.
     after_dsir: int | None = None
+    #: docs dropped by the URL blocklist front gate (r12); None when
+    #: cfg.url_blocklist is empty. input_docs counts the survivors of
+    #: this gate (it runs before everything, like crawl pipelines do),
+    #: so the raw arrival count is input_docs + url_blocked.
+    url_blocked: int | None = None
+    #: count right after the per-domain cap stage (r12); None when
+    #: cfg.url_domain_cap is off.
+    after_domain_cap: int | None = None
 
 
 def _iterative_near_dup_losers(pairs: DataFrame, iters: int, id_col: str) -> DataFrame:
@@ -639,11 +666,18 @@ def curate_documents(
     corpus never shuffles; see operators/decontaminate.py).
 
     ``provenance`` is a LAZY ``(id_col, stage)`` frame naming the
-    stage that removed each dropped document — 'quality',
-    'exact_dup', 'near_dup', 'lm_quality', 'semantic_dup',
-    'repeated_passage' (drop mode only; strip rewrites instead of
-    dropping), 'decontaminated', 'dsir_selection' — the per-doc audit
-    trail a corpus release ships beside the stats. Materializing it
+    stage that removed each dropped document — 'url_blocked',
+    'quality', 'exact_dup', 'near_dup', 'lm_quality', 'semantic_dup',
+    'cluster_balance', 'domain_capped', 'repeated_passage' (drop mode
+    only; strip rewrites instead of dropping), 'decontaminated',
+    'dsir_selection' — the per-doc audit trail a corpus release ships
+    beside the stats.
+
+    When ``cfg.url_col`` is set (r12), a ``url_domain`` annotation
+    column is attached up front and kept on the output; the blocklist
+    gate runs before everything (map-only) and the per-domain cap runs
+    on the post-dedup clean pool (one shuffle over far fewer rows than
+    the raw crawl). Materializing it
     re-executes the drop-set lineages; write it in the same job as the
     curated corpus.
 
@@ -654,6 +688,29 @@ def curate_documents(
     post-selection counts).
     """
     tc = cfg.text_col
+    if (cfg.url_blocklist or cfg.url_domain_cap is not None) and cfg.url_col is None:
+        raise ValueError(
+            "url_blocklist / url_domain_cap require cfg.url_col"
+        )
+    url_blocked_ids = None
+    n_url_blocked: int | None = None
+    if cfg.url_col is not None:
+        from lakeflush_spark.operators.url import parse_url, registrable_domain
+
+        if "url_domain" in docs.columns:
+            raise ValueError(
+                "input already carries a url_domain column; rename it "
+                "before enabling url_col"
+            )
+        docs = docs.withColumn(
+            "url_domain",
+            registrable_domain(parse_url(F.col(cfg.url_col))["host"]),
+        )
+        if cfg.url_blocklist:
+            hit = F.col("url_domain").isin(*[str(d) for d in cfg.url_blocklist])
+            url_blocked_ids = docs.where(hit).select(cfg.id_col)
+            docs = docs.where(~F.coalesce(hit, F.lit(False)))
+            n_url_blocked = url_blocked_ids.count()
     if cfg.html_input:
         # HTML arrives first: every downstream metric/gate/dedup key
         # must see the EXTRACTED text, so the rewrite happens before
@@ -730,6 +787,8 @@ def curate_documents(
             ids.select(F.col(cfg.id_col), F.lit(stage).alias("stage"))
         )
 
+    if url_blocked_ids is not None:
+        _mark(url_blocked_ids, "url_blocked")
     # NULL keep (e.g. NULL text) is dropped by where(keep) — mark it;
     # staged runs also mark stage-2 failures (coverage rules)
     _mark(
@@ -905,6 +964,28 @@ def curate_documents(
         # it, unlike an anti-join against the (corpus-sized) drop set
         curated = curated.join(F.broadcast(kept), cfg.id_col, "left_semi")
 
+    n_domain_cap: int | None = None
+    if cfg.url_domain_cap is not None:
+        from lakeflush_spark.operators.url import domain_cap_sample
+
+        # the url_domain annotation was attached up front — reuse it
+        # (domain_col) so the cap never re-parses URLs
+        capped = domain_cap_sample(
+            curated,
+            id_col=cfg.id_col,
+            max_per_domain=cfg.url_domain_cap,
+            seed=cfg.url_cap_seed,
+            domain_col="url_domain",
+        )
+        _mark(
+            curated.select(cfg.id_col).join(
+                capped.select(cfg.id_col), cfg.id_col, "left_anti"
+            ),
+            "domain_capped",
+        )
+        curated = capped
+        n_domain_cap = curated.count()
+
     if cfg.drop_repeated_passage_window is not None:
         if cfg.repeated_passage_action not in ("drop", "strip"):
             raise ValueError(
@@ -1029,6 +1110,8 @@ def curate_documents(
         near_dup_hot_rows_in=hot_in,
         near_dup_rows_over_cap=hot_over,
         after_dsir=n_final if n_decontam is not None else None,
+        url_blocked=n_url_blocked,
+        after_domain_cap=n_domain_cap,
     )
     if not return_provenance:
         return curated, stats

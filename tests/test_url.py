@@ -138,3 +138,63 @@ def test_domain_cap_sample_separate_domains(spark):
         with_host, max_per_domain=4, domain_col="h"
     )
     assert per_host.count() == 12  # 3 hosts x 4
+
+
+def test_curation_pipeline_url_stages(spark):
+    """url_blocklist drops before anything else; url_domain_cap caps
+    the clean pool; provenance + stats name both stages."""
+    from lakeflush_spark.pipelines import CurationConfig, curate_documents
+
+    rows = []
+    for i in range(40):
+        dom = "spamfarm.example.com" if i < 10 else "good.example.org"
+        rows.append(
+            (
+                i,
+                f"unique document body number {i} with plenty of words "
+                f"to pass the gates {i * 7} and some trailing text",
+                f"https://{dom}/page-{i}",
+            )
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    cfg = CurationConfig(
+        min_tokens=1,
+        url_col="url",
+        url_blocklist=("example.com",),
+        url_domain_cap=12,
+    )
+    curated, stats, prov = curate_documents(
+        spark, docs, cfg, return_provenance=True
+    )
+    out = curated.collect()
+    # all 10 spamfarm docs blocked (registrable domain example.com);
+    # the 30 good docs cap at 12 for example.org
+    assert stats.url_blocked == 10
+    assert stats.input_docs == 30
+    assert stats.after_domain_cap == 12
+    assert len(out) == 12
+    assert all(r.url_domain == "example.org" for r in out)
+    stages = {
+        r.stage for r in prov.select("stage").distinct().collect()
+    }
+    assert {"url_blocked", "domain_capped"} <= stages
+    blocked = {
+        r.doc_id
+        for r in prov.where(F.col("stage") == "url_blocked").collect()
+    }
+    assert blocked == set(range(10))
+    # determinism: same cfg -> same kept set
+    again, _ = curate_documents(spark, docs, cfg)
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in out}
+    # url options without url_col fail fast
+    with pytest.raises(ValueError, match="url_col"):
+        curate_documents(
+            spark, docs, CurationConfig(url_domain_cap=5)
+        )
+    # pre-existing url_domain column fails fast
+    with pytest.raises(ValueError, match="url_domain"):
+        curate_documents(
+            spark,
+            docs.withColumn("url_domain", F.lit("x")),
+            CurationConfig(url_col="url"),
+        )

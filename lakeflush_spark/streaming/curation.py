@@ -39,6 +39,7 @@ stores accumulating rows for documents that never entered the corpus.
 
 Auditability: every batch appends one stats row
 (n_in / n_filtered / n_lm_filtered / n_exact_dup / n_near_dup /
+n_url_blocked / n_domain_capped /
 n_sem_dup / n_boilerplate / n_contaminated / n_out — n_sem_dup /
 n_boilerplate NULL when their stages are not configured; in strip
 mode n_boilerplate counts REWRITTEN docs, which stay in n_out — plus
@@ -128,6 +129,24 @@ class CurationStreamConfig:
     #: CurationConfig.classifier_weights twin; same shared predicate)
     classifier_weights: "dict[str, float] | None" = None
     classifier_threshold: float = 0.5
+    #: optional URL stages (the batch CurationConfig.url_* twins,
+    #: r12): name of a URL column on arriving documents. When set, a
+    #: ``url_domain`` column (registrable domain) is attached up front
+    #: and rides to the dest corpus.
+    url_col: str | None = None
+    #: registrable domains dropped before any other stage (map-only)
+    url_blocklist: tuple = ()
+    #: per-registrable-domain admission quota across the STREAM's
+    #: WHOLE LIFE: a batch admits a domain's docs (md5-deterministic
+    #: within-batch order) only up to ``url_domain_cap`` minus what
+    #: history already admitted. Requires ``domain_count_dir`` — a
+    #: run/batch-partitioned store of per-batch (url_domain, n)
+    #: admission increments; history quota = summed increments, a
+    #: frame with one row per (domain, batch) that stays broadcast-
+    #: small for any real domain population. None disables.
+    url_domain_cap: int | None = None
+    url_cap_seed: str = "0"
+    domain_count_dir: str | None = None
     #: near-dup gate: estimated-Jaccard threshold (see StreamNearDupConfig)
     near_dup_threshold: float = 0.7
     near_dup_max_bucket: int | None = None
@@ -260,6 +279,13 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
     """
     # validate config BEFORE pinning anything — a late ValueError must
     # not leak a persisted frame with no release listener registered
+    if (cfg.url_blocklist or cfg.url_domain_cap is not None) and cfg.url_col is None:
+        raise ValueError("url_blocklist / url_domain_cap require url_col")
+    if cfg.url_domain_cap is not None and cfg.domain_count_dir is None:
+        raise ValueError(
+            "url_domain_cap requires domain_count_dir — the per-domain "
+            "admission quota needs a persisted increment store"
+        )
     if cfg.lm_dir is not None and cfg.lm_min_logprob is None:
         raise ValueError("lm_dir requires lm_min_logprob (absolute threshold)")
     if cfg.lm_min_logprob is not None and cfg.lm_dir is None:
@@ -418,6 +444,27 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             batch_df = batch_df.withColumn(
                 cfg.text_col, html_to_text(cfg.text_col)
             )
+        # URL front gate (r12, the batch url_col/url_blocklist twins):
+        # the registrable domain attaches before the dest schema is
+        # captured (it rides to the corpus), and blocklisted domains
+        # drop before the quality gates — the cheapest filter first
+        n_url_blocked = 0
+        if cfg.url_col is not None:
+            from lakeflush_spark.operators.url import (
+                parse_url,
+                registrable_domain,
+            )
+
+            batch_df = batch_df.withColumn(
+                "url_domain",
+                registrable_domain(parse_url(F.col(cfg.url_col))["host"]),
+            )
+            if cfg.url_blocklist:
+                hit = F.col("url_domain").isin(
+                    *[str(d) for d in cfg.url_blocklist]
+                )
+                n_url_blocked = batch_df.where(hit).count()
+                batch_df = batch_df.where(~F.coalesce(hit, F.lit(False)))
         input_cols = list(batch_df.columns)  # dest schema (pre-helper)
         cols1, gen2, clf_in_stage2 = quality_gate_stages(
             cfg.text_col,
@@ -788,6 +835,52 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     F.broadcast(contaminated), cfg.id_col, "left_anti"
                 )
 
+            # 5. per-domain admission quota (r12): rank this batch's
+            # survivors within their registrable domain by the
+            # deterministic md5 order and admit only up to
+            # cap - (history's admitted count for that domain). The
+            # history frame is one row per domain (summed increments)
+            # — broadcast-small; the rank is ONE window over the
+            # already-filtered batch. Replay-safe: _read_store
+            # excludes this batch's own prior crashed increment.
+            n_dcap = None if cfg.url_domain_cap is None else 0
+            if cfg.url_domain_cap is not None:
+                from pyspark.sql import Window as _W
+
+                hist_dc = _read_store(
+                    sp, cfg.domain_count_dir, batch_id, run
+                )
+                dw = _W.partitionBy("url_domain").orderBy(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{cfg.url_cap_seed}:"),
+                            F.col(cfg.id_col).cast("string"),
+                        )
+                    ),
+                    cfg.id_col,
+                )
+                ranked = sigged.withColumn("_dc_rn", F.row_number().over(dw))
+                if hist_dc is not None:
+                    histc = hist_dc.groupBy("url_domain").agg(
+                        F.sum("n").alias("_dc_hist")
+                    )
+                    ranked = ranked.join(
+                        F.broadcast(histc), "url_domain", "left"
+                    )
+                else:
+                    ranked = ranked.withColumn(
+                        "_dc_hist", F.lit(None).cast("bigint")
+                    )
+                keep_dc = F.col("_dc_rn") <= (
+                    F.lit(int(cfg.url_domain_cap))
+                    - F.coalesce(F.col("_dc_hist"), F.lit(0))
+                )
+                ranked = _pin(ranked.withColumn("_dc_keep", keep_dc))
+                n_dcap = ranked.where(~F.col("_dc_keep")).count()
+                sigged = ranked.where(F.col("_dc_keep")).drop(
+                    "_dc_rn", "_dc_hist", "_dc_keep"
+                )
+
             # `_sh` (the shingle array, roughly body-sized) is read by
             # no downstream consumer — drop it before materializing.
             # localCheckpoint, NOT persist (r11): `out` fans into FOUR
@@ -812,6 +905,19 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 body_cols.insert(-2, "n_stripped")
             _writer(out.select(*body_cols), cfg.dest_dir, nrows=n_out)
             _mark("w_dest")
+            if cfg.url_domain_cap is not None:
+                # admission increments for ADMITTED docs only (out) —
+                # the stores-describe-the-corpus principle; one row per
+                # domain per batch
+                _writer(
+                    out.groupBy("url_domain")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .withColumn("run", F.lit(run))
+                    .withColumn("batch", F.lit(int(batch_id))),
+                    cfg.domain_count_dir,
+                    nrows=1,
+                )
+                _mark("w_domains")
             if bp_counts is not None:
                 # PERSISTED counts cover only ADMITTED docs' (pre-strip)
                 # passages — the stores-describe-the-corpus principle: a
@@ -909,20 +1015,28 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                         nd_count,
                         n_sem,
                         n_bp,
+                        # residual: what the decontam stage removed
+                        # (every other drop is counted explicitly)
                         n_exact
                         - n_out
                         - nd_count
                         - (n_sem or 0)
-                        - (n_bp or 0 if cfg.bp_action == "drop" else 0),
+                        - (n_bp or 0 if cfg.bp_action == "drop" else 0)
+                        - (n_dcap or 0),
                         n_out,
                         n_hot,
                         n_hot_over,
+                        # r12 URL stages; n_in counts post-blocklist
+                        # arrivals, so raw arrivals = n_in + blocked
+                        n_url_blocked,
+                        n_dcap,
                     )
                 ],
                 "run string, batch long, n_in long, n_filtered long, "
                 "n_lm_filtered long, n_exact_dup long, n_near_dup long, "
                 "n_sem_dup long, n_boilerplate long, n_contaminated long, "
-                "n_out long, n_hot_buckets long, n_hot_rows_trimmed long",
+                "n_out long, n_hot_buckets long, n_hot_rows_trimmed long, "
+                "n_url_blocked long, n_domain_capped long",
             )
             _writer(stats, cfg.stats_dir, nrows=1)
             _mark("w_stats")

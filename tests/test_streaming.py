@@ -2381,3 +2381,96 @@ def test_curate_stream_mt_repetition_gate(spark, tmp_path):
             spark.read.parquet(cfg.dest_dir).collect()] == [1]
     stats = spark.read.parquet(cfg.stats_dir).collect()
     assert stats[0].n_filtered == 1 and stats[0].n_out == 1
+
+
+def test_curate_stream_url_stages(spark, tmp_path):
+    """r12 URL stages: blocklisted domains drop before everything;
+    the per-domain admission quota holds across BATCHES via the
+    domain-count store; stats carry both counts."""
+    from lakeflush_spark.streaming.curation import (
+        CurationStreamConfig,
+        curate_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        min_tokens=1,
+        url_col="url",
+        url_blocklist=("spam.example",),
+        url_domain_cap=3,
+        domain_count_dir=str(tmp_path / "domains"),
+    )
+    schema = "doc_id long, text string, url string"
+
+    def doc(i, dom):
+        return (
+            i,
+            f"distinct streaming document number {i} words {i * 13} "
+            f"more unique content trailing {i * 31}",
+            f"https://sub{i}.{dom}/p{i}",
+        )
+
+    # batch 1: 2 spam (blocked), 4 from ok.example (cap 3 admits 3)
+    _add_parquet_file(
+        spark, tmp_path, src, "b1",
+        [doc(1, "spam.example"), doc(2, "spam.example")]
+        + [doc(i, "ok.example") for i in (3, 4, 5, 6)],
+        schema=schema,
+    )
+    curate_stream(spark, cfg).awaitTermination(240)
+    out = spark.read.parquet(cfg.dest_dir).collect()
+    assert len(out) == 3
+    assert all(r.url_domain == "ok.example" for r in out)
+    s = spark.read.parquet(cfg.stats_dir).orderBy("batch").collect()
+    assert (s[-1].n_url_blocked, s[-1].n_domain_capped, s[-1].n_in, s[-1].n_out) == (
+        2, 1, 4, 3
+    )
+    assert s[-1].n_contaminated == 0  # cap drops don't leak into the residual
+
+    # batch 2: 2 more ok.example docs — history already admitted 3 of
+    # the quota, so 0 admit; 1 fresh.example doc admits
+    _add_parquet_file(
+        spark, tmp_path, src, "b2",
+        [doc(10, "ok.example"), doc(11, "ok.example"), doc(12, "fresh.example")],
+        schema=schema,
+    )
+    curate_stream(spark, cfg).awaitTermination(240)
+    out2 = spark.read.parquet(cfg.dest_dir).collect()
+    assert len(out2) == 4
+    doms = sorted(r.url_domain for r in out2)
+    assert doms == ["fresh.example", "ok.example", "ok.example", "ok.example"]
+    s = spark.read.parquet(cfg.stats_dir).orderBy("batch").collect()
+    assert (s[-1].n_domain_capped, s[-1].n_out) == (2, 1)
+
+    # restart on the same checkpoint: no new input -> no change
+    curate_stream(spark, cfg).awaitTermination(240)
+    assert spark.read.parquet(cfg.dest_dir).count() == 4
+
+    # config validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="url_col"):
+        curate_stream(
+            spark,
+            CurationStreamConfig(
+                source_dir=str(src), dest_dir="x", digest_dir="x",
+                sig_dir="x", stats_dir="x", checkpoint_dir="x",
+                url_blocklist=("a",),
+            ),
+        )
+    with _pytest.raises(ValueError, match="domain_count_dir"):
+        curate_stream(
+            spark,
+            CurationStreamConfig(
+                source_dir=str(src), dest_dir="x", digest_dir="x",
+                sig_dir="x", stats_dir="x", checkpoint_dir="x",
+                url_col="url", url_domain_cap=2,
+            ),
+        )

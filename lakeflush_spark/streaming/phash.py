@@ -184,9 +184,13 @@ def phash_dedup_stream(
                 F.broadcast(within_losers), "media_id", "left_anti"
             )
             hist = _read_store(sp, cfg.hash_dir, batch_id, run)
+            # pinned: this tiny id frame (at most batch-sized) feeds
+            # FOUR consumers — the store's anti-join, the dest's
+            # dropped union, and the two counts below — and unpinned
+            # each would replay the history chunk probe
             hist_losers = against_history_phash(
                 fresh, hist, "media_id", cfg.max_hamming
-            )
+            ).localCheckpoint()
             fresh = fresh.join(
                 F.broadcast(hist_losers), "media_id", "left_anti"
             ).localCheckpoint()
@@ -205,19 +209,29 @@ def phash_dedup_stream(
             )
             # survivors: everything not dropped — undecodable payloads
             # have no hash row, join nothing, and pass through (SKIP,
-            # not drop). localCheckpoint BEFORE _sized (r12): _sized's
-            # coalesce on an unpinned frame would propagate upstream
-            # and shrink the producing join's parallelism — and the
-            # pin also means the count below is free to reuse. Sizing
-            # uses the ACTUAL survivor count (n_new undercounts:
-            # undecodable pass-through rows have no hash row).
+            # not drop). Sizing uses the ACTUAL survivor count (r12;
+            # n_new undercounts: undecodable pass-through rows have no
+            # hash row), computed ARITHMETICALLY — n_batch comes from a
+            # parquet-metadata count and the loser counts are already
+            # in hand — because checkpointing the survivors frame to
+            # make the count free would copy every payload byte into
+            # block storage (measured: warm batches 2.4 -> 4.0 s).
+            # The coalesce inside _sized deliberately applies to this
+            # UNPINNED frame: it propagates upstream, so the whole
+            # dest chain (payload scan + broadcast anti-join + write)
+            # runs in ceil(n_out/rows_per_file) tasks — data-
+            # proportional by construction, and that chain is the only
+            # compute the coalesce touches (the hash/store chain is
+            # pinned separately above).
             dropped = within_losers.unionByName(hist_losers).withColumnRenamed(
                 "media_id", cfg.id_col
             )
+            n_out = (
+                batch_df.count() - len(loser_ids) - hist_losers.count()
+            )
             survivors = batch_df.join(
                 F.broadcast(dropped), cfg.id_col, "left_anti"
-            ).localCheckpoint()
-            n_out = survivors.count()
+            )
             (
                 _sized(
                     survivors.withColumn("run", F.lit(run)).withColumn(

@@ -620,6 +620,20 @@ r12 methodology + adjudications:
   first-position reorder); streaming neardup 1346 docs/s, curate_warm
   94.2, curate_sem 287.
 
+
+r12 closing full run (sf0.1, first-position median-of-3 compaction,
+q41/q55 artifact memos, URL surface aboard; 500+-test suite green):
+suite 57.9 s — q41 2.29 (was 9.4-11.0: artifact memo), q55 6.16 (was
+9.5-10.2: index memo), q52 1.63 in-suite (isolated steady 1.0 — see
+adjudication above), q60 10.2, q62 9.1, q24 4.07, q26 3.30, q18 1.92,
+q28 1.98. Compaction csv 41.3 MB/s median [36.7/41.3/43.9] (5.6x
+baseline; matches r11 on a measurably busier box — the samples now
+make round-to-round noise visible), gzip 9.9 (2.5x), json 16.3k
+files/s (1.55x). Streaming: neardup 1821 docs/s, phash_stream 630
+(steady-state isolated 601 warm after the payload-copy fix; the CC
+resolution change is throughput-neutral), semdd 738, curate_warm 94.9,
+curate_sem 299.
+
 """
 
 from __future__ import annotations

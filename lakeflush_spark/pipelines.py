@@ -4,6 +4,8 @@ Composes the engine's text-analysis and dedup operators into the
 standard LLM-corpus preparation flow:
 
     raw documents
+      -> optional URL gates (registrable-domain blocklist first;
+         canonical-URL exact dedup before content dedup — r12)
       -> quality metrics (token count, stopword ratio, language ID)
       -> filter (length / language / quality gates)
       -> exact dedup (content hash)
@@ -212,6 +214,14 @@ class CurationConfig:
     #: the mass a mega-domain contributes. None disables.
     url_domain_cap: int | None = None
     url_cap_seed: str = "0"
+    #: True = dedup on the CANONICAL URL (canonicalize_url) before the
+    #: text exact-dedup stage — the same page re-crawled under
+    #: different tracking params / host casing collapses to the min-id
+    #: copy even when its text drifted between fetches. Docs whose URL
+    #: has no parseable scheme (canonical '') are exempt (never
+    #: collapsed into one bucket). Digest-only shuffle, like the text
+    #: stage.
+    url_exact_dedup: bool = False
     #: optional DSIR targeted-selection stage (operators/dsir.py — Xie
     #: et al. 2023 importance resampling): as the LAST stage, keep the
     #: top ``dsir_keep_frac`` fraction of the surviving corpus by
@@ -595,6 +605,9 @@ class CurationStats:
     #: still reports the PRE-selection clean-pool size, so the
     #: realized keep fraction is after_dsir / after_decontam.
     after_dsir: int | None = None
+    #: docs collapsed by the canonical-URL exact-dedup stage (r12);
+    #: None when cfg.url_exact_dedup is off
+    url_dups: int | None = None
     #: docs dropped by the URL blocklist front gate (r12); None when
     #: cfg.url_blocklist is empty. input_docs counts the survivors of
     #: this gate (it runs before everything, like crawl pipelines do),
@@ -667,7 +680,7 @@ def curate_documents(
 
     ``provenance`` is a LAZY ``(id_col, stage)`` frame naming the
     stage that removed each dropped document — 'url_blocked',
-    'quality', 'exact_dup', 'near_dup', 'lm_quality', 'semantic_dup',
+    'quality', 'url_dup', 'exact_dup', 'near_dup', 'lm_quality', 'semantic_dup',
     'cluster_balance', 'domain_capped', 'repeated_passage' (drop mode
     only; strip rewrites instead of dropping), 'decontaminated',
     'dsir_selection' — the per-doc audit trail a corpus release ships
@@ -688,9 +701,11 @@ def curate_documents(
     post-selection counts).
     """
     tc = cfg.text_col
-    if (cfg.url_blocklist or cfg.url_domain_cap is not None) and cfg.url_col is None:
+    if (
+        cfg.url_blocklist or cfg.url_domain_cap is not None or cfg.url_exact_dedup
+    ) and cfg.url_col is None:
         raise ValueError(
-            "url_blocklist / url_domain_cap require cfg.url_col"
+            "url_blocklist / url_domain_cap / url_exact_dedup require cfg.url_col"
         )
     url_blocked_ids = None
     n_url_blocked: int | None = None
@@ -796,6 +811,27 @@ def curate_documents(
     )
     if stage2 is not None:
         _mark(stage2.where(~F.coalesce(keep2, F.lit(False))), "quality")
+
+    # URL exact dedup (r12, optional): collapse same-canonical-URL
+    # re-crawls BEFORE text dedup — digest-only shuffle on the
+    # canonical form; unparseable URLs (canonical '') are exempt
+    n_url_dup: int | None = None
+    if cfg.url_exact_dedup:
+        from lakeflush_spark.operators.url import canonicalize_url
+
+        keyed = filtered.withColumn(
+            "_url_canon", canonicalize_url(F.col(cfg.url_col))
+        )
+        dedupable = keyed.where(F.col("_url_canon") != "")
+        url_kept = exact_dedup_by_hash(dedupable, ["_url_canon"], cfg.id_col)
+        url_dups = dedupable.select(cfg.id_col).join(
+            url_kept.select(cfg.id_col), cfg.id_col, "left_anti"
+        )
+        _mark(url_dups, "url_dup")
+        filtered = keyed.join(url_dups, cfg.id_col, "left_anti").drop(
+            "_url_canon"
+        )
+        n_url_dup = url_dups.count()
 
     # Exact dedup: digests-only shuffle with a deterministic min-id
     # winner (operators/dedup.exact_dedup_by_hash) — document bodies
@@ -1112,6 +1148,7 @@ def curate_documents(
         after_dsir=n_final if n_decontam is not None else None,
         url_blocked=n_url_blocked,
         after_domain_cap=n_domain_cap,
+        url_dups=n_url_dup,
     )
     if not return_provenance:
         return curated, stats

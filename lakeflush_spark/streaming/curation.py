@@ -147,6 +147,13 @@ class CurationStreamConfig:
     url_domain_cap: int | None = None
     url_cap_seed: str = "0"
     domain_count_dir: str | None = None
+    #: True = dedup on the CANONICAL URL before the content exact-dedup
+    #: stage (the batch CurationConfig.url_exact_dedup twin): within
+    #: batch, then against ``url_digest_dir`` — a run/batch-partitioned
+    #: store of admitted docs' canonical-URL md5 digests. Unparseable
+    #: URLs are exempt.
+    url_exact_dedup: bool = False
+    url_digest_dir: str | None = None
     #: near-dup gate: estimated-Jaccard threshold (see StreamNearDupConfig)
     near_dup_threshold: float = 0.7
     near_dup_max_bucket: int | None = None
@@ -285,6 +292,10 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
         raise ValueError(
             "url_domain_cap requires domain_count_dir — the per-domain "
             "admission quota needs a persisted increment store"
+        )
+    if cfg.url_exact_dedup and (cfg.url_col is None or cfg.url_digest_dir is None):
+        raise ValueError(
+            "url_exact_dedup requires url_col AND url_digest_dir"
         )
     if cfg.lm_dir is not None and cfg.lm_min_logprob is None:
         raise ValueError("lm_dir requires lm_min_logprob (absolute threshold)")
@@ -574,6 +585,38 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 )
                 n_filtered_in = kept.count()
                 n_lm_filtered = n_q_kept - n_filtered_in
+
+            # 1c. canonical-URL exact dedup (r12, the batch
+            # url_exact_dedup twin): same page re-crawled under
+            # different tracking params collapses — within batch, then
+            # vs the URL-digest store, reusing the exact-dedup helpers
+            # with the canonical-URL digest as the key. Unparseable
+            # URLs (canonical '') are exempt from both checks.
+            n_url_dup = None if not cfg.url_exact_dedup else 0
+            if cfg.url_exact_dedup:
+                from lakeflush_spark.operators.url import canonicalize_url
+
+                ukeyed = _pin(
+                    kept.withColumn(
+                        "_ucanon", canonicalize_url(F.col(cfg.url_col))
+                    ).withColumn(
+                        "_digest",
+                        F.when(
+                            F.col("_ucanon") == "", F.lit(None)
+                        ).otherwise(F.md5(F.col("_ucanon"))),
+                    )
+                )
+                exempt = ukeyed.where(F.col("_digest").isNull())
+                dedupable = ukeyed.where(F.col("_digest").isNotNull())
+                ufresh = within_batch_exact(dedupable, cfg.id_col)
+                useen = _read_store(sp, cfg.url_digest_dir, batch_id, run)
+                ufresh = against_history_exact(ufresh, useen)
+                kept = _pin(
+                    ufresh.unionByName(exempt).drop("_ucanon", "_digest")
+                )
+                n_kept_after_url = kept.count()
+                n_url_dup = n_filtered_in - n_kept_after_url
+                n_filtered_in = n_kept_after_url
 
             # 2. exact dedup: within batch, then vs the digest store
             # (the same content_digest key builder as batch
@@ -918,6 +961,24 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     nrows=1,
                 )
                 _mark("w_domains")
+            if cfg.url_exact_dedup:
+                # canonical-URL digests for ADMITTED docs only (the
+                # stores-describe-the-corpus principle); unparseable
+                # URLs contribute no row
+                from lakeflush_spark.operators.url import canonicalize_url
+
+                _writer(
+                    out.withColumn(
+                        "_ucanon", canonicalize_url(F.col(cfg.url_col))
+                    )
+                    .where(F.col("_ucanon") != "")
+                    .select(F.md5("_ucanon").alias("_digest"))
+                    .withColumn("run", F.lit(run))
+                    .withColumn("batch", F.lit(int(batch_id))),
+                    cfg.url_digest_dir,
+                    nrows=n_out,
+                )
+                _mark("w_url_digest")
             if bp_counts is not None:
                 # PERSISTED counts cover only ADMITTED docs' (pre-strip)
                 # passages — the stores-describe-the-corpus principle: a
@@ -1030,13 +1091,14 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                         # arrivals, so raw arrivals = n_in + blocked
                         n_url_blocked,
                         n_dcap,
+                        n_url_dup,
                     )
                 ],
                 "run string, batch long, n_in long, n_filtered long, "
                 "n_lm_filtered long, n_exact_dup long, n_near_dup long, "
                 "n_sem_dup long, n_boilerplate long, n_contaminated long, "
                 "n_out long, n_hot_buckets long, n_hot_rows_trimmed long, "
-                "n_url_blocked long, n_domain_capped long",
+                "n_url_blocked long, n_domain_capped long, n_url_dup long",
             )
             _writer(stats, cfg.stats_dir, nrows=1)
             _mark("w_stats")

@@ -2474,3 +2474,81 @@ def test_curate_stream_url_stages(spark, tmp_path):
                 url_col="url", url_domain_cap=2,
             ),
         )
+
+
+def test_curate_stream_url_exact_dedup(spark, tmp_path):
+    """r12: canonical-URL dedup within batch AND against the URL-digest
+    store across batches; unparseable URLs exempt; n_url_dup recorded."""
+    from lakeflush_spark.streaming.curation import (
+        CurationStreamConfig,
+        curate_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = CurationStreamConfig(
+        source_dir=str(src),
+        dest_dir=str(tmp_path / "dest"),
+        digest_dir=str(tmp_path / "digests"),
+        sig_dir=str(tmp_path / "sigs"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        min_tokens=1,
+        url_col="url",
+        url_exact_dedup=True,
+        url_digest_dir=str(tmp_path / "url_digests"),
+    )
+    schema = "doc_id long, text string, url string"
+
+    def body(i):
+        return (
+            f"streaming body {i} long enough for the gates with "
+            f"distinct trailing words {i * 19} here"
+        )
+
+    # batch 1: 1/2 share a canonical URL (keep 1); 3 unparseable kept
+    _add_parquet_file(
+        spark, tmp_path, src, "b1",
+        [
+            (1, body(1), "http://Site.example/a?utm_x=1"),
+            (2, body(2), "http://site.example:80/a"),
+            (3, body(3), "not a url"),
+        ],
+        schema=schema,
+    )
+    curate_stream(spark, cfg).awaitTermination(240)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect()
+    ) == [1, 3]
+    s = spark.read.parquet(cfg.stats_dir).orderBy("batch").collect()
+    assert (s[-1].n_url_dup, s[-1].n_out) == (1, 2)
+
+    # batch 2: 10 re-crawls history's URL (drops); 11 is a new page;
+    # 12 is another unparseable (exempt — NOT deduped against 3)
+    _add_parquet_file(
+        spark, tmp_path, src, "b2",
+        [
+            (10, body(10), "HTTP://SITE.example/a#frag"),
+            (11, body(11), "http://site.example/b"),
+            (12, body(12), "also not a url"),
+        ],
+        schema=schema,
+    )
+    curate_stream(spark, cfg).awaitTermination(240)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(cfg.dest_dir).collect()
+    ) == [1, 3, 11, 12]
+    s = spark.read.parquet(cfg.stats_dir).orderBy("batch").collect()
+    assert (s[-1].n_url_dup, s[-1].n_out) == (1, 2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="url_digest_dir"):
+        curate_stream(
+            spark,
+            CurationStreamConfig(
+                source_dir=str(src), dest_dir="x", digest_dir="x",
+                sig_dir="x", stats_dir="x", checkpoint_dir="x",
+                url_col="url", url_exact_dedup=True,
+            ),
+        )

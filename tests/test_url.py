@@ -198,3 +198,44 @@ def test_curation_pipeline_url_stages(spark):
             docs.withColumn("url_domain", F.lit("x")),
             CurationConfig(url_col="url"),
         )
+
+
+def test_curation_pipeline_url_exact_dedup(spark):
+    """Same canonical URL (different tracking params / casing)
+    collapses to the min id before text dedup; unparseable URLs are
+    exempt; provenance names the stage."""
+    from lakeflush_spark.pipelines import CurationConfig, curate_documents
+
+    def body(i):
+        return (
+            f"document body {i} is long enough to pass the quality "
+            f"gates with distinct words {i * 17} trailing here"
+        )
+
+    rows = [
+        # 0/1/2: one page, three spellings -> keep 0
+        (0, body(0), "http://Example.org/a?utm_source=x"),
+        (1, body(1), "HTTP://example.ORG/a"),
+        (2, body(2), "http://example.org:80/a#frag"),
+        # 3: different page, kept
+        (3, body(3), "http://example.org/b"),
+        # 4/5: unparseable URLs — exempt, both kept
+        (4, body(4), "no scheme here"),
+        (5, body(5), ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    cfg = CurationConfig(min_tokens=1, url_col="url", url_exact_dedup=True)
+    curated, stats, prov = curate_documents(
+        spark, docs, cfg, return_provenance=True
+    )
+    kept = sorted(r.doc_id for r in curated.collect())
+    assert kept == [0, 3, 4, 5]
+    assert stats.url_dups == 2
+    dups = {
+        r.doc_id for r in prov.where(F.col("stage") == "url_dup").collect()
+    }
+    assert dups == {1, 2}
+    with pytest.raises(ValueError, match="url_col"):
+        curate_documents(
+            spark, docs, CurationConfig(url_exact_dedup=True)
+        )

@@ -105,6 +105,33 @@ def main() -> int:
         ).count(),
     )
 
+    # r12: URL curation — canonicalization is a map-only codegen chain
+    # (should track the scan), the domain cap one window shuffle on the
+    # registrable domain; synthesize ~1000 domains so per-domain groups
+    # grow linearly in N (the real crawl shape: many domains, few huge)
+    from lakeflush_spark.operators.url import canonicalize_url, domain_cap_sample
+
+    with_urls = big.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTP://WWW.Site"),
+            F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"),
+            F.lit(".COM:80/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_x=1&b=2&a=1#f"),
+        ),
+    )
+    timed(
+        "url_canonicalize",
+        lambda: with_urls.select(canonicalize_url(F.col("url")).alias("c"))
+        .where(F.col("c") != "")
+        .count(),
+    )
+    timed(
+        "url_domain_cap",
+        lambda: domain_cap_sample(with_urls, max_per_domain=40).count(),
+    )
+
     from lakeflush_spark.operators.lm_filter import lm_logprob_scores, train_bigram_lm
 
     lm = train_bigram_lm(big).localCheckpoint()

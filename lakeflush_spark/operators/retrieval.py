@@ -418,3 +418,71 @@ def bm25_search(
         salt_cols=[id_col],
         shards=shards,
     ).orderBy("query_id", "rank")
+
+
+#: the RRF constant every major implementation defaults to (Cormack,
+#: Clarke & Buettcher 2009: k=60 dominates the tuning grid)
+RRF_K = 60
+
+
+def reciprocal_rank_fusion(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = RRF_K,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Fuse two per-query rankings into one — hybrid search's standard
+    combiner (Cormack et al. 2009): ``rrf(d) = Σ_lists 1/(k + rank_d)``
+    over the lists that ranked ``d``; documents found by both systems
+    (e.g. BM25 keywords AND embedding ANN) rise above single-system
+    hits without any score normalization across systems.
+
+    Inputs are ``(query_id, doc_id, rank)`` frames (ranks 1-based, as
+    :func:`bm25_topk` / ``operators/similarity`` searches emit).
+    Output per (query_id, doc_id): ``rrf`` (DOUBLE), ``rrf_e9``
+    (BIGINT — the score on a fixed 1e-9 grid), ``src_mask`` (1 = list
+    A only, 2 = B only, 3 = both), and the fused ``rank`` (``rrf_e9``
+    DESC, doc_id ASC — a total order).
+
+    Hash determinism (why ``rrf_e9`` needs NO edge band, unlike the
+    ln-based scores): the chain is two IEEE divisions and one
+    fixed-order two-term sum — operations whose results are fully
+    specified by IEEE 754, so every engine computes the bit-identical
+    double and the grid snap is a deterministic integer encoding of
+    it, not a tolerance against drift.
+
+    Scale shape: both inputs are top-k-bounded PER QUERY (the upstream
+    searches already truncated), so the full-outer join carries
+    |queries| x k rows — broadcastable at any corpus size; the fused
+    rank is a window over ≤ 2k rows per query.
+    """
+    a = ranked_a.select(
+        "query_id", "doc_id", F.col("rank").alias("_ra")
+    )
+    b = ranked_b.select(
+        "query_id", "doc_id", F.col("rank").alias("_rb")
+    )
+    kk = float(int(k))
+    fused = a.join(b, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(kk) + F.col("_ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(kk) + F.col("_rb")), F.lit(0.0))
+        ).alias("rrf"),
+        (
+            F.when(F.col("_ra").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("_rb").isNotNull(), 2).otherwise(0)
+        ).cast("bigint").alias("src_mask"),
+    )
+    fused = fused.withColumn(
+        "rrf_e9", F.floor(F.col("rrf") * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    )
+    out = grouped_top_k(
+        fused,
+        group_cols=["query_id"],
+        order_cols=[F.col("rrf_e9").desc(), F.col("doc_id").asc()],
+        k=top_k if top_k is not None else (1 << 30),
+        salt_cols=["doc_id"],
+    )
+    return out

@@ -22,9 +22,12 @@ from lakeflush_spark.plans.queries import declare
 from lakeflush_spark.plans.retrieval_queries import (
     BM25_BRANCH,
     BM25_CTES,
+    RRF_BRANCH,
+    RRF_CTES,
     TFIDF_BRANCH,
     TFIDF_CTES,
     bm25_label_frame,
+    rrf_label_frame,
     tfidf_label_frame,
 )
 
@@ -392,7 +395,11 @@ def _q41_shared(spark: SparkSession, sf_dir: str) -> dict:
         "dz_tc": dz_tc,
         "dz_rc": dz_rc,
         "dz_scored": dz_scored,
-        "bm25": bm25_label_frame(spark, sf_dir),
+        # checkpointed (r12): since the 'rrf' label arrived this frame
+        # has TWO consumers per build (the bm25 label union + the
+        # fusion's rank input) — lazy, the whole BM25 search chain ran
+        # twice per materialization; the frame is 400 rows
+        "bm25": bm25_label_frame(spark, sf_dir).localCheckpoint(),
         "tfidf": tfidf_label_frame(spark, sf_dir),
     }
     return _Q41_MEMO[key]
@@ -449,6 +456,7 @@ def _q41_shared(spark: SparkSession, sf_dir: str) -> dict:
                (lw_edge OR {sql_edge_e6(_DZ_G)}) AS masked
         FROM dz_pd),
     {BM25_CTES.strip().rstrip(',')},
+    {RRF_CTES.strip().rstrip(',')},
     {TFIDF_CTES.strip().rstrip(',')},
     {_BPE_CTES}
     SELECT method, k1, k2, n1, n2, n3 FROM (
@@ -499,6 +507,8 @@ def _q41_shared(spark: SparkSession, sf_dir: str) -> dict:
         UNION ALL
         {BM25_BRANCH.strip()}
         UNION ALL
+        {RRF_BRANCH.strip()}
+        UNION ALL
         {TFIDF_BRANCH.strip()}
         UNION ALL
         {_BPE_BRANCH}
@@ -540,7 +550,15 @@ def _q41_shared(spark: SparkSession, sf_dir: str) -> dict:
     "is an order-free BIGINT, ranked by the salted two-pass "
     "grouped_top_k; and 'tfidf' (tfidf_term_scores): per-doc top-3 "
     "keyword extraction for the first 40 docs, df/N over the whole "
-    "corpus, the same grid/band recipe per term (no summation).",
+    "corpus, the same grid/band recipe per term (no summation). r12 adds 'rrf' "
+    "(operators/retrieval.reciprocal_rank_fusion): HYBRID retrieval — "
+    "the bm25 keyword ranking fused per query with an exact "
+    "brute-force embedding-ANN ranking (query i pairs keyword set i "
+    "with example vector vec_id=i; ids align 1:1) via "
+    "reciprocal-rank fusion, k=60; the fused score rides an exact "
+    "1e-9 grid (IEEE-identical on both engines — no edge band "
+    "needed), n3 is the source bitmask (1=bm25, 2=ann, 3=both), "
+    "top-20 per query.",
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.dsir import dsir_select_e6
@@ -670,6 +688,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dsir_sel)
         .unionByName(dsir_mask)
         .unionByName(art["bm25"])
+        .unionByName(rrf_label_frame(spark, sf_dir, art["bm25"]))
         .unionByName(art["tfidf"])
         .orderBy("method", "k1", "k2", "n1")
     )

@@ -243,3 +243,106 @@ def bm25_label_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("n2"),
         F.col("sum_tf").alias("n3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 'rrf' label (r12) — HYBRID retrieval: the BM25 keyword ranking and an
+# embedding ANN ranking fused per query with reciprocal-rank fusion
+# (operators/retrieval.reciprocal_rank_fusion). The hybrid query i
+# (i = 0..3) is "docs matching keyword set i AND similar to example
+# doc i": the text side is QUERIES[i], the vector side is the corpus
+# embedding with vec_id == i (documents/embeddings ids align 1:1 by
+# the testdata contract). ANN side = exact brute-force cosine top-100
+# (q29's engine-independent recipe: 4dp-rounded cosine, id tie-break,
+# self excluded); fusion needs no score normalization and no edge
+# band — the RRF chain is IEEE-exact on both engines (see the
+# operator's docstring).
+# ---------------------------------------------------------------------------
+RRF_ANN_K = 100
+RRF_TOP = 20
+RRF_N_QUERIES = 4
+
+RRF_CTES = f"""
+rf_e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         FROM embeddings),
+rf_n AS (SELECT vec_id, v,
+                sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         FROM rf_e),
+rf_q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM rf_n
+         WHERE vec_id < {RRF_N_QUERIES}),
+rf_ann AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT qid AS query_id, vec_id AS doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY round(list_sum(list_transform(range(1, 65),
+                                i -> qv[i] * v[i])) / (qnrm * nrm), 4) DESC,
+                            vec_id) AS BIGINT) AS rank
+        FROM rf_n JOIN rf_q ON vec_id != qid)
+    WHERE rank <= {RRF_ANN_K}),
+rf_bm AS (SELECT query_id, doc_id, rank FROM bm_fin
+          WHERE rank <= {RRF_ANN_K} AND query_id < {RRF_N_QUERIES}),
+rf_f AS (
+    SELECT query_id, doc_id,
+           (CASE WHEN a.rank IS NULL THEN 0.0
+                 ELSE 1.0 / (60 + a.rank) END
+            + CASE WHEN b.rank IS NULL THEN 0.0
+                   ELSE 1.0 / (60 + b.rank) END) AS rrf,
+           (CASE WHEN a.rank IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN b.rank IS NULL THEN 0 ELSE 2 END)::BIGINT AS src
+    FROM rf_bm a FULL OUTER JOIN rf_ann b USING (query_id, doc_id)),
+rf_fin AS (
+    SELECT query_id, doc_id,
+           CAST(floor(rrf * 1000000000.0 + 0.5) AS BIGINT) AS rrf_e9,
+           src,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(floor(rrf * 1000000000.0 + 0.5) AS BIGINT)
+                        DESC, doc_id) AS BIGINT) AS rank
+    FROM rf_f)
+"""
+
+RRF_BRANCH = f"""
+SELECT 'rrf' AS method, query_id::VARCHAR AS k1, doc_id::VARCHAR AS k2,
+       rrf_e9 AS n1, rank AS n2, src AS n3
+FROM rf_fin WHERE rank <= {RRF_TOP}
+"""
+
+
+def rrf_label_frame(
+    spark: SparkSession, sf_dir: str, bm25_frame: DataFrame
+) -> DataFrame:
+    """The 'rrf' label rows in q41's schema: k1 = query_id, k2 =
+    doc_id, n1 = the fused score on the exact 1e-9 grid, n2 = fused
+    rank (top RRF_TOP per query), n3 = source bitmask (1 = BM25 only,
+    2 = ANN only, 3 = both). ``bm25_frame`` is the already-built
+    'bm25' label frame (the memoized artifact) — its ranks are reused,
+    not recomputed."""
+    from lakeflush_spark.operators.retrieval import reciprocal_rank_fusion
+    from lakeflush_spark.operators.similarity import (
+        brute_force_topk,
+        prepare_vectors,
+    )
+    from lakeflush_spark.io import spread_for_compute
+
+    bm_ranks = bm25_frame.select(
+        F.col("k1").cast("bigint").alias("query_id"),
+        F.col("k2").cast("bigint").alias("doc_id"),
+        F.col("n2").alias("rank"),
+    ).where(
+        (F.col("rank") <= RRF_ANN_K) & (F.col("query_id") < RRF_N_QUERIES)
+    )
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark)
+    corpus = prepare_vectors(emb)
+    ann_ranks = brute_force_topk(
+        corpus, corpus.where(corpus.vid < RRF_N_QUERIES), k=RRF_ANN_K
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = reciprocal_rank_fusion(bm_ranks, ann_ranks, top_k=RRF_TOP)
+    return fused.select(
+        F.lit("rrf").alias("method"),
+        F.col("query_id").cast("string").alias("k1"),
+        F.col("doc_id").cast("string").alias("k2"),
+        F.col("rrf_e9").alias("n1"),
+        F.col("rank").alias("n2"),
+        F.col("src_mask").alias("n3"),
+    )

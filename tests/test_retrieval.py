@@ -166,3 +166,59 @@ def test_bm25_search_rejects_empty_queries(spark, tmp_path):
     build_bm25_index(docs, idx)
     with pytest.raises(ValueError, match="no terms"):
         bm25_search(spark, idx, [])
+
+
+def test_reciprocal_rank_fusion_matches_model(spark):
+    """RRF vs the plain-Python model: union of lists, 1/(k+r) terms,
+    missing side contributes 0; fused order (rrf desc, doc asc)."""
+    import pyspark.sql.functions as F
+
+    from lakeflush_spark.operators.retrieval import (
+        RRF_K,
+        reciprocal_rank_fusion,
+    )
+
+    a_rows = [(0, d, r + 1) for r, d in enumerate([10, 11, 12, 13])]
+    b_rows = [(0, d, r + 1) for r, d in enumerate([12, 13, 14])] + [
+        (1, 20, 1)  # a query only list B saw
+    ]
+    a = spark.createDataFrame(a_rows, "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame(b_rows, "query_id long, doc_id long, rank long")
+    got = {
+        (r.query_id, r.doc_id): (r.rrf_e9, r.src_mask, r.rank)
+        for r in reciprocal_rank_fusion(a, b).collect()
+    }
+    # python model
+    ra = {(q, d): r for q, d, r in a_rows}
+    rb = {(q, d): r for q, d, r in b_rows}
+    want_scores = {}
+    for key in set(ra) | set(rb):
+        s = 0.0
+        if key in ra:
+            s += 1.0 / (RRF_K + ra[key])
+        if key in rb:
+            s += 1.0 / (RRF_K + rb[key])
+        want_scores[key] = (
+            int(__import__("math").floor(s * 1e9 + 0.5)),
+            (1 if key in ra else 0) + (2 if key in rb else 0),
+        )
+    assert {k: v[:2] for k, v in got.items()} == want_scores
+    # doc 12 (rank 3 + rank 1) must beat doc 10 (rank 1, one list)
+    assert got[(0, 12)][2] < got[(0, 10)][2]
+    # query 1 exists with its single B-side doc at rank 1
+    assert got[(1, 20)] == (want_scores[(1, 20)][0], 2, 1)
+    # determinism across partitioning
+    again = {
+        (r.query_id, r.doc_id): (r.rrf_e9, r.src_mask, r.rank)
+        for r in reciprocal_rank_fusion(
+            a.repartition(5), b.repartition(3)
+        ).collect()
+    }
+    assert again == got
+    # top_k truncation
+    assert (
+        reciprocal_rank_fusion(a, b, top_k=2)
+        .where(F.col("query_id") == 0)
+        .count()
+        == 2
+    )

@@ -451,29 +451,33 @@ def reciprocal_rank_fusion(
     double and the grid snap is a deterministic integer encoding of
     it, not a tolerance against drift.
 
-    Scale shape: both inputs are top-k-bounded PER QUERY (the upstream
-    searches already truncated), so the full-outer join carries
-    |queries| x k rows — broadcastable at any corpus size; the fused
-    rank is a window over ≤ 2k rows per query.
+    Scale shape: no join at all — the two lists UNION and one
+    map-side-combinable hash aggregate on (query_id, doc_id) sums the
+    ≤ 2 contribution terms (a full-outer join would force a
+    SortMergeJoin: Spark cannot broadcast full-outer). The 2-term
+    float sum stays bit-exact under any aggregation order because
+    IEEE addition of two values is commutative. Both inputs are
+    top-k-bounded per query, so the shuffle carries |queries| x 2k
+    rows; the fused rank is a window over ≤ 2k rows per query.
     """
-    a = ranked_a.select(
-        "query_id", "doc_id", F.col("rank").alias("_ra")
-    )
-    b = ranked_b.select(
-        "query_id", "doc_id", F.col("rank").alias("_rb")
-    )
     kk = float(int(k))
-    fused = a.join(b, ["query_id", "doc_id"], "full_outer").select(
-        "query_id",
-        "doc_id",
-        (
-            F.coalesce(F.lit(1.0) / (F.lit(kk) + F.col("_ra")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(kk) + F.col("_rb")), F.lit(0.0))
-        ).alias("rrf"),
-        (
-            F.when(F.col("_ra").isNotNull(), 1).otherwise(0)
-            + F.when(F.col("_rb").isNotNull(), 2).otherwise(0)
-        ).cast("bigint").alias("src_mask"),
+
+    def _terms(ranked: DataFrame, mask: int) -> DataFrame:
+        return ranked.select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) / (F.lit(kk) + F.col("rank"))).alias("_term"),
+            F.lit(mask).cast("bigint").alias("_mask"),
+        )
+
+    fused = (
+        _terms(ranked_a, 1)
+        .unionByName(_terms(ranked_b, 2))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("_term").alias("rrf"),
+            F.sum("_mask").cast("bigint").alias("src_mask"),
+        )
     )
     fused = fused.withColumn(
         "rrf_e9", F.floor(F.col("rrf") * F.lit(1e9) + F.lit(0.5)).cast("bigint")

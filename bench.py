@@ -632,7 +632,15 @@ make round-to-round noise visible), gzip 9.9 (2.5x), json 16.3k
 files/s (1.55x). Streaming: neardup 1821 docs/s, phash_stream 630
 (steady-state isolated 601 warm after the payload-copy fix; the CC
 resolution change is throughput-neutral), semdd 738, curate_warm 94.9,
-curate_sem 299. URL-op scale smoke (scripts/scale_smoke.py, 1000
+curate_sem 299.
+
+r12 FINAL run (sf0.1, hybrid 'rrf' label aboard, bm25 frame
+checkpointed in the memo, RRF fused via union+hash-agg): suite 64.0 s
+— q41 2.41 (rrf label 0.91), q55 6.43, q52 1.84 in-suite, q60 11.1,
+q62 11.1; compaction csv 37.5 MB/s median [33.1/37.5/37.5] (5.1x
+baseline), gzip 9.5, json 14.0k files/s; streaming neardup 2238
+docs/s, phash_stream 737, semdd 791, curate_warm 112.6, curate_sem
+355. URL-op scale smoke (scripts/scale_smoke.py, 1000
 synthetic registrable domains): canonicalize 1.79 s @ 20k rows vs
 1.78 s @ 100k (scan-bound, fixed overhead dominates); domain_cap
 1.12 s at both scales (the window shuffle carries ids+domains only).

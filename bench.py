@@ -708,7 +708,15 @@ WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP_PASSES", "2"))
 COMPACTION_TRIALS = int(os.environ.get("SPARK_GRAFT_COMPACTION_TRIALS", "3"))
 
 
-def bench_queries(spark) -> dict[str, float]:
+#: timed passes over the headline suite; the per-query MEDIAN is
+#: reported (r13, VERDICT r12 #2 — single-shot per-query readings
+#: produced phantom regressions: q53 read 0.75 -> 1.29 s across rounds
+#: with its file untouched, the exact class the compaction bench
+#: already fixed with sampled medians).
+QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3"))
+
+
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     from lakeflush_spark.plans import QUERIES
 
     # JVM warmup at the MEASURED SF: Catalyst codegen compilation plus
@@ -723,12 +731,20 @@ def bench_queries(spark) -> dict[str, float]:
         for name in HEADLINE:
             _materialize(QUERIES[name].builder(spark, SF_DIR))
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        _materialize(QUERIES[name].builder(spark, SF_DIR))
-        times[name] = round(time.time() - t0, 3)
-    return times
+    # samples are INTERLEAVED (whole-suite passes, not back-to-back
+    # repeats of one query) so slow process-state drift — heap shape,
+    # GC pressure, box load — lands on every query's sample k equally
+    # instead of biasing whichever query ran last.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(QUERY_TRIALS):
+        for name in HEADLINE:
+            t0 = time.time()
+            _materialize(QUERIES[name].builder(spark, SF_DIR))
+            samples[name].append(round(time.time() - t0, 3))
+    medians = {
+        name: sorted(ts)[len(ts) // 2] for name, ts in samples.items()
+    }
+    return medians, samples
 
 
 #: entries whose result frame carries a label column — per-label
@@ -778,7 +794,12 @@ def bench_labels(spark) -> dict[str, dict[str, float]]:
         # diagnostic: a renamed label column or failed sub-frame must
         # degrade to an error marker, not kill the bench run.
         try:
-            df = QUERIES[name].builder(spark, SF_DIR)
+            # r13: q41's declared builder localizes its collected rows
+            # (driver-hash observability) — label attribution must run
+            # the LAZY plan so each filter re-executes its pipeline
+            from lakeflush_spark.plans import PLAN_FRAMES
+
+            df = PLAN_FRAMES.get(name, QUERIES[name].builder)(spark, SF_DIR)
             labels = sorted(
                 r[0] for r in df.select(col).distinct().collect() if r[0]
             )
@@ -1238,8 +1259,13 @@ def main() -> int:
     # vs a stable 42-43 MB/s in a fresh session; first position gives
     # the metric the same near-fresh JVM state every round instead of
     # whatever heap/GC shape the suite left behind.
+    # q41's debug sidecar must not replay its DuckDB oracle inside a
+    # TIMED build (observability stays on; only the oracle diff is
+    # skipped — the per-round correctness gate runs it at sf0.01)
+    os.environ.setdefault("LAKEFLUSH_Q41_ORACLE", "0")
+
     compaction = bench_compaction(spark)
-    queries = bench_queries(spark)
+    queries, query_samples = bench_queries(spark)
     labels = bench_labels(spark)
     streaming = bench_stream_dedup(spark)
     curation = bench_curation_ops(spark)
@@ -1250,6 +1276,7 @@ def main() -> int:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "queries_samples": query_samples,
         "labels": labels,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
         "compaction": compaction,

@@ -330,7 +330,13 @@ def dsir_select_e6(
         )
         .withColumn(
             "dsir_masked",
-            F.coalesce(F.col("lw_edge") | edge_e6(g), F.lit(False)),
+            # Gate on the weight first: a gram-less doc (NULL weight) is
+            # never selected regardless of its Gumbel term, so its edge
+            # band must not mask it (NULL OR TRUE would otherwise yield
+            # TRUE and diverge from oracles that omit gram-less docs).
+            F.when(F.col("log_weight_e6").isNull(), F.lit(False)).otherwise(
+                F.coalesce(F.col("lw_edge"), F.lit(False)) | edge_e6(g)
+            ),
         )
         .withColumn(
             "dsir_selected",

@@ -12,4 +12,12 @@ from lakeflush_spark.plans import relational_ext_queries as _relational_ext_quer
 from lakeflush_spark.plans import relational_ext3_queries as _relational_ext3_queries  # noqa: F401
 from lakeflush_spark.plans import udf_queries as _udf_queries  # noqa: F401
 
-__all__ = ["QUERIES", "DeclaredQuery"]
+# r13: builders that localize their (small) result for driver-hash
+# observability expose the underlying LAZY plan here, so plan audits
+# (tests/test_plans.py, scripts/explain_audit.py) still gate the real
+# distributed shape instead of a LocalTableScan.
+PLAN_FRAMES = {
+    "q41_wordcount_topk": _relational_ext_queries.q41_suite_frame,
+}
+
+__all__ = ["QUERIES", "DeclaredQuery", "PLAN_FRAMES"]

@@ -561,6 +561,27 @@ def _q41_shared(spark: SparkSession, sf_dir: str) -> dict:
     "top-20 per query.",
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 (VERDICT r12 #1): two driver-red rounds with zero local
+    # reproductions — materialize ONCE, log a per-label debug sidecar
+    # from the exact collected rows, and hand the driver a localized
+    # frame of those same rows, so (a) there is no recomputation
+    # window between what we log and what the driver hashes and (b)
+    # the next divergence names its label and rows in
+    # spark-warehouse/_q41_debug/. The full distributed plan still
+    # executes here (q41_suite_frame — plan-audited via PLAN_FRAMES);
+    # only the 987-row result is pinned.
+    suite = q41_suite_frame(spark, sf_dir)
+    rows = suite.collect()
+    from lakeflush_spark.plans.q41_debug import write_sidecar
+
+    write_sidecar(spark, sf_dir, rows, suite.schema.names)
+    return spark.createDataFrame(rows, suite.schema)
+
+
+def q41_suite_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY q41 suite plan (every label unioned + the total order).
+    The declared builder collects this exactly once per call; plan
+    audits (test_plans, scripts/explain_audit) read it directly."""
     from lakeflush_spark.operators.dsir import dsir_select_e6
     from lakeflush_spark.operators.lm_filter import _hashed_bigrams
 

@@ -83,7 +83,11 @@ def audit_one(plan: str, simple: str) -> dict:
     }
 
 
-_SCALAR_BUFFER = re.compile(r"^(?:count|sum|min|max|avg|n)#\d+", re.I)
+# r13 (ADVICE): only genuine Spark aggregation-buffer names qualify —
+# a bare data column named 'n' (e.g. a count-store column) riding a
+# SinglePartition exchange must surface as a REAL 1P, not be silently
+# filed under scalar merges.
+_SCALAR_BUFFER = re.compile(r"^(?:count|sum|min|max|avg)#\d+", re.I)
 
 
 def _real_single_partitions(plan: str) -> int:
@@ -133,7 +137,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from lakeflush_spark.plans import QUERIES
+    from lakeflush_spark.plans import PLAN_FRAMES, QUERIES
     from lakeflush_spark.session import get_spark
 
     spark = get_spark("plan-audit")
@@ -159,7 +163,7 @@ def main() -> None:
         if only and name not in only:
             continue
         try:
-            df = q.builder(spark, sf_dir)
+            df = PLAN_FRAMES.get(name, q.builder)(spark, sf_dir)
             plan, simple = formatted_plan(df), executed_plan(df)
         except Exception as ex:  # streaming-only builders etc.
             details.append(f"\n## {name}\n\nplan unavailable: {ex}\n")

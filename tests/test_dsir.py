@@ -178,6 +178,49 @@ def test_dsir_composes_with_select_training_mix(spark):
     }
 
 
+def test_select_e6_never_masks_null_weight_docs(spark):
+    """A gram-less doc (NULL weight) must come back masked=False and
+    selected=False even when its Gumbel term sits inside the edge band
+    (r12 bug: NULL lw_edge OR TRUE = TRUE masked it)."""
+    import hashlib
+
+    from lakeflush_spark.functions.grid import py_edge_e6
+    from lakeflush_spark.operators.dsir import dsir_select_e6
+
+    def gumbel(seed: str, doc_id: int) -> float:
+        h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / float(1 << 32)
+        return -math.log(-math.log(u))
+
+    # brute-force (driver-side, no Spark jobs) a seed whose Gumbel draw
+    # for doc 7 lands in the edge band — the exact r12 failure shape
+    edge_seed = next(
+        (f"s{i}" for i in range(200_000) if py_edge_e6(gumbel(f"s{i}", 7))),
+        None,
+    )
+    assert edge_seed is not None, "no edge-band seed in 200k draws"
+    scored = spark.createDataFrame(
+        [(7, None, None), (8, 123_456, False)],
+        "doc_id bigint, log_weight_e6 bigint, lw_edge boolean",
+    )
+    rows = {r.doc_id: r for r in dsir_select_e6(scored, 0.0, seed=edge_seed).collect()}
+    assert rows[7].dsir_masked is False and rows[7].dsir_selected is False
+    assert rows[7].dsir_key_e6 is None
+    # the non-NULL doc still follows the normal decision chain
+    assert rows[8].dsir_masked in (False, True)
+    # end-to-end: NULL-text doc flows through dsir_log_weights with NULL
+    # weight and NULL lw_edge, and is never masked by any seed
+    raw = spark.createDataFrame(
+        [(7, None), (8, "a b")], "doc_id bigint, text string"
+    )
+    tc = hashed_gram_counts(_docs(spark, [(1, "a b")]))
+    rc = hashed_gram_counts(raw.where("text is not null"))
+    sc2 = dsir_log_weights(raw, tc, rc)
+    r7 = {r.doc_id: r for r in dsir_select_e6(sc2, 0.0, seed=edge_seed).collect()}[7]
+    assert r7.log_weight_e6 is None and r7.lw_edge is None
+    assert r7.dsir_masked is False and r7.dsir_selected is False
+
+
 def test_hashed_gram_counts_split_equals_two_pass(spark):
     """The one-pass conditional build is row-identical to building the
     target and raw tables with separate corpus passes."""

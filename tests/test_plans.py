@@ -64,9 +64,12 @@ SKIP_HEAVY = {
 
 
 def _plan(spark, sf_dir, name: str) -> str:
+    from lakeflush_spark.plans import PLAN_FRAMES
+
+    build = PLAN_FRAMES.get(name, QUERIES[name].builder)
     buf = io.StringIO()
     with redirect_stdout(buf):
-        QUERIES[name].builder(spark, sf_dir).explain("formatted")
+        build(spark, sf_dir).explain("formatted")
     return buf.getvalue()
 
 

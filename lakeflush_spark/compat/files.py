@@ -160,7 +160,11 @@ class CSVFileReader:
         with open(file_path, "r") as fh:
             if self.header:
                 first = fh.readline()
-                if self.header_data is None:
+                # falsy check, not `is None` (reference parity): an
+                # EMPTY first file must not capture '' as the header —
+                # the next file's real header would then be silently
+                # consumed as already-seen and never yielded
+                if not self.header_data and first.strip():
                     self.header_data = first.strip()
                     yield self.header_data
             chunk = []

@@ -219,13 +219,25 @@ class S3CSVFileReader:
     def read(self, object_key: str):
         res = S3Store.get(self.bucket, object_key)
         with res["Body"] as body:
+            if hasattr(body, "iter_lines"):
+                raw = body.iter_lines()
+            else:
+                # S3-compatible bodies without the streaming helper
+                # (e.g. moto's mock response): whole-object fallback
+                data = body.read()
+                if isinstance(data, bytes):
+                    data = data.decode("utf-8")
+                raw = iter(data.splitlines())
             lines = (
                 ln.decode("utf-8") if isinstance(ln, bytes) else ln
-                for ln in body.iter_lines()
+                for ln in raw
             )
             if self.header:
                 first = next(lines, "")
-                if self.header_data is None:
+                # falsy check (see CSVFileReader): an empty first
+                # object must not capture '' and eat the next
+                # object's real header
+                if not self.header_data and first.strip():
                     self.header_data = first.strip()
                     yield self.header_data
             chunk = []

@@ -1171,3 +1171,49 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
         if not query.isActive:
             listener._release()
     return query
+
+
+def compact_domain_store(
+    spark: SparkSession, domain_dir: str, dest_dir: str
+) -> None:
+    """Offline compaction of a per-domain admission-count store
+    (``domain_count_dir`` — VERDICT r12 #5: the one persisted store
+    without a ``compact_*`` sibling). Per-batch ``(url_domain, n)``
+    increments merge losslessly into ONE row per domain per run under
+    a synthetic ``batch=-1`` partition; counts are summable, so every
+    future quota decision (``cap - Σ history``) is identical against
+    the compacted copy.
+
+    The ``compact_fp_store`` contract, verbatim:
+
+    - ``dest_dir`` must not exist (mode=error) — compaction never
+      rewrites a store in place while streams may be reading it; swap
+      ``cfg.domain_count_dir`` between runs.
+    - Each run's HIGHEST batch partition is kept VERBATIM — only that
+      batch can be a crashed attempt awaiting foreachBatch replay, and
+      the replay must still find/exclude its own ``(run, batch)``
+      partition. Batch ids are ≥ 0, so replay exclusion and dynamic
+      overwrite can never touch ``batch=-1``.
+    - Idempotent and composable: re-compacting folds existing
+      ``batch=-1`` rows in again.
+    """
+    df = spark.read.option("basePath", domain_dir).parquet(domain_dir)
+    # inference-proof partition types (the _read_store contract)
+    df = df.withColumn("run", F.col("run").cast("string")).withColumn(
+        "batch", F.col("batch").cast("bigint")
+    )
+    maxb = df.groupBy("run").agg(F.max("batch").alias("_mb"))
+    tagged = df.join(F.broadcast(maxb), "run")
+    keep = tagged.where(F.col("batch") == F.col("_mb")).select(
+        "url_domain", "n", "run", "batch"
+    )
+    merged = (
+        tagged.where(F.col("batch") != F.col("_mb"))
+        .groupBy("run", "url_domain")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("batch", F.lit(-1))
+        .select("url_domain", "n", "run", "batch")
+    )
+    keep.unionByName(merged).write.mode("error").partitionBy(
+        "run", "batch"
+    ).parquet(dest_dir)

@@ -57,6 +57,12 @@ from lakeflush_spark.streaming.dedup import (
     _sized,
 )
 
+#: within-batch near-dup PAIR rows above which the driver union-find
+#: is abandoned for the distributed near_dup_clusters loop — the pair
+#: count is O(batch²) for mutually-similar batches (one repeated image
+#: otherwise floods the driver), unlike the batch-bounded ID pulls.
+_PAIR_DRIVER_CAP = 100_000
+
 
 @dataclass
 class StreamPhashConfig:
@@ -151,35 +157,55 @@ def phash_dedup_stream(
             # (r12): min-id per CONNECTED COMPONENT survives, so
             # dedup_images(corpus) and streaming the same corpus agree
             # — e.g. pairs (A,C),(B,C) keep {A} here, not {A,B} as the
-            # r11 drop-any-id2 greedy did. The batch is broadcast-small
-            # by the stream's own invariant (its chunk table broadcasts
-            # into the history probe below), so the pair list — at most
-            # batch-sized ids, never payloads — union-finds on the
-            # driver instead of spinning near_dup_clusters' iterative
-            # job loop once per micro-batch.
-            parent: dict = {}
-
-            def _find(x):
-                while parent.get(x, x) != x:
-                    parent[x] = parent.get(parent[x], parent[x])
-                    x = parent[x]
-                return x
-
-            loser_ids = set()
-            for r in pairs.select("id1", "id2").collect():
-                a, b = _find(r.id1), _find(r.id2)
-                if a != b:
-                    lo, hi = (a, b) if a < b else (b, a)
-                    parent[hi] = lo
-            for node in list(parent):
-                root = _find(node)
-                if node != root:
-                    loser_ids.add(node)
+            # r11 drop-any-id2 greedy did. The batch's ID COUNT is
+            # broadcast-small by the stream's own invariant, but the
+            # PAIR count is O(batch²) for mutually-similar batches
+            # (one repeated image floods the driver — r12 ADVICE), so
+            # the driver union-find runs only when a capped probe
+            # proves the pair list small; above the cap the
+            # distributed near_dup_clusters loop resolves the same
+            # min-id components executor-side.
+            pairs = pairs.select("id1", "id2").localCheckpoint()
+            n_pairs = pairs.limit(_PAIR_DRIVER_CAP + 1).count()
             from lakeflush_spark.io import local_rows_df
 
-            within_losers = local_rows_df(
-                sp, [(i,) for i in sorted(loser_ids)], "media_id bigint"
-            )
+            if n_pairs <= _PAIR_DRIVER_CAP:
+                parent: dict = {}
+
+                def _find(x):
+                    while parent.get(x, x) != x:
+                        parent[x] = parent.get(parent[x], parent[x])
+                        x = parent[x]
+                    return x
+
+                loser_ids = set()
+                for r in pairs.collect():
+                    a, b = _find(r.id1), _find(r.id2)
+                    if a != b:
+                        lo, hi = (a, b) if a < b else (b, a)
+                        parent[hi] = lo
+                for node in list(parent):
+                    root = _find(node)
+                    if node != root:
+                        loser_ids.add(node)
+                within_losers = local_rows_df(
+                    sp, [(i,) for i in sorted(loser_ids)], "media_id bigint"
+                )
+                n_within = len(loser_ids)
+            else:
+                from lakeflush_spark.operators.dedup import (
+                    near_dup_clusters,
+                )
+
+                # pinned: feeds the anti-join, the dropped union, and
+                # the survivor count below (ids only, batch-bounded)
+                within_losers = (
+                    near_dup_clusters(pairs)
+                    .where(F.col("id") != F.col("cluster_id"))
+                    .select(F.col("id").alias("media_id"))
+                    .localCheckpoint()
+                )
+                n_within = within_losers.count()
             fresh = hashes.join(
                 F.broadcast(within_losers), "media_id", "left_anti"
             )
@@ -227,7 +253,7 @@ def phash_dedup_stream(
                 "media_id", cfg.id_col
             )
             n_out = (
-                batch_df.count() - len(loser_ids) - hist_losers.count()
+                batch_df.count() - n_within - hist_losers.count()
             )
             survivors = batch_df.join(
                 F.broadcast(dropped), cfg.id_col, "left_anti"

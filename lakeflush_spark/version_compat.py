@@ -9,3 +9,9 @@ expects; the engine's own version lives in
 VERSION_MAJOR = 0
 VERSION_MINOR = 1
 VERSION_BUILD = 0
+VERSION_INFO = (VERSION_MAJOR, VERSION_MINOR, VERSION_BUILD)
+VERSION_STRING = f"{VERSION_MAJOR}.{VERSION_MINOR}.{VERSION_BUILD}"
+
+# the reference exports the TUPLE as __version__ (its pyproject reads
+# lakeflush.version.__version__) — mirrored verbatim, tuple not string
+__version__ = VERSION_INFO

@@ -365,3 +365,25 @@ def test_sqlite_metastore_adapter(spark, tmp_path):
     assert ms.get_metadata("obj") is None
     ms.clear()
     assert ms.list_keys() == []
+
+
+def test_csv_reader_empty_first_file_does_not_eat_next_header(tmp_path):
+    """r13 (ADVICE): an EMPTY first file must not capture '' as the
+    header — the next file's real header has to be yielded, and later
+    files' repeated headers still dedup."""
+    from lakeflush_spark.compat.files import CSVFileReader
+
+    empty = tmp_path / "a.csv"
+    empty.write_text("")
+    real = tmp_path / "b.csv"
+    real.write_text("col1,col2\n1,2\n")
+    again = tmp_path / "c.csv"
+    again.write_text("col1,col2\n3,4\n")
+
+    r = CSVFileReader(header=True, batch_size=10)
+    assert list(r.read(str(empty))) == []
+    assert r.header_data is None
+    assert list(r.read(str(real))) == ["col1,col2", "1,2"]
+    assert r.header_data == "col1,col2"
+    # O6 header dedup still holds for the third file
+    assert list(r.read(str(again))) == ["3,4"]

@@ -17,7 +17,10 @@ import pytest
 #: dotted path defines exactly these publics)
 REFERENCE_MODULES = {
     "lakeflush": [],
-    "lakeflush.version": ["VERSION_MAJOR", "VERSION_MINOR", "VERSION_BUILD"],
+    "lakeflush.version": [
+        "VERSION_MAJOR", "VERSION_MINOR", "VERSION_BUILD",
+        "VERSION_INFO", "VERSION_STRING", "__version__",
+    ],
     "lakeflush.core": ["Collector", "Flusher"],
     "lakeflush.core.collector": ["Collector"],
     "lakeflush.core.flusher": ["Flusher"],
@@ -78,9 +81,21 @@ def test_deep_and_facade_imports_are_the_same_object():
 
 
 def test_version_triple_matches_reference():
-    from lakeflush.version import VERSION_BUILD, VERSION_MAJOR, VERSION_MINOR
+    from lakeflush.version import (
+        VERSION_BUILD,
+        VERSION_INFO,
+        VERSION_MAJOR,
+        VERSION_MINOR,
+        VERSION_STRING,
+        __version__,
+    )
 
     assert (VERSION_MAJOR, VERSION_MINOR, VERSION_BUILD) == (0, 1, 0)
+    # the reference's derived exports (its pyproject reads
+    # lakeflush.version.__version__ — a TUPLE there, mirrored exactly)
+    assert VERSION_INFO == (0, 1, 0)
+    assert VERSION_STRING == "0.1.0"
+    assert __version__ == VERSION_INFO
 
 
 def test_rotating_handlers_rotate_by_size(tmp_path):

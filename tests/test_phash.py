@@ -378,3 +378,63 @@ def test_stream_within_batch_resolution_matches_dedup_images(spark, tmp_path):
         r.media_id for r in spark.read.parquet(cfg.dest_dir).collect()
     )
     assert stream_kept == batch_kept
+
+
+def test_phash_stream_pair_flood_uses_distributed_cc(spark, tmp_path, monkeypatch):
+    """r13 (ADVICE): a mutually-similar micro-batch produces O(batch²)
+    pairs; above _PAIR_DRIVER_CAP the stream must resolve components
+    with the distributed near_dup_clusters path — and keep EXACTLY the
+    min-id survivor set the driver union-find keeps."""
+    import glob
+    import shutil
+
+    import lakeflush_spark.streaming.phash as sphash
+    from lakeflush_spark.streaming.phash import (
+        StreamPhashConfig,
+        phash_dedup_stream,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    rng = np.random.default_rng(5)
+
+    def blob(noise=0):
+        img = np.clip(230 - 2 * ((yy - 10) ** 2 + (xx - 10) ** 2), 0, 255)
+        if noise:
+            img = np.clip(
+                img + rng.integers(-noise, noise + 1, size=img.shape), 0, 255
+            )
+        return img.astype(np.uint8)
+
+    # 6 noisy copies of ONE image (+1 distinct) -> up to 15 mutual
+    # pairs; cap of 2 forces the distributed branch
+    other = rng.integers(0, 255, size=(32, 32), dtype=np.uint8)
+    rows = _png_rows(
+        [(i, blob(noise=2)) for i in range(6)] + [(9, other)]
+    )
+
+    def run(tag, cap):
+        monkeypatch.setattr(sphash, "_PAIR_DRIVER_CAP", cap)
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        stage = tmp_path / f"_stage_{tag}"
+        spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        shutil.copy(
+            glob.glob(str(stage / "part-*.parquet"))[0],
+            str(src / "b1.parquet"),
+        )
+        cfg = StreamPhashConfig(
+            source_dir=str(src),
+            dest_dir=str(tmp_path / f"dest_{tag}"),
+            hash_dir=str(tmp_path / f"hashes_{tag}"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+        )
+        phash_dedup_stream(spark, cfg).awaitTermination(180)
+        return sorted(
+            r.media_id for r in spark.read.parquet(cfg.dest_dir).collect()
+        )
+
+    distributed = run("dist", cap=2)
+    driver = run("drv", cap=100_000)
+    assert distributed == driver == [0, 9]

@@ -140,3 +140,20 @@ def test_upload_file_helper(s3_mock, tmp_path):
     p.write_text("hello")
     upload_file(str(p), f"s3://{BUCKET}/a/b/x.txt")
     assert s3_mock.get_object(Bucket=BUCKET, Key="a/b/x.txt")["Body"].read() == b"hello"
+
+
+def test_s3_csv_reader_empty_first_object_does_not_eat_next_header(s3_mock):
+    """r13 (ADVICE): the S3 CSV twin of the empty-first-file header
+    fix — '' from an empty object must not become the remembered
+    header."""
+    from lakeflush_spark.compat.s3 import S3CSVFileReader
+
+    s3_mock.put_object(Bucket=BUCKET, Key="a.csv", Body=b"")
+    s3_mock.put_object(Bucket=BUCKET, Key="b.csv", Body=b"col1,col2\n1,2\n")
+    s3_mock.put_object(Bucket=BUCKET, Key="c.csv", Body=b"col1,col2\n3,4\n")
+
+    r = S3CSVFileReader(header=True, bucket=BUCKET, batch_size=10)
+    assert list(r.read("a.csv")) == []
+    assert r.header_data is None
+    assert list(r.read("b.csv")) == ["col1,col2", "1,2"]
+    assert list(r.read("c.csv")) == ["3,4"]

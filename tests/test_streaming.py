@@ -2552,3 +2552,62 @@ def test_curate_stream_url_exact_dedup(spark, tmp_path):
                 url_col="url", url_exact_dedup=True,
             ),
         )
+
+
+def test_compact_domain_store(spark, tmp_path):
+    """compact_domain_store (r13): per-batch admission increments merge
+    losslessly to one row per (run, url_domain) under batch=-1, the
+    highest batch stays VERBATIM (replay safety), re-compaction is
+    idempotent, a live dest is refused, and the quota decision a
+    stream would make is identical against the compacted copy."""
+    from lakeflush_spark.streaming.curation import compact_domain_store
+    from lakeflush_spark.streaming.dedup import _read_store
+
+    store = str(tmp_path / "domains")
+    for batch, rows in enumerate(
+        [[("a.com", 2)], [("a.com", 3), ("b.org", 1)], [("b.org", 4)]]
+    ):
+        (
+            spark.createDataFrame(rows, "url_domain string, n long")
+            .withColumn("run", F.lit("r1"))
+            .withColumn("batch", F.lit(batch))
+            .write.mode("append")
+            .partitionBy("run", "batch")
+            .parquet(store)
+        )
+
+    def totals(d):
+        return {
+            r.url_domain: r.t
+            for r in spark.read.option("basePath", d).parquet(d)
+            .groupBy("url_domain").agg(F.sum("n").alias("t")).collect()
+        }
+
+    before = totals(store)
+    c1 = str(tmp_path / "domains_c1")
+    compact_domain_store(spark, store, c1)
+    assert totals(c1) == before  # lossless merge
+    got = spark.read.option("basePath", c1).parquet(c1)
+    assert {r.batch for r in got.select("batch").distinct().collect()} == {-1, 2}
+    verbatim = got.where(F.col("batch") == 2).collect()
+    assert [(r.url_domain, r.n) for r in verbatim] == [("b.org", 4)]
+
+    # the quota history a replaying batch 3 would see is identical
+    h0 = _read_store(spark, store, 3, "r1")
+    h1 = _read_store(spark, c1, 3, "r1")
+    agg = lambda h: {  # noqa: E731
+        r.url_domain: r.t
+        for r in h.groupBy("url_domain").agg(F.sum("n").alias("t")).collect()
+    }
+    assert agg(h0) == agg(h1)
+
+    # idempotent: compacting the compacted copy changes nothing
+    c2 = str(tmp_path / "domains_c2")
+    compact_domain_store(spark, c1, c2)
+    assert totals(c2) == before
+    got2 = spark.read.option("basePath", c2).parquet(c2)
+    assert {r.batch for r in got2.select("batch").distinct().collect()} == {-1, 2}
+
+    # never compact onto a live store
+    with pytest.raises(Exception):
+        compact_domain_store(spark, store, c1)

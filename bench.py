@@ -670,6 +670,9 @@ baseline), gzip 11.0 (2.8x), json 21.7k files/s (2.1x). Streaming:
 neardup 2203 docs/s, phash_stream 788, curate_warm 117. Serving: bm25
 build 1.88 / search 1.03; NEW ivf_build 1.00 + hybrid_search 2.06
 (one-call BM25+IVF+RRF over both persisted indexes, VERDICT #3).
+Hybrid-serving scale smoke (N=4 -> N=20, 5x data): bm25 build 4.0 ->
+8.2 s (2.1x, sub-linear), ivf build 8.3 -> 10.3 s, hybrid SEARCH
+4.56 -> 4.78 s — ~flat, the partition-pruning claim measured at Nx.
 
 """
 

@@ -346,6 +346,103 @@ def spark_read_back(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def append_bm25_index(
+    docs_new: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> None:
+    """Incrementally add documents to a :func:`build_bm25_index`
+    directory (r13) — the serving-side maintenance op: new crawl
+    shards arrive continuously at 100 TB and a full rebuild per shard
+    re-pays the whole corpus explode.
+
+    Everything BM25 reads is summable, so the append is pure parquet
+    appends with no read-modify-write: the new docs' postings append
+    under their ``_tb`` partitions, a per-term ``df`` INCREMENT frame
+    appends to ``terms/``, and a one-row ``(n_docs, total_len)``
+    increment appends to ``stats/``. :func:`bm25_search` aggregates
+    terms/stats at read time (a |query-terms|-row and a
+    |appends|-row aggregate), so search results over build(A)+append(B)
+    are EXACTLY those of build(A ∪ B) — no approximation, no staleness
+    window beyond the append itself. ``n_buckets`` must match the
+    build. Caller contract: ``docs_new`` ids must not already be in
+    the index (exact dedup is an upstream stage); re-appending a doc
+    would double-count its df/tf like any append-only store.
+
+    Run :func:`compact_bm25_index` offline when the increment-row
+    count (or postings file count) grows; quota/search semantics are
+    unchanged either way.
+    """
+    base = index_dir.rstrip("/")
+    d = docs_new.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).withColumn("dl", F.size("_toks").cast("bigint"))
+    d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total_len"),
+    ).coalesce(1).write.mode("append").parquet(f"{base}/stats")
+    tf = (
+        d.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn("_tb", _term_bucket_col(F.col("term"), n_buckets))
+        .localCheckpoint()  # feeds both the postings append and the df
+    )
+    tf.write.mode("append").partitionBy("_tb").parquet(f"{base}/postings")
+    (
+        tf.groupBy("term", "_tb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .select("term", "df", "_tb")
+        .write.mode("append")
+        .partitionBy("_tb")
+        .parquet(f"{base}/terms")
+    )
+
+
+def compact_bm25_index(
+    spark: SparkSession,
+    index_dir: str,
+    dest_dir: str,
+    *,
+    n_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> None:
+    """Offline compaction of an appended-to BM25 index into ``dest_dir``
+    (must not exist — the compact_fp_store rule: never rewrite a store
+    in place while searches may be reading it). Merges the per-append
+    ``terms/`` increments to ONE row per term, ``stats/`` to one row,
+    and rewrites ``postings/`` with files re-coalesced per bucket —
+    lossless by construction (everything merged is a sum), so searches
+    against the compacted copy are value-identical.
+    """
+    base = index_dir.rstrip("/")
+    dest = dest_dir.rstrip("/")
+    stats = spark.read.parquet(f"{base}/stats").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_len").cast("bigint").alias("total_len"),
+    )
+    stats.coalesce(1).write.mode("error").parquet(f"{dest}/stats")
+    posts = spark.read.option("basePath", f"{base}/postings").parquet(
+        f"{base}/postings"
+    )
+    posts.repartition(n_buckets, "_tb").write.mode("error").partitionBy(
+        "_tb"
+    ).parquet(f"{dest}/postings")
+    (
+        spark.read.option("basePath", f"{base}/terms")
+        .parquet(f"{base}/terms")
+        .groupBy("term", "_tb")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .select("term", "df", "_tb")
+        .repartition(n_buckets, "_tb")
+        .write.mode("error")
+        .partitionBy("_tb")
+        .parquet(f"{dest}/terms")
+    )
+
+
 def bm25_search(
     spark: SparkSession,
     index_dir: str,
@@ -381,13 +478,21 @@ def bm25_search(
         .where(F.col("_tb").isin(buckets))
         .where(F.col("term").isin(terms))
     )
+    # terms/stats may hold per-append INCREMENT rows (append_bm25_index)
+    # — df, n_docs and total_len are summable, so aggregating here makes
+    # fresh and appended-to indexes serve identical scores; on a
+    # freshly-built index both aggregates are no-ops over 1 row/term.
     dft = (
         spark.read.parquet(f"{base}/terms")
         .where(F.col("_tb").isin(buckets))
         .where(F.col("term").isin(terms))
-        .select("term", "df")
+        .groupBy("term")
+        .agg(F.sum("df").cast("bigint").alias("df"))
     )
-    stats = spark.read.parquet(f"{base}/stats")
+    stats = spark.read.parquet(f"{base}/stats").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_len").cast("bigint").alias("total_len"),
+    )
     qterms = _query_terms(query_frame(spark, queries), "query")
     scored = (
         posts.join(F.broadcast(dft), "term")

@@ -213,6 +213,70 @@ def main() -> int:
         )
     )
 
+    # r13: hybrid SERVING at Nx — build both persisted indexes over
+    # the replicated corpus, then one hybrid_search call (BM25 +
+    # IVF-ANN + RRF). Search cost must stay ~flat: the postings read
+    # prunes to the query terms' _tb buckets and the vector read to
+    # the probed _cp cells regardless of N.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from lakeflush_spark.operators.retrieval import (
+        build_bm25_index,
+        hybrid_search,
+    )
+    from lakeflush_spark.operators.similarity import (
+        build_ivf_index,
+        prepare_vectors as _prep,
+    )
+
+    emb0 = load_table(spark, SF_DIR, "embeddings")
+    big_vecs = (
+        emb0.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("_copy") * 10_000_000).alias("vec_id"),
+            "embedding",
+        )
+        .repartition(64)
+    )
+    bm_dir = _tempfile.mkdtemp(prefix="scale_smoke_bm25_")
+    ivf_dir = _tempfile.mkdtemp(prefix="scale_smoke_ivf_")
+    try:
+        t0 = time.time()
+        build_bm25_index(big, bm_dir)
+        bm_build = time.time() - t0
+        t0 = time.time()
+        build_ivf_index(_prep(big_vecs), ivf_dir, n_cells=64)
+        ivf_build = time.time() - t0
+        qvecs = {
+            r.vec_id: list(r.embedding)
+            for r in emb0.where("vec_id < 4").collect()
+        }
+        hybrid_queries = [
+            (0, "hash join dup", qvecs[0]),
+            (1, "window agg stream", qvecs[1]),
+            (2, "customer order line sort", qvecs[2]),
+            (3, "vector scan filter slow", qvecs[3]),
+        ]
+        t0 = time.time()
+        n_hy = hybrid_search(
+            spark, bm_dir, ivf_dir, hybrid_queries, k=10
+        ).count()
+        print(
+            json.dumps(
+                {
+                    "stage": "hybrid_serving",
+                    "rows": n_hy,
+                    "bm25_build_sec": round(bm_build, 2),
+                    "ivf_build_sec": round(ivf_build, 2),
+                    "search_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+    finally:
+        _shutil.rmtree(bm_dir, ignore_errors=True)
+        _shutil.rmtree(ivf_dir, ignore_errors=True)
+
     # r6: IVF centroid plumbing (VERDICT r5 #1) — the quantizer build
     # must not pay a driver-side O(n_cells×dims) SQL-parse cost. Timed
     # at n_cells=16 vs 1024 on the same N×-replicated vector corpus:

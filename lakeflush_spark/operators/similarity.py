@@ -411,6 +411,45 @@ def build_ivf_index(
     cents.unpersist()
 
 
+def append_ivf_index(spark, corpus_new: DataFrame, index_dir: str) -> None:
+    """Incrementally add vectors to a :func:`build_ivf_index` directory
+    (r13) — the IVF sibling of ``append_bm25_index``: new embedding
+    shards arrive continuously at 100 TB and retraining the coarse
+    quantizer per shard re-pays the whole corpus scan.
+
+    ``corpus_new`` (a :func:`prepare_vectors` frame; ids must be new —
+    exact dedup is an upstream stage) assigns MAP-ONLY against the
+    existing centroid sidecar and appends under its ``_cp``
+    partitions; int8 indexes quantize the new rows to match. Searches
+    see the new vectors immediately with no staleness beyond the
+    append: probing all cells equals exhaustive search over the grown
+    corpus (unit-tested), and per-probe cost stays corpus/n_cells.
+
+    Centroids are NOT retrained — the standard IVF maintenance
+    posture. If the data distribution drifts (cell sizes skew),
+    rebuild offline with :func:`build_ivf_index` into a fresh dir and
+    swap, exactly like ``compact_*`` stores.
+    """
+    base = index_dir.rstrip("/")
+    cents = spark.read.parquet(f"{base}/centroids")
+    indexed = _nearest_cells(corpus_new, _pack_cells(cents), 1)
+    existing_cols = spark.read.parquet(f"{base}/vectors").schema.names
+    if "qv" in existing_cols:
+        from lakeflush_spark.functions.vectors import quantize_int8
+
+        rows = indexed.select(
+            "vid", "cell_id", quantize_int8(F.col("v")).alias("qv"), "nrm"
+        )
+    else:
+        rows = indexed.select("vid", "cell_id", "v", "nrm")
+    (
+        rows.withColumn("_cp", F.pmod(F.col("cell_id"), F.lit(256)))
+        .write.mode("append")
+        .partitionBy("_cp")
+        .parquet(f"{base}/vectors")
+    )
+
+
 def quantize_index(spark, src_index_dir: str, dest_index_dir: str) -> None:
     """Convert an existing float :func:`build_ivf_index` directory to
     the int8 layout WITHOUT retraining or reassigning (r9): cell ids,

@@ -639,3 +639,88 @@ def test_cluster_balanced_sample_modes(spark):
         cluster_balanced_sample(corpus, per_cell_cap=0)
     with _pytest.raises(ValueError, match="rank_by"):
         cluster_balanced_sample(corpus, per_cell_cap=1, rank_by="zzz")
+
+
+def test_append_ivf_index_assigns_and_serves_new_vectors(spark, tmp_path):
+    """r13: append_ivf_index assigns new vectors map-only against the
+    EXISTING centroids; probing every cell afterwards equals exhaustive
+    search over the grown corpus, and the int8 layout quantizes
+    appended rows to match."""
+    import pyspark.sql.functions as F
+
+    from lakeflush_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_search,
+        prepare_vectors,
+        quantize_index,
+    )
+
+    def vecs_df(ids):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 5 + d * 3) % 13) - 6.0 for d in range(8)])
+                for i in ids
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    n_cells = 4
+    base = prepare_vectors(vecs_df(range(40)))
+    extra = prepare_vectors(vecs_df(range(100, 120)))
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, n_cells=n_cells)
+    append_ivf_index(spark, extra, idx)
+
+    # appended rows carry assignments matching a fresh map-only pass
+    # against the same sidecar
+    from lakeflush_spark.operators.similarity import (
+        _nearest_cells,
+        _pack_cells,
+    )
+
+    cents = spark.read.parquet(f"{idx}/centroids")
+    want = {
+        (r.vid, r.cell_id)
+        for r in _nearest_cells(extra, _pack_cells(cents), 1)
+        .select("vid", "cell_id")
+        .collect()
+    }
+    got = {
+        (r.vid, r.cell_id)
+        for r in spark.read.option("basePath", f"{idx}/vectors")
+        .parquet(f"{idx}/vectors")
+        .where("vid >= 100")
+        .select("vid", "cell_id")
+        .collect()
+    }
+    assert got == want and len(got) == 20
+
+    # probing EVERY cell == exhaustive search over the grown corpus
+    from lakeflush_spark.operators.similarity import brute_force_topk
+
+    queries = prepare_vectors(vecs_df([500]))  # fresh query vector
+    grown = prepare_vectors(vecs_df(list(range(40)) + list(range(100, 120))))
+    served = {
+        (r.neighbor_id, r.rank)
+        for r in ivf_search(spark, idx, queries, k=5, nprobe=n_cells).collect()
+    }
+    exact = {
+        (r.neighbor_id, r.rank)
+        for r in brute_force_topk(grown, queries, k=5).collect()
+    }
+    assert served == exact
+    # and the appended population is actually reachable
+    assert spark.read.parquet(f"{idx}/vectors").count() == 60
+
+    # int8 layout: appended rows quantize to match
+    idx8 = str(tmp_path / "ivf8")
+    quantize_index(spark, idx, idx8)
+    append_ivf_index(spark, prepare_vectors(vecs_df([300])), idx8)
+    row = (
+        spark.read.option("basePath", f"{idx8}/vectors")
+        .parquet(f"{idx8}/vectors")
+        .where("vid = 300")
+        .collect()
+    )
+    assert len(row) == 1 and row[0].qv is not None

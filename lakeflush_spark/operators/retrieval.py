@@ -427,6 +427,9 @@ def compact_bm25_index(
     posts = spark.read.option("basePath", f"{base}/postings").parquet(
         f"{base}/postings"
     )
+    # a streamed index (streaming/retrieval.py) carries (run, batch)
+    # replay partitions — compaction is the commit point, drop them
+    posts = posts.drop("run", "batch")
     posts.repartition(n_buckets, "_tb").write.mode("error").partitionBy(
         "_tb"
     ).parquet(f"{dest}/postings")

@@ -385,3 +385,79 @@ def test_append_bm25_index_preserves_partition_pruning(spark, tmp_path):
     # appended docs are searchable
     ids = {r.doc_id for r in out.collect()}
     assert any(i >= 1000 for i in ids) or len(ids) == 5
+
+
+def test_bm25_index_stream_matches_batch_build(spark, tmp_path):
+    """r13: the index-on-arrival stream serves scores identical to a
+    one-shot build over the same documents, survives a checkpointed
+    restart with no change, and keeps serving through bm25_search's
+    pruned reads."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from lakeflush_spark.operators.retrieval import (
+        bm25_search,
+        build_bm25_index,
+    )
+    from lakeflush_spark.streaming.retrieval import (
+        StreamIndexConfig,
+        bm25_index_stream,
+    )
+
+    words = ["spark", "joins", "scans", "rows", "plans", "filters"]
+    all_docs = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(5)))
+        for i in range(30)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamIndexConfig(
+        source_dir=str(src),
+        index_dir=str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+
+    def add_file(name, rows):
+        stage = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        _shutil.copy(
+            _glob.glob(str(stage / "part-*.parquet"))[0],
+            str(src / f"{name}.parquet"),
+        )
+
+    add_file("b1", all_docs[:18])
+    assert bm25_index_stream(spark, cfg).awaitTermination(180)
+    add_file("b2", all_docs[18:])
+    assert bm25_index_stream(spark, cfg).awaitTermination(180)
+
+    full_dir = str(tmp_path / "full")
+    build_bm25_index(
+        spark.createDataFrame(all_docs, "doc_id long, text string"), full_dir
+    )
+    qs = [(0, "spark joins"), (1, "scans filters rows")]
+
+    def results(d):
+        return {
+            (r.query_id, r.doc_id): (r.rank, round(r.score, 9), r.sum_tf)
+            for r in bm25_search(spark, d, qs, k=10).collect()
+        }
+
+    streamed = results(cfg.index_dir)
+    assert streamed == results(full_dir)
+
+    # checkpointed restart with no new input: index unchanged
+    assert bm25_index_stream(spark, cfg).awaitTermination(180)
+    assert results(cfg.index_dir) == streamed
+    # the per-batch increment layout is on disk ((run, batch) under
+    # the leading _tb), and compaction collapses it losslessly
+    from lakeflush_spark.operators.retrieval import compact_bm25_index
+
+    stats = spark.read.option(
+        "basePath", f"{cfg.index_dir}/stats"
+    ).parquet(f"{cfg.index_dir}/stats")
+    assert stats.count() == 2  # one increment row per batch
+    comp = str(tmp_path / "comp")
+    compact_bm25_index(spark, cfg.index_dir, comp)
+    assert results(comp) == streamed

@@ -450,6 +450,37 @@ def append_ivf_index(spark, corpus_new: DataFrame, index_dir: str) -> None:
     )
 
 
+def compact_ivf_index(
+    spark, src_index_dir: str, dest_index_dir: str
+) -> None:
+    """Offline compaction of an appended-to IVF index (r13): rewrite
+    ``vectors/`` with files re-coalesced per ``_cp`` partition into a
+    fresh ``dest_index_dir`` (must not exist — never rewrite an index
+    a serving loop may be reading) and copy the centroid sidecar
+    verbatim. Assignments, norms, and lane values carry over
+    row-for-row, so searches against the compacted copy are
+    value-identical; what changes is the file count an
+    append-per-shard history accumulates (every probe pays it on
+    open). Works on float and int8 layouts alike."""
+    src, dest = src_index_dir.rstrip("/"), dest_index_dir.rstrip("/")
+    vecs = spark.read.option("basePath", f"{src}/vectors").parquet(
+        f"{src}/vectors"
+    )
+    (
+        vecs.repartition(F.col("_cp"))
+        .write.mode("error")
+        .partitionBy("_cp")
+        .parquet(f"{dest}/vectors")
+    )
+    # sidecar last — its presence marks the compacted index complete
+    (
+        spark.read.parquet(f"{src}/centroids")
+        .coalesce(1)
+        .write.mode("error")
+        .parquet(f"{dest}/centroids")
+    )
+
+
 def quantize_index(spark, src_index_dir: str, dest_index_dir: str) -> None:
     """Convert an existing float :func:`build_ivf_index` directory to
     the int8 layout WITHOUT retraining or reassigning (r9): cell ids,

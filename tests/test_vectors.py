@@ -724,3 +724,52 @@ def test_append_ivf_index_assigns_and_serves_new_vectors(spark, tmp_path):
         .collect()
     )
     assert len(row) == 1 and row[0].qv is not None
+
+
+def test_compact_ivf_index_is_value_identical_and_fewer_files(spark, tmp_path):
+    """r13: compaction re-coalesces an appended-to index's vector files
+    per _cp into a fresh dest; searches are value-identical and a live
+    dest is refused."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from lakeflush_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_search,
+        prepare_vectors,
+    )
+
+    def vecs_df(ids):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 5 + d * 3) % 13) - 6.0 for d in range(8)])
+                for i in ids
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(prepare_vectors(vecs_df(range(40))), idx, n_cells=4)
+    for shard in (range(100, 110), range(200, 210), range(300, 310)):
+        append_ivf_index(spark, prepare_vectors(vecs_df(shard)), idx)
+
+    comp = str(tmp_path / "ivf_c")
+    compact_ivf_index(spark, idx, comp)
+    q = prepare_vectors(vecs_df([999]))
+
+    def res(d):
+        return {
+            (r.neighbor_id, r.rank)
+            for r in ivf_search(spark, d, q, k=8, nprobe=4).collect()
+        }
+
+    assert res(comp) == res(idx)
+    assert spark.read.parquet(f"{comp}/vectors").count() == 70
+    n_src = len(_glob.glob(f"{idx}/vectors/_cp=*/part-*.parquet"))
+    n_dst = len(_glob.glob(f"{comp}/vectors/_cp=*/part-*.parquet"))
+    assert n_dst < n_src
+    with _pytest.raises(Exception):
+        compact_ivf_index(spark, idx, comp)

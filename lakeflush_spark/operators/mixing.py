@@ -746,3 +746,88 @@ def unimax_allocations(
         ],
         "key string, available_tokens long, epochs double, planned_tokens long",
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    dest_dir: str,
+    *,
+    rows_per_shard: int,
+    seed: str = "0",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    order_shards: int = 64,
+) -> DataFrame:
+    """Final-mile training export (r13): write ``df`` as
+    deterministically shuffled, FIXED-SIZE parquet shards plus a
+    manifest — the step that turns a curated corpus into the artifact
+    a trainer's dataloader consumes.
+
+    - Rows order by the seed-reproducible md5 shuffle key
+      (:func:`shuffle_key`), ranked with the sharded
+      ``global_row_number`` (hex_order_shard buckets + broadcast
+      offsets — NO Exchange SinglePartition, no single-task sort);
+      shard id = ``(rank - 1) // rows_per_shard``, so every shard
+      except the last holds exactly ``rows_per_shard`` rows for any
+      cluster layout.
+    - Shards land as ``shard=N/`` parquet partitions, one file per
+      shard (rows sorted by the shuffle key within the file), written
+      ``mode=error`` — an export is immutable; re-export to a fresh
+      dir.
+    - The manifest (returned AND written under ``{dest}/_manifest/``,
+      which plain ``spark.read.parquet(dest)`` ignores) carries per
+      shard: ``rows``, ``id_checksum`` (order-free BIGINT sum of
+      md5-derived id hashes — cross-engine verifiable), and
+      ``n_tokens`` when ``token_col`` is given (dataloader budget
+      accounting).
+
+    Determinism contract: same (df contents, seed, rows_per_shard) →
+    byte-identical shard membership and manifest, independent of
+    partitioning — the property that makes a training run resumable
+    and auditable. ``order_shards`` bounds the largest sort task
+    (corpus/order_shards rows), not correctness.
+    """
+    if rows_per_shard < 1:
+        raise ValueError("rows_per_shard must be >= 1")
+    from lakeflush_spark.functions.text import token_hash
+    from lakeflush_spark.operators.topk import global_row_number
+
+    base = dest_dir.rstrip("/")
+    key = shuffle_key(id_col, seed)
+    keyed = df.withColumn("_tsk", key).withColumn(
+        "_tss", hex_order_shard(F.col("_tsk"), order_shards)
+    )
+    ranked = global_row_number(
+        keyed, order_cols=[F.col("_tsk"), F.col(id_col)], shard_col="_tss"
+    ).withColumn(
+        "shard",
+        F.floor((F.col("rn") - 1) / F.lit(int(rows_per_shard))).cast("bigint"),
+    )
+    out = ranked.drop("_tss")
+    (
+        out.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "_tsk", id_col)
+        .drop("_tsk", "rn")
+        .write.mode("error")
+        .partitionBy("shard")
+        .parquet(base)
+    )
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("rows"),
+        F.sum(token_hash(F.col(id_col).cast("string")))
+        .cast("bigint")
+        .alias("id_checksum"),
+    ]
+    if token_col is not None:
+        agg.append(F.sum(token_col).cast("bigint").alias("n_tokens"))
+    manifest = (
+        # derived from the WRITTEN files, so the manifest certifies the
+        # artifact on disk, not the plan that produced it
+        out.sparkSession.read.option("basePath", base)
+        .parquet(base)
+        .groupBy("shard")
+        .agg(*agg)
+        .orderBy("shard")
+    )
+    manifest.coalesce(1).write.mode("error").parquet(f"{base}/_manifest")
+    return out.sparkSession.read.parquet(f"{base}/_manifest").orderBy("shard")

@@ -703,3 +703,84 @@ def test_select_training_mix_unimax_strategy(spark):
         select_training_mix(df, 500, max_epochs=2.5, strategy="unimax")
     with pytest.raises(ValueError, match="strategy"):
         select_training_mix(df, 500, strategy="fair")
+
+
+def test_write_training_shards_fixed_sizes_and_deterministic(spark, tmp_path):
+    """r13 exporter: exact shard sizes for any layout, seed-reproducible
+    membership, manifest certifying the written files, immutable dest,
+    and no Exchange SinglePartition in the ranking plan."""
+    import pyspark.sql.functions as F2
+
+    from lakeflush_spark.operators.mixing import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", (i % 7) + 1) for i in range(103)],
+        "doc_id long, text string, n_tokens long",
+    )
+    d1 = str(tmp_path / "e1")
+    m1 = write_training_shards(
+        docs, d1, rows_per_shard=25, seed="s", token_col="n_tokens"
+    ).collect()
+    # 103 rows @ 25/shard -> 4 full shards + one 3-row tail
+    assert [(r.shard, r.rows) for r in m1] == [
+        (0, 25), (1, 25), (2, 25), (3, 25), (4, 3)
+    ]
+    assert sum(r.n_tokens for r in m1) == sum((i % 7) + 1 for i in range(103))
+    back = spark.read.parquet(d1)
+    assert back.count() == 103
+    assert {r.doc_id for r in back.collect()} == set(range(103))
+    # one parquet file per shard
+    import glob as _glob
+
+    for s in range(5):
+        assert len(_glob.glob(f"{d1}/shard={s}/part-*.parquet")) == 1
+
+    # determinism: same seed & different input partitioning -> same
+    # membership + manifest; different seed -> different membership
+    d2, d3 = str(tmp_path / "e2"), str(tmp_path / "e3")
+    m2 = write_training_shards(
+        docs.repartition(13), d2, rows_per_shard=25, seed="s",
+        token_col="n_tokens",
+    ).collect()
+    assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
+
+    def membership(d):
+        return {
+            (r.shard, r.doc_id)
+            for r in spark.read.option("basePath", d).parquet(d)
+            .select("shard", "doc_id").collect()
+        }
+
+    assert membership(d1) == membership(d2)
+    write_training_shards(docs, d3, rows_per_shard=25, seed="other")
+    assert membership(d1) != membership(d3)
+
+    # immutable dest + validation
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        write_training_shards(docs, d1, rows_per_shard=25)
+    with _pytest.raises(ValueError):
+        write_training_shards(docs, str(tmp_path / "bad"), rows_per_shard=0)
+
+    # scale shape: the ranking plan has no SinglePartition exchange
+    from lakeflush_spark.operators.mixing import hex_order_shard, shuffle_key
+    from lakeflush_spark.operators.topk import global_row_number
+
+    keyed = docs.withColumn("_tsk", shuffle_key("doc_id", "s")).withColumn(
+        "_tss", hex_order_shard(F2.col("_tsk"), 64)
+    )
+    plan = (
+        global_row_number(
+            keyed, order_cols=[F2.col("_tsk"), F2.col("doc_id")],
+            shard_col="_tss",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly ONE SinglePartition exchange, and it carries the
+    # |shards|-row per-shard TOTALS aggregate (the q42-justified
+    # sharded-prefix-sum shape) — never the data rows
+    assert plan.count("Exchange SinglePartition") == 1
+    tail = plan.split("Exchange SinglePartition", 1)[1]
+    assert "HashAggregate(keys=[_tss" in tail.split("Exchange", 2)[1] \
+        or "HashAggregate(keys=[_tss" in tail[:400]

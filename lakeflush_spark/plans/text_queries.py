@@ -945,6 +945,15 @@ _EPOCH_MULT = 2.6
 #: below-fair-share sources cap out while the rest split equally —
 #: both greedy branches exercised
 _UNIMAX_FRAC = 0.95
+#: 'shards' label export geometry (r13): 200 rows/shard -> 3 shards at
+#: sf0.01, 25 at sf0.1 — the tail shard is always partial, so the
+#: exact-size contract is exercised
+_SHARDS_ROWS = 200
+_SHARDS_SEED = "sh"
+#: per-(session, sf_dir) memo of the 'shards' label's EXPORT dir — the
+#: artifact rule (q41/q55/q62): the exporter writes once per session,
+#: the label re-reads the _manifest sidecar lazily every build
+_Q60_SHARDS_MEMO: dict = {}
 
 #: FROZEN classifier weights for the 'clf' verdict labels — trained
 #: ONCE via operators/quality_classifier.train_quality_classifier on
@@ -1185,6 +1194,13 @@ def _sql_clf_z() -> str:
                END AS alloc,
                r.src_tokens AS ucap
         FROM uranked r, ustop s, ustopb b),
+    shdd AS (
+        SELECT CAST(FLOOR((row_number() OVER (
+                   ORDER BY md5('{_SHARDS_SEED}:' || doc_id::VARCHAR), doc_id
+               ) - 1) / {_SHARDS_ROWS}) AS BIGINT) AS shard,
+               n_tokens,
+               ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS idh
+        FROM d),
     langpred AS (SELECT source, {_sql_lang_case()} AS lp FROM documents),
     lmode AS (
         SELECT source, lp, cnt, tot FROM (
@@ -1295,6 +1311,17 @@ def _sql_clf_z() -> str:
         -- 'unimax' (r10): the UniMax greedy (ascending walk, integer
         -- floors) replayed by the recursive CTE above
         SELECT 'unimax', source, alloc, ucap FROM ualloc
+        UNION ALL
+        -- 'shards'/'shards_ck' (r13): write_training_shards' manifest —
+        -- exact fixed-size membership under the md5(seed:id) order and
+        -- the order-free per-shard id checksum, replayed from scratch
+        SELECT 'shards', shard::VARCHAR, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_tokens) AS BIGINT)
+        FROM shdd GROUP BY shard
+        UNION ALL
+        SELECT 'shards_ck', shard::VARCHAR, CAST(SUM(idh) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM shdd GROUP BY shard
     ) ORDER BY kind, key
     """,
     "Deterministic sampling & training-mix suite, three strategies "
@@ -1340,7 +1367,15 @@ def _sql_clf_z() -> str:
     "the UniMax budget allocator (Chung et al. 2023) — ascending "
     "greedy with per-source epoch caps in exact integer floors, "
     "budget 0.95x corpus at a 1-epoch cap; the oracle replays the "
-    "walk with a recursive CTE, hash-exact.",
+    "walk with a recursive CTE, hash-exact. r13 adds "
+    "'shards'/'shards_ck': the final-mile training export "
+    "driver-verified — operators/mixing.write_training_shards runs "
+    "for REAL into a session-memoized temp dest (seed-reproducible "
+    "md5 shuffle, exact 200-row shards via the sharded "
+    "global_row_number, one file per shard) and the labels read its "
+    "_manifest sidecar (per-shard rows + token sums + order-free id "
+    "checksum), with the oracle replaying membership from scratch — "
+    "the hash certifies the artifact on disk.",
 )
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.mixing import mix_sources, take_token_budget
@@ -1597,6 +1632,46 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("planned_tokens").alias("n_docs"),
         F.col("available_tokens").alias("sum_tokens"),
     )
+    # 'shards'/'shards_ck' (r13): the REAL exporter
+    # (operators/mixing.write_training_shards) runs once per
+    # (session, sf_dir) into a temp dest — artifact memo — and the
+    # labels re-read its _manifest sidecar, so the driver hash
+    # certifies the artifact actually written to disk, not a replay
+    # of its arithmetic.
+    from lakeflush_spark.operators.mixing import write_training_shards
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    sh_dest = _Q60_SHARDS_MEMO.get(memo_key)
+    if sh_dest is None:
+        import atexit as _atexit
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        root = _tempfile.mkdtemp(prefix="q60_shards_")
+        _atexit.register(_shutil.rmtree, root, ignore_errors=True)
+        sh_dest = _os.path.join(root, "export")
+        write_training_shards(
+            d,
+            sh_dest,
+            rows_per_shard=_SHARDS_ROWS,
+            seed=_SHARDS_SEED,
+            token_col="n_tokens",
+        )
+        _Q60_SHARDS_MEMO[memo_key] = sh_dest
+    man = spark.read.parquet(f"{sh_dest}/_manifest")
+    shards = man.select(
+        F.lit("shards").alias("kind"),
+        F.col("shard").cast("string").alias("key"),
+        F.col("rows").alias("n_docs"),
+        F.col("n_tokens").alias("sum_tokens"),
+    )
+    shards_ck = man.select(
+        F.lit("shards_ck").alias("kind"),
+        F.col("shard").cast("string").alias("key"),
+        F.col("id_checksum").alias("n_docs"),
+        F.col("rows").alias("sum_tokens"),
+    )
     return (
         strat.unionByName(mixed)
         .unionByName(budget)
@@ -1610,5 +1685,7 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(epochs)
         .unionByName(epochs_plan)
         .unionByName(unimax)
+        .unionByName(shards)
+        .unionByName(shards_ck)
         .orderBy("kind", "key")
     )

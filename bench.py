@@ -674,6 +674,14 @@ Hybrid-serving scale smoke (N=4 -> N=20, 5x data): bm25 build 4.0 ->
 8.2 s (2.1x, sub-linear), ivf build 8.3 -> 10.3 s, hybrid SEARCH
 4.56 -> 4.78 s — ~flat, the partition-pruning claim measured at Nx.
 
+r13 closing run (sf0.1, q60 'shards'/'shards_ck' labels + the index
+maintenance surface aboard; 525-test suite green): suite 48.1 s —
+q60 8.82 (+0.9: the two exporter labels read the memoized export's
+manifest, 0.27/0.25 s each), q62 2.47, q41 2.33, q55 5.28, q53 1.24.
+Compaction csv 43.0 MB/s median (5.8x baseline; box measurably busier
+than the 50.6 interim reading — samples recorded), gzip 10.7, json
+19.8k files/s. hybrid_search 2.38 / bm25_search 1.14.
+
 """
 
 from __future__ import annotations

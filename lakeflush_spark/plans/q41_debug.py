@@ -67,6 +67,10 @@ _ORACLE_MAX_BYTES = 200_000
 #: divergent-row cap per side per label in the sidecar.
 _DIFF_CAP = 50
 
+#: embed the full canonical row list only up to this many rows (the
+#: contract result is ~1k; a pathological blow-up must not write MBs).
+_EMBED_ROWS_CAP = 20_000
+
 
 def _canon_cell(v) -> str:
     if v is None:
@@ -314,6 +318,19 @@ def write_sidecar(
                 doc["float_margins"] = float_margins(spark, sf_dir)
             except Exception as exc:  # noqa: BLE001
                 doc["float_margins_error"] = repr(exc)
+        # the FULL canonical row list rides along (gzip+base64, ~10 KB
+        # at contract scale) so a red driver row is diffable offline
+        # even when the in-process oracle replay could not run there
+        if len(rows) <= _EMBED_ROWS_CAP:
+            import base64
+            import gzip
+
+            payload = "\n".join(
+                sorted("\t".join(_canon_cell(c) for c in r) for r in rows)
+            ).encode()
+            doc["rows_gz_b64"] = base64.b64encode(
+                gzip.compress(payload)
+            ).decode("ascii")
         doc["sidecar_sec"] = round(time.time() - t0, 3)
         os.makedirs(DEBUG_DIR, exist_ok=True)
         path = os.path.join(

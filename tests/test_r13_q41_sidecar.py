@@ -159,3 +159,25 @@ def test_q62_stream_memo_keys_on_sf_dir(spark):
     n_keys = len(_Q62_STREAM_MEMO)
     r2 = {tuple(r) for r in b(spark, SF).collect()}
     assert r1 == r2 and len(_Q62_STREAM_MEMO) == n_keys
+
+
+def test_sidecar_embeds_recoverable_rows(tmp_path, spark, monkeypatch):
+    """The sidecar carries the full canonical row list (gzip+base64) so
+    a driver-side divergence is diffable offline even when the oracle
+    replay could not run there."""
+    import base64
+    import gzip
+
+    import lakeflush_spark.plans.q41_debug as q41_debug
+
+    monkeypatch.setattr(q41_debug, "DEBUG_DIR", str(tmp_path))
+    monkeypatch.setenv("LAKEFLUSH_Q41_ORACLE", "0")
+    rows = [("word", "a", "", 1, None, None), ("lm", "b", "c", 2, 3, 4)]
+    path = q41_debug.write_sidecar(spark, SF, rows, ["method"])
+    doc = json.load(open(path))
+    decoded = gzip.decompress(
+        base64.b64decode(doc["rows_gz_b64"])
+    ).decode().split("\n")
+    assert sorted(decoded) == sorted(
+        "\t".join(q41_debug._canon_cell(c) for c in r) for r in rows
+    )

@@ -1013,20 +1013,28 @@ def bench_stream_dedup(spark) -> dict[str, float]:
         n = docs.count()
         src = os.path.join(work, "src")
         docs.repartition(8).write.mode("overwrite").parquet(src)
-        cfg = StreamNearDupConfig(
-            source_dir=src,
-            dest_dir=os.path.join(work, "dest"),
-            sig_dir=os.path.join(work, "sigs"),
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            threshold=0.7,
-        )
-        t0 = time.time()
-        near_dup_stream(spark, cfg).awaitTermination()
-        dt = time.time() - t0
+        # median-of-3 against FRESH store/checkpoint dirs per trial
+        # (r13 — streaming throughputs carried the same single-shot
+        # noise the per-query medians fixed); the first trial doubles
+        # as stream-path warmup, exactly like the compaction sampler
+        samples = []
+        for trial in range(3):
+            cfg = StreamNearDupConfig(
+                source_dir=src,
+                dest_dir=os.path.join(work, f"dest_{trial}"),
+                sig_dir=os.path.join(work, f"sigs_{trial}"),
+                checkpoint_dir=os.path.join(work, f"ckpt_{trial}"),
+                threshold=0.7,
+            )
+            t0 = time.time()
+            near_dup_stream(spark, cfg).awaitTermination()
+            samples.append(time.time() - t0)
+        dt = sorted(samples)[1]
         return {
             "neardup_docs_s": round(n / dt, 1),
             "neardup_docs": n,
             "neardup_sec": round(dt, 3),
+            "neardup_docs_s_samples": [round(n / t, 1) for t in samples],
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -1159,17 +1167,25 @@ def bench_curation_ops(spark) -> dict[str, float]:
             .mapInPandas(_png_batches, "media_id long, payload binary")
             .write.parquet(src)
         )
-        pcfg = StreamPhashConfig(
-            source_dir=src,
-            dest_dir=os.path.join(work, "dest"),
-            hash_dir=os.path.join(work, "hashes"),
-            checkpoint_dir=os.path.join(work, "ckpt"),
-        )
-        t0 = time.time()
-        phash_dedup_stream(spark, pcfg).awaitTermination(600)
-        dt = time.time() - t0
+        # median-of-3 against fresh stores per trial (r13 — see
+        # bench_stream_dedup); first trial doubles as warmup
+        psamples = []
+        for trial in range(3):
+            pcfg = StreamPhashConfig(
+                source_dir=src,
+                dest_dir=os.path.join(work, f"dest_{trial}"),
+                hash_dir=os.path.join(work, f"hashes_{trial}"),
+                checkpoint_dir=os.path.join(work, f"ckpt_{trial}"),
+            )
+            t0 = time.time()
+            phash_dedup_stream(spark, pcfg).awaitTermination(600)
+            psamples.append(time.time() - t0)
+        dt = sorted(psamples)[1]
         out["phash_stream_imgs_s"] = round(n_img / dt, 1)
         out["phash_stream_sec"] = round(dt, 3)
+        out["phash_stream_imgs_s_samples"] = [
+            round(n_img / t, 1) for t in psamples
+        ]
         out["phash_stream_kept"] = spark.read.parquet(pcfg.dest_dir).count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -1186,19 +1202,25 @@ def bench_curation_ops(spark) -> dict[str, float]:
         nvec = emb.count()
         src = os.path.join(work, "src")
         emb.select("vec_id", "embedding").repartition(4).write.parquet(src)
-        cfg = StreamSemDedupConfig(
-            source_dir=src,
-            dest_dir=os.path.join(work, "dest"),
-            vec_dir=os.path.join(work, "vecs"),
-            cent_dir=os.path.join(work, "cents"),
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            threshold=0.95,
-        )
-        t0 = time.time()
-        semdedup_stream(spark, cfg).awaitTermination()
-        dt = time.time() - t0
+        ssamples = []
+        for trial in range(3):
+            cfg = StreamSemDedupConfig(
+                source_dir=src,
+                dest_dir=os.path.join(work, f"dest_{trial}"),
+                vec_dir=os.path.join(work, f"vecs_{trial}"),
+                cent_dir=os.path.join(work, f"cents_{trial}"),
+                checkpoint_dir=os.path.join(work, f"ckpt_{trial}"),
+                threshold=0.95,
+            )
+            t0 = time.time()
+            semdedup_stream(spark, cfg).awaitTermination()
+            ssamples.append(time.time() - t0)
+        dt = sorted(ssamples)[1]
         out["semdd_stream_vecs_s"] = round(nvec / dt, 1)
         out["semdd_stream_sec"] = round(dt, 3)
+        out["semdd_stream_vecs_s_samples"] = [
+            round(nvec / t, 1) for t in ssamples
+        ]
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

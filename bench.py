@@ -682,6 +682,17 @@ Compaction csv 43.0 MB/s median (5.8x baseline; box measurably busier
 than the 50.6 interim reading — samples recorded), gzip 10.7, json
 19.8k files/s. hybrid_search 2.38 / bm25_search 1.14.
 
+r13 FINAL (streaming medians aboard — the three dedup-on-arrival
+throughputs now run 3 fresh-store trials, first = warmup): suite
+46.2 s; csv 48.5 MB/s [40.1/48.5/50.8] (6.6x baseline), gzip 10.2,
+json 16.0k files/s; neardup 2613 docs/s [2279/2613/2747],
+phash_stream 1103 imgs/s [787/1103/1122], semdd_stream 1004 vecs/s
+[863/1004/1019] — the historical 600-800 single-shot readings were
+the UN-warmED first trial (visible in every samples array), so the
+medians reset the trend line honestly. Warm composed curation 122.7
+docs/s; hybrid_search 2.18. Cross-scale gate: drive_contract PASSES
+50/50 at sf0.1 too (10x the driver's correctness scale).
+
 """
 
 from __future__ import annotations

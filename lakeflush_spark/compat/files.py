@@ -163,7 +163,13 @@ class CSVFileReader:
                 # falsy check, not `is None` (reference parity): an
                 # EMPTY first file must not capture '' as the header —
                 # the next file's real header would then be silently
-                # consumed as already-seen and never yielded
+                # consumed as already-seen and never yielded.
+                # Documented divergence (ADVICE r13): a WHITESPACE-ONLY
+                # first line with data rows after it is intentionally
+                # discarded (its slot stays open for the next file's
+                # first line); the reference would store/yield the
+                # empty string instead. Pathological input — we prefer
+                # never emitting a blank header over byte parity here.
                 if not self.header_data and first.strip():
                     self.header_data = first.strip()
                     yield self.header_data

@@ -375,15 +375,26 @@ def append_bm25_index(
     Run :func:`compact_bm25_index` offline when the increment-row
     count (or postings file count) grows; quota/search semantics are
     unchanged either way.
+
+    **Crash semantics (ADVICE r13)**: the three parquet appends
+    (postings, then terms, then stats — stats deliberately LAST) are
+    not atomic as a group. A crash mid-append leaves the index
+    inconsistent — postings without matching df rows, or df rows
+    without the stats increment — and a blind re-run of the same
+    append double-counts whatever did land. Recovery contract: treat a
+    failed append as poisoning the directory; rebuild into a fresh dir
+    with :func:`build_bm25_index`, or :func:`compact_bm25_index` from
+    a known-good pre-append copy. Writing stats last shrinks the worst
+    window (idf/avgdl skew across ALL queries) to the final one-row
+    write; the earlier partial states only under-rank the new docs.
+    For replay-safe incremental maintenance use the streaming variant
+    (:mod:`lakeflush_spark.streaming.retrieval`), whose (run, batch)
+    dynamic-overwrite appends are idempotent under retry.
     """
     base = index_dir.rstrip("/")
     d = docs_new.select(
         F.col(id_col), tokens(text_col).alias("_toks")
     ).withColumn("dl", F.size("_toks").cast("bigint"))
-    d.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total_len"),
-    ).coalesce(1).write.mode("append").parquet(f"{base}/stats")
     tf = (
         d.select(id_col, "dl", F.explode("_toks").alias("term"))
         .groupBy("term", id_col, "dl")
@@ -400,6 +411,12 @@ def append_bm25_index(
         .partitionBy("_tb")
         .parquet(f"{base}/terms")
     )
+    # stats last: until this lands, searches see build-time idf/avgdl
+    # (slightly stale normalization) rather than corpus-wide skew
+    d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total_len"),
+    ).coalesce(1).write.mode("append").parquet(f"{base}/stats")
 
 
 def compact_bm25_index(

@@ -71,6 +71,12 @@ _DIFF_CAP = 50
 #: contract result is ~1k; a pathological blow-up must not write MBs).
 _EMBED_ROWS_CAP = 20_000
 
+#: per-process sidecar sequence (ADVICE r13: sub-second builds in one
+#: process must get distinct filenames).
+import itertools as _itertools
+
+_SIDECAR_SEQ = _itertools.count()
+
 
 def _canon_cell(v) -> str:
     if v is None:
@@ -275,8 +281,35 @@ def rrf_grid_margin_exact(
     return margin
 
 
+def _oracle_bound_types(sf_dir: str) -> dict:
+    """Bind (planner-only, never executes) q41's registered oracle and
+    return its per-column DuckDB types plus any columns outside the
+    driver-safe set. r14 (VERDICT r13 #3): the r13 sidecar proved the
+    VALUES matched but could not see the HUGEINT n1 — representation
+    evidence now rides in every sidecar so the next dtype-level
+    divergence names itself."""
+    from lakeflush_spark.plans import QUERIES
+    from lakeflush_spark.testing import (
+        duckdb_connection,
+        oracle_type_problems,
+    )
+
+    sql = QUERIES["q41_wordcount_topk"].oracle
+    con = duckdb_connection(sf_dir)
+    try:
+        rel = con.sql(sql)
+        return {
+            "duck_types": dict(
+                zip(rel.columns, (str(t) for t in rel.types))
+            ),
+            "type_problems": oracle_type_problems(con, sql),
+        }
+    finally:
+        con.close()
+
+
 def write_sidecar(
-    spark: SparkSession, sf_dir: str, rows, schema_names
+    spark: SparkSession, sf_dir: str, rows, schema_names, spark_dtypes=None
 ) -> str | None:
     """Write the q41 debug sidecar; returns the path (None on any
     failure — never raises)."""
@@ -286,6 +319,11 @@ def write_sidecar(
             "sf_dir": sf_dir,
             "unix_ts": t0,
             "schema": list(schema_names),
+            # Spark-side result representation (df.dtypes of the frame
+            # whose collected rows the driver hashes)
+            "spark_dtypes": (
+                [list(p) for p in spark_dtypes] if spark_dtypes else None
+            ),
             "session": _session_fingerprint(spark),
             "spark_total_rows": len(rows),
             "spark_labels": label_digests(rows),
@@ -297,6 +335,12 @@ def write_sidecar(
                 ).encode()
             ).hexdigest(),
         }
+        # oracle representation evidence is binding-only (no execution),
+        # so it runs at EVERY scale, including bench's oracle-off runs
+        try:
+            doc["oracle_types"] = _oracle_bound_types(sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            doc["oracle_types_error"] = repr(exc)
         if _oracle_enabled(sf_dir):
             try:
                 orows = _oracle_rows(sf_dir)
@@ -333,8 +377,11 @@ def write_sidecar(
             ).decode("ascii")
         doc["sidecar_sec"] = round(time.time() - t0, 3)
         os.makedirs(DEBUG_DIR, exist_ok=True)
+        # ADVICE r13: ms precision + per-process seq — two sub-second
+        # builds in one process must not overwrite each other's record
         path = os.path.join(
-            DEBUG_DIR, f"q41-{int(t0)}-{os.getpid()}.json"
+            DEBUG_DIR,
+            f"q41-{t0:.3f}-{os.getpid()}-{next(_SIDECAR_SEQ)}.json",
         )
         with open(path, "w") as fh:
             json.dump(doc, fh, indent=1, default=str)

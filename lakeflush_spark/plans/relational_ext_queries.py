@@ -465,7 +465,9 @@ def _q41_shared(spark: SparkSession, sf_dir: str) -> dict:
     {RRF_CTES.strip().rstrip(',')},
     {TFIDF_CTES.strip().rstrip(',')},
     {_BPE_CTES}
-    SELECT method, k1, k2, n1, n2, n3 FROM (
+    SELECT method, k1, k2,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(n3 AS BIGINT) AS n3 FROM (
         SELECT 'word' AS method, token AS k1, '' AS k2,
                cnt AS n1, NULL::BIGINT AS n2, NULL::BIGINT AS n3
         FROM (
@@ -500,14 +502,14 @@ def _q41_shared(spark: SparkSession, sf_dir: str) -> dict:
         FROM dz_pd WHERE doc_id < {_DSIR_WIT_LIM}
         UNION ALL
         SELECT 'dsir_sel', source, '',
-               COUNT_IF(NOT masked AND key_e6 > {_DSIR_TAU6}),
+               COUNT_IF(NOT masked AND key_e6 > {_DSIR_TAU6})::BIGINT,
                SUM(CASE WHEN NOT masked AND key_e6 > {_DSIR_TAU6}
                         THEN n_grams ELSE 0 END)::BIGINT,
                NULL::BIGINT
         FROM dz_k GROUP BY source
         UNION ALL
         SELECT 'dsir_mask', source, '',
-               COUNT_IF(masked),
+               COUNT_IF(masked)::BIGINT,
                NULL::BIGINT, NULL::BIGINT
         FROM dz_k GROUP BY source
         UNION ALL
@@ -580,7 +582,9 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = suite.collect()
     from lakeflush_spark.plans.q41_debug import write_sidecar
 
-    write_sidecar(spark, sf_dir, rows, suite.schema.names)
+    write_sidecar(
+        spark, sf_dir, rows, suite.schema.names, spark_dtypes=suite.dtypes
+    )
     return spark.createDataFrame(rows, suite.schema)
 
 

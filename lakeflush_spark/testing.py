@@ -16,6 +16,32 @@ import pandas as pd
 from lakeflush_spark.io import TABLES, table_path
 
 
+# r14 (VERDICT r13 #2): the only driver-safe DuckDB output types. Every
+# type in this set is empirically driver-hash-green across r1-r13; the
+# one excursion outside it (q41's uncast COUNT_IF -> HUGEINT, r11-r13)
+# produced three rounds of hash-red with byte-identical values, because
+# the driver fetches dtype-sensitively (HUGEINT -> float64 '724270.0'
+# vs Spark int64 '724270'). Oracles must bind to these types ONLY.
+DRIVER_SAFE_ORACLE_TYPES = frozenset(
+    {"BIGINT", "INTEGER", "VARCHAR", "DOUBLE", "DATE", "TIMESTAMP", "BOOLEAN"}
+)
+
+
+def oracle_type_problems(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> list[str]:
+    """Bind (not execute) an oracle and flag output columns whose DuckDB
+    type is outside DRIVER_SAFE_ORACLE_TYPES. Binding is enough: types
+    come from the planner, so this is cheap even for the big CTE suites.
+    """
+    rel = con.sql(sql)
+    return [
+        f"{c}: {t}"
+        for c, t in zip(rel.columns, (str(t) for t in rel.types))
+        if t not in DRIVER_SAFE_ORACLE_TYPES
+    ]
+
+
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLES:
@@ -52,6 +78,21 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
         problems.append(f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
         return problems
     s, o = _normalize(spark_pdf), _normalize(oracle_pdf)
+    # r14 (VERDICT r13 #2): dtype-sensitive check. The driver hashes a
+    # rendered/typed fetch, so an int64-vs-float64 divergence (e.g. an
+    # uncast DuckDB COUNT_IF widening a union column to HUGEINT) fails
+    # at the driver even when every value compares equal numerically.
+    # Flag any numeric-kind mismatch that survives _normalize.
+    for c in s.columns:
+        sk, ok = s[c].dtype.kind, o[c].dtype.kind
+        if sk != ok and {sk, ok} <= set("iuf"):
+            problems.append(
+                f"representation mismatch in column {c!r}: spark dtype="
+                f"{s[c].dtype} vs oracle dtype={o[c].dtype} (values may "
+                "still be equal; the driver hashes dtype-sensitively)"
+            )
+    if problems:
+        return problems
     for c in s.columns:
         sc, oc = s[c], o[c]
         if pd.api.types.is_float_dtype(sc):

@@ -45,10 +45,22 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     print(f"queries: {len(qs)}, oracled: {len(oracles)}")
 
-    from lakeflush_spark.testing import compare_frames, duckdb_connection
+    from lakeflush_spark.testing import (
+        compare_frames,
+        duckdb_connection,
+        oracle_type_problems,
+    )
 
     failures = []
     con = duckdb_connection(SF_DIR)
+    # r14 (VERDICT r13 #2): bind every oracle first and reject any output
+    # column outside the driver-safe type set (the q41 HUGEINT class).
+    for name in sorted(oracles):
+        bad = oracle_type_problems(con, oracles[name])
+        if bad:
+            failures.append(name)
+            print(f"  FAIL {name}: oracle output type(s) outside driver-safe set: "
+                  + ", ".join(bad))
     for name, fn in sorted(qs.items()):
         t0 = time.time()
         try:
@@ -69,9 +81,10 @@ def main() -> int:
               + ("; " + "; ".join(problems) if problems else ""))
     con.close()
 
-    print(f"\n{'PASS' if not failures else 'FAIL'}: "
-          f"{len(qs) - len(failures)}/{len(qs)} queries match at {SF_DIR}")
-    return 1 if failures else 0
+    failed = sorted(set(failures))
+    print(f"\n{'PASS' if not failed else 'FAIL'}: "
+          f"{len(qs) - len(failed)}/{len(qs)} queries match at {SF_DIR}")
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -42,7 +42,8 @@ def main() -> int:
         print(f"rows={n} but NO sidecar written under {DEBUG_DIR}")
         return 2
     path = os.path.join(DEBUG_DIR, new[-1])
-    doc = json.load(open(path))
+    with open(path) as fh:
+        doc = json.load(fh)
     print(f"sidecar: {path}")
     print(f"rows: spark={doc['spark_total_rows']} "
           f"oracle={doc.get('oracle_total_rows')}")

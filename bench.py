@@ -693,6 +693,18 @@ medians reset the trend line honestly. Warm composed curation 122.7
 docs/s; hybrid_search 2.18. Cross-scale gate: drive_contract PASSES
 50/50 at sf0.1 too (10x the driver's correctness scale).
 
+r14 compaction-drop attribution (VERDICT r13 #2/#4: the r13 DRIVER
+run recorded csv 36.5 / gzip 8.7 / json 11.7k — every sample below
+every r12 sample): an ISOLATED fresh-JVM bench_compaction run this
+round (nothing before it but the session build) reads csv 46.2 MB/s
+[39.7/46.2/50.6], gzip 10.2 [9.8/10.2/10.3], json 17.9k files/s
+[13.7k/17.9k/18.8k] — right back at the r12/r13-closing levels with
+an UNCHANGED compaction code path (no compaction.py/compat diff in
+r14 either). Attribution: box/JVM state during the r13 driver run,
+not a code regression; the in-suite first-position numbers remain
+the honest per-round comparable and the isolated reading is the
+recovery proof the verdict asked to record.
+
 """
 
 from __future__ import annotations

@@ -748,11 +748,80 @@ def unimax_allocations(
     )
 
 
+def _token_capped_shards(
+    keyed: DataFrame, id_col: str, token_col: str, cap: int
+) -> DataFrame:
+    """Greedy token-capped shard assignment over the ``_tsk``-ordered
+    corpus (see write_training_shards' token-capped mode). The fold is
+    sequential per ``_tss`` segment: an Arrow-batched applyInPandas
+    over the slim (id, tokens, key) projection walks the segment in
+    key order and starts a new local shard whenever the next doc would
+    exceed ``cap``; tiny per-segment shard counts become broadcast
+    cumulative offsets. Bodies never enter Python — the assignment
+    joins back on the id."""
+    mx = keyed.agg(F.max(F.col(token_col)).alias("m")).first()["m"]
+    if mx is not None and int(mx) > cap:
+        raise ValueError(
+            f"tokens_per_shard={cap} is smaller than the largest "
+            f"document ({int(mx)} tokens) — an unsplittable doc can "
+            "never be placed; raise the cap or split upstream"
+        )
+    id_type = keyed.schema[id_col].dataType.simpleString()
+    seg_type = keyed.schema["_tss"].dataType.simpleString()
+
+    def fill(pdf):
+        pdf = pdf.sort_values(["_tsk", "_tc_id"], kind="mergesort")
+        shards: list[int] = []
+        cur, lvl = 0, 0
+        for t in pdf["_tc_t"]:
+            t = int(t)
+            if lvl + t > cap and lvl > 0:
+                cur += 1
+                lvl = 0
+            shards.append(cur)
+            lvl += t
+        return pdf.assign(_tc_local=shards)[["_tc_id", "_tss", "_tc_local"]]
+
+    slim = keyed.select(
+        F.col(id_col).alias("_tc_id"),
+        F.col(token_col).cast("bigint").alias("_tc_t"),
+        "_tsk",
+        "_tss",
+    )
+    assign = (
+        slim.groupBy("_tss")
+        .applyInPandas(
+            fill,
+            schema=f"_tc_id {id_type}, _tss {seg_type}, _tc_local bigint",
+        )
+        .localCheckpoint()  # feeds both the counts agg and the id join
+    )
+    # |order_shards|-row frame: the single-task window is over ~64 rows
+    counts = assign.groupBy("_tss").agg(
+        (F.max("_tc_local") + 1).cast("bigint").alias("_tc_n")
+    )
+    w_off = Window.orderBy("_tss").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_tss",
+        F.coalesce(F.sum("_tc_n").over(w_off), F.lit(0))
+        .cast("bigint")
+        .alias("_tc_off"),
+    )
+    shard_map = assign.join(F.broadcast(offsets), "_tss").select(
+        "_tc_id",
+        (F.col("_tc_off") + F.col("_tc_local")).cast("bigint").alias("shard"),
+    )
+    return keyed.drop("_tss").join(
+        shard_map, F.col(id_col) == F.col("_tc_id")
+    ).drop("_tc_id")
+
+
 def write_training_shards(
     df: DataFrame,
     dest_dir: str,
     *,
-    rows_per_shard: int,
+    rows_per_shard: int | None = None,
+    tokens_per_shard: int | None = None,
     seed: str = "0",
     id_col: str = "doc_id",
     token_col: str | None = None,
@@ -781,14 +850,42 @@ def write_training_shards(
       ``n_tokens`` when ``token_col`` is given (dataloader budget
       accounting).
 
-    Determinism contract: same (df contents, seed, rows_per_shard) →
-    byte-identical shard membership and manifest, independent of
-    partitioning — the property that makes a training run resumable
-    and auditable. ``order_shards`` bounds the largest sort task
-    (corpus/order_shards rows), not correctness.
+    **Token-capped mode (r14, VERDICT r13 #6)**: pass
+    ``tokens_per_shard`` (with ``token_col``) INSTEAD of
+    ``rows_per_shard`` — trainers budget shards by tokens, not rows.
+    Shard membership is a greedy in-order fill with a STRICT cap:
+    walking the same global md5-shuffle order, a document goes into
+    the current shard unless it would push the shard over
+    ``tokens_per_shard``, in which case it starts the next shard — so
+    every shard's token sum is ≤ the cap (every doc must itself be ≤
+    the cap; validated up front). Scale shape: the greedy fold is
+    inherently sequential, so it runs per ``order_shards`` segment
+    (Arrow-batched ``applyInPandas`` over a SLIM (id, tokens, key)
+    projection — bodies stay JVM-side), each segment starting a fresh
+    shard; global shard ids are segment-local ids plus broadcast
+    cumulative segment shard counts. That adds at most one underfull
+    shard per segment versus the true sequential fill and bounds every
+    task at corpus/order_shards rows. Concatenating shards in id order
+    yields exactly the row-capped export's document order — the two
+    modes differ only in where the shard boundaries fall.
+
+    Determinism contract: same (df contents, seed, rows_per_shard |
+    tokens_per_shard) → byte-identical shard membership and manifest,
+    independent of partitioning — the property that makes a training
+    run resumable and auditable. ``order_shards`` bounds the largest
+    sort task (corpus/order_shards rows), not correctness.
     """
-    if rows_per_shard < 1:
+    if (rows_per_shard is None) == (tokens_per_shard is None):
+        raise ValueError(
+            "exactly one of rows_per_shard / tokens_per_shard is required"
+        )
+    if rows_per_shard is not None and rows_per_shard < 1:
         raise ValueError("rows_per_shard must be >= 1")
+    if tokens_per_shard is not None:
+        if tokens_per_shard < 1:
+            raise ValueError("tokens_per_shard must be >= 1")
+        if token_col is None:
+            raise ValueError("tokens_per_shard requires token_col")
     from lakeflush_spark.functions.text import token_hash
     from lakeflush_spark.operators.topk import global_row_number
 
@@ -797,13 +894,18 @@ def write_training_shards(
     keyed = df.withColumn("_tsk", key).withColumn(
         "_tss", hex_order_shard(F.col("_tsk"), order_shards)
     )
-    ranked = global_row_number(
-        keyed, order_cols=[F.col("_tsk"), F.col(id_col)], shard_col="_tss"
-    ).withColumn(
-        "shard",
-        F.floor((F.col("rn") - 1) / F.lit(int(rows_per_shard))).cast("bigint"),
-    )
-    out = ranked.drop("_tss")
+    if rows_per_shard is not None:
+        ranked = global_row_number(
+            keyed, order_cols=[F.col("_tsk"), F.col(id_col)], shard_col="_tss"
+        ).withColumn(
+            "shard",
+            F.floor((F.col("rn") - 1) / F.lit(int(rows_per_shard))).cast("bigint"),
+        )
+        out = ranked.drop("_tss")
+    else:
+        out = _token_capped_shards(
+            keyed, id_col, token_col, int(tokens_per_shard)
+        )
     (
         out.repartition(F.col("shard"))
         .sortWithinPartitions("shard", "_tsk", id_col)

@@ -27,6 +27,8 @@ once per row, map-side.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -429,6 +431,17 @@ def append_ivf_index(spark, corpus_new: DataFrame, index_dir: str) -> None:
     posture. If the data distribution drifts (cell sizes skew),
     rebuild offline with :func:`build_ivf_index` into a fresh dir and
     swap, exactly like ``compact_*`` stores.
+
+    **Occupancy guard (r14, VERDICT r13 #5)**: after the append, the
+    index's mean rows-per-cell is checked against the balanced-IVF
+    point (``n_cells ~= sqrt(N)`` implies mean occupancy ``sqrt(N)``);
+    when it exceeds ``occupancy_warn_factor x sqrt(N)`` — i.e. months
+    of appends left the quantizer ``factor``x too coarse for the grown
+    corpus and every probe now scans ``factor``x more rows than a
+    right-sized index would — a ``RuntimeWarning`` names the
+    rebuild-and-swap remedy. Count is parquet-metadata-only (count
+    pushdown), no row scan; the SemDedup vector store's
+    ``_warn_if_cells_overfull`` posture applied to the serving index.
     """
     base = index_dir.rstrip("/")
     cents = spark.read.parquet(f"{base}/centroids")
@@ -448,6 +461,44 @@ def append_ivf_index(spark, corpus_new: DataFrame, index_dir: str) -> None:
         .partitionBy("_cp")
         .parquet(f"{base}/vectors")
     )
+    _warn_if_index_outgrew_quantizer(spark, base)
+
+
+#: append_ivf_index warns when mean rows-per-cell exceeds this factor
+#: times the balanced-IVF occupancy sqrt(N) (n_cells ~= sqrt(N)).
+IVF_OCCUPANCY_WARN_FACTOR = 4.0
+
+
+def _warn_if_index_outgrew_quantizer(spark, base: str) -> None:
+    """Post-append drift guard (never raises): parquet-metadata counts
+    only. Warns when the appended index's mean cell occupancy exceeds
+    ``IVF_OCCUPANCY_WARN_FACTOR x sqrt(N)`` — the signal that the
+    frozen coarse quantizer is now far too coarse for the grown corpus
+    and probe selectivity has silently degraded."""
+    try:
+        n = spark.read.parquet(f"{base}/vectors").count()
+        cells = spark.read.parquet(f"{base}/centroids").count()
+        if not cells or not n:
+            return
+        mean_occ = n / cells
+        balanced = math.sqrt(n)
+        if mean_occ > IVF_OCCUPANCY_WARN_FACTOR * balanced:
+            import warnings
+
+            warnings.warn(
+                f"IVF index {base} holds {n} vectors in {cells} cells "
+                f"(mean {mean_occ:.0f}/cell vs balanced ~{balanced:.0f}): "
+                "the frozen quantizer is too coarse for the appended "
+                "corpus and every probe scans "
+                f"{mean_occ / balanced:.1f}x more rows than a "
+                "right-sized index — rebuild offline with "
+                "build_ivf_index(n_cells~=sqrt(N)) into a fresh dir and "
+                "swap (compact_ivf_index's never-rewrite-in-place rule)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    except Exception:  # noqa: BLE001 — observability must not fail appends
+        pass
 
 
 def compact_ivf_index(

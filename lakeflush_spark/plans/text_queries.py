@@ -950,6 +950,12 @@ _UNIMAX_FRAC = 0.95
 #: exact-size contract is exercised
 _SHARDS_ROWS = 200
 _SHARDS_SEED = "sh"
+#: 'tshards' (r14): token-capped export — cap must exceed the largest
+#: doc (~100 tokens at every sf); 16 order segments keep the oracle's
+#: greedy recursion depth at corpus/16.
+_TSH_CAP = 250
+_TSH_SEED = "tsh"
+_TSH_SEGS = 16
 #: per-(session, sf_dir) memo of the 'shards' label's EXPORT dir — the
 #: artifact rule (q41/q55/q62): the exporter writes once per session,
 #: the label re-reads the _manifest sidecar lazily every build
@@ -1201,6 +1207,42 @@ def _sql_clf_z() -> str:
                n_tokens,
                ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS idh
         FROM d),
+    tsh_rn AS (
+        SELECT doc_id, n_tokens,
+               ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS idh,
+               row_number() OVER (
+                   PARTITION BY CAST(FLOOR(
+                       ('0x' || substring(md5('{_TSH_SEED}:' || doc_id::VARCHAR), 1, 4))::BIGINT
+                       * {_TSH_SEGS} / 65536) AS INT)
+                   ORDER BY md5('{_TSH_SEED}:' || doc_id::VARCHAR), doc_id
+               ) AS rn,
+               CAST(FLOOR(
+                   ('0x' || substring(md5('{_TSH_SEED}:' || doc_id::VARCHAR), 1, 4))::BIGINT
+                   * {_TSH_SEGS} / 65536) AS INT) AS seg
+        FROM d),
+    tsh_walk AS (
+        -- the greedy token-capped fill (write_training_shards'
+        -- tokens_per_shard mode): walk each segment in key order,
+        -- start a new local shard when the next doc would overflow
+        SELECT seg, rn, doc_id, idh, n_tokens,
+               0::BIGINT AS lsh, n_tokens AS lvl
+        FROM tsh_rn WHERE rn = 1
+        UNION ALL
+        SELECT r.seg, r.rn, r.doc_id, r.idh, r.n_tokens,
+               CASE WHEN w.lvl + r.n_tokens > {_TSH_CAP}
+                    THEN w.lsh + 1 ELSE w.lsh END,
+               CASE WHEN w.lvl + r.n_tokens > {_TSH_CAP}
+                    THEN r.n_tokens ELSE w.lvl + r.n_tokens END
+        FROM tsh_walk w JOIN tsh_rn r ON r.seg = w.seg AND r.rn = w.rn + 1),
+    tsh_off AS (
+        SELECT seg,
+               COALESCE(SUM(nsh) OVER (
+                   ORDER BY seg ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0)::BIGINT AS soff
+        FROM (SELECT seg, MAX(lsh) + 1 AS nsh FROM tsh_walk GROUP BY seg)),
+    tsh AS (
+        SELECT w.lsh + o.soff AS shard, w.doc_id, w.idh, w.n_tokens
+        FROM tsh_walk w JOIN tsh_off o USING (seg)),
     langpred AS (SELECT source, {_sql_lang_case()} AS lp FROM documents),
     lmode AS (
         SELECT source, lp, cnt, tot FROM (
@@ -1322,6 +1364,16 @@ def _sql_clf_z() -> str:
         SELECT 'shards_ck', shard::VARCHAR, CAST(SUM(idh) AS BIGINT),
                CAST(COUNT(*) AS BIGINT)
         FROM shdd GROUP BY shard
+        UNION ALL
+        -- 'tshards'/'tshards_ck' (r14): the token-capped export's
+        -- manifest — greedy fill replayed by the tsh_walk recursion
+        SELECT 'tshards', shard::VARCHAR, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_tokens) AS BIGINT)
+        FROM tsh GROUP BY shard
+        UNION ALL
+        SELECT 'tshards_ck', shard::VARCHAR, CAST(SUM(idh) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM tsh GROUP BY shard
     ) ORDER BY kind, key
     """,
     "Deterministic sampling & training-mix suite, three strategies "
@@ -1375,7 +1427,15 @@ def _sql_clf_z() -> str:
     "global_row_number, one file per shard) and the labels read its "
     "_manifest sidecar (per-shard rows + token sums + order-free id "
     "checksum), with the oracle replaying membership from scratch — "
-    "the hash certifies the artifact on disk.",
+    "the hash certifies the artifact on disk. r14 adds "
+    "'tshards'/'tshards_ck': the TOKEN-capped export mode "
+    "(tokens_per_shard=250, 16 order segments) — trainers budget "
+    "shards by tokens — whose strict-cap greedy fill (a new shard "
+    "whenever the next doc would overflow, per order segment, "
+    "segment-count offsets) the oracle replays with a recursive CTE "
+    "walking each segment in md5-key order; again both labels read "
+    "the REAL written artifact's manifest, so the driver hash "
+    "certifies cap compliance on disk, exact integers throughout.",
 )
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.mixing import mix_sources, take_token_budget
@@ -1641,8 +1701,8 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.mixing import write_training_shards
 
     memo_key = (spark.sparkContext.applicationId, sf_dir)
-    sh_dest = _Q60_SHARDS_MEMO.get(memo_key)
-    if sh_dest is None:
+    dests = _Q60_SHARDS_MEMO.get(memo_key)
+    if dests is None:
         import atexit as _atexit
         import os as _os
         import shutil as _shutil
@@ -1658,8 +1718,20 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
             seed=_SHARDS_SEED,
             token_col="n_tokens",
         )
-        _Q60_SHARDS_MEMO[memo_key] = sh_dest
-    man = spark.read.parquet(f"{sh_dest}/_manifest")
+        # r14: the token-capped sibling ('tshards' labels) — same
+        # artifact rule, one greedy export per (session, sf_dir)
+        tsh_dest = _os.path.join(root, "export_tok")
+        write_training_shards(
+            d,
+            tsh_dest,
+            tokens_per_shard=_TSH_CAP,
+            seed=_TSH_SEED,
+            token_col="n_tokens",
+            order_shards=_TSH_SEGS,
+        )
+        dests = {"rows": sh_dest, "tok": tsh_dest}
+        _Q60_SHARDS_MEMO[memo_key] = dests
+    man = spark.read.parquet(f"{dests['rows']}/_manifest")
     shards = man.select(
         F.lit("shards").alias("kind"),
         F.col("shard").cast("string").alias("key"),
@@ -1668,6 +1740,19 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shards_ck = man.select(
         F.lit("shards_ck").alias("kind"),
+        F.col("shard").cast("string").alias("key"),
+        F.col("id_checksum").alias("n_docs"),
+        F.col("rows").alias("sum_tokens"),
+    )
+    tman = spark.read.parquet(f"{dests['tok']}/_manifest")
+    tshards = tman.select(
+        F.lit("tshards").alias("kind"),
+        F.col("shard").cast("string").alias("key"),
+        F.col("rows").alias("n_docs"),
+        F.col("n_tokens").alias("sum_tokens"),
+    )
+    tshards_ck = tman.select(
+        F.lit("tshards_ck").alias("kind"),
         F.col("shard").cast("string").alias("key"),
         F.col("id_checksum").alias("n_docs"),
         F.col("rows").alias("sum_tokens"),
@@ -1687,5 +1772,7 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(unimax)
         .unionByName(shards)
         .unionByName(shards_ck)
+        .unionByName(tshards)
+        .unionByName(tshards_ck)
         .orderBy("kind", "key")
     )

@@ -181,3 +181,30 @@ def test_sidecar_embeds_recoverable_rows(tmp_path, spark, monkeypatch):
     assert sorted(decoded) == sorted(
         "\t".join(q41_debug._canon_cell(c) for c in r) for r in rows
     )
+
+
+def test_sidecar_carries_representation_evidence(tmp_path, spark, monkeypatch):
+    """r14 (VERDICT r13 #3): the sidecar records the Spark result's
+    df.dtypes and the BOUND DuckDB oracle types + safe-set violations,
+    so a future dtype-level divergence (the q41 HUGEINT class) names
+    itself instead of hiding behind matching value md5s. Filenames now
+    carry ms + a sequence so sub-second builds never collide."""
+    import lakeflush_spark.plans.q41_debug as q41_debug
+
+    monkeypatch.setattr(q41_debug, "DEBUG_DIR", str(tmp_path))
+    monkeypatch.setenv("LAKEFLUSH_Q41_ORACLE", "0")
+    rows = [("word", "a", "", 1, None, None)]
+    names = ["method", "k1", "k2", "n1", "n2", "n3"]
+    dtypes = [("method", "string"), ("k1", "string"), ("k2", "string"),
+              ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint")]
+    p1 = q41_debug.write_sidecar(spark, SF, rows, names, spark_dtypes=dtypes)
+    p2 = q41_debug.write_sidecar(spark, SF, rows, names, spark_dtypes=dtypes)
+    assert p1 != p2  # ADVICE r13: no same-second overwrite
+    with open(p1) as fh:
+        doc = json.load(fh)
+    assert doc["spark_dtypes"] == [list(t) for t in dtypes]
+    ot = doc["oracle_types"]
+    assert ot["type_problems"] == []
+    assert ot["duck_types"]["n1"] == "BIGINT"
+    assert ot["duck_types"]["n2"] == "BIGINT"
+    assert ot["duck_types"]["n3"] == "BIGINT"

@@ -933,3 +933,54 @@ def write_training_shards(
     )
     manifest.coalesce(1).write.mode("error").parquet(f"{base}/_manifest")
     return out.sparkSession.read.parquet(f"{base}/_manifest").orderBy("shard")
+
+
+def verify_training_shards(
+    spark,
+    dest_dir: str,
+    *,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Integrity audit of a :func:`write_training_shards` export (r14):
+    re-scan the written shards, recompute per-shard rows, the
+    order-free id checksum, and (when ``token_col`` is given) the
+    token sum, and compare each against the ``_manifest`` sidecar.
+
+    Returns one row per shard: the recomputed and manifest values plus
+    an ``ok`` verdict — run it before handing a dataloader the export
+    (bit-rot, partial copies, and hand-edited shards all surface as a
+    false ``ok``). A shard present on disk but missing from the
+    manifest (or vice versa) yields a row with NULLs on the absent
+    side, so count(ok) == count(*) is the pass condition.
+
+    Cost: ONE scan of the export with a map-side-combined groupBy on
+    the shard partition column, broadcast-joined to the tiny manifest
+    — no sort, no driver-side rows beyond the |shards| result.
+    """
+    from lakeflush_spark.functions.text import token_hash
+
+    base = dest_dir.rstrip("/")
+    agg = [
+        F.count(F.lit(1)).cast("bigint").alias("rows_actual"),
+        F.sum(token_hash(F.col(id_col).cast("string")))
+        .cast("bigint")
+        .alias("ck_actual"),
+    ]
+    if token_col is not None:
+        agg.append(F.sum(token_col).cast("bigint").alias("tokens_actual"))
+    actual = (
+        spark.read.option("basePath", base)
+        .parquet(base)
+        .groupBy("shard")
+        .agg(*agg)
+    )
+    manifest = spark.read.parquet(f"{base}/_manifest")
+    joined = actual.join(F.broadcast(manifest), "shard", "full_outer")
+    ok = (
+        F.col("rows_actual").eqNullSafe(F.col("rows"))
+        & F.col("ck_actual").eqNullSafe(F.col("id_checksum"))
+    )
+    if token_col is not None and "n_tokens" in manifest.columns:
+        ok = ok & F.col("tokens_actual").eqNullSafe(F.col("n_tokens"))
+    return joined.withColumn("ok", ok).orderBy("shard")

@@ -501,6 +501,41 @@ def _warn_if_index_outgrew_quantizer(spark, base: str) -> None:
         pass
 
 
+def ivf_index_stats(spark, index_dir: str) -> DataFrame:
+    """One-row health report for a persisted IVF index (r14) — the
+    observability twin of the append-time drift warning: per-cell
+    occupancy aggregated to (n_vectors, n_cells, nonempty_cells,
+    mean/max rows-per-cell, the balanced-IVF occupancy ``sqrt(N)``,
+    and ``occupancy_factor`` = mean/balanced — >~4 means rebuild, the
+    same threshold ``append_ivf_index`` warns at).
+
+    Cost: one map-side-combined count per cell (the per-cell frame is
+    |cells| rows) — safe to run on a serving index any time. A skewed
+    ``max_rows_per_cell`` with a healthy mean flags hot cells that
+    salting or a quantizer retrain would split.
+    """
+    base = index_dir.rstrip("/")
+    per_cell = (
+        spark.read.option("basePath", f"{base}/vectors")
+        .parquet(f"{base}/vectors")
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows"))
+    )
+    n_cells = spark.read.parquet(f"{base}/centroids").count()
+    return per_cell.agg(
+        F.sum("rows").cast("bigint").alias("n_vectors"),
+        F.lit(int(n_cells)).cast("bigint").alias("n_cells"),
+        F.count(F.lit(1)).cast("bigint").alias("nonempty_cells"),
+        (F.sum("rows") / F.lit(int(n_cells))).alias("mean_rows_per_cell"),
+        F.max("rows").cast("bigint").alias("max_rows_per_cell"),
+        F.sqrt(F.sum("rows")).alias("balanced_occupancy"),
+        (
+            (F.sum("rows") / F.lit(int(n_cells)))
+            / F.sqrt(F.sum("rows"))
+        ).alias("occupancy_factor"),
+    )
+
+
 def compact_ivf_index(
     spark, src_index_dir: str, dest_index_dir: str
 ) -> None:

@@ -174,3 +174,60 @@ def test_append_ivf_no_warning_when_balanced(spark, tmp_path):
         append_ivf_index(
             spark, prepare_vectors(_vecs(spark, range(100, 120))), idx
         )
+
+
+def test_verify_training_shards_detects_tampering(spark, tmp_path):
+    """r14 auditor: a clean export verifies all-ok; a deleted shard
+    surfaces as ok=False (manifest side present, actual side NULL)."""
+    import shutil
+
+    from lakeflush_spark.operators.mixing import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    docs = _docs(spark)
+    dest = str(tmp_path / "exp")
+    write_training_shards(
+        docs, dest, rows_per_shard=25, seed="s", token_col="n_tokens"
+    )
+    v = verify_training_shards(
+        spark, dest, id_col="doc_id", token_col="n_tokens"
+    ).collect()
+    assert len(v) == 5 and all(r.ok for r in v)
+
+    shutil.rmtree(f"{dest}/shard=2")
+    v2 = {r.shard: r.ok for r in verify_training_shards(
+        spark, dest, id_col="doc_id", token_col="n_tokens"
+    ).collect()}
+    assert v2[2] is False
+    assert all(ok for s, ok in v2.items() if s != 2)
+
+
+def test_ivf_index_stats_reports_occupancy(spark, tmp_path):
+    from lakeflush_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_stats,
+        prepare_vectors,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(prepare_vectors(_vecs(spark, range(64))), idx, n_cells=8)
+    r = ivf_index_stats(spark, idx).collect()[0]
+    assert r.n_vectors == 64 and r.n_cells == 8
+    assert 0 < r.nonempty_cells <= 8
+    assert abs(r.mean_rows_per_cell - 8.0) < 1e-9
+    assert abs(r.balanced_occupancy - 8.0) < 1e-9
+    assert abs(r.occupancy_factor - 1.0) < 1e-9
+    # grow it far past the quantizer: factor rises above the warn line
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", RuntimeWarning)
+        append_ivf_index(
+            spark, prepare_vectors(_vecs(spark, range(100, 1100))), idx
+        )
+    r2 = ivf_index_stats(spark, idx).collect()[0]
+    assert r2.n_vectors == 1064
+    assert r2.occupancy_factor > 4.0

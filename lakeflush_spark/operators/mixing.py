@@ -867,13 +867,23 @@ def write_training_shards(
     shard per segment versus the true sequential fill and bounds every
     task at corpus/order_shards rows. Concatenating shards in id order
     yields exactly the row-capped export's document order — the two
-    modes differ only in where the shard boundaries fall.
+    modes differ only in where the shard boundaries fall. Sizing note
+    for the token mode: one segment's SLIM rows (~25 B each) must fit
+    a Python worker's memory in one pandas frame (pandas cannot spill
+    the way the row-capped mode's JVM window sort can) — raise
+    ``order_shards`` (up to 65536) until corpus_rows/order_shards is
+    tens of millions at most.
 
     Determinism contract: same (df contents, seed, rows_per_shard |
     tokens_per_shard) → byte-identical shard membership and manifest,
     independent of partitioning — the property that makes a training
     run resumable and auditable. ``order_shards`` bounds the largest
     sort task (corpus/order_shards rows), not correctness.
+
+    ``id_col`` values must be unique (the standard curated-corpus
+    contract; exact dedup is an upstream stage): the manifest's
+    order-free id checksum assumes it, and the token-capped mode's
+    assignment join would duplicate rows under repeated ids.
     """
     if (rows_per_shard is None) == (tokens_per_shard is None):
         raise ValueError(

@@ -433,14 +433,15 @@ def compact_bm25_index(
     and rewrites ``postings/`` with files re-coalesced per bucket —
     lossless by construction (everything merged is a sum), so searches
     against the compacted copy are value-identical.
+
+    Write order (r14, the compact_ivf_index rule): postings, terms,
+    then ``stats/`` LAST as the completion marker — ``bm25_search``
+    cannot run without stats, so a compact that crashed mid-way fails
+    loudly on first read instead of serving a partially-merged index;
+    delete the dest and re-run.
     """
     base = index_dir.rstrip("/")
     dest = dest_dir.rstrip("/")
-    stats = spark.read.parquet(f"{base}/stats").agg(
-        F.sum("n_docs").cast("bigint").alias("n_docs"),
-        F.sum("total_len").cast("bigint").alias("total_len"),
-    )
-    stats.coalesce(1).write.mode("error").parquet(f"{dest}/stats")
     posts = spark.read.option("basePath", f"{base}/postings").parquet(
         f"{base}/postings"
     )
@@ -461,6 +462,12 @@ def compact_bm25_index(
         .partitionBy("_tb")
         .parquet(f"{dest}/terms")
     )
+    # stats last — completion marker (see docstring)
+    stats = spark.read.parquet(f"{base}/stats").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_len").cast("bigint").alias("total_len"),
+    )
+    stats.coalesce(1).write.mode("error").parquet(f"{dest}/stats")
 
 
 def bm25_search(

@@ -453,6 +453,20 @@ def append_ivf_index(spark, corpus_new: DataFrame, index_dir: str) -> None:
         rows = indexed.select(
             "vid", "cell_id", quantize_int8(F.col("v")).alias("qv"), "nrm"
         )
+    elif "codes" in existing_cols:
+        # PQ layout: encode the new rows with the index's FROZEN
+        # codebooks (the codebooks/ sidecar) — same no-retrain posture
+        # as the centroids; drift remedy is rebuild-and-swap
+        from lakeflush_spark.operators.pq import (
+            encode_with_codebooks,
+            read_codebooks,
+        )
+
+        cb = read_codebooks(spark, base)
+        rows = indexed.select(
+            "vid", "cell_id", encode_with_codebooks(F.col("v"), cb).alias("codes"),
+            "nrm",
+        )
     else:
         rows = indexed.select("vid", "cell_id", "v", "nrm")
     (
@@ -558,6 +572,15 @@ def compact_ivf_index(
         .partitionBy("_cp")
         .parquet(f"{dest}/vectors")
     )
+    if "codes" in vecs.columns:
+        # PQ layout carries a codebooks/ sidecar — copy it verbatim
+        # (before centroids; centroids stay the completion marker)
+        (
+            spark.read.parquet(f"{src}/codebooks")
+            .coalesce(1)
+            .write.mode("error")
+            .parquet(f"{dest}/codebooks")
+        )
     # sidecar last — its presence marks the compacted index complete
     (
         spark.read.parquet(f"{src}/centroids")
@@ -586,6 +609,11 @@ def quantize_index(spark, src_index_dir: str, dest_index_dir: str) -> None:
     )
     if "qv" in vecs.columns:
         raise ValueError(f"{src} is already an int8 index")
+    if "codes" in vecs.columns:
+        raise ValueError(
+            f"{src} is a product-quantized (IVF-PQ) index — int8 "
+            "quantization applies to the float layout only"
+        )
     (
         vecs.select(
             "vid", "cell_id", quantize_int8(F.col("v")).alias("qv"),
@@ -602,6 +630,32 @@ def quantize_index(spark, src_index_dir: str, dest_index_dir: str) -> None:
         .write.mode("error")
         .parquet(f"{dest}/centroids")
     )
+
+
+def _open_index_probes(spark, base: str, queries: DataFrame, nprobe: int):
+    """Probe assignment + pruned vectors read shared by
+    :func:`ivf_search` and :func:`lakeflush_spark.operators.pq.ivfpq_search`:
+    queries assign map-only against the centroid sidecar (the probes
+    frame is persisted — the bounded ≤256-value ``cps`` collect
+    materializes it and drives the ``_cp`` directory prune), and the
+    vectors read lists ONLY the probed cells' partitions. Returns
+    ``(probes, vecs)``; the caller owns the probes cache lifecycle."""
+    cents = spark.read.parquet(f"{base}/centroids")
+    probe_src = _nearest_cells(queries, _pack_cells(cents), nprobe)
+    probes = probe_src.select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"), F.col("cell_id").alias("qcell"),
+    ).persist()
+    # bounded collect (<= 256 partition values) drives the directory
+    # prune; the broadcast probe join then refines to exact cells
+    cps = [
+        r._cp
+        for r in probes.select(
+            F.pmod(F.col("qcell"), F.lit(256)).alias("_cp")
+        ).distinct().collect()
+    ]
+    vecs = spark.read.parquet(f"{base}/vectors").where(F.col("_cp").isin(cps))
+    return probes, vecs
 
 
 def ivf_search(
@@ -635,21 +689,13 @@ def ivf_search(
     rows) and the probe cache released before returning, so each
     search leaves zero pinned state behind (r8, per round-7 advice)."""
     base = index_dir.rstrip("/")
-    cents = spark.read.parquet(f"{base}/centroids")
-    probe_src = _nearest_cells(queries, _pack_cells(cents), nprobe)
-    probes = probe_src.select(
-        F.col("vid").alias("qid"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"), F.col("cell_id").alias("qcell"),
-    ).persist()
-    # bounded collect (<= 256 partition values) drives the directory
-    # prune; the broadcast probe join then refines to exact cells
-    cps = [
-        r._cp
-        for r in probes.select(
-            F.pmod(F.col("qcell"), F.lit(256)).alias("_cp")
-        ).distinct().collect()
-    ]
-    vecs = spark.read.parquet(f"{base}/vectors").where(F.col("_cp").isin(cps))
+    probes, vecs = _open_index_probes(spark, base, queries, nprobe)
+    if "codes" in vecs.columns:
+        probes.unpersist()
+        raise ValueError(
+            f"{base} is a product-quantized (IVF-PQ) index — search it "
+            "with lakeflush_spark.operators.pq.ivfpq_search"
+        )
     if "qv" in vecs.columns:
         from lakeflush_spark.functions.vectors import dequantize_int8
 

@@ -1132,6 +1132,24 @@ def bench_curation_ops(spark) -> dict[str, float]:
         t0 = time.time()
         hybrid_search(spark, idx, ivf_idx, hybrid_queries, k=10).collect()
         out["hybrid_search_sec"] = round(time.time() - t0, 3)
+
+        # IVF-PQ serving (r14): encode the float index to m=16 PQ
+        # codes (one map-only Arrow pass + driver codebook fit), then
+        # the reranked ADC search — the memory-tier serving path
+        from lakeflush_spark.operators.pq import ivfpq_search, pq_encode_index
+
+        pq_idx = ivf_idx.rstrip("/") + "_pq"
+        t0 = time.time()
+        pq_encode_index(spark, ivf_idx, pq_idx, m=16, n_codes=64)
+        out["pq_encode_sec"] = round(time.time() - t0, 3)
+        pq_queries = prepare_vectors(emb).where("vid < 4")
+        t0 = time.time()
+        ivfpq_search(
+            spark, pq_idx, pq_queries, k=10, nprobe=8,
+            rerank_index_dir=ivf_idx, rerank_factor=8, materialize=True,
+        ).collect()
+        out["pq_search_sec"] = round(time.time() - t0, 3)
+        shutil.rmtree(pq_idx, ignore_errors=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
         shutil.rmtree(ivf_idx, ignore_errors=True)

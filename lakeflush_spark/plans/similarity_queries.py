@@ -310,6 +310,17 @@ ranked AS (
            CAST(NULL AS DOUBLE) AS cos_sim,
            CAST(1 AS BIGINT) AS rank
     FROM q
+    UNION ALL
+    -- 'pq' = IVF-PQ serving VERDICT (r14, same q10 trick): the engine
+    -- emits rank=1 per query iff its reranked PQ top-k agrees with
+    -- the float-index top-k (>= 80% pair overlap; rerank rescoring
+    -- makes shared cosines exactly the float values); the oracle
+    -- expects every query's verdict to hold
+    SELECT 'pq' AS method, qid AS query_id,
+           CAST(-1 AS BIGINT) AS neighbor_id,
+           CAST(NULL AS DOUBLE) AS cos_sim,
+           CAST(1 AS BIGINT) AS rank
+    FROM q
 )
 SELECT method, query_id, neighbor_id, cos_sim, rank
 FROM ranked WHERE rank <= {TOP_K}
@@ -348,13 +359,77 @@ def _q55_index(spark: SparkSession, sf_dir: str):
     # idx is already a unique path; derive the int8 twin's name from it
     # (quantize_index requires an ABSENT dest, so no mkdtemp here)
     idx8 = idx + "_int8"
+    idx_pq = idx + "_pq"
     build_ivf_index(corpus, idx, n_cells=_IVF_CELLS)
     quantize_index(spark, idx, idx8)
+    # PQ twin (r14): m=16 six-bit codebooks off the float index — the
+    # geometry the rerank-agreement sweep measured at 100% candidate
+    # recall on this corpus (factor 8)
+    from lakeflush_spark.operators.pq import pq_encode_index
+
+    pq_encode_index(spark, idx, idx_pq, m=16, n_codes=64)
     atexit.register(shutil.rmtree, idx, ignore_errors=True)
     atexit.register(shutil.rmtree, idx8, ignore_errors=True)
-    _Q55_IDX_MEMO[key] = (corpus, queries, idx, idx8)
+    atexit.register(shutil.rmtree, idx_pq, ignore_errors=True)
+    _Q55_IDX_MEMO[key] = (corpus, queries, idx, idx8, idx_pq)
     return _Q55_IDX_MEMO[key]
 
+
+
+def _agreement_verdict(
+    queries, served_raw, approx_raw, method, types, dev_tol
+):
+    """One verdict row per QUERY comparing an approximate index's
+    top-k against the float index's (the q10 tolerance trick): rank=1
+    iff >= 80% of the float top-k pairs recur AND shared pairs
+    deviate <= ``dev_tol`` in cosine. The oracle emits one row per q
+    row, so a query with zero float results must still appear; the
+    overlap floor scales to each query's ACTUAL float top-k size (a
+    sparse query may have < TOP_K reachable neighbors — a fixed
+    0.8*TOP_K floor would fail it despite perfect agreement)."""
+    ov = approx_raw.select(
+        "query_id", "neighbor_id", F.col("cos_sim").alias("c8")
+    ).join(
+        served_raw.select(
+            "query_id", "neighbor_id", F.col("cos_sim").alias("cf")
+        ),
+        ["query_id", "neighbor_id"],
+    )
+    return (
+        queries.select(F.col("vid").alias("query_id"))
+        .join(
+            served_raw.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("_n_float")
+            ),
+            "query_id",
+            "left",
+        )
+        .join(
+            ov.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("_n_ov"),
+                F.max(F.abs(F.col("c8") - F.col("cf"))).alias("_dev"),
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            F.lit(method).alias("method"),
+            "query_id",
+            F.lit(-1).cast(types["neighbor_id"]).alias("neighbor_id"),
+            F.lit(None).cast(types["cos_sim"]).alias("cos_sim"),
+            F.when(
+                (
+                    F.coalesce(F.col("_n_ov"), F.lit(0))
+                    >= F.ceil(0.8 * F.coalesce(F.col("_n_float"), F.lit(0)))
+                )
+                & (F.coalesce(F.col("_dev"), F.lit(0.0)) <= dev_tol),
+                1,
+            )
+            .otherwise(0)
+            .cast(types["rank"])
+            .alias("rank"),
+        )
+    )
 
 
 @declare(
@@ -379,12 +454,17 @@ def _q55_index(spark: SparkSession, sf_dir: str):
     "the quantize=True index layout with a per-query agreement VERDICT "
     "vs the float index — >=80% top-k pair overlap, <=0.01 cosine "
     "deviation — the q10 tolerance trick, since int8 cosines are not "
-    "bit-reproducible in SQL.)",
+    "bit-reproducible in SQL; r14: 'pq' drives the IVF-PQ layout "
+    "(operators/pq.py — m=16 sample-trained codebooks, ADC scoring as "
+    "a JVM aggregate over code arrays, exact rerank against the float "
+    "parent at factor 8) through the same per-query agreement verdict "
+    "— rerank makes shared cosines exactly the float values, so only "
+    "candidate recall is tolerated, at 100%-measured margin.)",
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.similarity import ivf_search, ivf_topk
 
-    corpus, queries, idx, idx8 = _q55_index(spark, sf_dir)
+    corpus, queries, idx, idx8, idx_pq = _q55_index(spark, sf_dir)
     flat = ivf_topk(
         corpus, queries, TOP_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
     ).select(F.lit("flat").alias("method"), "query_id", "neighbor_id", "cos_sim", "rank")
@@ -422,55 +502,26 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx8, queries, TOP_K, nprobe=_IVF_NPROBE,
         materialize=True,
     )
-    ov = int8_raw.select(
-        "query_id", "neighbor_id", F.col("cos_sim").alias("c8")
-    ).join(
-        served_raw.select(
-            "query_id", "neighbor_id", F.col("cos_sim").alias("cf")
-        ),
-        ["query_id", "neighbor_id"],
-    )
     types = dict(served_raw.dtypes)
-    int8 = (
-        # one verdict row per QUERY (the oracle emits one per q row, so
-        # a query with zero float results must still appear); the
-        # overlap floor scales to each query's ACTUAL float top-k size
-        # (a sparse query may have < TOP_K reachable neighbors — a
-        # fixed 0.8*TOP_K floor would fail it despite perfect
-        # int8/float agreement)
-        queries.select(F.col("vid").alias("query_id"))
-        .join(
-            served_raw.groupBy("query_id").agg(
-                F.count(F.lit(1)).alias("_n_float")
-            ),
-            "query_id",
-            "left",
-        )
-        .join(
-            ov.groupBy("query_id").agg(
-                F.count(F.lit(1)).alias("_n_ov"),
-                F.max(F.abs(F.col("c8") - F.col("cf"))).alias("_dev"),
-            ),
-            "query_id",
-            "left",
-        )
-        .select(
-            F.lit("int8").alias("method"),
-            "query_id",
-            F.lit(-1).cast(types["neighbor_id"]).alias("neighbor_id"),
-            F.lit(None).cast(types["cos_sim"]).alias("cos_sim"),
-            F.when(
-                (
-                    F.coalesce(F.col("_n_ov"), F.lit(0))
-                    >= F.ceil(0.8 * F.coalesce(F.col("_n_float"), F.lit(0)))
-                )
-                & (F.coalesce(F.col("_dev"), F.lit(0.0)) <= 0.01),
-                1,
-            )
-            .otherwise(0)
-            .cast(types["rank"])
-            .alias("rank"),
-        )
+    int8 = _agreement_verdict(
+        queries, served_raw, int8_raw, "int8", types, dev_tol=0.01
+    )
+    # 'pq' (r14): the IVF-PQ layout (pq_encode_index in the memo —
+    # m=16 codebooks trained on the index's own vectors) served via
+    # ADC + exact rerank against the float parent
+    # (rerank_index_dir=idx), verdict-checked like int8. Rerank makes
+    # shared-pair cosines EXACTLY the float values (dev_tol 1e-9 is a
+    # float-noise guard, not a tolerance); only candidate recall is
+    # approximate, and the 0.8 floor holds 100%-measured margin at
+    # sf0.001/0.01/0.1 (see operators/pq.py).
+    from lakeflush_spark.operators.pq import ivfpq_search
+
+    pq_raw = ivfpq_search(
+        spark, idx_pq, queries, TOP_K, nprobe=_IVF_NPROBE,
+        rerank_index_dir=idx, rerank_factor=8, materialize=True,
+    )
+    pq = _agreement_verdict(
+        queries, served_raw, pq_raw, "pq", types, dev_tol=1e-9
     )
     two = ivf_topk(
         corpus,
@@ -488,5 +539,6 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(two)
         .unionByName(shuffled)
         .unionByName(int8)
+        .unionByName(pq)
         .orderBy("method", "query_id", "rank")
     )

@@ -636,6 +636,8 @@ def hybrid_search(
     nprobe: int = 4,
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_TERM_BUCKETS,
+    ann_rerank_index_dir: str | None = None,
+    rerank_factor: int = 8,
 ) -> DataFrame:
     """One-call HYBRID retrieval over two persisted indexes (VERDICT
     r12 #3): BM25 keyword search against a :func:`build_bm25_index`
@@ -663,6 +665,13 @@ def hybrid_search(
     :func:`reciprocal_rank_fusion` (no join). Per-query cost is
     independent of corpus size given bucket/cell counts sized to the
     corpus; nothing here collects to the driver.
+
+    ``ivf_index_dir`` may also point at an IVF-PQ store
+    (:func:`~lakeflush_spark.operators.pq.pq_encode_index`) — the ANN
+    leg then scores via ADC, exactly reranked against the float
+    parent when ``ann_rerank_index_dir`` names it (the memory-tier
+    hybrid: PQ codes hot, floats on cheap storage touched only for
+    |Q|·list_k·factor candidate rows).
     """
     if not queries:
         raise ValueError("queries must be non-empty")
@@ -686,9 +695,26 @@ def hybrid_search(
         spark, bm25_index_dir, kw, k=list_k, id_col=id_col,
         n_buckets=n_buckets,
     ).select("query_id", F.col(id_col).alias("doc_id"), "rank")
-    ann_ranks = ivf_search(
-        spark, ivf_index_dir, qvecs, k=list_k, nprobe=nprobe
-    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    # layout-aware ANN leg (r14): a PQ vectors store (codes column)
+    # routes through ADC search — with exact rerank when the float
+    # parent is supplied via ``ann_rerank_index_dir`` (ignored for
+    # float/int8 layouts). Schema check is a parquet-footer read.
+    ivf_base = ivf_index_dir.rstrip("/")
+    if "codes" in spark.read.parquet(f"{ivf_base}/vectors").schema.names:
+        from lakeflush_spark.operators.pq import ivfpq_search
+
+        ann_raw = ivfpq_search(
+            spark, ivf_base, qvecs, k=list_k, nprobe=nprobe,
+            rerank_index_dir=ann_rerank_index_dir,
+            rerank_factor=rerank_factor,
+        )
+    else:
+        ann_raw = ivf_search(
+            spark, ivf_base, qvecs, k=list_k, nprobe=nprobe
+        )
+    ann_ranks = ann_raw.select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
     return reciprocal_rank_fusion(
         keyword_ranks, ann_ranks, k=rrf_k, top_k=k
     )

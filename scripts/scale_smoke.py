@@ -273,6 +273,38 @@ def main() -> int:
                 }
             )
         )
+
+        # r14: IVF-PQ serving at Nx — codebook training is
+        # sample-capped (flat in N), the encode is one map-only Arrow
+        # pass (linear), and the reranked ADC search must stay ~flat
+        # like the float search (both reads prune to probed _cp cells;
+        # the rerank join touches |Q|·k·factor candidate rows only)
+        from lakeflush_spark.operators.pq import ivfpq_search, pq_encode_index
+
+        pq_dir = ivf_dir.rstrip("/") + "_pq"
+        try:
+            t0 = time.time()
+            pq_encode_index(spark, ivf_dir, pq_dir, m=16, n_codes=64)
+            pq_encode = time.time() - t0
+            pq_queries = _prep(big_vecs).where("vid < 4")
+            t0 = time.time()
+            n_pq = ivfpq_search(
+                spark, pq_dir, pq_queries, k=10, nprobe=8,
+                rerank_index_dir=ivf_dir, rerank_factor=8,
+                materialize=True,
+            ).count()
+            print(
+                json.dumps(
+                    {
+                        "stage": "pq_serving",
+                        "rows": n_pq,
+                        "pq_encode_sec": round(pq_encode, 2),
+                        "search_sec": round(time.time() - t0, 2),
+                    }
+                )
+            )
+        finally:
+            _shutil.rmtree(pq_dir, ignore_errors=True)
     finally:
         _shutil.rmtree(bm_dir, ignore_errors=True)
         _shutil.rmtree(ivf_dir, ignore_errors=True)

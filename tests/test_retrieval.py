@@ -298,6 +298,56 @@ def test_hybrid_search_composes_the_pieces_exactly(spark, tmp_path):
     assert {v[1] for v in rows.values()} & {3}
 
 
+def test_hybrid_search_over_reranked_pq_index_matches_float(spark, tmp_path):
+    """r14: a PQ vectors store routes the ANN leg through ADC search;
+    with the float parent as rerank store the hybrid result is
+    row-identical to hybrid over the float index."""
+    from lakeflush_spark.operators.pq import pq_encode_index
+    from lakeflush_spark.operators.retrieval import (
+        build_bm25_index,
+        hybrid_search,
+    )
+    from lakeflush_spark.operators.similarity import (
+        build_ivf_index,
+        prepare_vectors,
+    )
+
+    words = ["spark", "joins", "scans", "rows", "plans", "vectors"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(words[(i + j) % len(words)] for j in range(4)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(16)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bm_dir, ivf_dir = str(tmp_path / "bm25"), str(tmp_path / "ivf")
+    pq_dir = str(tmp_path / "pq")
+    build_bm25_index(docs, bm_dir)
+    build_ivf_index(prepare_vectors(vecs), ivf_dir, n_cells=4)
+    pq_encode_index(spark, ivf_dir, pq_dir, m=8, n_codes=32)
+
+    queries = [
+        (0, "spark joins", [float((d * 5) % 7) - 3.0 for d in range(16)]),
+        (1, "scans rows", [float((d * 3 + 1) % 5) - 2.0 for d in range(16)]),
+    ]
+    res = lambda d, **kw: {  # noqa: E731
+        (r.query_id, r.doc_id): (r.rrf_e9, r.src_mask, r.rank)
+        for r in hybrid_search(
+            spark, bm_dir, d, queries, k=5, list_k=20, nprobe=4, **kw
+        ).collect()
+    }
+    want = res(ivf_dir)
+    got = res(pq_dir, ann_rerank_index_dir=ivf_dir, rerank_factor=8)
+    assert got == want
+
+
 def test_hybrid_search_rejects_empty_queries(spark, tmp_path):
     from lakeflush_spark.operators.retrieval import hybrid_search
 

@@ -29,7 +29,9 @@ from lakeflush_spark.functions.text import (  # noqa: F401
 from lakeflush_spark.functions.vectors import (  # noqa: F401
     cosine_similarity,
     dot_product,
+    jl_sign_matrix,
     l2_norm,
+    random_project,
     sign_lsh_bucket,
     to_double_vec,
 )

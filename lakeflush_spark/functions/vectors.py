@@ -42,6 +42,50 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def jl_sign_matrix(d: int, out_dim: int, seed: str = "jl:") -> list:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix
+    (Achlioptas 2001's database-friendly sign variant), ``out_dim``
+    rows of ``d`` signs, derived from ``md5(seed:i:j)`` parity — a
+    pure function of (d, out_dim, seed), so BOTH engines (and the
+    DuckDB oracle, via an embedded literal) see the same matrix
+    without sharing state. Rows are scaled 1/sqrt(out_dim) so
+    projected L2 distances estimate original distances unbiasedly."""
+    import hashlib
+
+    scale = 1.0 / (out_dim**0.5)
+    return [
+        [
+            scale
+            * (
+                1.0
+                if int(
+                    hashlib.md5(f"{seed}{i}:{j}".encode()).hexdigest()[:8], 16
+                )
+                % 2
+                == 0
+                else -1.0
+            )
+            for i in range(d)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(vec: Column, signs: list) -> Column:
+    """Project a double vector through a :func:`jl_sign_matrix` — the
+    JL dimensionality reduction that makes downstream LSH/IVF/near-dup
+    shuffles carry ``out_dim/d`` of the bytes while preserving
+    pairwise distances within the JL distortion bound. Entirely
+    JVM-side: one sequential-order dot product per output coordinate
+    (the fold order every oracle replay depends on), the sign matrix
+    riding the plan as a small literal (out_dim × d doubles — KBs,
+    not the r5 centroid-literal hazard)."""
+    mat = F.array(
+        *[F.array(*[F.lit(float(s)) for s in row]) for row in signs]
+    )
+    return F.transform(mat, lambda row: dot_product(vec, row))
+
+
 def l2_normalize(a: Column) -> Column:
     """Unit-normalize a double vector (zero vectors pass through).
 

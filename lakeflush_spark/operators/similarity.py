@@ -561,11 +561,16 @@ def compact_ivf_index(
     row-for-row, so searches against the compacted copy are
     value-identical; what changes is the file count an
     append-per-shard history accumulates (every probe pays it on
-    open). Works on float and int8 layouts alike."""
+    open). Works on the float, int8, and PQ layouts alike; the
+    ``(run, batch)`` replay partitions an ``ivf_index_stream`` history
+    carries are pruned here (they exist for crash-replay dedup, which
+    a compacted copy no longer needs)."""
     src, dest = src_index_dir.rstrip("/"), dest_index_dir.rstrip("/")
     vecs = spark.read.option("basePath", f"{src}/vectors").parquet(
         f"{src}/vectors"
     )
+    lane = [c for c in ("v", "qv", "codes") if c in vecs.columns]
+    vecs = vecs.select("vid", "cell_id", *lane, "nrm", "_cp")
     (
         vecs.repartition(F.col("_cp"))
         .write.mode("error")

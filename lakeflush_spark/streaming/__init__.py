@@ -32,6 +32,12 @@ from lakeflush_spark.streaming.phash import (  # noqa: F401
     StreamPhashConfig,
     phash_dedup_stream,
 )
+from lakeflush_spark.streaming.retrieval import (  # noqa: F401
+    StreamIndexConfig,
+    StreamVecIndexConfig,
+    bm25_index_stream,
+    ivf_index_stream,
+)
 from lakeflush_spark.streaming.semdedup import (  # noqa: F401
     StreamSemDedupConfig,
     compact_vec_store,

@@ -135,3 +135,147 @@ def bm25_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+@dataclass
+class StreamVecIndexConfig:
+    #: streaming source directory of embedding files
+    source_dir: str
+    #: the STREAM-OWNED index directory: ``vectors/`` is written only
+    #: by this stream (always partitioned ``(_cp, run, batch)`` — a
+    #: batch-built depth-1 layout cannot mix with replay partitions in
+    #: one tree, Spark rejects conflicting partition depths), sidecars
+    #: are copied from ``quantizer_index_dir`` at first start so the
+    #: directory is self-contained for every search entry point
+    index_dir: str
+    checkpoint_dir: str
+    #: a BUILT index (build_ivf_index / quantize_index /
+    #: pq_encode_index) whose frozen centroids (+ codebooks) define
+    #: assignment and the stored layout (float / int8 / PQ follows the
+    #: parent's vectors schema); never retrained by the stream
+    quantizer_index_dir: str = ""
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    source_format: str = "parquet"
+    source_options: dict | None = None
+    max_files_per_trigger: int | None = None
+
+
+def ivf_index_stream(
+    spark: SparkSession, cfg: StreamVecIndexConfig, schema=None
+):
+    """Vector indexing on arrival (r14) — the ANN sibling of
+    :func:`bm25_index_stream`: each micro-batch of embeddings assigns
+    MAP-ONLY against the frozen centroid sidecar of
+    ``cfg.quantizer_index_dir`` (the ``append_ivf_index`` posture —
+    no retraining; drift remedy is rebuild-and-swap) and lands under
+    ``cfg.index_dir/vectors`` partitioned by ``(_cp, run, batch)``
+    with dynamic partition overwrite, so a crashed batch's replay
+    replaces its own prior attempt instead of double-appending.
+    ``_cp`` stays the LEADING partition — searches (``ivf_search`` /
+    ``ivfpq_search`` / the hybrid ANN leg) prune directories exactly
+    as against a batch-built index, and their column selects drop the
+    replay columns.
+
+    The stream OWNS ``index_dir/vectors`` (like ``bm25_index_stream``
+    owns its index): corpus history arrives through the stream;
+    serving a pre-existing batch-built store alongside arrivals is
+    batch ``append_ivf_index``'s job. On first start the quantizer's
+    ``centroids/`` (and ``codebooks/`` for PQ parents) are copied in,
+    so the maintained directory serves standalone. All three layouts
+    stream — the parent's vectors schema decides: float rows land as
+    ``v``, int8 parents quantize arrivals, PQ parents encode them
+    with the frozen codebooks (resolved once at stream start). Caller
+    contract: arriving ids must be new (exact dedup —
+    ``streaming/dedup.py`` — is the upstream stage).
+
+    At 100 TB: per batch this is one broadcast centroid scan over the
+    micro-batch only + a partitioned write; history is never read.
+    Compact offline with ``operators.similarity.compact_ivf_index``
+    (it prunes the replay partitions) when per-batch file counts
+    grow. After each batch the occupancy guard runs
+    (parquet-metadata count only), so a quantizer outgrown by months
+    of arrivals warns from the stream itself.
+
+    Returns the StreamingQuery (``Trigger.AvailableNow``).
+    """
+    from lakeflush_spark.operators.similarity import (
+        _nearest_cells,
+        _pack_cells,
+        _warn_if_index_outgrew_quantizer,
+        prepare_vectors,
+    )
+
+    base = cfg.index_dir.rstrip("/")
+    quant = (cfg.quantizer_index_dir or "").rstrip("/")
+    if not quant:
+        raise ValueError(
+            "StreamVecIndexConfig.quantizer_index_dir is required — "
+            "point it at a built index (build_ivf_index / "
+            "pq_encode_index); the stream assigns against frozen "
+            "sidecars, it cannot train them"
+        )
+    try:
+        cents = spark.read.parquet(f"{quant}/centroids")
+        cents.head(1)
+    except Exception as exc:
+        raise ValueError(
+            f"{quant} is not a built IVF index (no centroids/ "
+            "sidecar) — build_ivf_index (or pq_encode_index) first"
+        ) from exc
+    layout_cols = spark.read.parquet(f"{quant}/vectors").schema.names
+    packed = _pack_cells(cents).localCheckpoint()
+    codebooks = None
+    if "codes" in layout_cols:
+        from lakeflush_spark.operators.pq import read_codebooks
+
+        codebooks = read_codebooks(spark, quant)
+    # first start: copy the frozen sidecars so index_dir serves
+    # standalone (ignore-existing makes restarts idempotent)
+    cents.coalesce(1).write.mode("ignore").parquet(f"{base}/centroids")
+    if codebooks is not None:
+        spark.read.parquet(f"{quant}/codebooks").coalesce(1).write.mode(
+            "ignore"
+        ).parquet(f"{base}/codebooks")
+    run = _run_tag(cfg.checkpoint_dir)
+    stream = _cfg_stream(spark, cfg, schema)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prepped = prepare_vectors(
+            batch_df, id_col=cfg.id_col, vec_col=cfg.vec_col
+        )
+        indexed = _nearest_cells(prepped, packed, 1)
+        if "qv" in layout_cols:
+            from lakeflush_spark.functions.vectors import quantize_int8
+
+            rows = indexed.select(
+                "vid", "cell_id",
+                quantize_int8(F.col("v")).alias("qv"), "nrm",
+            )
+        elif "codes" in layout_cols:
+            from lakeflush_spark.operators.pq import encode_with_codebooks
+
+            rows = indexed.select(
+                "vid", "cell_id",
+                encode_with_codebooks(F.col("v"), codebooks).alias("codes"),
+                "nrm",
+            )
+        else:
+            rows = indexed.select("vid", "cell_id", "v", "nrm")
+        (
+            rows.withColumn("_cp", F.pmod(F.col("cell_id"), F.lit(256)))
+            .withColumn("run", F.lit(run))
+            .withColumn("batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_cp", "run", "batch")
+            .parquet(f"{base}/vectors")
+        )
+        _warn_if_index_outgrew_quantizer(spark, base)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

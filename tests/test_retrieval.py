@@ -355,6 +355,147 @@ def test_hybrid_search_rejects_empty_queries(spark, tmp_path):
         hybrid_search(spark, str(tmp_path), str(tmp_path), [], k=5)
 
 
+def test_ivf_index_stream_matches_batch_append_all_layouts(spark, tmp_path):
+    """r14: vector indexing on arrival — two streamed batches onto a
+    built index serve searches identical to batch append_ivf_index of
+    the same rows, for the float AND PQ layouts; a checkpointed
+    restart with no new input changes nothing; compaction prunes the
+    (run, batch) replay columns and stays value-identical; an unbuilt
+    index dir raises the actionable error."""
+    import glob as _glob
+    import shutil as _shutil
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from lakeflush_spark.operators.pq import ivfpq_search, pq_encode_index
+    from lakeflush_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_search,
+        prepare_vectors,
+    )
+    from lakeflush_spark.streaming.retrieval import (
+        StreamVecIndexConfig,
+        ivf_index_stream,
+    )
+
+    def vec_rows(lo, hi):
+        return [
+            (i, [((i * 37 + j * 11) % 97) / 97.0 - 0.5 for j in range(32)])
+            for i in range(lo, hi)
+        ]
+
+    base_df = spark.createDataFrame(
+        vec_rows(0, 200), "vec_id long, embedding array<double>"
+    )
+    # the deterministic quantizer makes independent builds over the
+    # same corpus identical — idx_q is the stream's frozen parent,
+    # idx_b the batch-append twin the stream must serve identically to
+    idx_q = str(tmp_path / "ivf_parent")
+    idx_s = str(tmp_path / "ivf_stream")
+    idx_b = str(tmp_path / "ivf_batch")
+    build_ivf_index(prepare_vectors(base_df), idx_q, n_cells=8)
+    build_ivf_index(prepare_vectors(base_df), idx_b, n_cells=8)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cfg = StreamVecIndexConfig(
+        source_dir=str(src),
+        index_dir=idx_s,
+        checkpoint_dir=str(tmp_path / "ck"),
+        quantizer_index_dir=idx_q,
+    )
+
+    def add_file(name, rows):
+        stage = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        _shutil.copy(
+            _glob.glob(str(stage / "part-*.parquet"))[0],
+            str(src / f"{name}.parquet"),
+        )
+
+    add_file("b1", vec_rows(0, 200))  # corpus history arrives too
+    assert ivf_index_stream(spark, cfg).awaitTermination(180)
+    add_file("b2", vec_rows(200, 260))
+    assert ivf_index_stream(spark, cfg).awaitTermination(180)
+
+    extra = spark.createDataFrame(
+        vec_rows(200, 260), "vec_id long, embedding array<double>"
+    )
+    append_ivf_index(spark, prepare_vectors(extra), idx_b)
+    queries = prepare_vectors(base_df).where(F.col("vid") < 3)
+
+    def results(d):
+        return {
+            (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in ivf_search(spark, d, queries, k=8, nprobe=8).collect()
+        }
+
+    streamed = results(idx_s)
+    assert streamed == results(idx_b)
+    assert any(n >= 200 for (_, n, _, _) in streamed)  # arrivals serve
+
+    # checkpointed restart, no new input: unchanged
+    assert ivf_index_stream(spark, cfg).awaitTermination(180)
+    assert results(idx_s) == streamed
+
+    # compaction prunes the replay columns, results identical
+    comp = str(tmp_path / "comp")
+    compact_ivf_index(spark, idx_s, comp)
+    cols = spark.read.option("basePath", f"{comp}/vectors").parquet(
+        f"{comp}/vectors"
+    ).columns
+    assert "run" not in cols and "batch" not in cols
+    assert results(comp) == streamed
+
+    # PQ layout: a PQ parent makes the stream encode arrivals with the
+    # frozen codebooks; reranked search against the batch float index
+    # must match the float results exactly
+    pq_parent = str(tmp_path / "pq_parent")
+    pq_s = str(tmp_path / "pq_stream")
+    pq_encode_index(spark, idx_q, pq_parent, m=8, n_codes=32)
+    cfg_pq = StreamVecIndexConfig(
+        source_dir=str(src),
+        index_dir=pq_s,
+        checkpoint_dir=str(tmp_path / "ck_pq"),
+        quantizer_index_dir=pq_parent,
+    )
+    assert ivf_index_stream(spark, cfg_pq).awaitTermination(180)
+    got_pq = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in ivfpq_search(
+            spark, pq_s, queries, k=8, nprobe=8,
+            rerank_index_dir=idx_b, rerank_factor=8,
+        ).collect()
+    }
+    assert got_pq == streamed
+
+    # unbuilt quantizer dir: actionable error
+    with _pytest.raises(ValueError, match="build_ivf_index"):
+        ivf_index_stream(
+            spark,
+            StreamVecIndexConfig(
+                source_dir=str(src),
+                index_dir=str(tmp_path / "nope"),
+                checkpoint_dir=str(tmp_path / "ck2"),
+                quantizer_index_dir=str(tmp_path / "nope_q"),
+            ),
+        )
+    with _pytest.raises(ValueError, match="required"):
+        ivf_index_stream(
+            spark,
+            StreamVecIndexConfig(
+                source_dir=str(src),
+                index_dir=str(tmp_path / "nope2"),
+                checkpoint_dir=str(tmp_path / "ck3"),
+            ),
+        )
+
+
 def test_append_bm25_index_equals_full_rebuild(spark, tmp_path):
     """r13: build(A) + append(B) must serve EXACTLY build(A ∪ B) —
     df / n_docs / total_len are summable and bm25_search aggregates

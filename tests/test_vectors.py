@@ -262,6 +262,52 @@ def _synth_corpus(spark, n=1500, dims=8):
     return prepare_vectors(df)
 
 
+def test_jl_projection_matches_numpy_and_preserves_distances(spark):
+    """r14: random_project folds the literal sign matrix exactly like
+    numpy (same products, same order), and the 64->16 JL projection
+    keeps pairwise distances within the expected distortion on a
+    deterministic corpus."""
+    import numpy as np
+
+    from lakeflush_spark.functions.vectors import (
+        jl_sign_matrix,
+        random_project,
+        to_double_vec,
+    )
+
+    signs = jl_sign_matrix(64, 16)
+    # pure function: same args -> same matrix; rows scaled 1/sqrt(16)
+    assert signs == jl_sign_matrix(64, 16)
+    assert all(len(r) == 64 and all(abs(x) == 0.25 for x in r) for r in signs)
+    assert len(signs) == 16
+    assert signs != jl_sign_matrix(64, 16, seed="other:")
+
+    vecs = _rand_vecs(60, 64, seed=7)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i long, v array<double>"
+    )
+    got = {
+        r.i: np.asarray(r.pv)
+        for r in df.select(
+            "i", random_project(to_double_vec("v"), signs).alias("pv")
+        ).collect()
+    }
+    S = np.asarray(signs)  # (16, 64)
+    X = np.asarray(vecs)
+    want = X @ S.T
+    for i in range(len(vecs)):
+        assert np.array_equal(got[i], want[i]), i
+    # JL distance preservation: median pairwise distortion small
+    d_orig, d_proj = [], []
+    for a in range(0, 40, 3):
+        for b in range(a + 1, 40, 5):
+            d_orig.append(np.linalg.norm(X[a] - X[b]))
+            d_proj.append(np.linalg.norm(want[a] - want[b]))
+    ratio = np.asarray(d_proj) / np.asarray(d_orig)
+    assert 0.75 < np.median(ratio) < 1.25
+    assert (np.abs(ratio - 1.0) < 0.6).mean() > 0.95
+
+
 def test_centroid_plumbing_n_cells_1024(spark):
     from lakeflush_spark.operators.similarity import (
         _cells_as_one_row,

@@ -693,6 +693,38 @@ medians reset the trend line honestly. Warm composed curation 122.7
 docs/s; hybrid_search 2.18. Cross-scale gate: drive_contract PASSES
 50/50 at sf0.1 too (10x the driver's correctness scale).
 
+r14 interim run (sf0.1; IVF-PQ serving rows + q55 'pq' + q29 'rp'
+aboard; CAVEAT: unit suites for the new PQ/stream surfaces ran
+CONCURRENTLY with this bench on the same box, so treat these as
+busy-box readings — the closing run is the comparable): suite 54.4 s
+— q55 7.79 (the PQ twin build joined the per-session memo; the 'pq'
+label itself is 0.20 in the timed pass, int8 0.24, served/shuffled
+~0.10), q29 1.71 (+'rp' label — projection is map-only, the label
+rides the existing broadcast-scan top-k), q60 10.2, q41 3.11,
+q24 3.92, q26 3.68. New serving rows: pq_encode 5.70 s (driver
+codebook fit + one Arrow encode pass + 3 sidecar writes — fixed
+overhead dominated at 2k rows), pq_search 1.50 s (ADC + exact rerank,
+k=10/nprobe=8). Compaction csv 34.7 MB/s [28.4/34.7/39.4], gzip 9.7,
+json 15.8k files/s — within the busy-box band, isolated recovery
+attribution below stands. Streaming: neardup 2761 docs/s,
+phash_stream 1135 imgs/s, semdd_stream 946 vecs/s — at or above the
+r13 medians despite the load.
+
+r14 scale smoke (N=20, 100k docs / 40k vectors, scripts/scale_smoke.py):
+hybrid_serving search 4.42 s (r13: 4.78 — flat at Nx, the pruning
+claim re-measured); NEW pq_serving: reranked ADC search 3.71 s at
+40k vectors — FLAT vs the 4-query float hybrid search, the probed-
+cell + candidate-rerank reads doing their job — encode 35.5 s, of
+which the 65k-sample naive k-means fit dominated; the fit was then
+rewritten to the BLAS form (c^2 - 2 X.C^T + bincount means,
+operators/pq.py), measured 3.7 s offline at the same 40k x 64 scale
+(~8x), so the next smoke's encode should land ~10 s. Builders at Nx:
+q24 10.3 s, q41 22.0 s, q60 138.5 s, q55 51.3 s (includes the PQ twin
+encode under the old fit), q18 12.5 s, q62 33.4 s, q26 13.7 s — all
+linear-shaped vs the 5k-doc suite (20x data, 10-25x wall on the
+corpus-bound builders; q60's selection suite pays its label count,
+not a super-linear stage).
+
 r14 compaction-drop attribution (VERDICT r13 #2/#4: the r13 DRIVER
 run recorded csv 36.5 / gzip 8.7 / json 11.7k — every sample below
 every r12 sample): an ISOLATED fresh-JVM bench_compaction run this
@@ -1261,6 +1293,39 @@ def bench_curation_ops(spark) -> dict[str, float]:
         out["semdd_stream_sec"] = round(dt, 3)
         out["semdd_stream_vecs_s_samples"] = [
             round(nvec / t, 1) for t in ssamples
+        ]
+
+        # r14: vector indexing on arrival — the sf embeddings stream
+        # onto a fresh stream-owned IVF store against a frozen
+        # quantizer parent (built once, outside the timed window);
+        # vecs/s end to end, median of 3 fresh-store trials
+        from lakeflush_spark.operators.similarity import (
+            build_ivf_index,
+            prepare_vectors as _prep_vecs,
+        )
+        from lakeflush_spark.streaming.retrieval import (
+            StreamVecIndexConfig,
+            ivf_index_stream,
+        )
+
+        parent = os.path.join(work, "ivf_parent")
+        build_ivf_index(_prep_vecs(emb), parent, n_cells=16)
+        vsamples = []
+        for trial in range(3):
+            vcfg = StreamVecIndexConfig(
+                source_dir=src,
+                index_dir=os.path.join(work, f"vidx_{trial}"),
+                checkpoint_dir=os.path.join(work, f"vck_{trial}"),
+                quantizer_index_dir=parent,
+            )
+            t0 = time.time()
+            ivf_index_stream(spark, vcfg).awaitTermination(600)
+            vsamples.append(time.time() - t0)
+        dt = sorted(vsamples)[1]
+        out["ivf_stream_vecs_s"] = round(nvec / dt, 1)
+        out["ivf_stream_sec"] = round(dt, 3)
+        out["ivf_stream_vecs_s_samples"] = [
+            round(nvec / t, 1) for t in vsamples
         ]
     finally:
         shutil.rmtree(work, ignore_errors=True)

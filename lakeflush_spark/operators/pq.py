@@ -119,12 +119,17 @@ def train_pq_codebooks(
         # lowest-index tie-break never assigns the duplicates)
         C = Xi[np.arange(n_codes) % len(Xi)].copy()
         for _ in range(iters):
-            d2 = ((Xi[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # ||x-c||^2 argmin == (c·c - 2 x·c) argmin — one BLAS
+            # matmul instead of the O(n·k·dsub) broadcast (the r14
+            # scale smoke measured the naive form dominating encode
+            # wall at 65k-sample fits); lowest-index ties unchanged
+            d2 = (C**2).sum(axis=1)[None, :] - 2.0 * (Xi @ C.T)
             assign = d2.argmin(axis=1)
-            for c in range(n_codes):
-                mask = assign == c
-                if mask.any():
-                    C[c] = Xi[mask].mean(axis=0)
+            counts = np.bincount(assign, minlength=n_codes)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, Xi)
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]
         books[i] = C
     return books
 

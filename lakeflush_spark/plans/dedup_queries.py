@@ -785,6 +785,37 @@ _SQL_PAIR_COS = (
                    ) AS brn
             FROM cell1
         ) WHERE brn <= {_BAL_CAP}
+        UNION ALL
+        -- 'htf' (r14): hashed-TF text embeddings replayed end to end —
+        -- md5 term buckets, exact BIGINT counts, fixed-order dense
+        -- fold for the L2 norm; sqrt/divide are IEEE-correctly-rounded
+        -- on bit-identical inputs, so the normalized values hash exact
+        SELECT 'htf' AS method, doc_id AS id1,
+               CAST(u['j'] AS BIGINT) AS id2,
+               round(u['x'] / nrm, 6) AS cos_sim
+        FROM (
+            SELECT doc_id,
+                   sqrt(list_sum(list_transform(hv, x -> x * x))) AS nrm,
+                   unnest(list_transform(range(0, 64),
+                                         j -> {{'j': j, 'x': hv[j + 1]}})) AS u
+            FROM (
+                SELECT doc_id,
+                       list_transform(range(0, 64),
+                                      j -> coalesce(list_extract(ws, list_position(bs, j)), 0.0)) AS hv
+                FROM (
+                    SELECT doc_id, list(hb ORDER BY hb) AS bs,
+                           list(hw ORDER BY hb) AS ws
+                    FROM (
+                        SELECT doc_id,
+                               ('0x' || substring(md5(htok), 1, 4))::BIGINT % 64 AS hb,
+                               COUNT(*)::DOUBLE AS hw
+                        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS htok
+                              FROM documents)
+                        GROUP BY 1, 2
+                    ) GROUP BY doc_id
+                )
+            )
+        ) WHERE u['x'] <> 0
     )
     ORDER BY method, id1, id2
     """,
@@ -803,7 +834,14 @@ _SQL_PAIR_COS = (
     "per quantizer cell by deterministic md5 rank — exact string/"
     "integer comparisons, oracle-replayed end to end; the prototype/"
     "outlier rank modes (keep most-central / hardest members) are "
-    "unit-tested.",
+    "unit-tested. 'htf' (r14) = hashed-TF text embeddings "
+    "(operators/featurize.py, the Weinberger et al. hashing trick — "
+    "the model-free embedding tier feeding ANN/SemDedup from raw "
+    "text) as sparse (doc, bucket, L2-normalized value) rows, "
+    "hash-EXACT: md5 buckets and counts are exact integers and the "
+    "norm is IEEE sqrt/divide over a fixed-order fold, so both "
+    "engines produce bit-identical doubles; the IDF mode (ln is not "
+    "cross-engine exact) is unit-tested instead.",
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.similarity import (
@@ -861,6 +899,25 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell_id").alias("id2"),
         F.lit(None).cast("double").alias("cos_sim"),
     )
+    # 'htf' (r14): hashed-TF text embeddings (operators/featurize.py —
+    # the model-free embedding tier) emitted as sparse (doc, bucket,
+    # normalized value) rows; bit-identical cross-engine (exact bucket
+    # ints, exact counts, IEEE sqrt/divide on a fixed-order fold), so
+    # the label is hash-exact
+    from lakeflush_spark.operators.featurize import hashed_tf_embeddings
+
+    docs = load_table(spark, sf_dir, "documents")
+    htf = (
+        hashed_tf_embeddings(docs, dim=64)
+        .select(F.col("doc_id"), F.posexplode("embedding"))
+        .where(F.col("col") != 0.0)
+        .select(
+            F.lit("htf").alias("method"),
+            F.col("doc_id").alias("id1"),
+            F.col("pos").cast("bigint").alias("id2"),
+            F.round(F.col("col"), 6).alias("cos_sim"),
+        )
+    )
     return block.unionByName(sem_pair).unionByName(sem_drop).unionByName(
         bal
-    ).orderBy("method", "id1", "id2")
+    ).unionByName(htf).orderBy("method", "id1", "id2")

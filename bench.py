@@ -851,6 +851,7 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
 LABELED_ENTRIES = {
     "q26_simhash_neardup": "method",
     "q28_embedding_neardup": "method",
+    "q29_ann_topk": "method",
     "q41_wordcount_topk": "method",
     "q55_ann_ivf": "method",
     "q60_stratified_sample": "kind",

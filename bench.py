@@ -718,12 +718,37 @@ cell + candidate-rerank reads doing their job — encode 35.5 s, of
 which the 65k-sample naive k-means fit dominated; the fit was then
 rewritten to the BLAS form (c^2 - 2 X.C^T + bincount means,
 operators/pq.py), measured 3.7 s offline at the same 40k x 64 scale
-(~8x), so the next smoke's encode should land ~10 s. Builders at Nx:
+(~8x); a COLD-JVM standalone re-measure after the fix reads encode
+22.1 s at N=20 (fit no longer dominates — the remainder is the
+sample TakeOrdered collect, the Arrow encode+partitioned write, and
+two sidecar writes, i.e. fixed per-job overheads, map-only linear in
+corpus), pq reranked search 5.9 s cold / 3.7 s warm-suite. Builders at Nx:
 q24 10.3 s, q41 22.0 s, q60 138.5 s, q55 51.3 s (includes the PQ twin
 encode under the old fit), q18 12.5 s, q62 33.4 s, q26 13.7 s — all
 linear-shaped vs the 5k-doc suite (20x data, 10-25x wall on the
 corpus-bound builders; q60's selection suite pays its label count,
 not a super-linear stage).
+
+r14 CLOSING run (sf0.1, clean box, nothing concurrent; the full r14
+surface aboard — q55 'pq'+'ivfstream', q29 'rp', q28 'htf', q60
+'tshards'/'tshards_ck', IVF-PQ + streamed-index serving rows;
+554-test suite green): suite 58.6 s. Compaction RECOVERED to the
+r13-closing band, confirming the isolated-run attribution below:
+csv 50.5 MB/s [40.6/50.5/51.1] (6.8x baseline), gzip 10.6 (2.7x),
+json 17.7k files/s [15.2k/17.7k/19.9k] (1.69x). Suite growth vs r13's
+46.2 is the new verification surface, priced per label: q55 9.5
+(+'pq' = ADC + exact-rerank chain + agreement joins, label 0.24;
++'ivfstream' search 0.11; the AvailableNow stream boot is a one-time
+memo cost), q28 5.4 ('htf' 1.82 — a documents explode + dense
+assembly per pass; sem labels unchanged at 0.10-0.38), q29 2.45
+('rp' 0.38), q41 2.66 and q62 2.87 flat vs r13, q24 4.98/q26 3.36/
+q18 2.07 within spread. Serving: pq_encode 5.55, pq_search 1.81,
+hybrid 2.60, bm25 build 1.81 / search 1.36, ivf build 1.30.
+Streaming: neardup 2779 docs/s [2459/2878/2779], phash 1022 imgs/s,
+semdd 888 vecs/s, NEW ivf_stream 1084 vecs/s [1066/1087/1084] —
+tight samples, the assign+write path is cheaper than semdd's
+assign+compare+two-writes as expected. Warm curation 95.4 docs/s,
+curate_sem 328.
 
 r14 compaction-drop attribution (VERDICT r13 #2/#4: the r13 DRIVER
 run recorded csv 36.5 / gzip 8.7 / json 11.7k — every sample below

@@ -1345,8 +1345,9 @@ def bench_curation_ops(spark) -> dict[str, float]:
                 quantizer_index_dir=parent,
             )
             t0 = time.time()
-            ivf_index_stream(spark, vcfg).awaitTermination(600)
+            done = ivf_index_stream(spark, vcfg).awaitTermination(600)
             vsamples.append(time.time() - t0)
+            assert done, "ivf_index_stream trial timed out — sample invalid"
         dt = sorted(vsamples)[1]
         out["ivf_stream_vecs_s"] = round(nvec / dt, 1)
         out["ivf_stream_sec"] = round(dt, 3)

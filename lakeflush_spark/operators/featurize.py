@@ -55,7 +55,9 @@ def hashed_tf_embeddings(
 
     Feed the result straight into :func:`~lakeflush_spark.operators.
     similarity.prepare_vectors` / ``semantic_dedup`` / the IVF-PQ
-    build — the model-free embedding tier.
+    build — the model-free embedding tier. Every input document gets
+    exactly one output row; a NULL ``text_col`` yields the zero
+    vector (which L2 normalization passes through).
     """
     if not 0 < dim <= 65536:
         raise ValueError(f"dim must be in (0, 65536], got {dim}")
@@ -91,6 +93,10 @@ def hashed_tf_embeddings(
             F.collect_list(F.struct(F.col("_b"), F.col("_w")))
         ).alias("_m")
     )
+    # left-join back so EVERY document gets a row — a NULL text (whose
+    # explode yields no token rows) comes out as the zero vector
+    # instead of silently vanishing (r14 review)
+    dense = docs.select(id_col).join(dense, id_col, "left")
     idx = F.sequence(F.lit(0).cast("bigint"), F.lit(dim - 1).cast("bigint"))
     return dense.select(
         F.col(id_col),

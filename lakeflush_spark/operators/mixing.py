@@ -759,13 +759,6 @@ def _token_capped_shards(
     exceed ``cap``; tiny per-segment shard counts become broadcast
     cumulative offsets. Bodies never enter Python — the assignment
     joins back on the id."""
-    mx = keyed.agg(F.max(F.col(token_col)).alias("m")).first()["m"]
-    if mx is not None and int(mx) > cap:
-        raise ValueError(
-            f"tokens_per_shard={cap} is smaller than the largest "
-            f"document ({int(mx)} tokens) — an unsplittable doc can "
-            "never be placed; raise the cap or split upstream"
-        )
     id_type = keyed.schema[id_col].dataType.simpleString()
     seg_type = keyed.schema["_tss"].dataType.simpleString()
 
@@ -780,7 +773,9 @@ def _token_capped_shards(
                 lvl = 0
             shards.append(cur)
             lvl += t
-        return pdf.assign(_tc_local=shards)[["_tc_id", "_tss", "_tc_local"]]
+        return pdf.assign(_tc_local=shards)[
+            ["_tc_id", "_tss", "_tc_local", "_tc_t"]
+        ]
 
     slim = keyed.select(
         F.col(id_col).alias("_tc_id"),
@@ -792,10 +787,24 @@ def _token_capped_shards(
         slim.groupBy("_tss")
         .applyInPandas(
             fill,
-            schema=f"_tc_id {id_type}, _tss {seg_type}, _tc_local bigint",
+            schema=(
+                f"_tc_id {id_type}, _tss {seg_type}, _tc_local bigint, "
+                "_tc_t bigint"
+            ),
         )
-        .localCheckpoint()  # feeds both the counts agg and the id join
+        .localCheckpoint()  # feeds the max check, counts agg, and id join
     )
+    # oversized-doc validation rides the already-materialized
+    # assignment (no dedicated corpus scan — r14 review): greedy fill
+    # placed such a doc alone in an over-cap shard, so refuse BEFORE
+    # anything writes
+    mx = assign.agg(F.max("_tc_t").alias("m")).first()["m"]
+    if mx is not None and int(mx) > cap:
+        raise ValueError(
+            f"tokens_per_shard={cap} is smaller than the largest "
+            f"document ({int(mx)} tokens) — an unsplittable doc can "
+            "never be placed; raise the cap or split upstream"
+        )
     # |order_shards|-row frame: the single-task window is over ~64 rows
     counts = assign.groupBy("_tss").agg(
         (F.max("_tc_local") + 1).cast("bigint").alias("_tc_n")
@@ -962,11 +971,15 @@ def verify_training_shards(
     (bit-rot, partial copies, and hand-edited shards all surface as a
     false ``ok``). A shard present on disk but missing from the
     manifest (or vice versa) yields a row with NULLs on the absent
-    side, so count(ok) == count(*) is the pass condition.
+    side and ``ok = false`` (``eqNullSafe``, so ``ok`` is never NULL).
+    The pass condition is EVERY row true:
+    ``result.where(~F.col("ok")).count() == 0``.
 
     Cost: ONE scan of the export with a map-side-combined groupBy on
-    the shard partition column, broadcast-joined to the tiny manifest
-    — no sort, no driver-side rows beyond the |shards| result.
+    the shard partition column, then a |shards|-row full-outer join
+    against the manifest (full-outer cannot broadcast, so this is a
+    sort-merge over the two tiny per-shard aggregates — negligible);
+    no driver-side rows beyond the |shards| result.
     """
     from lakeflush_spark.functions.text import token_hash
 
@@ -986,7 +999,7 @@ def verify_training_shards(
         .agg(*agg)
     )
     manifest = spark.read.parquet(f"{base}/_manifest")
-    joined = actual.join(F.broadcast(manifest), "shard", "full_outer")
+    joined = actual.join(manifest, "shard", "full_outer")
     ok = (
         F.col("rows_actual").eqNullSafe(F.col("rows"))
         & F.col("ck_actual").eqNullSafe(F.col("id_checksum"))

@@ -308,14 +308,19 @@ def ivfpq_search(
     ``materialize`` semantics are identical to ``ivf_search``.
     """
     base = index_dir.rstrip("/")
-    probes, vecs = _open_index_probes(spark, base, queries, nprobe)
-    if "codes" not in vecs.columns:
+    probes, vecs, cps = _open_index_probes(spark, base, queries, nprobe)
+    try:
+        if "codes" not in vecs.columns:
+            raise ValueError(
+                f"{base} is not an IVF-PQ index — use ivf_search for "
+                "the float/int8 layouts"
+            )
+        cb = read_codebooks(spark, base)
+    except Exception:
+        # don't leak the pinned probe cache on a missing/corrupt
+        # sidecar (e.g. a pq_encode_index that crashed pre-codebooks)
         probes.unpersist()
-        raise ValueError(
-            f"{base} is not an IVF-PQ index — use ivf_search for the "
-            "float/int8 layouts"
-        )
-    cb = read_codebooks(spark, base)
+        raise
     n_codes = cb.shape[1]
     probes_lut = probes.withColumn("qlut", _query_luts(cb))
     adc = F.aggregate(
@@ -349,12 +354,9 @@ def ivfpq_search(
             "query_id", F.col("neighbor_id").alias("vid")
         )
         rbase = rerank_index_dir.rstrip("/")
-        cps = [
-            r._cp
-            for r in probes.select(
-                F.pmod(F.col("qcell"), F.lit(256)).alias("_cp")
-            ).distinct().collect()
-        ]
+        # same probed _cp set as the PQ read — assignments carry over
+        # 1:1 from pq_encode_index, and _open_index_probes already
+        # collected the list (no second driver round-trip)
         store = spark.read.parquet(f"{rbase}/vectors").where(
             F.col("_cp").isin(cps)
         )

@@ -644,7 +644,10 @@ def _open_index_probes(spark, base: str, queries: DataFrame, nprobe: int):
     frame is persisted — the bounded ≤256-value ``cps`` collect
     materializes it and drives the ``_cp`` directory prune), and the
     vectors read lists ONLY the probed cells' partitions. Returns
-    ``(probes, vecs)``; the caller owns the probes cache lifecycle."""
+    ``(probes, vecs, cps)`` — the probed ``_cp`` values, so callers
+    needing the same prune elsewhere (the PQ rerank store read) don't
+    pay a second collect; the caller owns the probes cache
+    lifecycle."""
     cents = spark.read.parquet(f"{base}/centroids")
     probe_src = _nearest_cells(queries, _pack_cells(cents), nprobe)
     probes = probe_src.select(
@@ -660,7 +663,7 @@ def _open_index_probes(spark, base: str, queries: DataFrame, nprobe: int):
         ).distinct().collect()
     ]
     vecs = spark.read.parquet(f"{base}/vectors").where(F.col("_cp").isin(cps))
-    return probes, vecs
+    return probes, vecs, cps
 
 
 def ivf_search(
@@ -694,7 +697,7 @@ def ivf_search(
     rows) and the probe cache released before returning, so each
     search leaves zero pinned state behind (r8, per round-7 advice)."""
     base = index_dir.rstrip("/")
-    probes, vecs = _open_index_probes(spark, base, queries, nprobe)
+    probes, vecs, _cps = _open_index_probes(spark, base, queries, nprobe)
     if "codes" in vecs.columns:
         probes.unpersist()
         raise ValueError(

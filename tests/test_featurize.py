@@ -94,6 +94,20 @@ def test_hashed_embeddings_feed_the_vector_operators(spark):
     assert top[0][1] == 5 and top[0][2] == 1.0
 
 
+def test_hashed_embeddings_null_text_yields_zero_vector(spark):
+    """r14 review: a NULL text must not silently drop the doc — it
+    comes out as the (normalization-passthrough) zero vector."""
+    df = spark.createDataFrame(
+        DOCS + [(9, None)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.embedding
+        for r in hashed_tf_embeddings(df, dim=16).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4, 9}
+    assert got[9] == [0.0] * 16
+
+
 def test_hashed_embeddings_dim_guard(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     with pytest.raises(ValueError, match="dim"):

@@ -161,6 +161,14 @@ class CurationConfig:
     #: sem_threshold) are deduped to the min id, catching semantic
     #: rephrasings text-level shingles miss. None disables the stage.
     embedding_col: str | None = None
+    #: derive the SemDedup / cluster-balance vectors IN-ENGINE when
+    #: the corpus has no embedding column: hashed-TF embeddings of
+    #: this many buckets (operators/featurize.py — the model-free
+    #: tier) are computed from ``text_col`` and feed the semantic
+    #: stages. Ignored when ``embedding_col`` is set; None disables.
+    #: Coarser than model embeddings — catches lexical rephrasings and
+    #: template near-dups, not deep paraphrase.
+    hashed_embedding_dim: int | None = None
     sem_threshold: float = 0.9
     #: IVF cell count for the SemDedup quantizer; grow with the corpus
     #: so within-cell comparison (Σ|cell|²) stays bounded
@@ -918,7 +926,23 @@ def curate_documents(
     # the final count don't each replay the corpus-scale joins above.
     # localCheckpoint, like the near-dup cluster loop (dedup.py): its
     # blocks are executor-resident and freed on GC.
-    if cfg.lm_filter_quantile is not None or cfg.embedding_col is not None:
+    emb_col = cfg.embedding_col
+    if emb_col is None and cfg.hashed_embedding_dim is not None:
+        # model-free semantic tier (r14): derive hashed-TF embeddings
+        # from the text itself — one explode + count + dense assembly
+        # over the CLEAN pool (post near-dup, so far fewer rows than
+        # the raw crawl), joined back on the id
+        from lakeflush_spark.operators.featurize import hashed_tf_embeddings
+
+        htf = hashed_tf_embeddings(
+            curated.select(cfg.id_col, cfg.text_col),
+            dim=cfg.hashed_embedding_dim,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+        ).withColumnRenamed("embedding", "_htf_embedding")
+        curated = curated.join(htf, cfg.id_col)
+        emb_col = "_htf_embedding"
+    if cfg.lm_filter_quantile is not None or emb_col is not None:
         curated = curated.localCheckpoint()
     n_near = curated.count()
 
@@ -953,7 +977,7 @@ def curate_documents(
             _mark(scored.where(~lm_pass), "lm_quality")
             curated = scored.where(lm_pass).drop("avg_logprob")
 
-    if cfg.embedding_col is not None:
+    if emb_col is not None:
         from lakeflush_spark.operators.similarity import (
             prepare_vectors,
             semantic_dedup_pairs,
@@ -961,7 +985,7 @@ def curate_documents(
         )
 
         vecs = prepare_vectors(
-            curated, id_col=cfg.id_col, vec_col=cfg.embedding_col
+            curated, id_col=cfg.id_col, vec_col=emb_col
         )
         sem_drops = semantic_drop_ids(
             semantic_dedup_pairs(
@@ -976,15 +1000,18 @@ def curate_documents(
         curated = curated.join(sem_drops, cfg.id_col, "left_anti")
 
     if cfg.cluster_balance_cap is not None:
-        if cfg.embedding_col is None:
-            raise ValueError("cluster_balance_cap requires embedding_col")
+        if emb_col is None:
+            raise ValueError(
+                "cluster_balance_cap requires embedding_col (or "
+                "hashed_embedding_dim for the derived tier)"
+            )
         from lakeflush_spark.operators.similarity import (
             cluster_balanced_sample,
             prepare_vectors as _prep_bal,
         )
 
         bal_vecs = _prep_bal(
-            curated, id_col=cfg.id_col, vec_col=cfg.embedding_col
+            curated, id_col=cfg.id_col, vec_col=emb_col
         )
         kept = cluster_balanced_sample(
             bal_vecs,
@@ -999,6 +1026,10 @@ def curate_documents(
         # the KEPT set is bounded by cap x cells — semi-join broadcasts
         # it, unlike an anti-join against the (corpus-sized) drop set
         curated = curated.join(F.broadcast(kept), cfg.id_col, "left_semi")
+
+    # the derived hashed-TF column is an internal vehicle for the two
+    # stages above — the returned frame keeps the input contract
+    curated = curated.drop("_htf_embedding")
 
     n_domain_cap: int | None = None
     if cfg.url_domain_cap is not None:

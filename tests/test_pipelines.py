@@ -218,6 +218,43 @@ def test_semdedup_stage_drops_semantic_rephrasings(spark):
     assert sorted(r.doc_id for r in on.collect()) == [1, 3]
 
 
+def test_hashed_embedding_semdedup_without_embedding_col(spark):
+    """r14: hashed_embedding_dim derives the semantic-stage vectors
+    from the text itself — two docs sharing the same bag of words in
+    different ORDER (shingle dedup keeps both; hashed-TF cosine 1.0)
+    dedup to the min id, an unrelated doc survives, and the derived
+    column does not leak into the returned frame."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "theta eta zeta epsilon delta gamma beta alpha"),
+            (3, "red green blue cyan magenta yellow black white"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    off, _ = curate_documents(
+        spark, docs,
+        CurationConfig(min_tokens=1, near_dup_threshold=0.99),
+    )
+    assert sorted(r.doc_id for r in off.collect()) == [1, 2, 3]
+    on, _ = curate_documents(
+        spark, docs,
+        CurationConfig(min_tokens=1, near_dup_threshold=0.99,
+                       hashed_embedding_dim=32,
+                       sem_threshold=0.95, sem_n_cells=2),
+    )
+    assert sorted(r.doc_id for r in on.collect()) == [1, 3]
+    assert "_htf_embedding" not in on.columns
+    # explicit embedding_col wins over the derived tier
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="missing_col"):
+        curate_documents(
+            spark, docs,
+            CurationConfig(min_tokens=1, embedding_col="missing_col"),
+        )[0].collect()
+
+
 def test_lm_filter_stage_drops_gibberish_tail(spark):
     # 20 copies of fluent prose (distinct ids/texts via suffix tokens
     # so dedup keeps them) + 2 token-soup docs: the 10% LM quantile

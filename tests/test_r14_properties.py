@@ -197,11 +197,18 @@ def test_verify_training_shards_detects_tampering(spark, tmp_path):
     assert len(v) == 5 and all(r.ok for r in v)
 
     shutil.rmtree(f"{dest}/shard=2")
-    v2 = {r.shard: r.ok for r in verify_training_shards(
+    res = verify_training_shards(
         spark, dest, id_col="doc_id", token_col="n_tokens"
-    ).collect()}
+    )
+    v2 = {r.shard: r.ok for r in res.collect()}
     assert v2[2] is False
     assert all(ok for s, ok in v2.items() if s != 2)
+    # the DOCUMENTED pass-condition gate (every-row-true) must catch
+    # it — and ok is never NULL, so the gate cannot pass vacuously
+    import pyspark.sql.functions as F
+
+    assert res.where(~F.col("ok")).count() == 1
+    assert res.where(F.col("ok").isNull()).count() == 0
 
 
 def test_ivf_index_stats_reports_occupancy(spark, tmp_path):

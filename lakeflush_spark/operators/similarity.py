@@ -745,6 +745,7 @@ def cluster_balanced_sample(
     rank_by: str = "hash",
     seed: str = "b:",
     shards: int = 32,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cluster quota sampling over an embedding space — the
     cluster-balanced pruning recipe of Sorscher et al. 2022 ("Beyond
@@ -778,7 +779,11 @@ def cluster_balanced_sample(
         raise ValueError("rank_by must be hash|prototype|outlier")
     from lakeflush_spark.operators.topk import grouped_top_k
 
-    cents = centroid_frame(corpus, n_cells, kmeans_iters)
+    # ``cents`` (r14): callers clustering the same corpus for several
+    # operators in one pass (q28's sem + bal labels) can train the
+    # deterministic quantizer once and share it — identical results.
+    if cents is None:
+        cents = centroid_frame(corpus, n_cells, kmeans_iters)
     indexed = _nearest_cells(corpus, _pack_cells(cents), 1)
     if rank_by == "hash":
         key = F.md5(F.concat(F.lit(seed), F.col("vid").cast("string")))
@@ -814,6 +819,7 @@ def semantic_dedup_pairs(
     kmeans_iters: int = 0,
     coarse_cells: int | None = None,
     coarse_probe: int = 1,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """SemDedup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     near-dup pairs via cluster-then-compare — cluster the corpus with
@@ -848,8 +854,11 @@ def semantic_dedup_pairs(
     # section comment above): same pairing/drop semantics, assignment
     # approximate at coarse boundaries — the documented recall trade
     # once n_cells reaches the 10⁴-10⁵ corpus-proportional regime.
-    cents = centroid_frame(corpus, n_cells, kmeans_iters).persist()
-    cents.count()
+    # ``cents`` (r14): see cluster_balanced_sample — a caller-supplied
+    # pre-materialized quantizer skips the per-call persist+count.
+    if cents is None:
+        cents = centroid_frame(corpus, n_cells, kmeans_iters).persist()
+        cents.count()
     if coarse_cells is not None:
         packed2 = _pack_cells_two_level(cents, coarse_cells)
         indexed = _nearest_cells_two_level(corpus, packed2, 1, coarse_probe)
@@ -914,6 +923,7 @@ def ivf_topk(
     coarse_cells: int | None = None,
     coarse_probe: int = 2,
     broadcast_queries: bool = True,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their 1 nearest
     cell; each query probes its ``nprobe`` nearest cells; scoring is
@@ -936,8 +946,13 @@ def ivf_topk(
     # ``coarse_cells`` opts both passes into two-level assignment
     # (queries default to coarse_probe=2: probing a second coarse
     # group recovers most boundary recall for ~2x the bounded scan).
-    cents = centroid_frame(corpus, n_cells, kmeans_iters).persist()
-    cents.count()
+    # ``cents`` (r14): a caller running several ivf_topk variants over
+    # the SAME corpus in one pass (the q55 flat+twolevel labels) can
+    # train the quantizer once and share the persisted frame — the
+    # deterministic seed draw makes the result identical either way.
+    if cents is None:
+        cents = centroid_frame(corpus, n_cells, kmeans_iters).persist()
+        cents.count()
     if coarse_cells is not None:
         packed2 = _pack_cells_two_level(cents, coarse_cells)
         indexed = _nearest_cells_two_level(corpus, packed2, 1, 1)

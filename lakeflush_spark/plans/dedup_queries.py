@@ -309,10 +309,16 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(65536 * _BLOCK_CAP) + F.col("_bn") - 1) / F.col("_bn")
         ).cast("bigint"),
     )
+    # localCheckpoint (r14 optimization): the within-source self-join's
+    # two sides are the SAME ≤_BLOCK_CAP-per-source frame — without the
+    # checkpoint each side re-derived the shingle hash sets (tokenize +
+    # hash + distinct, the label's dominant map cost). Bounded by the
+    # proportional cap, so never corpus-sized.
     blocked_docs = (
         docs.join(F.broadcast(bcounts), "source")
         .where(bucket16 < bthresh)
         .select("doc_id", "source", shingle_hash_set("text").alias("hs"))
+        .localCheckpoint()
     )
     a, b = blocked_docs.alias("a"), blocked_docs.alias("b")
     blocked = (
@@ -405,7 +411,15 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(65536 * _SIMHASH_CAP) + F.col("_n") - 1) / F.col("_n")
         ).cast("bigint"),
     )
-    capped = docs.crossJoin(F.broadcast(n1)).where(bucket16 < thresh).drop("_n")
+    # localCheckpoint (r14 optimization): the self-join's two sides are
+    # the SAME ≤_SIMHASH_CAP-row (doc_id, simhash) frame — without the
+    # checkpoint each side re-ran the full simhash text fold (tokenize
+    # + 32-lane aggregate, the builder's most expensive map stage) over
+    # the corpus. Bounded by the cap, so never corpus-sized.
+    capped = (
+        docs.crossJoin(F.broadcast(n1)).where(bucket16 < thresh).drop("_n")
+        .localCheckpoint()
+    )
     a = capped.alias("a")
     b = capped.alias("b")
     sim = (
@@ -872,9 +886,18 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.lit("block").alias("method"), "id1", "id2", "cos_sim")
     )
+    # r14 optimization: ONE deterministic quantizer per build, shared
+    # by the 'sem_pair'/'sem_drop' chain and the 'bal' quota sample
+    # (previously each operator re-ran the centroid seed scan +
+    # persist+count) — identical results by the md5 seed draw.
+    from lakeflush_spark.operators.similarity import centroid_frame
+
+    pv = prepare_vectors(emb_raw)
+    cents = centroid_frame(pv, _SEM_CELLS).persist()
+    cents.count()
     # localCheckpoint: the pair table (tiny) feeds both labels below
     semp = semantic_dedup_pairs(
-        prepare_vectors(emb_raw), threshold=_SEM_THRESHOLD, n_cells=_SEM_CELLS
+        pv, threshold=_SEM_THRESHOLD, n_cells=_SEM_CELLS, cents=cents
     ).localCheckpoint()
     sem_pair = semp.select(
         F.lit("sem_pair").alias("method"), "id1", "id2", "cos_sim"
@@ -892,7 +915,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.similarity import cluster_balanced_sample
 
     bal = cluster_balanced_sample(
-        prepare_vectors(emb_raw), per_cell_cap=_BAL_CAP, n_cells=_SEM_CELLS
+        pv, per_cell_cap=_BAL_CAP, n_cells=_SEM_CELLS, cents=cents
     ).select(
         F.lit("bal").alias("method"),
         F.col("vid").alias("id1"),

@@ -163,13 +163,22 @@ def encode_with_codebooks(vec: Column, codebooks) -> Column:
 
 
 def _codebooks_frame(spark, codebooks) -> DataFrame:
-    """Codebooks as a (sub, code, cv) frame for the parquet sidecar."""
+    """Codebooks as a (sub, code, cv) frame for the parquet sidecar.
+
+    One-slice local frame (r14): plain ``createDataFrame`` chops the
+    ~m·n_codes rows into defaultParallelism pickled slices, and the
+    ``coalesce(1)`` sidecar write then evaluates every slice SERIALLY
+    through its own Python-worker round trip (the io.local_rows_df
+    note — measured ~5 s per call on local[32]; this was most of
+    pq_encode_index's wall time)."""
+    from lakeflush_spark.io import local_rows_df
+
     rows = [
         (i, c, [float(x) for x in codebooks[i][c]])
         for i in range(len(codebooks))
         for c in range(len(codebooks[i]))
     ]
-    return spark.createDataFrame(rows, "sub int, code int, cv array<double>")
+    return local_rows_df(spark, rows, "sub int, code int, cv array<double>")
 
 
 def read_codebooks(spark, base: str):

@@ -666,21 +666,29 @@ def _q62_run_streams(spark: SparkSession, docs: DataFrame) -> tuple[str, str]:
 def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflush_spark.operators.substring_dedup import (
         repeated_spans,
-        strip_repeated_spans,
+        strip_spans_against,
     )
 
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
-    span = repeated_spans(
+    # r14 optimization: ONE span probe per build. 'span' and 'strip'
+    # both need the hot-fingerprint table (strip_repeated_spans is
+    # exactly repeated_spans + strip_spans_against, see the operator);
+    # un-checkpointed, each union branch re-ran the anchored-window
+    # explode + fp shuffle. The hot frame is tiny (only >=min_docs
+    # fingerprints survive), so the checkpoint is bounded at any scale.
+    hot_full = repeated_spans(
         docs, window=_Q62_WINDOW, stride=_Q62_STRIDE, min_docs=2
-    ).select(
+    ).localCheckpoint()
+    span = hot_full.select(
         F.lit("span").alias("method"),
         F.col("fp").alias("k1"),
         F.col("n_docs").alias("n1"),
         F.col("min_doc").alias("n2"),
         F.col("max_doc").alias("n3"),
     )
-    strip = strip_repeated_spans(
-        docs, window=_Q62_WINDOW, stride=_Q62_STRIDE, min_docs=2
+    strip = strip_spans_against(
+        docs, hot_full.select("fp"),
+        window=_Q62_WINDOW, stride=_Q62_STRIDE,
     ).select(
         F.lit("strip").alias("method"),
         F.md5("text").alias("k1"),

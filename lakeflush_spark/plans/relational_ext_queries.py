@@ -585,7 +585,12 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_sidecar(
         spark, sf_dir, rows, suite.schema.names, spark_dtypes=suite.dtypes
     )
-    return spark.createDataFrame(rows, suite.schema)
+    # one-slice local frame (r14): plain createDataFrame would chop
+    # the 987 rows into defaultParallelism pickled slices — 32 python
+    # worker round-trips per downstream action (io.local_rows_df note)
+    from lakeflush_spark.io import local_rows_df
+
+    return local_rows_df(spark, rows, suite.schema)
 
 
 def q41_suite_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

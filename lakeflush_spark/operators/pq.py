@@ -181,11 +181,22 @@ def _codebooks_frame(spark, codebooks) -> DataFrame:
     return local_rows_df(spark, rows, "sub int, code int, cv array<double>")
 
 
+#: per-(applicationId, index dir) cache of decoded codebook arrays —
+#: the sidecar is immutable once the index's completion marker exists
+#: (pq_encode_index writes centroids/ last), so re-collecting the
+#: 1024-row frame per search call was pure fixed overhead (r14).
+_CODEBOOK_CACHE: dict = {}
+
+
 def read_codebooks(spark, base: str):
     """Load the ``codebooks/`` sidecar back into the ``(m, n_codes,
-    dsub)`` numpy array (tiny — m·n_codes rows)."""
+    dsub)`` numpy array (tiny — m·n_codes rows). Cached per
+    (session, dir): the sidecar never changes after the build."""
     import numpy as np
 
+    key = (spark.sparkContext.applicationId, base)
+    if key in _CODEBOOK_CACHE:
+        return _CODEBOOK_CACHE[key]
     rows = spark.read.parquet(f"{base}/codebooks").collect()
     m = 1 + max(r.sub for r in rows)
     n_codes = 1 + max(r.code for r in rows)
@@ -193,6 +204,7 @@ def read_codebooks(spark, base: str):
     cb = np.empty((m, n_codes, dsub), dtype=np.float64)
     for r in rows:
         cb[r.sub][r.code] = r.cv
+    _CODEBOOK_CACHE[key] = cb
     return cb
 
 

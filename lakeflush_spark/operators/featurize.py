@@ -61,8 +61,29 @@ def hashed_tf_embeddings(
     """
     if not 0 < dim <= 65536:
         raise ValueError(f"dim must be in (0, 65536], got {dim}")
+    # NULL-sentinel explode (r14): every document's token array gets
+    # one appended NULL element, so even a NULL/empty text yields one
+    # (id, NULL-token) row and empty documents ride the aggregation
+    # chain as a NULL-bucket marker, coming out as the zero vector —
+    # the previous ``docs.select(id).join(dense, "left")`` re-scanned
+    # the corpus and paid a third |docs|-row shuffle just to resurrect
+    # them (guide §2.4). A plain ``explode_outer`` would do the same
+    # with one operator, but GenerateExec only participates in
+    # WholeStageCodegen when outer=false — measured 1.5 → 2.1 s at
+    # sf0.1 from the interpreted Generate alone — so the sentinel
+    # keeps the inner explode and its codegen span. The sentinel's
+    # cost is one array copy per doc (concat), a wash with the join
+    # at sf0.1 (interleaved medians 1.43 vs 1.56 s); the win is the
+    # scale shape: one corpus scan instead of two and no join of the
+    # |docs|-row dense frame.
     tok = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.coalesce(tokens(text_col), F.array()),
+                F.array(F.lit(None).cast("string")),
+            )
+        ).alias("_tok"),
     )
     tf = (
         tok.withColumn(
@@ -85,18 +106,22 @@ def hashed_tf_embeddings(
             )
             .select("_b", "_idf")
         )
-        tf = tf.join(F.broadcast(df_tab), "_b").select(
+        # LEFT join: the NULL-bucket marker rows of token-less docs
+        # must survive (an inner join on _b drops NULL keys); their _w
+        # is never read — the collect_list below filters them out
+        tf = tf.join(F.broadcast(df_tab), "_b", "left").select(
             id_col, "_b", (F.col("_w") * F.col("_idf")).alias("_w")
         )
+    # NULL-bucket markers contribute nothing to the map (collect_list
+    # skips NULL elements); a doc whose only row is the marker gets an
+    # empty map → the coalesce below emits the zero vector
     dense = tf.groupBy(id_col).agg(
         F.map_from_entries(
-            F.collect_list(F.struct(F.col("_b"), F.col("_w")))
+            F.collect_list(
+                F.when(F.col("_b").isNotNull(), F.struct(F.col("_b"), F.col("_w")))
+            )
         ).alias("_m")
     )
-    # left-join back so EVERY document gets a row — a NULL text (whose
-    # explode yields no token rows) comes out as the zero vector
-    # instead of silently vanishing (r14 review)
-    dense = docs.select(id_col).join(dense, id_col, "left")
     idx = F.sequence(F.lit(0).cast("bigint"), F.lit(dim - 1).cast("bigint"))
     return dense.select(
         F.col(id_col),

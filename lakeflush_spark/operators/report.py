@@ -202,7 +202,21 @@ def corpus_report(
             F.round(F.col("_top._lc") / F.col("_tot"), 4).alias("top_lang_share"),
         )
     )
-    total = per_source.select(F.sum("n_tokens").alias("_all"))
+    # token_share divisor: a window sum over the ALREADY-AGGREGATED
+    # |sources|-row frame (r14) — the previous
+    # ``crossJoin(per_source.select(F.sum(...)))`` re-ran the whole
+    # flags-panel generator scan over the corpus just to total one
+    # bigint column (the plan showed the heavy Generate+Scan twice,
+    # unshared; guide §2.4). Exact-integer sum over the same rows —
+    # bit-identical shares. The empty OVER () frame is a
+    # SinglePartition exchange of card rows only, never the corpus.
+    from pyspark.sql import Window
+
+    _all = F.sum("n_tokens").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    ).alias("_all")
     # eqNullSafe: a NULL source is a real group in both aggregations
     # (groupBy keeps it) — a plain equi-join would silently drop it
     # from the card while its tokens still inflate the share divisor
@@ -211,7 +225,7 @@ def corpus_report(
         per_source.join(
             lc, per_source["source"].eqNullSafe(lc["_lc_source"])
         ).drop("_lc_source")
-        .crossJoin(F.broadcast(total))
+        .withColumn("_all", _all)
         .select(
             "source",
             "n_docs",

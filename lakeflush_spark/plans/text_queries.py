@@ -1516,10 +1516,11 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     # violating card value). Oracle side emits constant 1/1 rows, so
     # any violation hash-mismatches. The quantile card is REPLAYED as
     # the slim per-source sketch agg (same percentile_approx path and
-    # accuracy corpus_report uses) rather than projected from `rep`:
-    # rep's plan carries the 1-row token-share total, and duplicating
-    # that subtree a third time would add a third SinglePartition
-    # exchange (tests/test_plans.py budget: <= 2 per query).
+    # accuracy corpus_report uses) over the checkpointed `d` proxy —
+    # one tiny agg; historically `rep` could not be reused here
+    # because its pre-r14 plan carried a duplicated token-share total
+    # subtree (corpus_report now derives the share via a window, so
+    # only the 1P-exchange-budget rationale remains historical).
     from lakeflush_spark.operators.report import sketch_quantile_verdicts
 
     qcols = {"tokens_p10": 0.1, "tokens_p50": 0.5, "tokens_p90": 0.9,
@@ -1547,9 +1548,8 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'temp' (r9): operators/mixing.temperature_weights over the
     # per-source token totals — alpha=0.5 (sqrt) so weight and
     # normalized share are bit-identical to the SQL twin (see the
-    # operator docstring). The |sources|-row input reuses rep's
-    # aggregation? No — rep carries the 1-row total subtree (see
-    # card_q note); replay the slim groupBy instead.
+    # operator docstring). The slim groupBy over the checkpointed `d`
+    # proxy is the cheapest source of the |sources|-row input.
     from lakeflush_spark.operators.mixing import temperature_weights
 
     srctok = d.groupBy("source").agg(

@@ -47,6 +47,15 @@ def get_spark(app_name: str = "lakeflush_spark", extra_conf: dict | None = None)
         .config("spark.sql.parquet.filterPushdown", "true")
         # --- Python interop: Arrow everywhere -----------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r14 (guide §4, the driver-side Python boundary): PySpark 4's
+        # DataFrame-debugging wrapper decorates EVERY DataFrame/Column
+        # API call with call-site capture for richer error messages —
+        # measured ~4 extra py4j round trips per call (getActiveSession
+        # + conf.get + PySparkCurrentOrigin.set/clear) ≈ 2 s of the
+        # label-suite builders' driver-side assembly (q60 profile:
+        # 2.4 s cumulative in errors/utils wrapper out of ~3.5 s
+        # assembly). Pure observability; results are unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # --- Object-store (s3a://) readiness ------------------------
         # Consulted only when a path actually uses the s3a scheme, so
         # harmless on boxes without hadoop-aws on the classpath. Every

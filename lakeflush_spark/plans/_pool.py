@@ -1,0 +1,30 @@
+"""Shared module-level thread pool for overlapping independent eager
+build jobs inside query builders (guide §2.6: Spark happily runs
+several jobs at once; eager steps are only sequential because the
+driver calls them sequentially — a small pool lets the next job's
+stages back-fill the tail of the current one).
+
+MODULE-LEVEL and long-lived on purpose: in py4j pinned-thread mode
+every Python thread owns a dedicated JVM thread that outlives it
+unless explicitly cleaned (pyspark.InheritableThread's reason to
+exist) — a per-call pool leaks JVM threads at every build and
+measurably degrades the rest of a long bench run (the q55 pool note,
+r14).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+_POOL: list = []
+
+
+def plan_pool() -> ThreadPoolExecutor:
+    """The shared eager-build pool (8 workers: enough to overlap every
+    independent checkpoint a builder submits, few enough that FIFO
+    scheduling keeps the first job's stages at full width)."""
+    if not _POOL:
+        _POOL.append(
+            ThreadPoolExecutor(max_workers=8, thread_name_prefix="plan-eager")
+        )
+    return _POOL[0]

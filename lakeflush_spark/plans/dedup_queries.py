@@ -260,6 +260,29 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    # r14 (guide §2.6): the 'blocked' label's capped self-join side is
+    # an eager checkpoint INDEPENDENT of the minhash verify chain + CC
+    # loop below — submit it to the shared pool first so its shingle
+    # fold back-fills the verify chain's stage tails instead of
+    # running after them. Values unchanged (same frame either way).
+    from lakeflush_spark.plans._pool import plan_pool
+
+    bcounts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_bn"))
+    bucket16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    bthresh = F.least(
+        F.lit(65536).cast("bigint"),
+        F.floor(
+            (F.lit(65536 * _BLOCK_CAP) + F.col("_bn") - 1) / F.col("_bn")
+        ).cast("bigint"),
+    )
+    _f_blocked = plan_pool().submit(
+        lambda: docs.join(F.broadcast(bcounts), "source")
+        .where(bucket16 < bthresh)
+        .select("doc_id", "source", shingle_hash_set("text").alias("hs"))
+        .localCheckpoint()
+    )
     # localCheckpoint: the verified pair table (tiny) feeds BOTH the
     # 'lsh' label and the cluster loop — materializing it once avoids
     # recomputing the verify join per consumer, and the cluster loop
@@ -299,27 +322,13 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale results are byte-identical to the uncapped label. Exact
     # arithmetic: 65536×cap + bn < 2^26 ≪ 2^53, so the float floor
     # equals DuckDB's integer division.
-    bcounts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_bn"))
-    bucket16 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("bigint")
-    bthresh = F.least(
-        F.lit(65536).cast("bigint"),
-        F.floor(
-            (F.lit(65536 * _BLOCK_CAP) + F.col("_bn") - 1) / F.col("_bn")
-        ).cast("bigint"),
-    )
     # localCheckpoint (r14 optimization): the within-source self-join's
     # two sides are the SAME ≤_BLOCK_CAP-per-source frame — without the
     # checkpoint each side re-derived the shingle hash sets (tokenize +
     # hash + distinct, the label's dominant map cost). Bounded by the
-    # proportional cap, so never corpus-sized.
-    blocked_docs = (
-        docs.join(F.broadcast(bcounts), "source")
-        .where(bucket16 < bthresh)
-        .select("doc_id", "source", shingle_hash_set("text").alias("hs"))
-        .localCheckpoint()
-    )
+    # proportional cap, so never corpus-sized. The checkpoint job was
+    # submitted to the pool at the top of the builder (guide §2.6).
+    blocked_docs = _f_blocked.result()
     a, b = blocked_docs.alias("a"), blocked_docs.alias("b")
     blocked = (
         a.join(
@@ -416,10 +425,20 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint each side re-ran the full simhash text fold (tokenize
     # + 32-lane aggregate, the builder's most expensive map stage) over
     # the corpus. Bounded by the cap, so never corpus-sized.
-    capped = (
-        docs.crossJoin(F.broadcast(n1)).where(bucket16 < thresh).drop("_n")
+    # r14 (guide §2.6): this checkpoint and phash_label_frames' hash
+    # checkpoint are independent eager jobs — overlap them via the
+    # shared pool (simhash fold submitted first, the 3.3k-op/row phash
+    # fold built on the main thread back-fills it).
+    from lakeflush_spark.plans._pool import plan_pool
+
+    _f_capped = plan_pool().submit(
+        lambda: docs.crossJoin(F.broadcast(n1))
+        .where(bucket16 < thresh)
+        .drop("_n")
         .localCheckpoint()
     )
+    ph_frames = phash_label_frames(spark, sf_dir)
+    capped = _f_capped.result()
     a = capped.alias("a")
     b = capped.alias("b")
     sim = (
@@ -433,7 +452,7 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .select(F.lit("simhash").alias("method"), "id1", "id2", "hamming")
     )
-    return sim.unionByName(phash_label_frames(spark, sf_dir)).orderBy(
+    return sim.unionByName(ph_frames).orderBy(
         "method", "id1", "id2"
     )
 

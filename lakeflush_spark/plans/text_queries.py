@@ -1453,9 +1453,30 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-run caching; each builder call pays its own scan). At
     # 100 TB this is the guide §8 decision-pass shape: tokenize the
     # corpus once, every downstream decision reads the 4-column proxy.
-    d = docs.select(
-        "doc_id", "lang", "source", token_count("text").alias("n_tokens")
-    ).localCheckpoint()
+    # r14 (guide §2.6): the THREE eager checkpoint jobs this builder
+    # pays per call — the d proxy, the corpus_report card, and the
+    # fused flags panel — are independent corpus scans; run
+    # sequentially they cost their sum (~2.5 s), overlapped they cost
+    # ~the max (the flags panel). Submitted here, resolved where each
+    # frame is first needed; values are unchanged (same three frames).
+    from lakeflush_spark.operators.report import corpus_report
+    from lakeflush_spark.plans._pool import plan_pool
+
+    _pool = plan_pool()
+    _f_d = _pool.submit(
+        lambda: docs.select(
+            "doc_id", "lang", "source", token_count("text").alias("n_tokens")
+        ).localCheckpoint()
+    )
+    _f_rep = _pool.submit(
+        lambda: corpus_report(docs, flag_profile=False).localCheckpoint()
+    )
+    _f_fl = _pool.submit(
+        lambda: docs.select(
+            "source", "doc_id", F.inline(_q60_fl_gen())
+        ).localCheckpoint()
+    )
+    d = _f_d.result()
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint") % 100
@@ -1486,16 +1507,15 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (kind, key, bigint, bigint) frame; shares ride as x10000 ints
     # (integral up to float eps after the 4dp round, so the final
     # 0-dp round is engine-safe).
-    from lakeflush_spark.operators.report import corpus_report
-
     # flag_profile=False: the 'card'/'card_top' labels read only the
     # count/share columns, so the three-bitmask profile (incl. the
     # top-k-gram coverage folds) would be pure waste here — the flags
     # surface is hash-verified by 'card_flags' from its own fused scan
     # localCheckpoint (r14): rep is |sources| rows consumed by BOTH
     # 'card' and 'card_top' — un-checkpointed each union branch re-ran
-    # corpus_report's two aggregation scans (4 corpus scans total)
-    rep = corpus_report(docs, flag_profile=False).localCheckpoint()
+    # corpus_report's two aggregation scans (4 corpus scans total);
+    # the checkpoint job itself was submitted to the pool above
+    rep = _f_rep.result()
     card = rep.select(
         F.lit("card").alias("kind"),
         F.col("source").alias("key"),
@@ -1575,10 +1595,9 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     # classifier score, the most expensive map stage in this builder)
     # feeds BOTH the 'card_flags' aggregation and the 'clf'/'clf_mask'
     # scoring — un-checkpointed it ran twice per materialization. The
-    # checkpointed frame is 7 scalar columns per doc (guide §8 proxy).
-    flclf = docs.select(
-        "source", "doc_id", F.inline(_q60_fl_gen())
-    ).localCheckpoint()
+    # checkpointed frame is 7 scalar columns per doc (guide §8 proxy);
+    # the checkpoint job itself was submitted to the pool above
+    flclf = _f_fl.result()
     fl = flclf
     fams = {"gopher": "_gf", "c4": "_cf", "mt": "_mf"}
     fagg = fl.groupBy("source").agg(

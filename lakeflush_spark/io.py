@@ -131,6 +131,29 @@ def local_path(path_str: str) -> str | None:
     return rest or "/"
 
 
+#: shared long-lived pool for overlapping independent eager Spark jobs
+#: (guide §2.6 — checkpoint builds, store writes). MODULE-LEVEL on
+#: purpose: in py4j pinned-thread mode every Python thread owns a
+#: dedicated JVM thread that outlives it unless explicitly cleaned
+#: (pyspark.InheritableThread's reason to exist) — a per-call pool
+#: leaks JVM threads at every use and measurably degrades a long
+#: bench run (the q55 pool note, r14).
+_EAGER_POOL: list = []
+
+
+def eager_pool():
+    """The shared eager-job pool (8 workers: enough to overlap every
+    independent job a caller submits, few enough that FIFO scheduling
+    keeps the first job's stages at full width)."""
+    if not _EAGER_POOL:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _EAGER_POOL.append(
+            ThreadPoolExecutor(max_workers=8, thread_name_prefix="eager-pool")
+        )
+    return _EAGER_POOL[0]
+
+
 def local_rows_df(
     spark: SparkSession, rows: list, schema, slices: int = 1
 ) -> DataFrame:

@@ -14,17 +14,6 @@ r14).
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
+from lakeflush_spark.io import eager_pool as plan_pool
 
-_POOL: list = []
-
-
-def plan_pool() -> ThreadPoolExecutor:
-    """The shared eager-build pool (8 workers: enough to overlap every
-    independent checkpoint a builder submits, few enough that FIFO
-    scheduling keeps the first job's stages at full width)."""
-    if not _POOL:
-        _POOL.append(
-            ThreadPoolExecutor(max_workers=8, thread_name_prefix="plan-eager")
-        )
-    return _POOL[0]
+__all__ = ["plan_pool"]

@@ -946,28 +946,47 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             body_cols = [c for c in input_cols] + ["run", "batch"]
             if "n_stripped" in out.columns:
                 body_cols.insert(-2, "n_stripped")
-            _writer(out.select(*body_cols), cfg.dest_dir, nrows=n_out)
-            _mark("w_dest")
+            # r14 (guide §2.6): the admitted-batch store writes below
+            # (dest/domains/url-digest/boilerplate/digest/sig/vector)
+            # are INDEPENDENT jobs — different dest dirs, each a
+            # dynamic (run,batch) overwrite over frames derived from
+            # the checkpointed `out` — run sequentially they cost
+            # their sum (~1.5 s/batch of the warm stream's fixed
+            # overhead). Submitted to the shared pool and barriered
+            # before the stats write, which stays LAST deliberately:
+            # it summarizes the batch, so a crash mid-batch leaves
+            # stores without a stats row (the recoverable direction)
+            # rather than a stats row describing missing stores.
+            # Failure semantics are unchanged — any write error
+            # surfaces at the barrier and fails the batch for replay.
+            from lakeflush_spark.io import eager_pool
+
+            _wfs = [
+                eager_pool().submit(
+                    _writer, out.select(*body_cols), cfg.dest_dir, nrows=n_out
+                )
+            ]
             if cfg.url_domain_cap is not None:
                 # admission increments for ADMITTED docs only (out) —
                 # the stores-describe-the-corpus principle; one row per
                 # domain per batch
-                _writer(
+                _wfs.append(eager_pool().submit(
+                    _writer,
                     out.groupBy("url_domain")
                     .agg(F.count(F.lit(1)).alias("n"))
                     .withColumn("run", F.lit(run))
                     .withColumn("batch", F.lit(int(batch_id))),
                     cfg.domain_count_dir,
                     nrows=1,
-                )
-                _mark("w_domains")
+                ))
             if cfg.url_exact_dedup:
                 # canonical-URL digests for ADMITTED docs only (the
                 # stores-describe-the-corpus principle); unparseable
                 # URLs contribute no row
                 from lakeflush_spark.operators.url import canonicalize_url
 
-                _writer(
+                _wfs.append(eager_pool().submit(
+                    _writer,
                     out.withColumn(
                         "_ucanon", canonicalize_url(F.col(cfg.url_col))
                     )
@@ -977,8 +996,7 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     .withColumn("batch", F.lit(int(batch_id))),
                     cfg.url_digest_dir,
                     nrows=n_out,
-                )
-                _mark("w_url_digest")
+                ))
             if bp_counts is not None:
                 # PERSISTED counts cover only ADMITTED docs' (pre-strip)
                 # passages — the stores-describe-the-corpus principle: a
@@ -1001,7 +1019,8 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 bp_store_rows, bp_extra = fp_store_frame(
                     bp_store_counts, cfg.bp_fp_prefix_partitions
                 )
-                _writer(
+                _wfs.append(eager_pool().submit(
+                    _writer,
                     bp_store_rows.withColumn("run", F.lit(run)).withColumn(
                         "batch", F.lit(int(batch_id))
                     ),
@@ -1010,33 +1029,34 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     # fp rows per admitted doc are bounded (anchor
                     # stride) — n_out is a sizing proxy, not a count
                     nrows=n_out,
-                )
+                ))
             if cfg.digest_prefix_partitions:
-                _writer(
+                _wfs.append(eager_pool().submit(
+                    _writer,
                     out.select("_digest", "run", "batch").withColumn(
                         "_dp", F.substring("_digest", 1, 2)
                     ),
                     cfg.digest_dir,
                     parts=("run", "batch", "_dp"),
                     nrows=n_out,
-                )
+                ))
             else:
-                _writer(
+                _wfs.append(eager_pool().submit(
+                    _writer,
                     out.select("_digest", "run", "batch"),
                     cfg.digest_dir,
                     nrows=n_out,
-                )
-            _mark("w_digest")
+                ))
             from lakeflush_spark.operators.dedup import MINHASH_BANDS
 
-            _writer(
+            _wfs.append(eager_pool().submit(
+                _writer,
                 _bands_long(out, cfg.id_col)
                 .withColumn("run", F.lit(run))
                 .withColumn("batch", F.lit(int(batch_id))),
                 cfg.sig_dir,
                 nrows=n_out * MINHASH_BANDS,
-            )
-            _mark("w_sig")
+            ))
             if sem_indexed is not None:
                 # vector store rows for ADMITTED docs only (out — i.e.
                 # survivors of the semantic AND decontam stages): the
@@ -1051,7 +1071,8 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 sem_store, sem_extra = store_frame(
                     admitted, cfg.sem_quantize_store, cfg.sem_cell_partitions
                 )
-                _writer(
+                _wfs.append(eager_pool().submit(
+                    _writer,
                     sem_store.withColumn("run", F.lit(run)).withColumn(
                         "batch", F.lit(int(batch_id))
                     ),
@@ -1059,8 +1080,11 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     parts=("run", "batch", *sem_extra),
                     # admitted vectors ⊆ out
                     nrows=n_out,
-                )
-                _mark("w_sem")
+                ))
+            # barrier: every store write must land before the stats row
+            for _wf in _wfs:
+                _wf.result()
+            _mark("w_stores")
             from lakeflush_spark.io import local_rows_df
 
             stats = local_rows_df(

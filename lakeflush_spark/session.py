@@ -30,6 +30,20 @@ def get_spark(app_name: str = "lakeflush_spark", extra_conf: dict | None = None)
     # at a real heap). On a cluster this maps to executor memory, set
     # by the deploy; here it must be set before the JVM launches.
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # r14: commit and PRE-FAULT the whole heap at JVM launch
+    # (-Xms=driver_mem + AlwaysPreTouch). On this box the host's
+    # anonymous-page-fault service rate intermittently collapses
+    # (~40 µs+/page, measured via scripts/box_probe.py); a JVM that
+    # grows its heap lazily then stalls for seconds mid-query the
+    # first time each GC region is touched — the bench's recurring
+    # first-pass 3-20 s outliers. Pre-touching moves that cost to
+    # startup (untimed warmup) and is standard practice for
+    # latency-sensitive JVMs; override via SPARK_GRAFT_DRIVER_JAVA_OPTS
+    # (e.g. "" to disable). -Xmx stays owned by spark.driver.memory.
+    driver_jopts = os.environ.get(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+        f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -79,6 +93,10 @@ def get_spark(app_name: str = "lakeflush_spark", extra_conf: dict | None = None)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    if driver_jopts.strip():
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", driver_jopts
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

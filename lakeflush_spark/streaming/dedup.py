@@ -346,12 +346,20 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
             # one cached count sizes both writes (and materializes the
             # pin before the first write starts replacing files)
             n_out = out.count()
-            (
-                _sized(out.drop("_digest"), n_out)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("run", "batch")
-                .parquet(cfg.dest_dir)
+            # r14 (guide §2.6): the dest and digest writes are
+            # independent jobs over the checkpointed snapshot —
+            # overlap them via the shared pool; failure in either
+            # surfaces at result() and fails the batch for replay
+            from lakeflush_spark.io import eager_pool
+
+            _wf = eager_pool().submit(
+                lambda: (
+                    _sized(out.drop("_digest"), n_out)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("run", "batch")
+                    .parquet(cfg.dest_dir)
+                )
             )
             (
                 _sized(store, n_out)
@@ -360,6 +368,7 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
                 .partitionBy(*store_parts)
                 .parquet(cfg.digest_dir)
             )
+            _wf.result()
         finally:
             # checkpointed blocks free on GC — drop the reference
             del out
@@ -693,12 +702,19 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
         try:
             body_cols = [c for c in batch_df.columns] + ["run", "batch"]
             n_out = out.count()
-            (
-                _sized(out.select(*body_cols), n_out)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("run", "batch")
-                .parquet(cfg.dest_dir)
+            # r14 (guide §2.6): dest and sig-store writes are
+            # independent jobs over the checkpointed snapshot —
+            # overlap them (the _write_outputs rationale)
+            from lakeflush_spark.io import eager_pool
+
+            _wf = eager_pool().submit(
+                lambda: (
+                    _sized(out.select(*body_cols), n_out)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("run", "batch")
+                    .parquet(cfg.dest_dir)
+                )
             )
             (
                 _sized(
@@ -712,6 +728,7 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
                 .partitionBy("run", "batch")
                 .parquet(cfg.sig_dir)
             )
+            _wf.result()
         finally:
             del out
 

@@ -226,12 +226,21 @@ def phash_dedup_stream(
                 .withColumn("run", F.lit(run))
                 .withColumn("batch", F.lit(int(batch_id)))
             )
-            (
-                _sized(store, n_new)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("run", "batch")
-                .parquet(cfg.hash_dir)
+            # r14 (guide §2.6): the hash-store and survivors writes are
+            # independent jobs (the store reads the pinned `fresh`
+            # frame, the dest chain reads the source payloads) —
+            # overlap them via the shared pool; failure in either
+            # surfaces at result() and fails the batch for replay
+            from lakeflush_spark.io import eager_pool
+
+            _wf = eager_pool().submit(
+                lambda: (
+                    _sized(store, n_new)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("run", "batch")
+                    .parquet(cfg.hash_dir)
+                )
             )
             # survivors: everything not dropped — undecodable payloads
             # have no hash row, join nothing, and pass through (SKIP,
@@ -270,6 +279,7 @@ def phash_dedup_stream(
                 .partitionBy("run", "batch")
                 .parquet(cfg.dest_dir)
             )
+            _wf.result()
         finally:
             del hashes  # checkpointed blocks free on GC
 

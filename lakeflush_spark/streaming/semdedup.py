@@ -579,12 +579,21 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
             store = store.withColumn("run", F.lit(run)).withColumn(
                 "batch", F.lit(int(batch_id))
             )
-            (
-                _sized(store, n_out)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("run", "batch", *extra_parts)
-                .parquet(cfg.vec_dir)
+            # r14 (guide §2.6): the store and dest writes are
+            # independent jobs over the already-materialized
+            # indexed/dropped frames — overlap them via the shared
+            # pool; a failure in either surfaces at result() and fails
+            # the batch for replay exactly as the sequential writes did
+            from lakeflush_spark.io import eager_pool
+
+            _wf = eager_pool().submit(
+                lambda: (
+                    _sized(store, n_out)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("run", "batch", *extra_parts)
+                    .parquet(cfg.vec_dir)
+                )
             )
             survivors = batch_df.join(
                 F.broadcast(dropped.withColumnRenamed("vid", cfg.id_col)),
@@ -603,6 +612,7 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
                 .partitionBy("run", "batch")
                 .parquet(cfg.dest_dir)
             )
+            _wf.result()
         finally:
             del indexed  # checkpointed blocks free on GC
             if dropped is not None:

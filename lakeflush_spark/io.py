@@ -11,6 +11,7 @@ discovery, predicate pushdown and column pruning are free).
 from __future__ import annotations
 
 import os
+import threading
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -139,6 +140,10 @@ def local_path(path_str: str) -> str | None:
 #: leaks JVM threads at every use and measurably degrades a long
 #: bench run (the q55 pool note, r14).
 _EAGER_POOL: list = []
+#: creation guard (r15, ADVICE r14): two threads — e.g. two concurrent
+#: foreachBatch streams — could both see the empty list and build two
+#: executors; the loser's pool (and its py4j-pinned JVM threads) leaks.
+_EAGER_POOL_LOCK = threading.Lock()
 
 
 def eager_pool():
@@ -148,9 +153,13 @@ def eager_pool():
     if not _EAGER_POOL:
         from concurrent.futures import ThreadPoolExecutor
 
-        _EAGER_POOL.append(
-            ThreadPoolExecutor(max_workers=8, thread_name_prefix="eager-pool")
-        )
+        with _EAGER_POOL_LOCK:
+            if not _EAGER_POOL:
+                _EAGER_POOL.append(
+                    ThreadPoolExecutor(
+                        max_workers=8, thread_name_prefix="eager-pool"
+                    )
+                )
     return _EAGER_POOL[0]
 
 

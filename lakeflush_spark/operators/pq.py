@@ -258,6 +258,11 @@ def pq_encode_index(
     _codebooks_frame(spark, cb).coalesce(1).write.mode("error").parquet(
         f"{dest}/codebooks"
     )
+    # a re-encode at a previously-used path (deleted + rebuilt within
+    # one session) must not serve the OLD cached codebooks (r15,
+    # VERDICT r14 #4 — the staleness hazard was one careless caller
+    # away from silent wrong answers)
+    _CODEBOOK_CACHE.pop((spark.sparkContext.applicationId, dest), None)
     # centroid sidecar last — its presence marks the index complete
     (
         spark.read.parquet(f"{src}/centroids")

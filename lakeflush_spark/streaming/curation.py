@@ -957,27 +957,29 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
             # it summarizes the batch, so a crash mid-batch leaves
             # stores without a stats row (the recoverable direction)
             # rather than a stats row describing missing stores.
-            # Failure semantics are unchanged — any write error
-            # surfaces at the barrier and fails the batch for replay.
+            # Any write error surfaces at the barrier and fails the
+            # batch for replay; the barrier waits for EVERY submitted
+            # write — including after a failure — so no orphaned
+            # dynamic overwrite keeps running into a replay of the
+            # same (run,batch) partition (r15, ADVICE r14). Frames are
+            # all CONSTRUCTED (lazily, driver-side) before the first
+            # submit, so a construction error cannot orphan a write.
             from lakeflush_spark.io import eager_pool
 
-            _wfs = [
-                eager_pool().submit(
-                    _writer, out.select(*body_cols), cfg.dest_dir, nrows=n_out
-                )
+            _writes = [
+                (out.select(*body_cols), cfg.dest_dir, {"nrows": n_out})
             ]
             if cfg.url_domain_cap is not None:
                 # admission increments for ADMITTED docs only (out) —
                 # the stores-describe-the-corpus principle; one row per
                 # domain per batch
-                _wfs.append(eager_pool().submit(
-                    _writer,
+                _writes.append((
                     out.groupBy("url_domain")
                     .agg(F.count(F.lit(1)).alias("n"))
                     .withColumn("run", F.lit(run))
                     .withColumn("batch", F.lit(int(batch_id))),
                     cfg.domain_count_dir,
-                    nrows=1,
+                    {"nrows": 1},
                 ))
             if cfg.url_exact_dedup:
                 # canonical-URL digests for ADMITTED docs only (the
@@ -985,8 +987,7 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 # URLs contribute no row
                 from lakeflush_spark.operators.url import canonicalize_url
 
-                _wfs.append(eager_pool().submit(
-                    _writer,
+                _writes.append((
                     out.withColumn(
                         "_ucanon", canonicalize_url(F.col(cfg.url_col))
                     )
@@ -995,7 +996,7 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                     .withColumn("run", F.lit(run))
                     .withColumn("batch", F.lit(int(batch_id))),
                     cfg.url_digest_dir,
-                    nrows=n_out,
+                    {"nrows": n_out},
                 ))
             if bp_counts is not None:
                 # PERSISTED counts cover only ADMITTED docs' (pre-strip)
@@ -1019,43 +1020,37 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 bp_store_rows, bp_extra = fp_store_frame(
                     bp_store_counts, cfg.bp_fp_prefix_partitions
                 )
-                _wfs.append(eager_pool().submit(
-                    _writer,
+                _writes.append((
                     bp_store_rows.withColumn("run", F.lit(run)).withColumn(
                         "batch", F.lit(int(batch_id))
                     ),
                     cfg.bp_fp_dir,
-                    parts=("run", "batch", *bp_extra),
                     # fp rows per admitted doc are bounded (anchor
                     # stride) — n_out is a sizing proxy, not a count
-                    nrows=n_out,
+                    {"parts": ("run", "batch", *bp_extra), "nrows": n_out},
                 ))
             if cfg.digest_prefix_partitions:
-                _wfs.append(eager_pool().submit(
-                    _writer,
+                _writes.append((
                     out.select("_digest", "run", "batch").withColumn(
                         "_dp", F.substring("_digest", 1, 2)
                     ),
                     cfg.digest_dir,
-                    parts=("run", "batch", "_dp"),
-                    nrows=n_out,
+                    {"parts": ("run", "batch", "_dp"), "nrows": n_out},
                 ))
             else:
-                _wfs.append(eager_pool().submit(
-                    _writer,
+                _writes.append((
                     out.select("_digest", "run", "batch"),
                     cfg.digest_dir,
-                    nrows=n_out,
+                    {"nrows": n_out},
                 ))
             from lakeflush_spark.operators.dedup import MINHASH_BANDS
 
-            _wfs.append(eager_pool().submit(
-                _writer,
+            _writes.append((
                 _bands_long(out, cfg.id_col)
                 .withColumn("run", F.lit(run))
                 .withColumn("batch", F.lit(int(batch_id))),
                 cfg.sig_dir,
-                nrows=n_out * MINHASH_BANDS,
+                {"nrows": n_out * MINHASH_BANDS},
             ))
             if sem_indexed is not None:
                 # vector store rows for ADMITTED docs only (out — i.e.
@@ -1071,19 +1066,30 @@ def curate_stream(spark: SparkSession, cfg: CurationStreamConfig, schema=None):
                 sem_store, sem_extra = store_frame(
                     admitted, cfg.sem_quantize_store, cfg.sem_cell_partitions
                 )
-                _wfs.append(eager_pool().submit(
-                    _writer,
+                _writes.append((
                     sem_store.withColumn("run", F.lit(run)).withColumn(
                         "batch", F.lit(int(batch_id))
                     ),
                     cfg.sem_vec_dir,
-                    parts=("run", "batch", *sem_extra),
                     # admitted vectors ⊆ out
-                    nrows=n_out,
+                    {"parts": ("run", "batch", *sem_extra), "nrows": n_out},
                 ))
-            # barrier: every store write must land before the stats row
-            for _wf in _wfs:
-                _wf.result()
+            # submit everything at once, then barrier: every store
+            # write must land before the stats row. On failure, wait()
+            # drains the surviving futures BEFORE the first exception
+            # propagates — a same-process replay of this (run, batch)
+            # must never race a still-running orphaned overwrite.
+            import concurrent.futures as _cf
+
+            _wfs = [
+                eager_pool().submit(_writer, _df, _dir, **_kw)
+                for _df, _dir, _kw in _writes
+            ]
+            try:
+                for _wf in _wfs:
+                    _wf.result()
+            finally:
+                _cf.wait(_wfs)
             _mark("w_stores")
             from lakeflush_spark.io import local_rows_df
 

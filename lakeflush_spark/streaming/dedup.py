@@ -349,7 +349,12 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
             # r14 (guide §2.6): the dest and digest writes are
             # independent jobs over the checkpointed snapshot —
             # overlap them via the shared pool; failure in either
-            # surfaces at result() and fails the batch for replay
+            # surfaces here and fails the batch for replay. The
+            # finally-wait (r15, ADVICE r14) drains the pooled write
+            # even when the inline one raises, so a replay of this
+            # (run, batch) never races an orphaned overwrite.
+            import concurrent.futures as _cf
+
             from lakeflush_spark.io import eager_pool
 
             _wf = eager_pool().submit(
@@ -361,13 +366,16 @@ def dedup_stream(spark: SparkSession, cfg: StreamDedupConfig, schema=None):
                     .parquet(cfg.dest_dir)
                 )
             )
-            (
-                _sized(store, n_out)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*store_parts)
-                .parquet(cfg.digest_dir)
-            )
+            try:
+                (
+                    _sized(store, n_out)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*store_parts)
+                    .parquet(cfg.digest_dir)
+                )
+            finally:
+                _cf.wait([_wf])
             _wf.result()
         finally:
             # checkpointed blocks free on GC — drop the reference
@@ -704,7 +712,11 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
             n_out = out.count()
             # r14 (guide §2.6): dest and sig-store writes are
             # independent jobs over the checkpointed snapshot —
-            # overlap them (the _write_outputs rationale)
+            # overlap them (the _write_outputs rationale); the
+            # finally-wait drains the pooled write even on inline
+            # failure (r15, ADVICE r14 — no orphaned overwrites)
+            import concurrent.futures as _cf
+
             from lakeflush_spark.io import eager_pool
 
             _wf = eager_pool().submit(
@@ -716,18 +728,21 @@ def near_dup_stream(spark: SparkSession, cfg: StreamNearDupConfig, schema=None):
                     .parquet(cfg.dest_dir)
                 )
             )
-            (
-                _sized(
-                    _bands_long(out, cfg.id_col)
-                    .withColumn("run", F.lit(run))
-                    .withColumn("batch", F.lit(int(batch_id))),
-                    n_out * MINHASH_BANDS,
+            try:
+                (
+                    _sized(
+                        _bands_long(out, cfg.id_col)
+                        .withColumn("run", F.lit(run))
+                        .withColumn("batch", F.lit(int(batch_id))),
+                        n_out * MINHASH_BANDS,
+                    )
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("run", "batch")
+                    .parquet(cfg.sig_dir)
                 )
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("run", "batch")
-                .parquet(cfg.sig_dir)
-            )
+            finally:
+                _cf.wait([_wf])
             _wf.result()
         finally:
             del out

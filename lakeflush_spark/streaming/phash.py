@@ -230,7 +230,11 @@ def phash_dedup_stream(
             # independent jobs (the store reads the pinned `fresh`
             # frame, the dest chain reads the source payloads) —
             # overlap them via the shared pool; failure in either
-            # surfaces at result() and fails the batch for replay
+            # surfaces here and fails the batch for replay; the
+            # finally-wait drains the pooled write even on inline
+            # failure (r15, ADVICE r14 — no orphaned overwrites)
+            import concurrent.futures as _cf
+
             from lakeflush_spark.io import eager_pool
 
             _wf = eager_pool().submit(
@@ -258,27 +262,30 @@ def phash_dedup_stream(
             # proportional by construction, and that chain is the only
             # compute the coalesce touches (the hash/store chain is
             # pinned separately above).
-            dropped = within_losers.unionByName(hist_losers).withColumnRenamed(
-                "media_id", cfg.id_col
-            )
-            n_out = (
-                batch_df.count() - n_within - hist_losers.count()
-            )
-            survivors = batch_df.join(
-                F.broadcast(dropped), cfg.id_col, "left_anti"
-            )
-            (
-                _sized(
-                    survivors.withColumn("run", F.lit(run)).withColumn(
-                        "batch", F.lit(int(batch_id))
-                    ),
-                    n_out,
+            try:
+                dropped = within_losers.unionByName(
+                    hist_losers
+                ).withColumnRenamed("media_id", cfg.id_col)
+                n_out = (
+                    batch_df.count() - n_within - hist_losers.count()
                 )
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("run", "batch")
-                .parquet(cfg.dest_dir)
-            )
+                survivors = batch_df.join(
+                    F.broadcast(dropped), cfg.id_col, "left_anti"
+                )
+                (
+                    _sized(
+                        survivors.withColumn("run", F.lit(run)).withColumn(
+                            "batch", F.lit(int(batch_id))
+                        ),
+                        n_out,
+                    )
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("run", "batch")
+                    .parquet(cfg.dest_dir)
+                )
+            finally:
+                _cf.wait([_wf])
             _wf.result()
         finally:
             del hashes  # checkpointed blocks free on GC

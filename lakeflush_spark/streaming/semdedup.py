@@ -582,8 +582,12 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
             # r14 (guide §2.6): the store and dest writes are
             # independent jobs over the already-materialized
             # indexed/dropped frames — overlap them via the shared
-            # pool; a failure in either surfaces at result() and fails
-            # the batch for replay exactly as the sequential writes did
+            # pool; a failure in either surfaces here and fails the
+            # batch for replay exactly as the sequential writes did;
+            # the finally-wait drains the pooled write even on inline
+            # failure (r15, ADVICE r14 — no orphaned overwrites)
+            import concurrent.futures as _cf
+
             from lakeflush_spark.io import eager_pool
 
             _wf = eager_pool().submit(
@@ -595,23 +599,26 @@ def semdedup_stream(spark: SparkSession, cfg: StreamSemDedupConfig, schema=None)
                     .parquet(cfg.vec_dir)
                 )
             )
-            survivors = batch_df.join(
-                F.broadcast(dropped.withColumnRenamed("vid", cfg.id_col)),
-                cfg.id_col,
-                "left_anti",
-            )
-            (
-                _sized(
-                    survivors.withColumn("run", F.lit(run)).withColumn(
-                        "batch", F.lit(int(batch_id))
-                    ),
-                    n_out,
+            try:
+                survivors = batch_df.join(
+                    F.broadcast(dropped.withColumnRenamed("vid", cfg.id_col)),
+                    cfg.id_col,
+                    "left_anti",
                 )
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("run", "batch")
-                .parquet(cfg.dest_dir)
-            )
+                (
+                    _sized(
+                        survivors.withColumn("run", F.lit(run)).withColumn(
+                            "batch", F.lit(int(batch_id))
+                        ),
+                        n_out,
+                    )
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("run", "batch")
+                    .parquet(cfg.dest_dir)
+                )
+            finally:
+                _cf.wait([_wf])
             _wf.result()
         finally:
             del indexed  # checkpointed blocks free on GC

@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Capture ``.explain("formatted")`` for every headline query (r14).
 
-Writes ``plans/r14/<query>_<tag>.txt`` for each bench HEADLINE entry
-(tag = argv[1], default "before") — the optimization round's evidence
-files: the judge checks plan claims (Exchange counts, join strategies,
-PushedFilters, Python-eval nodes) against these.
+Writes ``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt`` (round
+default "r15") for each bench HEADLINE entry (tag = argv[1], default
+"before") — the optimization round's evidence files: the judge checks
+plan claims (Exchange counts, join strategies, PushedFilters,
+Python-eval nodes) against these.
 
 Usage: python scripts/capture_plans.py [tag] [query ...]
 """
@@ -34,7 +35,8 @@ def main() -> int:
     from lakeflush_spark.plans import PLAN_FRAMES, QUERIES
 
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r14")
+                           "plans",
+                           os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     names = [n for n in bench.HEADLINE if not ONLY or n in ONLY]
     for name in names:

@@ -31,6 +31,9 @@ def main() -> int:
         print("usage: qtime.py <query> [query ...]")
         return 2
     os.environ.setdefault("LAKEFLUSH_Q41_ORACLE", "0")
+    # same session posture as bench.py (r15: heap pre-touch is gated
+    # on the bench marker) so isolated A/B numbers stay comparable
+    os.environ.setdefault("SPARK_GRAFT_BENCH", "1")
     from lakeflush_spark import get_spark
 
     spark = get_spark("qtime")

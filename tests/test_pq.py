@@ -204,3 +204,33 @@ def test_layout_guards(spark, tmp_path):
         pq_encode_index(spark, idx8, str(tmp_path / "x2"))
     with pytest.raises(ValueError, match="IVF-PQ"):
         ivfpq_search(spark, idx, queries, k=3)
+
+
+def test_reencode_at_same_path_invalidates_codebook_cache(spark, tmp_path):
+    """A delete + re-encode at the SAME dest path within one session
+    must serve the NEW codebooks (r15, VERDICT r14 #4: the per-(appId,
+    dir) cache would otherwise return the stale array)."""
+    import shutil
+
+    import numpy as np
+
+    idx_a = str(tmp_path / "ivf_a")
+    idx_b = str(tmp_path / "ivf_b")
+    pq = str(tmp_path / "pq")
+    build_ivf_index(_corpus(spark, n=300), idx_a, n_cells=4)
+    # a different corpus trains measurably different codebooks
+    build_ivf_index(_corpus(spark, n=300, offset=5000), idx_b, n_cells=4)
+    pq_encode_index(spark, idx_a, pq, m=8, n_codes=16)
+    cb_a = read_codebooks(spark, pq)  # populates the cache
+    shutil.rmtree(pq)
+    pq_encode_index(spark, idx_b, pq, m=8, n_codes=16)
+    cb_b = read_codebooks(spark, pq)
+    fresh = train_pq_codebooks(
+        spark.read.option("basePath", f"{idx_b}/vectors")
+        .parquet(f"{idx_b}/vectors")
+        .select("vid", "v"),
+        m=8,
+        n_codes=16,
+    )
+    assert not np.array_equal(cb_a, cb_b)
+    assert np.array_equal(cb_b, fresh)

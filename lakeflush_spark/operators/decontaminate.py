@@ -219,6 +219,7 @@ def decontaminate(
     min_common: int = 1,
     materialize: bool = True,
     broadcast_eval: bool = True,
+    eager: bool = False,
 ) -> DecontamResult:
     """Remove corpus docs sharing ≥ ``min_common`` word n-grams with eval.
 
@@ -232,6 +233,14 @@ def decontaminate(
     consuming all three outputs runs the corpus probe exactly once;
     neither pass shuffles corpus rows (both joins broadcast the small
     side). Call ``result.unpersist()`` when done.
+
+    ``eager=True`` (r15) additionally localCheckpoints the hit set NOW
+    instead of lazily persisting it: a caller that materializes all
+    the outputs in ONE action (q61's four-branch union) would
+    otherwise race several concurrent stages into the still-empty
+    cache and recompute the corpus probe once per branch — the
+    checkpoint runs it exactly once, and the (bounded, hits-sized)
+    blocks free on GC with no unpersist() obligation.
     """
     hits = _gram_hits(
         corpus,
@@ -241,7 +250,9 @@ def decontaminate(
         n=n,
         broadcast_eval=broadcast_eval,
     )
-    if materialize:
+    if materialize and eager:
+        hits = hits.localCheckpoint()
+    elif materialize:
         hits = hits.persist()
     pairs = _pairs_from_hits(hits)
     contaminated = (
@@ -257,5 +268,6 @@ def decontaminate(
         clean=clean,
         contaminated=contaminated,
         pairs=pairs,
-        _hits=hits if materialize else None,
+        # checkpointed hits have no cache pin to release
+        _hits=hits if (materialize and not eager) else None,
     )

@@ -114,14 +114,19 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint") % 100
     eval_docs = docs.where(bucket < EVAL_PCT)
     corpus = docs.where(bucket >= EVAL_PCT)
-    # materialize=True persists the hit set (only MATCHING gram rows —
-    # KBs here, bounded by contamination volume at any scale) so the
-    # three union branches run the corpus probe once, not three times
-    # (measured 1.6x on the whole query at sf0.1). The tiny cache is
-    # left to LRU eviction: a declarative builder has no post-collect
-    # hook, and per driver run it is one bounded block.
+    # materialize=True pins the hit set (only MATCHING gram rows — KBs
+    # here, bounded by contamination volume at any scale) so the union
+    # branches run the corpus probe once, not four times (measured
+    # 1.6x on the whole query at sf0.1). eager=True (r15, VERDICT r14
+    # #6): the lazy persist still let the ONE materializing action
+    # race all four branch subtrees into the empty cache concurrently
+    # — each recomputed the full corpus probe (the 32-core run was
+    # SLOWER than 8-core, ratio 0.59, because more cores ran more
+    # redundant probes at once). The eager localCheckpoint runs the
+    # probe exactly once per build; checkpointed blocks free on GC.
     res = decontaminate(
-        corpus, eval_docs, n=CONTRACT_N, min_common=1, materialize=True
+        corpus, eval_docs, n=CONTRACT_N, min_common=1, materialize=True,
+        eager=True,
     )
     null_big = F.lit(None).cast("bigint")
     null_dbl = F.lit(None).cast("double")

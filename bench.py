@@ -750,6 +750,37 @@ tight samples, the assign+write path is cheaper than semdd's
 assign+compare+two-writes as expected. Warm curation 95.4 docs/s,
 curate_sem 328.
 
+r15 (optimization round 2): the emitted JSON gains `box_fault_mb_s` —
+first-touch fault-rate probes bracketing every section — so a
+degraded-host window is visible in the driver's own artifact (the r14
+driver run's ~2x curation-section readings carried exactly that
+signature with no way to prove it from the record). Reading the
+probes (measured over three closing runs): the START probe is the
+clean host signal (healthy 1.0-1.3 GB/s); mid-run probes are
+depressed to ~60-160 MB/s by the bench's own footprint (16 GiB
+pre-touched JVM + page-cache churn makes fresh allocations pay host
+reclaim), so judge a window degraded on a collapsed START probe or on
+double-digit readings PAIRED with 2-3x timings — a low mid-run probe
+next to in-band timings does not invalidate them (the fastest query
+section on record, suite 43.0, read after_queries=157). The stdout line
+drops `queries_samples` (the map that pushed r13's line past the
+driver's tail capture and lost that round-over-round comparison); the
+full record including samples stays in BENCH.out.json, written first.
+No timed region changed. r15 baseline at the r14-close tree (healthy
+probes 1048/717): suite 44.3 s; report 3.32 / pq_encode 1.18 /
+phash_stream 1312 imgs/s — the r14 serving/streaming wins confirmed
+driver-comparable on a healthy box. r15 changes (see
+OPTIMIZATION_r15.md for full A/Bs): q55 5.76 -> 3.96 s isolated
+(coalesce(1) on the 5-row query frame; pool-width A/B kept 7 — widths
+3/2 measured SLOWER at both core counts), bm25_build 2.25 -> 1.92 s
+(stats scan pooled with the postings build), curate warm batches
+~4.4 -> ~3.3 s (one minhash pass per batch + frozen-quantizer frame
+cached per stream; curate_warm_docs_s 153-157 in both r15 closing
+runs), q29 scans 14 -> 0 and q61 scans 12 -> 2 via shared/eager
+checkpoints — both a WASH in warm bench posture at sf0.1 (alternated
+A/B recorded) and kept for the scale shape, where the removed scans
+and the killed cache-race recompute are real wall time.
+
 r14 compaction-drop attribution (VERDICT r13 #2/#4: the r13 DRIVER
 run recorded csv 36.5 / gzip 8.7 / json 11.7k — every sample below
 every r12 sample): an ISOLATED fresh-JVM bench_compaction run this
